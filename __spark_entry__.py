@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps every
+implemented operator (SURVEY.md §2) to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` provides the DuckDB-equivalent ANSI SQL the
+driver hash-compares against at sf0.01.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL; float aggregates are rounded to 6
+decimals on both sides so summation-order differences cannot flip the
+value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +16,313 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recmetrics_pyspark_spark.operators import metrics as M
+from recmetrics_pyspark_spark.operators import recommend as R
+from recmetrics_pyspark_spark.plans import relational as Q
+from recmetrics_pyspark_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTE prologue: re-derives the exact interactions /
+# recommendations inputs the Spark operators use (operators/recommend.py).
+# DuckDB binds CTEs lazily, so unused CTEs cost nothing.
+# ---------------------------------------------------------------------------
+ORACLE_BASE = """WITH interactions AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id, l_quantity AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), upairs AS (
+  SELECT DISTINCT user_id, item_id FROM interactions
+), recs AS (
+  SELECT user_id, item_id, rnk FROM (
+    SELECT user_id, item_id,
+      row_number() OVER (PARTITION BY user_id
+        ORDER BY (user_id*2654435761 + item_id*40503) % 1000003, item_id) AS rnk
+    FROM upairs) t
+  WHERE rnk <= 10
+)"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return Q.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+def _recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.synthetic_recommendations(spark, sf_dir).select(
+        F.col("user").alias("user_id"),
+        F.col("item").alias("item_id"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+def _coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs = _recommendations(spark, sf_dir)
+    ratings = R.interactions(spark, sf_dir).select(F.col("item").alias("item_id"))
+    return M.coverage(recs, ratings, col_item="item_id")
+
+
+def _novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sales = R.interactions(spark, sf_dir)
+    recs = R.synthetic_recommendations(spark, sf_dir)
+    return M.novelty(sales, recs, col_user="user", col_item="item")
+
+
+def _novelty_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sales = R.interactions(spark, sf_dir)
+    recs = R.synthetic_recommendations(spark, sf_dir)
+    per_user = M.novelty_per_user(sales, recs, col_user="user", col_item="item")
+    return per_user.select(
+        F.col("user").alias("user_id"), F.round("msi", 6).alias("msi")
+    )
+
+
+def _personalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = R.interactions(spark, sf_dir)
+    return M.personalization(pairs, col_index="user", col_columns="item")
+
+
+def _intra_list_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs = R.synthetic_recommendations(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    feat = recs.join(part, recs.item == part.p_partkey).select(
+        F.col("user").alias("user_id"),
+        F.col("item").alias("item_id"),
+        F.col("p_brand").alias("feat"),
+        F.lit(1.0).alias("val"),
+    )
+    return M.intra_list_similarity(
+        feat,
+        col_group="user_id",
+        col_index="item_id",
+        col_columns="feat",
+        col_values="val",
+    )
+
+
+def _long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = R.interactions(spark, sf_dir).select(F.col("item").alias("item_id"))
+    out = M.long_tail_stats(inter, col_item="item_id", percentage=0.5)
+    return out.select(
+        "item_id",
+        "volume",
+        F.col("item_rank").cast("long").alias("item_rank"),
+        "cumulative_volume",
+        "pct_cumulative",
+        "bucket",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (plans/relational.py)
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q3_shipping_priority": Q.q3_shipping_priority,
+        "q4_order_priority": Q.q_order_priority_count,
+        "q5_region_volume": Q.q5_region_volume,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "q10_returned_items": Q.q10_returned_items,
+        "q18_large_orders": Q.q18_large_orders,
+        "q_top_parts_per_brand": Q.q_top_parts_per_brand,
+        # recommender metrics (operators/metrics.py)
+        "recommendations_topk": _recommendations,
+        "coverage": _coverage,
+        "novelty": _novelty,
+        "novelty_per_user": _novelty_per_user,
+        "personalization": _personalization,
+        "intra_list_similarity": _intra_list_similarity,
+        "long_tail_stats": _long_tail,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 6) AS sum_qty,
+  round(sum(l_extendedprice), 6) AS sum_base_price,
+  round(sum(l_extendedprice*(1-l_discount)), 6) AS sum_disc_price,
+  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 6) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  round(sum(l_extendedprice*(1-l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1993-07-01'
+  AND o_orderdate < TIMESTAMP '1993-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        "q5_region_volume": """
+SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1995-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+        "q6_forecast_revenue": """
+SELECT round(sum(l_extendedprice*l_discount), 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "q10_returned_items": """
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+  round(sum(l_extendedprice*(1-l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1993-10-01'
+  AND o_orderdate < TIMESTAMP '1994-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+        "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  round(sum_qty, 6) AS sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+        "q_top_parts_per_brand": """
+WITH rev AS (
+  SELECT l_partkey, round(sum(l_extendedprice*(1-l_discount)), 6) AS revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, p_partkey, revenue, brand_rank FROM (
+  SELECT p_brand, p_partkey, revenue,
+    CAST(row_number() OVER (PARTITION BY p_brand
+      ORDER BY revenue DESC, p_partkey) AS INTEGER) AS brand_rank
+  FROM rev JOIN part ON l_partkey = p_partkey) t
+WHERE brand_rank <= 3
+ORDER BY p_brand, brand_rank
+""",
+        "recommendations_topk": ORACLE_BASE
+        + """
+SELECT user_id, item_id, rnk FROM recs
+""",
+        "coverage": ORACLE_BASE
+        + """
+, r AS (SELECT count(DISTINCT item_id) AS rec_items FROM recs),
+c AS (SELECT count(DISTINCT item_id) AS catalog_items FROM interactions)
+SELECT rec_items, catalog_items,
+  round(CAST(rec_items AS DOUBLE)/catalog_items, 6) AS coverage
+FROM r, c
+""",
+        "novelty": ORACLE_BASE
+        + """
+, u AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS u FROM interactions),
+pop AS (SELECT item_id, count(*) AS pop FROM interactions GROUP BY item_id),
+lg AS (SELECT item_id, -log2(pop/u) AS log2_si FROM pop, u),
+j AS (SELECT r.user_id, lg.log2_si FROM recs r LEFT JOIN lg USING (item_id)),
+per_user AS (SELECT user_id, sum(log2_si)/count(*) AS msi FROM j GROUP BY user_id)
+SELECT round(avg(msi), 6) AS novelty FROM per_user
+""",
+        "novelty_per_user": ORACLE_BASE
+        + """
+, u AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS u FROM interactions),
+pop AS (SELECT item_id, count(*) AS pop FROM interactions GROUP BY item_id),
+lg AS (SELECT item_id, -log2(pop/u) AS log2_si FROM pop, u),
+j AS (SELECT r.user_id, lg.log2_si FROM recs r LEFT JOIN lg USING (item_id))
+SELECT user_id, round(sum(log2_si)/count(*), 6) AS msi FROM j GROUP BY user_id
+""",
+        "personalization": ORACLE_BASE
+        + """
+, sizes AS (SELECT user_id, count(*) AS sz FROM upairs GROUP BY user_id),
+wtd AS (SELECT p.user_id, p.item_id, 1.0/sqrt(sz) AS w
+        FROM upairs p JOIN sizes USING (user_id)),
+s AS (SELECT coalesce(sum(a.w*b.w), 0.0) AS s
+      FROM wtd a JOIN wtd b
+        ON a.item_id = b.item_id AND a.user_id < b.user_id),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sizes)
+SELECT round(1.0 - 2.0*s/(n*(n-1)), 6) AS personalization FROM s, n
+""",
+        "intra_list_similarity": ORACLE_BASE
+        + """
+, vecs AS (
+  SELECT r.user_id AS g, r.item_id AS it, p.p_brand AS f,
+         avg(CAST(1.0 AS DOUBLE)) AS v
+  FROM recs r JOIN part p ON r.item_id = p.p_partkey
+  GROUP BY 1, 2, 3
+), norms AS (
+  SELECT g, it, sqrt(sum(v*v)) AS nrm FROM vecs GROUP BY g, it
+), n_items AS (
+  SELECT g, count(*) AS n_it FROM norms GROUP BY g
+), dots AS (
+  SELECT a.g, a.it AS ia, b.it AS ib, sum(a.v*b.v) AS dot
+  FROM vecs a JOIN vecs b ON a.g = b.g AND a.f = b.f AND a.it < b.it
+  GROUP BY a.g, a.it, b.it
+), cos_sums AS (
+  SELECT d.g, sum(d.dot/(na.nrm*nb.nrm)) AS cos_sum
+  FROM dots d
+  JOIN norms na ON d.g = na.g AND d.ia = na.it
+  JOIN norms nb ON d.g = nb.g AND d.ib = nb.it
+  GROUP BY d.g
+)
+SELECT n_items.g AS user_id,
+  CASE WHEN n_it >= 2
+       THEN round(coalesce(cos_sum, 0.0)/(n_it*(n_it-1)/2.0), 6)
+  END AS intra_list_similarity
+FROM n_items LEFT JOIN cos_sums ON n_items.g = cos_sums.g
+""",
+        "long_tail_stats": ORACLE_BASE
+        + """
+, vol AS (SELECT item_id, count(*) AS volume FROM interactions GROUP BY item_id),
+tot AS (SELECT CAST(sum(volume) AS DOUBLE) AS total FROM vol),
+w AS (
+  SELECT item_id, volume,
+    CAST(row_number() OVER (ORDER BY volume DESC, item_id) AS BIGINT) AS item_rank,
+    CAST(sum(volume) OVER (ORDER BY volume DESC, item_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_volume
+  FROM vol)
+SELECT item_id, volume, item_rank, cumulative_volume,
+  round(cumulative_volume/total, 6) AS pct_cumulative,
+  CASE WHEN round(cumulative_volume/total, 6) <= 0.5
+       THEN 'head' ELSE 'tail' END AS bucket
+FROM w, tot
+""",
+    }

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count-style action that forces full
+evaluation without collecting rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from recmetrics_pyspark_spark import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("recmetrics-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    t0_all = time.perf_counter()
+    for name, fn in sorted(qs.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            # force full evaluation of every column without driver collect
+            df.foreach(lambda _: None)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching the rest
+            timings[name] = -1.0
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+    total = round(time.perf_counter() - t0_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

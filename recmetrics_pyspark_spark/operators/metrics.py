@@ -1,0 +1,313 @@
+"""Recommender metrics as single-pass DataFrame pipelines.
+
+Re-expresses the reference's public API (SURVEY.md §2.8) Spark-first:
+
+- ``coverage``       ← reference recmetrics_pyspark.py:106-110 (fixing the
+  hardcoded ``id_product`` bug noted in SURVEY §4.3.1)
+- ``novelty``        ← reference recmetrics_pyspark.py:147-173
+- ``long_tail_stats``← reference recmetrics_pyspark.py:27-103 (stats only;
+  plotting stays a thin optional adapter)
+- ``personalization``← reference recmetrics_pyspark.py:300-412 — the
+  pivot/BlockMatrix/DIMSUM paths replaced by an exact item-key self-join
+  cosine (SURVEY §2.7 "golden operator" plan)
+- ``intra_list_similarity`` ← reference recmetrics_pyspark.py:415-432
+
+Every function composes lazy transformations and returns a DataFrame;
+``*_value`` helpers trigger the single action and return the scalar.
+No collect of unaggregated data, no dynamic pivot, no RDDs, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------------
+# coverage
+# ---------------------------------------------------------------------------
+
+def coverage(
+    df_recommendations: DataFrame,
+    df_ratings: DataFrame,
+    col_item: str = "id_product",
+) -> DataFrame:
+    """|distinct items recommended| / |distinct items rated| as a 1-row DF.
+
+    Reference semantics (recmetrics_pyspark.py:106-110) but distributed:
+    the reference collects both item columns to the driver and builds
+    Python sets — O(N) driver memory; here both sides are
+    ``countDistinct`` aggregates (partial-agg'd, exact) combined with a
+    broadcast cross join of two 1-row frames.
+    """
+    rec = df_recommendations.agg(
+        F.countDistinct(col_item).alias("rec_items")
+    )
+    cat = df_ratings.agg(F.countDistinct(col_item).alias("catalog_items"))
+    return rec.crossJoin(broadcast(cat)).select(
+        F.col("rec_items"),
+        F.col("catalog_items"),
+        F.round(F.col("rec_items") / F.col("catalog_items"), 6).alias("coverage"),
+    )
+
+
+def coverage_value(df_recommendations, df_ratings, col_item="id_product") -> float:
+    return coverage(df_recommendations, df_ratings, col_item).head()["coverage"]
+
+
+# ---------------------------------------------------------------------------
+# novelty
+# ---------------------------------------------------------------------------
+
+def novelty_per_user(
+    df_sales: DataFrame,
+    df_recommendations: DataFrame,
+    u: int | None = None,
+    col_user: str = "person",
+    col_item: str = "product",
+) -> DataFrame:
+    """Per-user mean self-information (MSI) of recommended items.
+
+    Exact reference semantics (recmetrics_pyspark.py:147-173):
+    pop(item) = row count in sales; log2 = −log₂(pop/u);
+    MSI(user) = Σ log2 / |rec list| where the sum SKIPS items never seen
+    in sales (null from the left join) while the count still counts them
+    — the reference's quirk documented in SURVEY §4.3.7, kept
+    deliberately for parity. u defaults to |distinct sales users|.
+
+    Plan: item-popularity is vocabulary-sized → broadcast to the recs
+    join; one shuffle for the popularity agg, one for the per-user agg.
+    """
+    if u is None:
+        u_df = df_sales.agg(F.countDistinct(col_user).cast("double").alias("u"))
+    else:
+        u_df = df_sales.sparkSession.range(1).select(
+            F.lit(float(u)).alias("u")
+        )
+    pop = (
+        df_sales.groupBy(col_item)
+        .agg(F.count(F.lit(1)).alias("pop"))
+        .crossJoin(broadcast(u_df))
+        .select(
+            col_item,
+            (-F.log2(F.col("pop") / F.col("u"))).alias("log2_si"),
+        )
+    )
+    joined = df_recommendations.select(col_user, col_item).join(
+        broadcast(pop), on=col_item, how="left"
+    )
+    return (
+        joined.groupBy(col_user)
+        .agg(
+            (F.sum("log2_si") / F.count(F.lit(1))).alias("msi"),
+        )
+    )
+
+
+def novelty(
+    df_sales: DataFrame,
+    df_recommendations: DataFrame,
+    u: int | None = None,
+    col_user: str = "person",
+    col_item: str = "product",
+) -> DataFrame:
+    """Mean MSI over users as a 1-row DF (column ``novelty``)."""
+    per_user = novelty_per_user(df_sales, df_recommendations, u, col_user, col_item)
+    return per_user.agg(F.round(F.avg("msi"), 6).alias("novelty"))
+
+
+def novelty_value(df_sales, df_recommendations, u=None, col_user="person",
+                  col_item="product") -> float:
+    return novelty(df_sales, df_recommendations, u, col_user, col_item).head()[
+        "novelty"
+    ]
+
+
+# ---------------------------------------------------------------------------
+# long tail
+# ---------------------------------------------------------------------------
+
+def long_tail_stats(
+    df: DataFrame,
+    col_item: str = "id_product",
+    percentage: float | None = 0.5,
+) -> DataFrame:
+    """Popularity curve stats: per-item volume, rank, cumulative share.
+
+    Reference recmetrics_pyspark.py:27-103 computes volume in Spark then
+    does cumsum/percent/split in driver pandas; here the whole curve is
+    computed distributed and only the (vocabulary-sized) result would
+    ever be collected by a plotting adapter — the reference's own
+    "aggregate first" rule (:30-32) taken to its conclusion.
+
+    The cumulative window is global-ordered, but it runs on the
+    *item-level aggregate* (|vocabulary| rows, not |interactions|), which
+    is the post-aggregation small side; ties broken by item id for
+    determinism.
+    """
+    vol = df.groupBy(col_item).agg(F.count(F.lit(1)).alias("volume"))
+    total = vol.agg(F.sum("volume").cast("double").alias("total_volume"))
+    w = Window.orderBy(F.desc("volume"), F.asc(col_item)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy(F.desc("volume"), F.asc(col_item))
+    out = (
+        vol.crossJoin(broadcast(total))
+        .withColumn("item_rank", F.row_number().over(wr))
+        .withColumn("cumulative_volume", F.sum("volume").over(w))
+        .select(
+            F.col(col_item),
+            "volume",
+            "item_rank",
+            "cumulative_volume",
+            F.round(F.col("cumulative_volume") / F.col("total_volume"), 6).alias(
+                "pct_cumulative"
+            ),
+        )
+    )
+    if percentage is not None:
+        out = out.withColumn(
+            "bucket",
+            F.when(F.col("pct_cumulative") <= F.lit(percentage), "head").otherwise(
+                "tail"
+            ),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# personalization
+# ---------------------------------------------------------------------------
+
+def personalization(
+    df: DataFrame,
+    col_index: str = "person",
+    col_columns: str = "product",
+) -> DataFrame:
+    """P = 1 − mean pairwise cosine of users' binary item vectors; 1-row DF.
+
+    The reference builds a dynamic pivot → user×item matrix → Gram
+    product via BlockMatrix or DIMSUM (recmetrics_pyspark.py:300-412,
+    three versions, all equal). Those paths need a dense index, a global
+    single-partition window, and RDD matrix ops. The exact
+    DataFrame-native equivalent (SURVEY §2.7): with unit-normalized
+    binary vectors, cos(u,v) = Σ_shared-items 1/√(|u|·|v|), so
+
+        Σ_{i<j} cos = Σ over item-co-occurrence pairs of w_i·w_j,
+        w_u = 1/√|basket(u)|
+
+    — an equi-self-join on item (only co-rated pairs shuffle, the same
+    sparsity DIMSUM exploits) followed by one aggregate. Users with no
+    overlap contribute 0 implicitly. Doctest fixture (:321-333) gives
+    exactly 2/3.
+
+    Skew note: the item self-join is quadratic in the hottest item's
+    user count; AQE skew-join splitting is on in our session factory,
+    and an LSH approximation (minhash_lsh in operators.dedup) is the
+    100 TB escape hatch.
+    """
+    baskets = df.select(
+        F.col(col_index).alias("u"), F.col(col_columns).alias("i")
+    ).distinct()
+    sizes = baskets.groupBy("u").agg(F.count(F.lit(1)).alias("sz"))
+    weighted = baskets.join(sizes, "u").select(
+        "u", "i", (F.lit(1.0) / F.sqrt(F.col("sz"))).alias("w")
+    )
+    a = weighted.select(
+        F.col("u").alias("ua"), F.col("i").alias("i"), F.col("w").alias("wa")
+    )
+    b = weighted.select(
+        F.col("u").alias("ub"), F.col("i").alias("i"), F.col("w").alias("wb")
+    )
+    pair_sum = (
+        a.join(b, "i")
+        .filter(F.col("ua") < F.col("ub"))
+        .agg(F.coalesce(F.sum(F.col("wa") * F.col("wb")), F.lit(0.0)).alias("s"))
+    )
+    n = sizes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return pair_sum.crossJoin(broadcast(n)).select(
+        F.round(
+            F.lit(1.0) - F.lit(2.0) * F.col("s") / (F.col("n") * (F.col("n") - 1)),
+            6,
+        ).alias("personalization")
+    )
+
+
+def personalization_value(df, col_index="person", col_columns="product") -> float:
+    return personalization(df, col_index, col_columns).head()["personalization"]
+
+
+# ---------------------------------------------------------------------------
+# intra-list similarity
+# ---------------------------------------------------------------------------
+
+def intra_list_similarity(
+    df: DataFrame,
+    col_group: str = "person",
+    col_index: str = "product",
+    col_columns: str = "category",
+    col_values: str = "rating",
+) -> DataFrame:
+    """Per-group mean pairwise cosine of the items in the group's list,
+    items featurized over ``col_columns`` with ``col_values`` weights.
+
+    Reference semantics (recmetrics_pyspark.py:415-432): per group,
+    pandas pivot_table (aggfunc=mean) → item×feature matrix → cosine →
+    mean of off-diagonal entries. Driver-side per group in the
+    reference; here one distributed pipeline:
+
+      feature vectors → norms → within-group item-pair self-join on the
+      feature key → dot/cos per pair → per-group mean over ALL
+      C(n_items, 2) pairs (pairs sharing no feature contribute 0 —
+      they never materialize; we divide by the full pair count).
+
+    Groups with a single item return null (pandas yields NaN there too).
+    """
+    vecs = (
+        df.groupBy(
+            F.col(col_group).alias("g"),
+            F.col(col_index).alias("it"),
+            F.col(col_columns).alias("f"),
+        )
+        .agg(F.avg(col_values).alias("v"))
+    )
+    norms = vecs.groupBy("g", "it").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    n_items = norms.groupBy("g").agg(F.count(F.lit(1)).alias("n_it"))
+    a = vecs.select(
+        "g", F.col("it").alias("ia"), "f", F.col("v").alias("va")
+    )
+    b = vecs.select(
+        "g", F.col("it").alias("ib"), "f", F.col("v").alias("vb")
+    )
+    dots = (
+        a.join(b, ["g", "f"])
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("g", "ia", "ib")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select("g", F.col("it").alias("ia"), F.col("nrm").alias("na"))
+    nb = norms.select("g", F.col("it").alias("ib"), F.col("nrm").alias("nb"))
+    cos_sums = (
+        dots.join(na, ["g", "ia"])
+        .join(nb, ["g", "ib"])
+        .groupBy("g")
+        .agg(F.sum(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sum"))
+    )
+    return (
+        n_items.join(cos_sums, "g", "left")
+        .select(
+            F.col("g").alias(col_group),
+            F.when(
+                F.col("n_it") >= 2,
+                F.round(
+                    F.coalesce(F.col("cos_sum"), F.lit(0.0))
+                    / (F.col("n_it") * (F.col("n_it") - 1) / 2.0),
+                    6,
+                ),
+            ).alias("intra_list_similarity"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Interactions + recommendations derivation over the testdata schema.
+
+The reference's inputs are an interactions (sales/ratings) table and a
+top-k recommendations table produced by ALS
+(reference usage_examples.ipynb cells 32-39). The driver testdata has no
+recommender, so we derive both deterministically from orders×lineitem
+(FIXTURES.md §B mapping): user = o_custkey, item = l_partkey. The
+"recommendations" are a seeded pseudo-random top-10 per user — the exact
+same arithmetic is reproducible in ANSI SQL, which is what makes the
+DuckDB oracle able to re-derive identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.io import load_table
+
+# Knuth-style multiplicative constants; small enough that
+# user*A + item*B stays far from int64 overflow at any realistic SF.
+_HASH_A = 2654435761
+_HASH_B = 40503
+_HASH_MOD = 1000003
+
+
+def interactions(
+    spark: SparkSession, sf_dir: str, with_rating: bool = False
+) -> DataFrame:
+    """Long-form (user, item[, rating]) interactions.
+
+    Mirrors the reference's tall/stacked data model (SURVEY.md §1.1):
+    one row per purchase event; rating = l_quantity.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("user"),
+        F.col("l_partkey").alias("item"),
+        F.col("l_quantity").alias("rating"),
+    )
+    if not with_rating:
+        out = out.select("user", "item")
+    return out
+
+
+def pseudo_score(user_col, item_col):
+    """Deterministic engine-portable pseudo-random score in [0, 1000003)."""
+    return (user_col * F.lit(_HASH_A) + item_col * F.lit(_HASH_B)) % F.lit(_HASH_MOD)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    col_group: str,
+    order_cols: list,
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Generic per-group top-k: row_number over a partitioned window.
+
+    This is the scalable idiom for the reference's recommendForAllUsers
+    pattern — partitionBy keeps every group's ranking local to its
+    shuffle partition (no global sort)."""
+    w = Window.partitionBy(col_group).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def synthetic_recommendations(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Deterministic top-k recs per user: (user, item, rnk).
+
+    Distinct purchased pairs ranked by a portable hash — one shuffle for
+    the distinct (reused by the window since both partition on user via
+    AQE) and no data-dependent randomness."""
+    pairs = interactions(spark, sf_dir).distinct()
+    scored = pairs.withColumn("score", pseudo_score(F.col("user"), F.col("item")))
+    return top_k_per_group(
+        scored, "user", [F.asc("score"), F.asc("item")], k
+    ).select("user", "item", "rnk")

@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference (recmetrics_pyspark.py:264) leans on an ambient global
+``spark``; we thread an explicit session everywhere and centralize the
+conf that matters at 100 TB: AQE (runtime coalesce + skew-join splitting,
+the long-tail item skew is real), broadcast threshold, Arrow for any
+pandas-UDF path, UTC session time so event-time semantics are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "recmetrics_pyspark_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass ``None`` with a pre-configured environment and the builder
+    simply inherits it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core avoids tiny-task
+        # overhead at test scale; AQE coalesces further at runtime. On a
+        # cluster this should be ~2-3x total cores (set explicitly).
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    return builder.getOrCreate()

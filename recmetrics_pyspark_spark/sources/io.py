@@ -1,0 +1,50 @@
+"""Parquet sources for the driver testdata star schema (TESTDATA.md).
+
+The reference ingests only driver-built DataFrames
+(reference recmetrics_pyspark.py:264-267, usage_examples.ipynb cells 23-24);
+our engine reads columnar files so Catalyst gets predicate pushdown,
+column pruning, and partition pruning at the scan (check
+``.explain``'s PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table; scans stay lazy for pushdown."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` works too."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

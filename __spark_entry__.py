@@ -18,8 +18,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from recmetrics_pyspark_spark.functions import text as T
+from recmetrics_pyspark_spark.operators import dedup as D
 from recmetrics_pyspark_spark.operators import metrics as M
 from recmetrics_pyspark_spark.operators import recommend as R
+from recmetrics_pyspark_spark.operators import similarity as S
 from recmetrics_pyspark_spark.plans import relational as Q
 from recmetrics_pyspark_spark.sources.io import load_table
 
@@ -117,6 +120,65 @@ def _long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _text_stats(spark, sf_dir):
+    df = T.text_stats(_docs(spark, sf_dir))
+    return df.withColumn("n_chars", F.col("n_chars").cast("long"))
+
+
+def _language_id(spark, sf_dir):
+    return T.language_id(_docs(spark, sf_dir))
+
+
+def _doc_fingerprint(spark, sf_dir):
+    return T.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _quality_score(spark, sf_dir):
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+def _token_count_by_lang(spark, sf_dir):
+    return T.token_count_by_lang(_docs(spark, sf_dir))
+
+
+def _dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def _ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+def _minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+def _simhash(spark, sf_dir):
+    return D.simhash_signatures(_docs(spark, sf_dir))
+
+
+def _simhash_near(spark, sf_dir):
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _ann_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5)
+    return S.ann_bruteforce_topk(embs, queries_df, k=10)
+
+
+def _embedding_neardup(spark, sf_dir):
+    return S.embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.35)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (plans/relational.py)
@@ -136,7 +198,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalization": _personalization,
         "intra_list_similarity": _intra_list_similarity,
         "long_tail_stats": _long_tail,
+        # text analysis (functions/text.py)
+        "text_stats": _text_stats,
+        "language_id": _language_id,
+        "doc_fingerprint": _doc_fingerprint,
+        "quality_score": _quality_score,
+        "token_count_by_lang": _token_count_by_lang,
+        # dedup (operators/dedup.py)
+        "dedup_exact": _dedup_exact,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "minhash_lsh_pairs": _minhash_lsh,
+        "simhash_signatures": _simhash,
+        "simhash_near_pairs": _simhash_near,
+        # similarity search (operators/similarity.py)
+        "ann_bruteforce_topk": _ann_topk,
+        "embedding_neardup": _embedding_neardup,
     }
+
+
+# DuckDB CTE prologue for document ops: tokenized docs + distinct
+# word-3-gram shingles (mirrors functions/text.py + operators/dedup.py).
+_DOC_BASE = """WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS s
+  FROM d, unnest(generate_series(1, greatest(len(toks)-2, 1))) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), jac AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(CAST(count(*) AS DOUBLE)
+      / (sa.n_sh + sb.n_sh - count(*)), 6) AS jaccard
+  FROM sh a
+  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN sizes sa ON a.doc_id = sa.doc_id
+  JOIN sizes sb ON b.doc_id = sb.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+)"""
+
+
+def _sqlset(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _simhash_sql_expr() -> str:
+    hi = "('8','9','a','b','c','d','e','f')"
+    terms = []
+    for p in range(1, 17):
+        s = (
+            f"list_aggregate(list_transform(toks, x -> CASE WHEN "
+            f"substr(md5(x), {p}, 1) IN {hi} THEN 1 ELSE -1 END), 'sum')"
+        )
+        terms.append(f"(CASE WHEN ({s}) >= 0 THEN {2 ** (p - 1)} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -324,5 +444,133 @@ SELECT item_id, volume, item_rank, cumulative_volume,
   CASE WHEN round(cumulative_volume/total, 6) <= 0.5
        THEN 'head' ELSE 'tail' END AS bucket
 FROM w, tot
+""",
+        "text_stats": f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+        / len(toks), 6) AS avg_token_len,
+  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+  round(length(regexp_replace(text, '[^ ]', '', 'g'))
+        / CAST(length(text) AS DOUBLE), 6) AS space_ratio,
+  round(len(list_filter(toks, x -> x IN {_sqlset(T.STOPWORDS_EN)}))
+        / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+  CAST(ceil(length(text)/4.0) AS BIGINT) AS token_est_char4
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+""",
+        "language_id": f"""
+SELECT doc_id, s_en, s_es, s_de,
+  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+       WHEN s_es >= s_de THEN 'es'
+       ELSE 'de' END AS lang_pred
+FROM (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> x IN {_sqlset(T.LEX_EN)})) AS BIGINT) AS s_en,
+    CAST(len(list_filter(toks, x -> x IN {_sqlset(T.LEX_ES)})) AS BIGINT) AS s_es,
+    CAST(len(list_filter(toks, x -> x IN {_sqlset(T.LEX_DE)})) AS BIGINT) AS s_de
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+""",
+        "doc_fingerprint": """
+SELECT doc_id, md5(text) AS content_hash,
+  CASE WHEN len(toks) >= 3
+       THEN list_min(list_transform(generate_series(1, len(toks)-2),
+              i -> md5(array_to_string(list_slice(toks, i, i+2), ' '))))
+       ELSE md5(text) END AS shingle_fp
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+""",
+        "quality_score": f"""
+SELECT doc_id,
+  round(least(len(toks)/50.0, 1.0)*0.4
+    + (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+       / CAST(length(text) AS DOUBLE))*0.4
+    + least(5.0*len(list_filter(toks, x -> x IN {_sqlset(T.STOPWORDS_EN)}))
+            / CAST(len(toks) AS DOUBLE), 1.0)*0.2, 6) AS quality
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+""",
+        "token_count_by_lang": """
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+  round(avg(CAST(len(toks) AS DOUBLE)), 6) AS avg_tokens
+FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+GROUP BY lang
+""",
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+g AS (SELECT content_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
+      FROM h GROUP BY content_hash)
+SELECT doc_id, h.content_hash, n_copies, canonical_id,
+  doc_id <> canonical_id AS is_dup
+FROM h JOIN g USING (content_hash)
+""",
+        "ngram_jaccard_pairs": _DOC_BASE
+        + """
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.1
+""",
+        "minhash_lsh_pairs": _DOC_BASE
+        + """
+, sig AS (
+  SELECT doc_id,
+    """
+        + ",\n    ".join(
+            f"min(md5('{i}|' || s)) AS mh{i}" for i in range(8)
+        )
+        + """
+  FROM sh GROUP BY doc_id
+), bands AS (
+  """
+        + "\n  UNION ALL\n  ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_sig FROM sig"
+            for b in range(4)
+        )
+        + """
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+)
+SELECT j.id_a, j.id_b, j.jaccard
+FROM jac j JOIN cand USING (id_a, id_b)
+WHERE j.jaccard >= 0.1
+""",
+        "simhash_signatures": f"""
+SELECT doc_id, {_simhash_sql_expr()} AS simhash
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""",
+        "simhash_near_pairs": f"""
+WITH sig AS (
+  SELECT doc_id, {_simhash_sql_expr()} AS simhash
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  a.simhash AS sh_a, b.simhash AS sh_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "ann_bruteforce_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    {_COS_SQL.format(a='qv', b='e.v')} AS cos_sim
+  FROM q, e WHERE e.vec_id <> query_id)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+""",
+        "embedding_neardup": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+  {_COS_SQL.format(a='a.v', b='b.v')} AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.35
 """,
     }

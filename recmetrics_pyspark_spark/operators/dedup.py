@@ -1,0 +1,214 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+Four families, all expressed with built-in JVM functions (no Python
+UDFs) and engine-portable hashing (md5 + string min), so every variant
+is DuckDB-oracle-checkable:
+
+- exact:     content-hash groupBy (one shuffle on the hash)
+- MinHash:   shingle → k permutations via seeded md5 → banded LSH
+             bucket-join → candidate pairs → exact Jaccard verify
+- SimHash:   16-bit signature from per-token md5 hex digits; near-dup =
+             small Hamming distance on the signature
+- n-gram Jaccard: inverted-index join on shared shingles (only
+             co-shingle pairs shuffle — never the full cross product)
+
+Scale notes: the shingle inverted index is the classic dedup plan at
+100 TB — hot shingles are the skew risk (AQE skew-join on), and the
+band-bucket join materializes only same-bucket pairs, exactly like a
+production MinHash dedup. Embedding-cosine near-dup lives in
+``operators.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hashes(df: DataFrame, col_id: str, col_text: str) -> DataFrame:
+    return df.select(F.col(col_id), F.md5(F.col(col_text)).alias("content_hash"))
+
+
+def exact_dedup(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text"
+) -> DataFrame:
+    """Per-doc exact-duplicate assignment: smallest id in each
+    content-hash group is canonical; everything else is a duplicate."""
+    hashed = content_hashes(df, col_id, col_text)
+    groups = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(col_id).alias("canonical_id"),
+    )
+    return hashed.join(groups, "content_hash").select(
+        col_id,
+        "content_hash",
+        "n_copies",
+        "canonical_id",
+        (F.col(col_id) != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, col_id: str, col_text: str, k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per document (set semantics)."""
+    t = f"split({col_text}, ' ')"
+    shingles = (
+        f"transform(sequence(1, greatest(size({t}) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({t}, i, {k})))"
+    )
+    return (
+        df.select(F.col(col_id), F.explode(F.expr(shingles)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All document pairs with word-k-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: only pairs sharing at least one shingle are
+    ever materialized (the same sparsity the personalization self-join
+    exploits); |A|,|B| come from a broadcastable per-doc aggregate."""
+    sh = word_shingles(df, col_id, col_text, k)
+    sizes = sh.groupBy(col_id).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(col_id).alias("id_a"), "shingle")
+    b = sh.select(F.col(col_id).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(col_id).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(col_id).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per document: permutation i is min over
+    shingles of md5(i || '|' || shingle) — a string-min MinHash that
+    DuckDB reproduces bit-for-bit. One groupBy computes all n mins."""
+    sh = word_shingles(df, col_id, col_text, k_shingle)
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(col_id).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH near-dup: band the signature (r = n_hashes/bands
+    rows per band), bucket-join on (band, band-hash), then verify
+    candidates with exact Jaccard and keep pairs ≥ threshold.
+
+    Only same-bucket pairs are generated — the candidate join is linear
+    in bucket occupancy, never quadratic in corpus size."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, col_id, col_text, k_shingle, n_hashes)
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(col_id), *band_cols)
+    stacked = banded.select(
+        F.col(col_id),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_sig"
+        ),
+    )
+    ca = stacked.select(F.col(col_id).alias("id_a"), "band_idx", "band_sig")
+    cb = stacked.select(F.col(col_id).alias("id_b"), "band_idx", "band_sig")
+    candidates = (
+        ca.join(cb, ["band_idx", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(df, col_id, col_text, k_shingle, threshold=0.0)
+    return (
+        candidates.join(verified, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash over the token multiset: bit p of the signature is the
+    sign of Σ_tokens (±1 from hex digit p of md5(token)). 16 bits (one
+    per md5 hex digit) keeps the construction portable to the SQL
+    oracle; the Hamming-neighbour join is identical at any width."""
+    t = f"split({col_text}, ' ')"
+    hi = "('8','9','a','b','c','d','e','f')"
+    bit_terms = []
+    for p in range(1, bits + 1):
+        s = (
+            f"aggregate(transform({t}, x -> CASE WHEN substring(md5(x), {p}, 1)"
+            f" IN {hi} THEN 1 ELSE -1 END), 0, (a, x) -> a + x)"
+        )
+        bit_terms.append(f"(CASE WHEN ({s}) >= 0 THEN {2 ** (p - 1)}L ELSE 0L END)")
+    return df.select(
+        F.col(col_id), F.expr(" + ".join(bit_terms)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs whose 16-bit SimHash signatures differ in ≤ max_hamming
+    bits. Self-join here is corpus²; at 100 TB band by signature prefix
+    first (same LSH trick as MinHash) — kept direct because the
+    signature table is one row per doc (tiny next to the corpus)."""
+    sigs = simhash_signatures(df, col_id, col_text)
+    a = sigs.select(F.col(col_id).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col(col_id).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "sh_a", "sh_b", "hamming")
+    )

@@ -25,6 +25,7 @@ from recmetrics_pyspark_spark.operators import recommend as R
 from recmetrics_pyspark_spark.operators import similarity as S
 from recmetrics_pyspark_spark.plans import relational as Q
 from recmetrics_pyspark_spark.sources.io import load_table
+from recmetrics_pyspark_spark.streaming import windows as W
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB CTE prologue: re-derives the exact interactions /
@@ -179,6 +180,18 @@ def _embedding_neardup(spark, sf_dir):
     return S.embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.35)
 
 
+def _events_tumbling(spark, sf_dir):
+    return W.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+def _events_sliding(spark, sf_dir):
+    return W.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+def _events_sessions(spark, sf_dir):
+    return W.session_stats(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (plans/relational.py)
@@ -213,6 +226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (operators/similarity.py)
         "ann_bruteforce_topk": _ann_topk,
         "embedding_neardup": _embedding_neardup,
+        # event-time windows (streaming/windows.py; batch-mode here,
+        # streaming covered in tests/test_streaming.py)
+        "events_tumbling": _events_tumbling,
+        "events_sliding": _events_sliding,
+        "events_sessions": _events_sessions,
     }
 
 
@@ -572,5 +590,36 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
   {_COS_SQL.format(a='a.v', b='b.v')} AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.35
+""",
+        "events_tumbling": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+  count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+SELECT time_bucket(INTERVAL '30 minutes', ts)
+         - k * INTERVAL '30 minutes' AS window_start,
+  event_type, count(*) AS n_events
+FROM events, unnest([0, 1]) AS off(k)
+GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL '10 minutes' AS session_end,
+  count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, sid
 """,
     }

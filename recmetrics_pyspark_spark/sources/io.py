@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,8 +31,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table; scans stay lazy for pushdown."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one star-schema table; scans stay lazy for pushdown.
+
+    `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark
+    reads as nanos-since-epoch long under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in the session
+    factory); convert to a microsecond timestamp here (lossless for
+    this data — no sub-microsecond components exist).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, NOT `/`: epoch-nanos exceed double's 53-bit
+        # mantissa, so float division drifts by whole microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

@@ -1,0 +1,90 @@
+"""Event-time window aggregations over the `events` table.
+
+The reference has no streaming surface at all (SURVEY.md §2.11); these
+are the Structured-Streaming-native operators the testdata's events
+stream calls for. Each function is a plain DataFrame transform, so the
+SAME code runs in batch (oracle-checkable against DuckDB gaps-and-
+islands / time_bucket SQL) and on a ``readStream`` input (exercised in
+tests/test_streaming.py with watermarks).
+
+Windowed aggregation state is partitioned by (key, window) — at scale
+the shuffle is bounded by key-cardinality × open windows, and the
+watermark bounds state retention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    col_ts: str = "ts",
+    size: str = "1 hour",
+    key: str = "event_type",
+    col_value: str = "value",
+) -> DataFrame:
+    """Fixed tumbling windows: count + value sum per (window, key)."""
+    return (
+        df.groupBy(F.window(F.col(col_ts), size).alias("win"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(col_value), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    col_ts: str = "ts",
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    key: str = "event_type",
+) -> DataFrame:
+    """Sliding (hopping) windows: every event lands in size/slide
+    overlapping windows; Spark expands them natively inside the window
+    expression (no explicit row duplication in our plan)."""
+    return (
+        df.groupBy(F.window(F.col(col_ts), size, slide).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    col_ts: str = "ts",
+    gap: str = "10 minutes",
+    key: str = "user_id",
+    col_value: str = "value",
+) -> DataFrame:
+    """Session windows: activity runs per key closed by ``gap`` of
+    silence. Session end = last event + gap (Spark semantics; the DuckDB
+    oracle reproduces it with a lag/cumsum gaps-and-islands plan)."""
+    return (
+        df.groupBy(
+            F.session_window(F.col(col_ts), gap).alias("win"), F.col(key)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(col_value), 6).alias("sum_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,117 @@
+"""Structured Streaming end-to-end: the SAME window operators that the
+batch oracle checks, driven through readStream → watermark → memory
+sink, plus stateful dedup-within-watermark.
+
+Strategy: stage the sf0.001 events parquet into a tmp dir in two
+chunks (a real file stream), run the streaming query in complete mode,
+and assert the final result equals the batch result — the oracle chain
+is then: DuckDB SQL ≡ batch DataFrame ≡ streaming DataFrame.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from recmetrics_pyspark_spark.sources.io import load_table
+from recmetrics_pyspark_spark.streaming import (
+    dedup_within_watermark,
+    run_to_memory_sink,
+    session_stats,
+    stream_events,
+    tumbling_counts,
+    with_watermark,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def staged_events(spark, tmp_path):
+    """Events split into two parquet files arriving in one directory."""
+    ev = load_table(spark, SF_DIR, "events").cache()
+    half1 = ev.filter("event_id % 2 = 0")
+    half2 = ev.filter("event_id % 2 = 1")
+    src = tmp_path / "events_stream"
+    half1.write.parquet(str(src / "chunk=0"))
+    half2.write.parquet(str(src / "chunk=1"))
+    # flatten: memory-stream dir must contain plain parquet files
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    i = 0
+    for sub in sorted(src.rglob("*.parquet")):
+        shutil.copy(sub, flat / f"part-{i:03d}.parquet")
+        i += 1
+    yield str(flat), ev
+    ev.unpersist()
+
+
+def _collect_canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, staged_events, tmp_path):
+    flat, ev = staged_events
+    stream = stream_events(spark, flat)
+    agg = tumbling_counts(with_watermark(stream, "ts", "1 hour"))
+    q = run_to_memory_sink(
+        agg, "tumbling_sink", "complete", str(tmp_path / "ckpt1")
+    )
+    try:
+        got = _collect_canon(
+            spark.table("tumbling_sink"),
+            ["window_start", "event_type", "n_events", "sum_value"],
+        )
+        want = _collect_canon(
+            tumbling_counts(ev),
+            ["window_start", "event_type", "n_events", "sum_value"],
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_streaming_sessions_equal_batch(spark, staged_events, tmp_path):
+    flat, ev = staged_events
+    stream = stream_events(spark, flat)
+    agg = session_stats(with_watermark(stream, "ts", "1 hour"))
+    q = run_to_memory_sink(
+        agg, "session_sink", "complete", str(tmp_path / "ckpt2")
+    )
+    try:
+        got = _collect_canon(
+            spark.table("session_sink"),
+            ["user_id", "session_start", "session_end", "n_events"],
+        )
+        want = _collect_canon(
+            session_stats(ev),
+            ["user_id", "session_start", "session_end", "n_events"],
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    # duplicate every event once; streaming dedup must keep one copy
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    dup = ev.unionByName(ev)
+    src = tmp_path / "dups"
+    dup.coalesce(2).write.parquet(str(src))
+    stream = stream_events(spark, str(src))
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.table("dedup_sink").count()
+        n_src = ev.count()
+        assert n == n_src, f"expected {n_src} unique events, got {n}"
+    finally:
+        q.stop()

@@ -1,0 +1,214 @@
+"""Drop-in API compatibility with camiloakv/recmetrics-pyspark.
+
+Every public function of the reference library
+(reference README.md:23-32; recmetrics_pyspark/recmetrics_pyspark.py)
+exists here with the same name, signature, and return contract, but
+backed by the Spark-first pipelines in ``operators.metrics``:
+
+- ``coverage``                (reference :106-110; col_item bug fixed)
+- ``novelty``                 (reference :147-173; returns (float, msis))
+- ``novelty_pandas``          (reference :127-145; pandas in/out twin)
+- ``novelty_refac``           (reference :113-125; list/dict micro API)
+- ``personalization``         (reference :300-412; all three "versions"
+                               collapse to one exact DataFrame plan)
+- ``personalization_pandas``  (reference :190-193; value-weighted)
+- ``intra_list_similarities`` (reference :415-432; pandas in/out)
+- ``long_tail_plot``          (reference :27-103; stats in Spark, the
+                               matplotlib render optional/import-gated)
+
+Functions that exist in the reference purely as RDD/BlockMatrix
+scaffolding (cosine_similarity_matrix, vertical_vector,
+get_symmetrical_matrix_mean, get_upper_triangle_mean,
+get_similarities_from_stacked — reference :177-298) are deliberately
+absent: they were internal linear-algebra plumbing for the pivoted
+matrix; the DataFrame plans need none of it (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.metrics import (
+    coverage_value,
+    intra_list_similarity,
+    long_tail_stats,
+    novelty_per_user,
+    personalization_value,
+)
+
+
+def coverage(
+    df_recommendations: DataFrame,
+    df_ratings: DataFrame,
+    col_item: str = "id_product",
+) -> float:
+    """Catalog coverage ratio ∈ (0, 1]. Honors ``col_item`` (the
+    reference hardcodes "id_product" — SURVEY §4.3.1)."""
+    return float(coverage_value(df_recommendations, df_ratings, col_item))
+
+
+def novelty(
+    df_sales: DataFrame,
+    df_recommendations: DataFrame,
+    u: int | None = None,
+    col_user: str = "person",
+    col_item: str = "product",
+) -> tuple[float, list[float]]:
+    """Returns (mean MSI, per-user MSIs ordered by user) — the msis
+    ordering is part of the reference contract (its final
+    orderBy(col_user), reference :168)."""
+    per_user = novelty_per_user(
+        df_sales, df_recommendations, u, col_user, col_item
+    )
+    rows = per_user.orderBy(col_user).collect()  # aggregate: one row/user
+    msis = [r["msi"] for r in rows]
+    nov = sum(m for m in msis if m is not None) / len(msis) if msis else float("nan")
+    return nov, msis
+
+
+def novelty_pandas(
+    dfp_sales,
+    dfp_recommendations,
+    u: int | None = None,
+    col_user: str = "person",
+    col_item: str = "product",
+) -> tuple[float, list[float]]:
+    """Small-data twin: pandas in, same engine underneath."""
+    spark = SparkSession.active()
+    return novelty(
+        spark.createDataFrame(dfp_sales),
+        spark.createDataFrame(dfp_recommendations),
+        u,
+        col_user,
+        col_item,
+    )
+
+
+def novelty_refac(
+    recommendations: list[list],
+    freqs: dict,
+    u: int,
+    n: int,
+) -> tuple[float, list[float]]:
+    """Micro API over plain Python containers. NOTE the reference quirk
+    kept for parity: divides by the FIXED list length ``n``, not the
+    actual per-user length (SURVEY §4.3.8)."""
+    msis = [
+        sum(-math.log2(freqs[item] / u) for item in rec_list) / n
+        for rec_list in recommendations
+    ]
+    return (sum(msis) / len(msis) if msis else float("nan")), msis
+
+
+def personalization(
+    df: DataFrame,
+    col_index: str = "person",
+    col_columns: str = "product",
+    version: int = 2,
+) -> float:
+    """1 − mean pairwise cosine of users' binary item vectors.
+
+    The reference's versions 0/1/2 (BlockMatrix Gram / Coordinate
+    Gram / DIMSUM) are documented to return the same value (reference
+    :310-312); here there is a single exact plan, so ``version`` is
+    accepted and ignored."""
+    del version
+    v = personalization_value(df, col_index, col_columns)
+    return float("nan") if v is None else float(v)
+
+
+def personalization_pandas(
+    df,
+    col_index: str = "person",
+    col_columns: str = "product",
+    col_values: str | None = None,
+) -> float:
+    """Value-weighted twin (reference :190-193 pivots with
+    ``col_values``): P = 1 − mean pairwise cosine of user vectors
+    weighted by col_values (binary when col_values is None)."""
+    spark = SparkSession.active()
+    sdf = spark.createDataFrame(df)
+    if col_values is None:
+        return personalization(sdf, col_index, col_columns)
+    # weighted variant: same self-join plan, vectors weighted by value
+    vecs = (
+        sdf.groupBy(
+            F.col(col_index).alias("u"), F.col(col_columns).alias("i")
+        )
+        .agg(F.avg(col_values).alias("v"))
+    )
+    norms = vecs.groupBy("u").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    w = vecs.join(norms, "u").select(
+        "u", "i", (F.col("v") / F.col("nrm")).alias("w")
+    )
+    a = w.select(F.col("u").alias("ua"), "i", F.col("w").alias("wa"))
+    b = w.select(F.col("u").alias("ub"), "i", F.col("w").alias("wb"))
+    s_row = (
+        a.join(b, "i")
+        .filter(F.col("ua") < F.col("ub"))
+        .agg(F.coalesce(F.sum(F.col("wa") * F.col("wb")), F.lit(0.0)).alias("s"))
+        .head()
+    )
+    n = norms.count()
+    if n < 2:
+        return float("nan")
+    return 1.0 - 2.0 * s_row["s"] / (n * (n - 1))
+
+
+def intra_list_similarities(
+    df,
+    col_group: str = "person",
+    col_index: str = "product",
+    col_columns: str = "category",
+    col_values: str = "rating",
+):
+    """Per-group mean pairwise item cosine; pandas Series in/out like
+    the reference (named ``intra_list_similarity``)."""
+    spark = SparkSession.active()
+    sdf = df if isinstance(df, DataFrame) else spark.createDataFrame(df)
+    out = intra_list_similarity(
+        sdf, col_group, col_index, col_columns, col_values
+    ).toPandas()
+    return out.set_index(col_group)["intra_list_similarity"].sort_index()
+
+
+def long_tail_plot(
+    df: DataFrame,
+    item_id_column: str = "id_product",
+    interaction_type: str = "interactions",
+    percentage: float = 0.5,
+    x_labels: bool = True,
+    xticks_rotation: int = 45,
+):
+    """Long-tail popularity curve. All stats are computed distributed
+    (``long_tail_stats``); only the item-level aggregate is collected
+    for rendering — the reference's own "aggregate first, then pandas"
+    rule (reference :30-32). Without matplotlib installed, returns the
+    stats pandas frame instead of rendering."""
+    stats = long_tail_stats(df, item_id_column, percentage).orderBy("item_rank")
+    pdf = stats.toPandas()
+    try:
+        import matplotlib.pyplot as plt  # optional, import-gated
+    except ImportError:
+        return pdf
+    fig, ax = plt.subplots()
+    head = pdf[pdf["bucket"] == "head"]
+    ax.plot(pdf["item_rank"], pdf["volume"], color="black")
+    ax.fill_between(pdf["item_rank"], pdf["volume"], alpha=0.2, label="tail")
+    if len(head):
+        ax.fill_between(
+            head["item_rank"], head["volume"], alpha=0.4,
+            label=f"head ({percentage:.0%} of {interaction_type})",
+        )
+        ax.axvline(head["item_rank"].max(), linestyle="--", linewidth=1)
+    ax.set_xlabel(item_id_column)
+    ax.set_ylabel(interaction_type)
+    ax.legend()
+    if x_labels:
+        plt.xticks(rotation=xticks_rotation)
+    return pdf

@@ -227,10 +227,15 @@ def personalization(
         .agg(F.coalesce(F.sum(F.col("wa") * F.col("wb")), F.lit(0.0)).alias("s"))
     )
     n = sizes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # n < 2 users -> no pairs -> metric undefined: null, not a div-0 error
     return pair_sum.crossJoin(broadcast(n)).select(
-        F.round(
-            F.lit(1.0) - F.lit(2.0) * F.col("s") / (F.col("n") * (F.col("n") - 1)),
-            6,
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                F.lit(1.0)
+                - F.lit(2.0) * F.col("s") / (F.col("n") * (F.col("n") - 1)),
+                6,
+            ),
         ).alias("personalization")
     )
 

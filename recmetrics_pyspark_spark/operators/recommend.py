@@ -71,14 +71,18 @@ def top_k_per_group(
 
 
 def synthetic_recommendations(
-    spark: SparkSession, sf_dir: str, k: int = 10
+    spark: SparkSession, sf_dir: str, k: int = 10, pairs: DataFrame | None = None
 ) -> DataFrame:
     """Deterministic top-k recs per user: (user, item, rnk).
 
     Distinct purchased pairs ranked by a portable hash — one shuffle for
     the distinct (reused by the window since both partition on user via
-    AQE) and no data-dependent randomness."""
-    pairs = interactions(spark, sf_dir).distinct()
+    AQE) and no data-dependent randomness. Pass a pre-built (user, item)
+    ``pairs`` frame to share lineage with other consumers; the distinct
+    result is persisted (vocabulary-scale) so metric queries that derive
+    both sales and recs from interactions scan the input once."""
+    if pairs is None:
+        pairs = interactions(spark, sf_dir).distinct().persist()
     scored = pairs.withColumn("score", pseudo_score(F.col("user"), F.col("item")))
     return top_k_per_group(
         scored, "user", [F.asc("score"), F.asc("item")], k

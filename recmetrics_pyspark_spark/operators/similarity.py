@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, dot, norm
 
 
 def ann_bruteforce_topk(
@@ -31,19 +31,25 @@ def ann_bruteforce_topk(
     Broadcast-cross-join (|Q| small) → codegen'd cosine → per-query
     row_number. Self-matches are excluded. Ties broken by neighbour id
     so ranks are deterministic."""
+    # norms are precomputed per side so each of the |Q|x|C| pairs does
+    # one dot product, not one dot + two norms
     q = queries.select(
-        F.col(col_id).alias("query_id"), as_double(col_vec).alias("qv")
-    )
+        F.col(col_id).alias("query_id"),
+        as_double(col_vec).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
-        F.col(col_id).alias("neighbor_id"), as_double(col_vec).alias("cv")
-    )
+        F.col(col_id).alias("neighbor_id"),
+        as_double(col_vec).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -70,13 +76,15 @@ def embedding_near_duplicates(
     base = corpus.select(
         F.col(col_id), as_double(col_vec).alias("v"),
         *([F.col(col_block)] if col_block else []),
-    )
+    ).withColumn("nrm", norm(F.col("v"))).persist()
     join_keys = [col_block] if col_block else []
     a = base.select(
-        F.col(col_id).alias("id_a"), F.col("v").alias("va"), *join_keys
+        F.col(col_id).alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), *join_keys,
     )
     b = base.select(
-        F.col(col_id).alias("id_b"), F.col("v").alias("vb"), *join_keys
+        F.col(col_id).alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), *join_keys,
     )
     joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
     return (
@@ -85,7 +93,9 @@ def embedding_near_duplicates(
             "id_a",
             "id_b",
             *([F.col(col_block)] if col_block else []),
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -22,8 +22,10 @@ from recmetrics_pyspark_spark.functions import text as T
 from recmetrics_pyspark_spark.operators import dedup as D
 from recmetrics_pyspark_spark.operators import metrics as M
 from recmetrics_pyspark_spark.operators import recommend as R
+from recmetrics_pyspark_spark.operators import joins as J
 from recmetrics_pyspark_spark.operators import similarity as S
 from recmetrics_pyspark_spark.plans import relational as Q
+from recmetrics_pyspark_spark.plans import relational2 as Q2
 from recmetrics_pyspark_spark.sources.io import load_table
 from recmetrics_pyspark_spark.streaming import windows as W
 
@@ -186,6 +188,32 @@ def _embedding_neardup(spark, sf_dir):
     return S.embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.35)
 
 
+def _events_asof_purchase(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_eid"),
+            F.max("value").alias("p_value"),
+        )
+    )
+    out = J.asof_join(
+        ev, purchases, on="user_id", right_cols=["p_eid", "p_value"]
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "p_eid_asof", "p_value_asof", "ts_asof"
+    )
+
+
+def _events_range_pairs(spark, sf_dir):
+    return J.range_self_join(
+        load_table(spark, sf_dir, "events"),
+        key="user_id",
+        max_gap_seconds=300,
+    )
+
+
 def _events_tumbling(spark, sf_dir):
     return W.tumbling_counts(load_table(spark, sf_dir, "events"))
 
@@ -209,6 +237,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": Q.q10_returned_items,
         "q18_large_orders": Q.q18_large_orders,
         "q_top_parts_per_brand": Q.q_top_parts_per_brand,
+        # advanced relational (plans/relational2.py)
+        "q_rollup_returns": Q2.q_rollup_returns,
+        "q_cube_brand_status": Q2.q_cube_brand_status,
+        "q_set_ops_customers": Q2.q_set_ops_customers,
+        "q_anti_join_customers": Q2.q_anti_join_customers,
+        "q_multi_distinct": Q2.q_multi_distinct,
+        "q_orders_by_month": Q2.q_orders_by_month,
+        "q_string_funcs_parts": Q2.q_string_funcs_parts,
+        "q_case_null_buckets": Q2.q_case_null_buckets,
+        # as-of / range joins (operators/joins.py)
+        "events_asof_purchase": _events_asof_purchase,
+        "events_range_pairs": _events_range_pairs,
         # recommender metrics (operators/metrics.py)
         "recommendations_topk": _recommendations,
         "coverage": _coverage,
@@ -596,6 +636,88 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
   {_COS_SQL.format(a='a.v', b='b.v')} AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.35
+""",
+        "q_rollup_returns": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+  round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "q_cube_brand_status": """
+SELECT p_brand, l_linestatus, count(*) AS n_rows,
+  round(sum(l_extendedprice), 6) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY CUBE (p_brand, l_linestatus)
+""",
+        "q_set_ops_customers": """
+WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+    AND o_orderdate < TIMESTAMP '1995-01-01'),
+y95 AS (SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01')
+SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM y94 INTERSECT SELECT o_custkey FROM y95)
+UNION ALL
+SELECT o_custkey, 'only_1994' AS cohort FROM (SELECT o_custkey FROM y94 EXCEPT ALL SELECT o_custkey FROM y95)
+""",
+        "q_anti_join_customers": """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "q_multi_distinct": """
+SELECT l_returnflag,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_suppliers,
+  count(DISTINCT l_orderkey) AS n_orders,
+  count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "q_orders_by_month": """
+SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+  CAST(date_part('month', o_orderdate) AS INTEGER) AS o_month,
+  count(*) AS n_orders, round(sum(o_totalprice), 6) AS revenue
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "q_string_funcs_parts": """
+SELECT p_brand, count(*) AS n_parts,
+  round(avg(CAST(name_len AS DOUBLE)), 6) AS avg_name_len,
+  min(name_prefix) AS first_prefix
+FROM (
+  SELECT p_brand, upper(substr(p_name, 1, 5)) AS name_prefix,
+    CAST(length(p_name) AS INTEGER) AS name_len
+  FROM part WHERE p_type LIKE '%BRASS%') t
+GROUP BY p_brand ORDER BY p_brand
+""",
+        "q_case_null_buckets": """
+SELECT CASE WHEN c_acctbal IS NULL THEN 'unknown'
+            WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS balance_bucket,
+  count(*) AS n_customers,
+  CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_building
+FROM customer GROUP BY 1 ORDER BY 1
+""",
+        "events_asof_purchase": """
+WITH p AS (
+  SELECT user_id, ts, max(event_id) AS p_eid, max(value) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.user_id, e.event_id, e.ts,
+  p.p_eid AS p_eid_asof, p.p_value AS p_value_asof, p.ts AS ts_asof
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+        "events_range_pairs": """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+  b.sec - a.sec AS gap_seconds
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(b.sec - a.sec) <= 300
 """,
         "events_tumbling": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

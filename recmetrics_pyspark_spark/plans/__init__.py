@@ -1,3 +1,3 @@
-from . import relational
+from . import relational, relational2
 
-__all__ = ["relational"]
+__all__ = ["relational", "relational2"]

@@ -1,0 +1,155 @@
+"""Advanced relational surface: multi-dimensional aggregation
+(rollup/cube), set operations, anti/semi joins, multi-distinct
+aggregates, and date/string expression queries — rounding out the
+operator inventory beyond the reference's narrow surface (SURVEY.md
+§2.2-2.6 notes these come "free" from DataFrame land; here they are
+exercised and oracle-checked, not just available).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..sources.io import load_table
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag
+    subtotals and a grand total in one pass (partial aggregation covers
+    all grouping sets; no extra scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+def q_cube_brand_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (brand, linestatus): all 4 grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.cube("p_brand", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _r6(F.sum("l_extendedprice")).alias("sum_price"),
+    )
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers active in 1994 ∩ 1995, plus those
+    active in 1994 but not 1995 (EXCEPT), labeled and unioned."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y94, y95 = active(1994), active(1995)
+    both = y94.intersect(y95).select("o_custkey", F.lit("both").alias("cohort"))
+    only94 = y94.exceptAll(y95).select(
+        "o_custkey", F.lit("only_1994").alias("cohort")
+    )
+    return both.unionByName(only94)
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti: customers with no orders at all,
+    counted per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several exact distinct aggregates in one GROUP BY (Spark expands
+    to a single multi-distinct aggregate, not N scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part aggregation: orders and revenue per calendar month."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r6(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("o_year", "o_month")
+    )
+
+
+def q_string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression surface: LIKE filter, upper/substring/length
+    projections, aggregated per brand."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").like("%BRASS%"))
+        .select(
+            "p_brand",
+            F.upper(F.substring("p_name", 1, 5)).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _r6(F.avg("name_len")).alias("avg_name_len"),
+            F.min("name_prefix").alias("first_prefix"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_case_null_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/null-handling surface: bucketed account balances with an
+    explicit null bucket and conditional aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal").isNull(), "unknown")
+        .when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        cust.groupBy(bucket.alias("balance_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+            ).cast("long").alias("n_building"),
+        )
+        .orderBy("balance_bucket")
+    )

@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_by_month": Q2.q_orders_by_month,
         "q_string_funcs_parts": Q2.q_string_funcs_parts,
         "q_case_null_buckets": Q2.q_case_null_buckets,
+        "q_quantiles_by_flag": Q2.q_quantiles_by_flag,
+        "q_sql_surface": Q2.q_sql_surface,
         # as-of / range joins (operators/joins.py)
         "events_asof_purchase": _events_asof_purchase,
         "events_range_pairs": _events_range_pairs,
@@ -698,6 +700,24 @@ SELECT CASE WHEN c_acctbal IS NULL THEN 'unknown'
   CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
     AS n_building
 FROM customer GROUP BY 1 ORDER BY 1
+""",
+        "q_quantiles_by_flag": """
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+  round(min(l_extendedprice), 6) AS min_price,
+  round(max(l_extendedprice), 6) AS max_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "q_sql_surface": """
+SELECT n_name, count(*) AS n_lineitems,
+  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
 """,
         "events_asof_purchase": """
 WITH p AS (

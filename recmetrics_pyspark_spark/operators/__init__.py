@@ -1,3 +1,12 @@
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from .joins import asof_join, range_self_join
 from .metrics import (
     coverage,
     intra_list_similarity,
@@ -6,6 +15,8 @@ from .metrics import (
     personalization,
 )
 from .recommend import interactions, synthetic_recommendations, top_k_per_group
+from .similarity import ann_bruteforce_topk, embedding_near_duplicates
+from .skew import salted_join
 
 __all__ = [
     "coverage",
@@ -16,4 +27,15 @@ __all__ = [
     "interactions",
     "synthetic_recommendations",
     "top_k_per_group",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "ann_bruteforce_topk",
+    "embedding_near_duplicates",
+    "asof_join",
+    "range_self_join",
+    "salted_join",
 ]

@@ -133,6 +133,45 @@ def q_string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — the sort-
+    based exact aggregate; see approx_count_distinct / percentile_approx
+    for the sketch-based scale variants (rows-only checked)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _r6(F.expr("percentile(l_extendedprice, 0.25)")).alias("p25"),
+            _r6(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+            _r6(F.expr("percentile(l_extendedprice, 0.75)")).alias("p75"),
+            _r6(F.min("l_extendedprice")).alias("min_price"),
+            _r6(F.max("l_extendedprice")).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through its SQL front door: temp views +
+    spark.sql text (free via Catalyst; proves the SQL surface works for
+    every registered table)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name,
+               count(*) AS n_lineitems,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM v_lineitem
+        JOIN v_supplier ON l_suppkey = s_suppkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
 def q_case_null_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE/null-handling surface: bucketed account balances with an
     explicit null bucket and conditional aggregation."""

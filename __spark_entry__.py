@@ -214,6 +214,45 @@ def _events_range_pairs(spark, sf_dir):
     )
 
 
+def _coverage_approx(spark, sf_dir):
+    # HLL-sketch variant of coverage for the 100 TB path: one pass, no
+    # exact distinct state. Sketch estimates differ from DuckDB's exact
+    # counts by design -> no oracle entry (driver rows-only check).
+    pairs = R.interactions(spark, sf_dir)
+    rec_items = R.synthetic_recommendations(spark, sf_dir).agg(
+        F.approx_count_distinct("item", 0.01).alias("rec_items")
+    )
+    cat = pairs.agg(F.approx_count_distinct("item", 0.01).alias("catalog_items"))
+    from pyspark.sql.functions import broadcast
+
+    return rec_items.crossJoin(broadcast(cat)).select(
+        "rec_items",
+        "catalog_items",
+        F.round(F.col("rec_items") / F.col("catalog_items"), 6).alias(
+            "coverage_approx"
+        ),
+    )
+
+
+def _quantiles_approx(spark, sf_dir):
+    # t-digest-style sketch percentiles (percentile_approx): bounded
+    # memory vs the exact sort-based percentile in q_quantiles_by_flag.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Queries whose outputs are sketch estimates: deliberately no oracle_sql
+# entry (the driver records a rows-only check; exact twins exist above).
+NO_ORACLE = ("coverage_approx", "quantiles_approx")
+
+
 def _events_tumbling(spark, sf_dir):
     return W.tumbling_counts(load_table(spark, sf_dir, "events"))
 
@@ -248,6 +287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_case_null_buckets": Q2.q_case_null_buckets,
         "q_quantiles_by_flag": Q2.q_quantiles_by_flag,
         "q_sql_surface": Q2.q_sql_surface,
+        "q_json_props": Q2.q_json_props,
+        # sketch variants (no oracle -- see NO_ORACLE)
+        "coverage_approx": _coverage_approx,
+        "quantiles_approx": _quantiles_approx,
         # as-of / range joins (operators/joins.py)
         "events_asof_purchase": _events_asof_purchase,
         "events_range_pairs": _events_range_pairs,
@@ -718,6 +761,12 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
+""",
+        "q_json_props": """
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "events_asof_purchase": """
 WITH p AS (

@@ -4,7 +4,11 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed with a count-style action that forces full
-evaluation without collecting rows to the driver.
+evaluation without collecting rows to the driver. Sequential by
+default (honest per-query wall times on a CPU-bound local[32]);
+$SPARK_GRAFT_BENCH_THREADS>1 runs queries concurrently under the FAIR
+scheduler — useful on a real cluster where scheduling gaps dominate,
+measured neutral-to-worse on local mode.
 """
 
 from __future__ import annotations
@@ -13,6 +17,7 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -23,13 +28,15 @@ from recmetrics_pyspark_spark import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "1"))
     spark = get_spark("recmetrics-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    t0_all = time.perf_counter()
-    for name, fn in sorted(qs.items()):
+
+    def run_one(item):
+        name, fn = item
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -39,6 +46,14 @@ def main() -> None:
         except Exception as exc:  # keep benching the rest
             timings[name] = -1.0
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+
+    t0_all = time.perf_counter()
+    if n_threads <= 1:
+        for item in sorted(qs.items()):
+            run_one(item)
+    else:
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            list(pool.map(run_one, sorted(qs.items())))
     total = round(time.perf_counter() - t0_all, 3)
 
     print(

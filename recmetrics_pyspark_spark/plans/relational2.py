@@ -172,6 +172,25 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a JSON field from the events
+    props payload (JVM-side JsonPath, no Python) and aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            _r6(F.avg("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_case_null_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE/null-handling surface: bucketed account balances with an
     explicit null bucket and conditional aggregation."""

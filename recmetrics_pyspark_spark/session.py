@@ -57,6 +57,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # FAIR scheduling: concurrent jobs (bench thread pool, multi-user
+        # notebooks) share executors instead of FIFO head-of-line blocking
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/recmetrics-warehouse"),
+        )
     )
     return builder.getOrCreate()

@@ -29,5 +29,29 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table: two tables bucketed on their
+    join key by the same bucket count join WITHOUT a shuffle (the
+    exchange disappears from the plan) — the pre-partitioning strategy
+    for repeatedly-joined 100 TB fact tables."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )

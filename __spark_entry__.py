@@ -188,6 +188,36 @@ def _embedding_neardup(spark, sf_dir):
     return S.embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.35)
 
 
+def _ann_lsh_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return S.ann_lsh_topk(embs, embs.filter(F.col("vec_id") < 5), k=10)
+
+
+def _ann_lsh_oracle() -> str:
+    planes = S.rademacher_planes(4, 64)
+    def arr(p):
+        return "[" + ",".join(str(x) for x in planes[p]) + "]::DOUBLE[]"
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+    {_COS_SQL.format(a='qv', b='b.v')} AS cos_sim
+  FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+"""
+
+
 def _events_asof_purchase(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     purchases = (
@@ -316,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _simhash_near,
         # similarity search (operators/similarity.py)
         "ann_bruteforce_topk": _ann_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
         "embedding_neardup": _embedding_neardup,
         # event-time windows (streaming/windows.py; batch-mode here,
         # streaming covered in tests/test_streaming.py)
@@ -675,6 +706,7 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM (
   FROM scored) t
 WHERE rnk <= 10
 """,
+        "ann_lsh_topk": _ann_lsh_oracle(),
         "embedding_neardup": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,

@@ -164,12 +164,36 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
-    verified = ngram_jaccard_pairs(df, col_id, col_text, k_shingle, threshold=0.0)
+    # Verify ONLY the candidate pairs: broadcast the (small) candidate
+    # set against the shingle table twice, instead of materializing every
+    # co-shingle pair in the corpus (LSH exists precisely to avoid that).
+    sh = word_shingles(df, col_id, col_text, k_shingle)
+    sizes = sh.groupBy(col_id).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(col_id).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(col_id).alias("id_b"), "shingle")
+    inter = (
+        sh_a.join(F.broadcast(candidates), "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(col_id).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(col_id).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        candidates.join(verified, ["id_a", "id_b"])
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -11,12 +11,97 @@ variant (block key = `label` here; any coarse quantizer key works).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..functions.vectors import as_double, dot, norm
+
+
+def rademacher_planes(n_planes: int, dim: int, seed: str = "ann") -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5(seed|plane|dim) —
+    reproducible anywhere (the SQL oracle embeds the same literals)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) >= 8 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Random-hyperplane bucket id: bit p = sign(v · plane_p)."""
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH partitions the corpus
+    into 2^n_planes cells; each query scores ONLY its own cell — the
+    IVF-style scale path (cell occupancy ~ |corpus|/2^n_planes instead
+    of |corpus| per query). Fully deterministic, so the SQL oracle can
+    reproduce the same approximate result exactly.
+
+    Recall caveat (measured): on the synthetic testdata, whose
+    embeddings are near-orthogonal (max pairwise cosine ≈ 0.47), single-
+    cell probing recovers only ~10% of the exact top-10 — hyperplane LSH
+    needs genuine cluster structure to shine. Production levers, same
+    plan shape: multi-probe (explode each query into its cell plus
+    Hamming-adjacent cells) and/or train cell centroids (true IVF) —
+    both keep the equi-join-on-cell skeleton used here."""
+    planes = rademacher_planes(n_planes, dim)
+    q = queries.select(
+        F.col(col_id).alias("query_id"), as_double(col_vec).alias("qv")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("qv"), planes)).withColumn(
+        "qn", norm(F.col("qv"))
+    )
+    c = corpus.select(
+        F.col(col_id).alias("neighbor_id"), as_double(col_vec).alias("cv")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("cv"), planes)).withColumn(
+        "cn", norm(F.col("cv"))
+    )
+    scored = (
+        c.join(broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
 
 
 def ann_bruteforce_topk(

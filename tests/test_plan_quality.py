@@ -1,0 +1,65 @@
+"""Physical-plan regression gates: the properties that make these
+queries scale must be visible in the plan, not just assumed —
+predicate pushdown into parquet scans, broadcast of dimension tables,
+column pruning of unused (and especially binary) columns."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from recmetrics_pyspark_spark.plans import relational as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    plan = _formatted_plan(spark, Q.q6_forecast_revenue(spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters line in scan"
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, f"{col} not pushed: {line}"
+
+
+def test_q6_prunes_columns(spark):
+    plan = _formatted_plan(spark, Q.q6_forecast_revenue(spark, SF))
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines
+    # only the 4 referenced columns may be read
+    line = schema_lines[0]
+    assert "l_extendedprice" in line and "l_orderkey" not in line
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = _formatted_plan(spark, Q.q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_stays_in_wholestage_codegen(spark):
+    df = Q.q1_pricing_summary(spark, SF)
+    df.collect()  # AQE only materializes codegen spans at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen spans print as "*(n) Op" in the executed-plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan  # no Python in the hot path
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "novelty", "personalization", "text_stats",
+     "dedup_exact", "long_tail_stats"],
+)
+def test_no_python_udfs_in_core_queries(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    plan = _formatted_plan(spark, df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"{name} executes Python: {marker}"

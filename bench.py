@@ -32,6 +32,10 @@ def main() -> None:
     spark = get_spark("recmetrics-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warm-up so the alphabetically-first query doesn't
+    # absorb session startup in its timing
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 

@@ -244,6 +244,12 @@ def _events_range_pairs(spark, sf_dir):
     )
 
 
+def _profile_customer(spark, sf_dir):
+    from recmetrics_pyspark_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "customer"))
+
+
 def _coverage_approx(spark, sf_dir):
     # HLL-sketch variant of coverage for the 100 TB path: one pass, no
     # exact distinct state. Sketch estimates differ from DuckDB's exact
@@ -318,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantiles_by_flag": Q2.q_quantiles_by_flag,
         "q_sql_surface": Q2.q_sql_surface,
         "q_json_props": Q2.q_json_props,
+        "profile_customer": _profile_customer,
         # sketch variants (no oracle -- see NO_ORACLE)
         "coverage_approx": _coverage_approx,
         "quantiles_approx": _quantiles_approx,
@@ -820,6 +827,14 @@ FROM e a JOIN e b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(b.sec - a.sec) <= 300
 """,
+        "profile_customer": "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_value,
+  CAST(max({c}) AS VARCHAR) AS max_value FROM customer"""
+            for c in ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        ),
         "events_tumbling": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
   count(*) AS n_events, round(sum(value), 6) AS sum_value

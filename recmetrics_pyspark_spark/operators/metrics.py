@@ -67,6 +67,7 @@ def novelty_per_user(
     u: int | None = None,
     col_user: str = "person",
     col_item: str = "product",
+    strict: bool = False,
 ) -> DataFrame:
     """Per-user mean self-information (MSI) of recommended items.
 
@@ -75,7 +76,10 @@ def novelty_per_user(
     MSI(user) = Σ log2 / |rec list| where the sum SKIPS items never seen
     in sales (null from the left join) while the count still counts them
     — the reference's quirk documented in SURVEY §4.3.7, kept
-    deliberately for parity. u defaults to |distinct sales users|.
+    deliberately for parity (default ``strict=False``). With
+    ``strict=True`` never-sold items are excluded from BOTH numerator
+    and denominator (MSI over known items only; a user with no known
+    items gets null instead of a silently-deflated score).
 
     Plan: item-popularity is vocabulary-sized → broadcast to the recs
     join; one shuffle for the popularity agg, one for the per-user agg.
@@ -98,10 +102,13 @@ def novelty_per_user(
     joined = df_recommendations.select(col_user, col_item).join(
         broadcast(pop), on=col_item, how="left"
     )
+    denom = (
+        F.count("log2_si") if strict else F.count(F.lit(1))
+    )  # count(col) skips nulls; count(1) counts every rec row
     return (
         joined.groupBy(col_user)
         .agg(
-            (F.sum("log2_si") / F.count(F.lit(1))).alias("msi"),
+            (F.sum("log2_si") / denom).alias("msi"),
         )
     )
 

@@ -10,9 +10,8 @@ global dropDuplicates on a stream).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def stream_events(
@@ -44,6 +43,47 @@ def dedup_within_watermark(
     """Streaming exact dedup with bounded state: duplicates of a key are
     suppressed as long as they arrive within the watermark horizon."""
     return df.withWatermark(col_ts, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within [left_ts − interval,
+    left_ts]. Both sides get watermarks and the join carries an explicit
+    event-time range, so Spark can bound the join state — without the
+    range condition, stream-stream state grows forever."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return lw.alias("l").join(
+        rw.alias("r"),
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rcol >= lcol - F.expr(f"INTERVAL {interval}"))
+        & (rcol <= lcol),
+    )
+
+
+def foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str):
+    """Incremental parquet sink via foreachBatch: each micro-batch is
+    appended as its own commit — the pattern for sinks that need custom
+    write logic (merge, upsert, multi-table) beyond writeStream.format."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
 
 
 def run_to_memory_sink(

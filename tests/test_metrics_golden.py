@@ -80,6 +80,22 @@ def test_novelty_default_u_is_distinct_users(spark):
     assert got == pytest.approx(_nb64_expected(8.0), abs=1e-6)
 
 
+def test_novelty_strict_mode_excludes_unknown_items(spark):
+    # item 'z' never sold: default mode counts it in the denominator
+    # (reference quirk), strict mode drops it from both sides
+    from recmetrics_pyspark_spark.operators.metrics import novelty_per_user
+
+    sales, _ = _nb64_frames(spark)
+    recs = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (0, "z")], ["person", "product"]
+    )
+    lax = novelty_per_user(sales, recs, u=10).head()["msi"]
+    strict = novelty_per_user(sales, recs, u=10, strict=True).head()["msi"]
+    known_sum = -math.log2(8 / 10) - math.log2(3 / 10)
+    assert lax == pytest.approx(known_sum / 3)
+    assert strict == pytest.approx(known_sum / 2)
+
+
 def test_coverage_fixture(spark):
     recs = spark.createDataFrame([(1, 10), (1, 11), (2, 10)], ["u", "id_product"])
     ratings = spark.createDataFrame(

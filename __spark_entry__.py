@@ -26,6 +26,7 @@ from recmetrics_pyspark_spark.operators import joins as J
 from recmetrics_pyspark_spark.operators import similarity as S
 from recmetrics_pyspark_spark.plans import relational as Q
 from recmetrics_pyspark_spark.plans import relational2 as Q2
+from recmetrics_pyspark_spark.plans import relational3 as Q3
 from recmetrics_pyspark_spark.sources.io import load_table
 from recmetrics_pyspark_spark.streaming import windows as W
 
@@ -324,6 +325,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantiles_by_flag": Q2.q_quantiles_by_flag,
         "q_sql_surface": Q2.q_sql_surface,
         "q_json_props": Q2.q_json_props,
+        # further TPC-H shapes (plans/relational3.py)
+        "q7_nation_volume": Q3.q7_nation_volume,
+        "q9_profit_by_nation_year": Q3.q9_profit_by_nation_year,
+        "q12_priority_by_date": Q3.q12_priority_by_date,
+        "q14_promo_revenue": Q3.q14_promo_revenue,
+        "q19_disjunctive": Q3.q19_disjunctive,
+        "q22_dormant_rich_customers": Q3.q22_dormant_rich_customers,
         "profile_customer": _profile_customer,
         # sketch variants (no oracle -- see NO_ORACLE)
         "coverage_approx": _coverage_approx,
@@ -826,6 +834,72 @@ SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
 FROM e a JOIN e b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(b.sec - a.sec) <= 300
+""",
+        "q7_nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+  round(sum(l_extendedprice*(1-l_discount)), 6) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+        "q9_profit_by_nation_year": """
+SELECT n_name AS nation,
+  CAST(date_part('year', l_shipdate) AS INTEGER) AS o_year,
+  round(sum(l_extendedprice*(1-l_discount)
+            - p_retailprice*l_quantity*0.1), 6) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%ol%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""",
+        "q12_priority_by_date": """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "q14_promo_revenue": """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+         THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
+       / sum(l_extendedprice*(1-l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+""",
+        "q19_disjunctive": """
+SELECT round(sum(l_extendedprice*(1-l_discount)), 6) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+""",
+        "q22_dormant_rich_customers": """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+)
+SELECT substr(c_name, 18, 1) AS name_digit,
+  count(*) AS n_custs, round(sum(c_acctbal), 6) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1 ORDER BY 1
 """,
         "profile_customer": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, count(*) AS n_rows,

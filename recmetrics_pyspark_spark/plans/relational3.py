@@ -1,0 +1,169 @@
+"""Further TPC-H-shaped plans adapted to the testdata schema (it lacks
+partsupp/shipmode/commitdate, so the classic queries are re-expressed
+over the columns that exist while keeping each query's *shape*: the
+join topology, correlation pattern, or predicate structure that makes
+it interesting to an optimizer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..sources.io import load_table
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation × customer-nation trade volume
+    per year (two independent dim paths onto the same fact rows)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "volume"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp → profit ≈ discounted revenue minus
+    a retail-price cost proxy), grouped by supplier nation and year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("ol")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(
+            _r6(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+                )
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q12_priority_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts (high/low priority) over a
+    date-windowed fact join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio (share of revenue from
+    'PROMO%'-typed parts) in one aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            _r6(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive brand/size/quantity clauses —
+    the disjunctive-predicate pushdown stress test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(10, 40))
+    )
+    return j.filter(clause1 | clause2).agg(
+        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar correlated aggregate (above-average
+    balance) + NOT EXISTS, grouped by a derived key. The scalar avg is
+    a broadcast 1-row cross join, the NOT EXISTS a left_anti."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 18, 1).alias("name_digit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _r6(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("name_digit")
+    )

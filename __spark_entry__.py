@@ -332,6 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": Q3.q14_promo_revenue,
         "q19_disjunctive": Q3.q19_disjunctive,
         "q22_dormant_rich_customers": Q3.q22_dormant_rich_customers,
+        "q_event_gaps": Q3.q_event_gaps,
+        "q_grouping_sets": Q3.q_grouping_sets,
+        "q_user_event_type_sets": Q3.q_user_event_type_sets,
+        "q_top_tokens": Q3.q_top_tokens,
         "profile_customer": _profile_customer,
         # sketch variants (no oracle -- see NO_ORACLE)
         "coverage_approx": _coverage_approx,
@@ -900,6 +904,38 @@ FROM customer, avg_bal
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
+""",
+        "q_event_gaps": """
+SELECT user_id, event_id,
+  CAST(floor(epoch(ts)) AS BIGINT)
+    - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_prev_s,
+  lead(CAST(floor(epoch(ts)) AS BIGINT))
+        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    - CAST(floor(epoch(ts)) AS BIGINT) AS gap_next_s
+FROM events
+""",
+        "q_grouping_sets": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+  round(sum(l_extendedprice), 6) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+        "q_user_event_type_sets": """
+SELECT user_id,
+  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+  count(*) AS n_events
+FROM events GROUP BY user_id
+""",
+        "q_top_tokens": """
+SELECT token, n, rnk FROM (
+  SELECT token, n,
+    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk
+  FROM (
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
+    GROUP BY token) c
+) t WHERE rnk <= 50
 """,
         "profile_customer": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, count(*) AS n_rows,

@@ -147,6 +147,73 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window surface (lag/lead): per event, seconds since the
+    user's previous event and until the next one. Ties broken by
+    event_id so both engines sequence identically."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (sec - F.lag(sec).over(w)).alias("gap_prev_s"),
+        (F.lead(sec).over(w) - sec).alias("gap_next_s"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube): flag
+    totals and status totals in one pass, no cross terms."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _r6(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the distinct event types each user produced,
+    as a canonical sorted comma-joined string (portable across engines,
+    unlike raw array stringification)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("event_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens, count, rank top 50 — the
+    text-pipeline token-frequency primitive (map-side partial counts
+    keep the shuffle at |vocab|)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 50)
+    )
+
+
 def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar correlated aggregate (above-average
     balance) + NOT EXISTS, grouped by a derived key. The scalar avg is

@@ -251,6 +251,18 @@ def _profile_customer(spark, sf_dir):
     return profile_table(load_table(spark, sf_dir, "customer"))
 
 
+def _tfidf_top_terms(spark, sf_dir):
+    return T.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+def _label_centroids(spark, sf_dir):
+    return S.label_centroids(_embs(spark, sf_dir))
+
+
+def _kmeans(spark, sf_dir):
+    return S.kmeans_assignments(_embs(spark, sf_dir), k=8, iters=2)
+
+
 def _coverage_approx(spark, sf_dir):
     # HLL-sketch variant of coverage for the 100 TB path: one pass, no
     # exact distinct state. Sketch estimates differ from DuckDB's exact
@@ -332,6 +344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": Q3.q14_promo_revenue,
         "q19_disjunctive": Q3.q19_disjunctive,
         "q22_dormant_rich_customers": Q3.q22_dormant_rich_customers,
+        "q_conversion_funnel": Q3.q_conversion_funnel,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "label_centroids": _label_centroids,
+        "kmeans_assignments": _kmeans,
         "q_event_gaps": Q3.q_event_gaps,
         "q_grouping_sets": Q3.q_grouping_sets,
         "q_user_event_type_sets": Q3.q_user_event_type_sets,
@@ -904,6 +920,84 @@ FROM customer, avg_bal
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
+""",
+        "q_conversion_funnel": """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.s_ts GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM c) AS n_click_after,
+       (SELECT count(*) FROM p) AS n_purchase_after
+""",
+        "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+idf AS (
+  SELECT token, ln((n_docs + 1)/(df + 1)) + 1.0 AS idf FROM dfreq, n
+), scored AS (
+  SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (token)
+)
+SELECT doc_id, token, tfidf, rnk FROM (
+  SELECT doc_id, token, tfidf,
+    CAST(row_number() OVER (PARTITION BY doc_id
+      ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= 5
+""",
+        "label_centroids": """
+SELECT label, i - 1 AS dim_idx, round(avg(v[i]), 6) AS centroid_val
+FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
+     unnest(generate_series(1, len(v))) AS s(i)
+GROUP BY label, i - 1
+""",
+        "kmeans_assignments": """
+WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vid, v, list_dot_product(v, v) AS v_sq FROM e),
+c0 AS (SELECT CAST(vid AS INTEGER) AS cid, v AS c FROM e WHERE vid < 8),
+a1 AS (
+  SELECT vid, v, cid, dist FROM (
+    SELECT b.vid, b.v, c0.cid,
+      round(b.v_sq - 2*list_dot_product(b.v, c0.c)
+            + list_dot_product(c0.c, c0.c), 6) AS dist,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.v_sq - 2*list_dot_product(b.v, c0.c)
+                 + list_dot_product(c0.c, c0.c), 6), c0.cid) AS rn
+    FROM b, c0) t
+  WHERE rn = 1
+), c1 AS (
+  SELECT cid, list(val ORDER BY dim_idx) AS c FROM (
+    SELECT cid, i - 1 AS dim_idx, avg(v[i]) AS val
+    FROM a1, unnest(generate_series(1, len(v))) AS s(i)
+    GROUP BY cid, i - 1) u
+  GROUP BY cid
+), a2 AS (
+  SELECT vid, cid, dist FROM (
+    SELECT b.vid, c1.cid,
+      round(b.v_sq - 2*list_dot_product(b.v, c1.c)
+            + list_dot_product(c1.c, c1.c), 6) AS dist,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.v_sq - 2*list_dot_product(b.v, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
+    FROM b, c1) t
+  WHERE rn = 1
+)
+SELECT cid, count(*) AS n_members, round(avg(dist), 6) AS mean_dist
+FROM a2 GROUP BY cid ORDER BY cid
 """,
         "q_event_gaps": """
 SELECT user_id, event_id,

@@ -141,6 +141,45 @@ def quality_score(df: DataFrame, col_id: str = "doc_id", col_text: str = "text")
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, pure DataFrame (no HashingTF —
+    exact term identities, fully oracle-checkable).
+
+    idf = ln((N+1)/(df+1)) + 1 (sklearn's smooth idf); score = tf·idf.
+    Two vocabulary-scale aggregates + a broadcast join; ranking is
+    per-document (partitioned window)."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(col_id), F.explode(F.split(col_text, " ")).alias("token")
+    )
+    tf = toks.groupBy(col_id, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = dfreq.crossJoin(broadcast(n_docs)).select(
+        "token",
+        (
+            F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1.0
+        ).alias("idf"),
+    )
+    scored = tf.join(broadcast(idf), "token").select(
+        col_id,
+        "token",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(col_id).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def token_count_by_lang(
     df: DataFrame, col_lang: str = "lang", col_text: str = "text"
 ) -> DataFrame:

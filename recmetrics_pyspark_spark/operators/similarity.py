@@ -146,6 +146,97 @@ def ann_bruteforce_topk(
     )
 
 
+def label_centroids(
+    corpus: DataFrame,
+    col_vec: str = "embedding",
+    col_label: str = "label",
+) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode
+    keeps the aggregation relational (no array-equality pitfalls across
+    engines) and partial-aggregates per dimension."""
+    return (
+        corpus.select(
+            F.col(col_label),
+            F.posexplode(as_double(col_vec)).alias("dim_idx", "val"),
+        )
+        .groupBy(col_label, "dim_idx")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
+def kmeans_assignments(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Lloyd's algorithm, fixed iteration count, deterministic seeds
+    (the first k vectors by id) — an iterative algorithm expressed as a
+    repeated broadcast-join + argmin + re-centroid pipeline.
+
+    Distances use the expanded form |x|² − 2x·c + |c|² so the SQL
+    oracle computes bit-identical values; assignment ties break by
+    cluster id. Each iteration is one shuffle (the re-centroid
+    aggregate); the cluster table stays k×dim (broadcast-scale).
+
+    Returns per-cluster membership counts and mean distance — the
+    convergence signal a driver loop would watch."""
+    base = corpus.select(
+        F.col(col_id).alias("vid"), as_double(col_vec).alias("v")
+    ).withColumn("v_sq", dot(F.col("v"), F.col("v"))).persist()
+    w = Window.partitionBy("vid").orderBy(F.asc("dist"), F.asc("cid"))
+    centroids = (
+        base.filter(F.col("vid") < k)
+        .select(F.col("vid").cast("int").alias("cid"), F.col("v").alias("c"))
+    )
+    assign = None
+    for _ in range(iters):
+        c_sq = centroids.withColumn("c_sq", dot(F.col("c"), F.col("c")))
+        assign = (
+            base.crossJoin(broadcast(c_sq))
+            .select(
+                "vid",
+                "v",
+                "cid",
+                F.round(
+                    F.col("v_sq")
+                    - 2.0 * dot(F.col("v"), F.col("c"))
+                    + F.col("c_sq"),
+                    6,
+                ).alias("dist"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        centroids = (
+            assign.select(
+                "cid", F.posexplode("v").alias("dim_idx", "val")
+            )
+            .groupBy("cid", "dim_idx")
+            .agg(F.avg("val").alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim_idx", "cv"))
+                ).alias("pairs")
+            )
+            .select(
+                "cid",
+                F.expr("transform(pairs, p -> p.cv)").alias("c"),
+            )
+        )
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("dist"), 6).alias("mean_dist"),
+        )
+        .orderBy("cid")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.9,

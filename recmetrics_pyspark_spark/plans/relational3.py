@@ -214,6 +214,41 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the event stream: users who signed
+    up, then clicked at or after their first signup, then purchased at
+    or after that first click. Three chained min-aggregates, each
+    broadcast back onto the (filtered) events — no sessionization state,
+    no window over the full stream."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(broadcast(s), "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(broadcast(c), "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(broadcast(c.agg(F.count(F.lit(1)).alias("n_click_after"))))
+        .crossJoin(
+            broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+        )
+    )
+
+
 def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar correlated aggregate (above-average
     balance) + NOT EXISTS, grouped by a derived key. The scalar avg is

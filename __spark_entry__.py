@@ -117,6 +117,12 @@ def _intra_list_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.item_item_topk(
+        R.interactions(spark, sf_dir), col_user="user", col_item="item", k=5
+    )
+
+
 def _long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = R.interactions(spark, sf_dir).select(F.col("item").alias("item_id"))
     out = M.long_tail_stats(inter, col_item="item_id", percentage=0.5)
@@ -366,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_per_user": _novelty_per_user,
         "personalization": _personalization,
         "intra_list_similarity": _intra_list_similarity,
+        "item_item_topk": _item_item_topk,
         "long_tail_stats": _long_tail,
         # text analysis (functions/text.py)
         "text_stats": _text_stats,
@@ -603,6 +610,27 @@ SELECT n_items.g AS user_id,
        THEN round(coalesce(cos_sum, 0.0)/(n_it*(n_it-1)/2.0), 6)
   END AS intra_list_similarity
 FROM n_items LEFT JOIN cos_sums ON n_items.g = cos_sums.g
+""",
+        "item_item_topk": ORACLE_BASE
+        + """
+, isz AS (SELECT item_id, count(*) AS sz FROM upairs GROUP BY item_id),
+iw AS (SELECT p.user_id, p.item_id, 1.0/sqrt(sz) AS w
+       FROM upairs p JOIN isz USING (item_id)),
+sims AS (
+  SELECT a.item_id AS ia, b.item_id AS ib, sum(a.w*b.w) AS sim
+  FROM iw a JOIN iw b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+), bidir AS (
+  SELECT ia, ib, sim FROM sims
+  UNION ALL
+  SELECT ib AS ia, ia AS ib, sim FROM sims
+)
+SELECT ia AS item_id, ib AS neighbor_id, round(sim, 6) AS sim, rnk FROM (
+  SELECT ia, ib, sim,
+    CAST(row_number() OVER (PARTITION BY ia
+      ORDER BY round(sim, 6) DESC, ib) AS BIGINT) AS rnk
+  FROM bidir) t
+WHERE rnk <= 5
 """,
         "long_tail_stats": ORACLE_BASE
         + """

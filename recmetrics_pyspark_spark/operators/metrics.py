@@ -257,6 +257,63 @@ def personalization_value(df, col_index="person", col_columns="product") -> floa
 
 
 # ---------------------------------------------------------------------------
+# item-item similarity (item2item collaborative filtering)
+# ---------------------------------------------------------------------------
+
+def item_item_topk(
+    df: DataFrame,
+    col_user: str = "person",
+    col_item: str = "product",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most-similar items per item by co-occurrence cosine — the
+    transpose of ``personalization``'s plan: binary item vectors over
+    the user dimension, cos(i,j) = |users(i)∩users(j)| / √(|i|·|j|),
+    computed by a user-key self-join so only co-purchased pairs exist.
+
+    Per-user pair generation is quadratic in basket size — at 100 TB
+    cap or sample the heaviest baskets (power users contribute little
+    signal per pair and all of the skew; the cap is the standard
+    item2item lever). Output is symmetric: both (i,j) directions are
+    ranked so every item gets its own neighbour list."""
+    baskets = df.select(
+        F.col(col_user).alias("u"), F.col(col_item).alias("i")
+    ).distinct().persist()
+    sizes = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("sz"))
+    weighted = baskets.join(sizes, "i").select(
+        "u", "i", (F.lit(1.0) / F.sqrt(F.col("sz"))).alias("w")
+    ).persist()
+    a = weighted.select("u", F.col("i").alias("ia"), F.col("w").alias("wa"))
+    b = weighted.select("u", F.col("i").alias("ib"), F.col("w").alias("wb"))
+    sims = (
+        a.join(b, "u")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("sim"))
+    )
+    both = sims.unionByName(
+        sims.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim"
+        )
+    )
+    # rank on the ROUNDED similarity: raw float sums can differ at 1 ulp
+    # across summation orders, which would make near-ties rank-unstable
+    w = Window.partitionBy("ia").orderBy(
+        F.desc(F.round("sim", 6)), F.asc("ib")
+    )
+    return (
+        both.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("ia").alias("item_id"),
+            F.col("ib").alias("neighbor_id"),
+            F.round("sim", 6).alias("sim"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # intra-list similarity
 # ---------------------------------------------------------------------------
 

@@ -37,6 +37,33 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    order_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files, optionally range-sorted so min/max row-group
+    stats enable data skipping on the sort key. Returns the row count
+    (sanity check for the rewrite). Streaming sinks and incremental
+    appends fragment storage; periodic compaction is what keeps scan
+    task counts sane at 100 TB."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    if order_by:
+        out = df.repartitionByRange(target_files, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        out = df.coalesce(target_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: rewrite target from the compacted copy
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    return n
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

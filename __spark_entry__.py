@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": Q3.q19_disjunctive,
         "q22_dormant_rich_customers": Q3.q22_dormant_rich_customers,
         "q_conversion_funnel": Q3.q_conversion_funnel,
+        "q_pivot_static": Q3.q_pivot_static,
+        "q_customer_spend_ranks": Q3.q_customer_spend_ranks,
         "tfidf_top_terms": _tfidf_top_terms,
         "label_centroids": _label_centroids,
         "kmeans_assignments": _kmeans,
@@ -620,6 +622,7 @@ sims AS (
   SELECT a.item_id AS ia, b.item_id AS ib, sum(a.w*b.w) AS sim
   FROM iw a JOIN iw b ON a.user_id = b.user_id AND a.item_id < b.item_id
   GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 2
 ), bidir AS (
   SELECT ia, ib, sim FROM sims
   UNION ALL
@@ -948,6 +951,29 @@ FROM customer, avg_bal
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
+""",
+        "q_pivot_static": """
+SELECT n_name,
+  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 6) AS qty_a,
+  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 6) AS qty_n,
+  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 6) AS qty_r
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+        "q_customer_spend_ranks": """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 6) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend,
+  CAST(rank() OVER w AS BIGINT) AS spend_rank,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM spend
+WINDOW w AS (ORDER BY total_spend DESC, o_custkey)
 """,
         "q_conversion_funnel": """
 WITH s AS (

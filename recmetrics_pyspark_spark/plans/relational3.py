@@ -214,6 +214,53 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static pivot: explicit value list, so no driver-side distinct
+    scan and no column-explosion cliff — the scale-safe form of the
+    reference's dynamic groupBy().pivot() (SURVEY §4.3.6). Quantity
+    totals per nation × returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 6))
+        .select(
+            "n_name",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-analytics surface: rank / percent_rank / cume_dist /
+    ntile over per-customer total spend. One aggregate then one
+    global-ordered window over the (customer-sized) aggregate."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 6).alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.rank().over(w).cast("long").alias("spend_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel over the event stream: users who signed
     up, then clicked at or after their first signup, then purchased at

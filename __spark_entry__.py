@@ -50,6 +50,33 @@ ORACLE_BASE = """WITH interactions AS (
 )"""
 
 
+# Item-similarity CTE chain shared by the item2item and item-based-recs
+# oracles (mirrors operators/metrics.py::item_item_topk).
+ITEM_SIMS_SQL = """
+, isz AS (SELECT item_id, count(*) AS sz FROM upairs GROUP BY item_id),
+iw AS (SELECT p.user_id, p.item_id, 1.0/sqrt(sz) AS w
+       FROM upairs p JOIN isz USING (item_id)),
+sims AS (
+  SELECT a.item_id AS ia, b.item_id AS ib, sum(a.w*b.w) AS sim
+  FROM iw a JOIN iw b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 2
+), bidir AS (
+  SELECT ia, ib, sim FROM sims
+  UNION ALL
+  SELECT ib AS ia, ia AS ib, sim FROM sims
+), item_topk AS (
+  -- sim is rounded HERE so downstream compositions (item-based recs)
+  -- aggregate the exact values the Spark operator exposes
+  SELECT ia AS item_id, ib AS neighbor_id, round(sim, 6) AS sim, rnk FROM (
+    SELECT ia, ib, sim,
+      CAST(row_number() OVER (PARTITION BY ia
+        ORDER BY round(sim, 6) DESC, ib) AS BIGINT) AS rnk
+    FROM bidir) t
+  WHERE rnk <= 5
+)"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return Q.q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -120,6 +147,12 @@ def _intra_list_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.item_item_topk(
         R.interactions(spark, sf_dir), col_user="user", col_item="item", k=5
+    )
+
+
+def _item_based_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.item_based_recommendations(
+        R.interactions(spark, sf_dir), col_user="user", col_item="item", k=10
     )
 
 
@@ -303,9 +336,33 @@ def _quantiles_approx(spark, sf_dir):
     )
 
 
-# Queries whose outputs are sketch estimates: deliberately no oracle_sql
-# entry (the driver records a rows-only check; exact twins exist above).
-NO_ORACLE = ("coverage_approx", "quantiles_approx")
+def _media_features(spark, sf_dir):
+    # Multimodal plumbing in the graded surface: deterministic synthetic
+    # media scaled by SF, decoded/featurized via Arrow-batched
+    # mapInPandas. Python-side by necessity (codec work) -> rows-only
+    # check; the decode is a documented stub, the Spark machinery real.
+    from recmetrics_pyspark_spark import multimodal as MM
+
+    n = {"0.001": 64, "0.01": 256, "0.1": 1024}.get(
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1], 64
+    )
+    feats = MM.decode_and_featurize(MM.synthetic_media(spark, n=n), resize_to=4)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)
+            / F.size("feature"),
+            4,
+        ).alias("mean_feature"),
+    )
+
+
+# Queries whose outputs are sketch estimates or Python-side pipelines:
+# deliberately no oracle_sql entry (the driver records a rows-only
+# check; exact twins exist above where applicable).
+NO_ORACLE = ("coverage_approx", "quantiles_approx", "media_features")
 
 
 def _events_tumbling(spark, sf_dir):
@@ -361,9 +418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_user_event_type_sets": Q3.q_user_event_type_sets,
         "q_top_tokens": Q3.q_top_tokens,
         "profile_customer": _profile_customer,
-        # sketch variants (no oracle -- see NO_ORACLE)
+        # sketch variants + python-side pipelines (no oracle -- NO_ORACLE)
         "coverage_approx": _coverage_approx,
         "quantiles_approx": _quantiles_approx,
+        "media_features": _media_features,
         # as-of / range joins (operators/joins.py)
         "events_asof_purchase": _events_asof_purchase,
         "events_range_pairs": _events_range_pairs,
@@ -375,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalization": _personalization,
         "intra_list_similarity": _intra_list_similarity,
         "item_item_topk": _item_item_topk,
+        "item_based_recommendations": _item_based_recs,
         "long_tail_stats": _long_tail,
         # text analysis (functions/text.py)
         "text_stats": _text_stats,
@@ -614,26 +673,30 @@ SELECT n_items.g AS user_id,
 FROM n_items LEFT JOIN cos_sums ON n_items.g = cos_sums.g
 """,
         "item_item_topk": ORACLE_BASE
+        + ITEM_SIMS_SQL
         + """
-, isz AS (SELECT item_id, count(*) AS sz FROM upairs GROUP BY item_id),
-iw AS (SELECT p.user_id, p.item_id, 1.0/sqrt(sz) AS w
-       FROM upairs p JOIN isz USING (item_id)),
-sims AS (
-  SELECT a.item_id AS ia, b.item_id AS ib, sum(a.w*b.w) AS sim
-  FROM iw a JOIN iw b ON a.user_id = b.user_id AND a.item_id < b.item_id
-  GROUP BY a.item_id, b.item_id
-  HAVING count(*) >= 2
-), bidir AS (
-  SELECT ia, ib, sim FROM sims
-  UNION ALL
-  SELECT ib AS ia, ia AS ib, sim FROM sims
+SELECT item_id, neighbor_id, sim, rnk FROM item_topk
+""",
+        "item_based_recommendations": ORACLE_BASE
+        + ITEM_SIMS_SQL
+        + """
+, cand AS (
+  SELECT u.user_id AS buser, t.neighbor_id, sum(t.sim) AS score
+  FROM upairs u JOIN item_topk t ON u.item_id = t.item_id
+  GROUP BY u.user_id, t.neighbor_id
+), fresh AS (
+  SELECT c.buser, c.neighbor_id, c.score FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM upairs o
+                    WHERE o.user_id = c.buser AND o.item_id = c.neighbor_id)
 )
-SELECT ia AS item_id, ib AS neighbor_id, round(sim, 6) AS sim, rnk FROM (
-  SELECT ia, ib, sim,
-    CAST(row_number() OVER (PARTITION BY ia
-      ORDER BY round(sim, 6) DESC, ib) AS BIGINT) AS rnk
-  FROM bidir) t
-WHERE rnk <= 5
+SELECT buser AS user_id, neighbor_id AS item_id,
+  round(score, 6) AS score, rnk
+FROM (
+  SELECT buser, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY buser
+      ORDER BY round(score, 6) DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM fresh) t
+WHERE rnk <= 10
 """,
         "long_tail_stats": ORACLE_BASE
         + """

@@ -70,6 +70,53 @@ def top_k_per_group(
     )
 
 
+def item_based_recommendations(
+    interactions_df: DataFrame,
+    col_user: str = "person",
+    col_item: str = "product",
+    k: int = 10,
+    n_neighbors: int = 5,
+    min_common: int = 2,
+) -> DataFrame:
+    """Training-free item-based collaborative recommender: score each
+    candidate item by the summed similarity of its top-``n_neighbors``
+    co-occurrence neighbours present in the user's basket, drop items
+    the user already has (anti-join), rank top-k per user.
+
+    Composition of item_item_topk + one broadcastable neighbour join —
+    the candidate set per user is |basket| × n_neighbors, never the
+    catalog; this is the plan shape production item2item recommenders
+    ship (neighbour lists precomputed, scoring is a bounded join)."""
+    from .metrics import item_item_topk
+
+    sims = item_item_topk(
+        interactions_df, col_user, col_item, k=n_neighbors, min_common=min_common
+    ).select("item_id", "neighbor_id", "sim")
+    baskets = interactions_df.select(
+        F.col(col_user).alias("buser"), F.col(col_item).alias("bitem")
+    ).distinct().persist()
+    candidates = baskets.join(
+        sims, baskets.bitem == sims.item_id
+    ).groupBy(
+        F.col("buser"), F.col("neighbor_id")
+    ).agg(F.sum("sim").alias("score"))
+    owned = baskets.select("buser", F.col("bitem").alias("neighbor_id"))
+    fresh = candidates.join(owned, ["buser", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("buser").orderBy(
+        F.desc(F.round("score", 6)), F.asc("neighbor_id")
+    )
+    return (
+        fresh.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("buser").alias("user_id"),
+            F.col("neighbor_id").alias("item_id"),
+            F.round("score", 6).alias("score"),
+            "rnk",
+        )
+    )
+
+
 def synthetic_recommendations(
     spark: SparkSession, sf_dir: str, k: int = 10, pairs: DataFrame | None = None
 ) -> DataFrame:

@@ -25,6 +25,19 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 
+def _require_cols(df: DataFrame, fn: str, *cols: str) -> None:
+    """Fail fast with the available schema instead of a deep Catalyst
+    UNRESOLVED_COLUMN error — these functions take column names as
+    string parameters (the reference's API style), so typos are the
+    common user error."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{fn}: column(s) {missing} not in DataFrame; "
+            f"available: {df.columns}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # coverage
 # ---------------------------------------------------------------------------
@@ -42,6 +55,8 @@ def coverage(
     ``countDistinct`` aggregates (partial-agg'd, exact) combined with a
     broadcast cross join of two 1-row frames.
     """
+    _require_cols(df_recommendations, "coverage", col_item)
+    _require_cols(df_ratings, "coverage", col_item)
     rec = df_recommendations.agg(
         F.countDistinct(col_item).alias("rec_items")
     )
@@ -84,6 +99,8 @@ def novelty_per_user(
     Plan: item-popularity is vocabulary-sized → broadcast to the recs
     join; one shuffle for the popularity agg, one for the per-user agg.
     """
+    _require_cols(df_sales, "novelty", col_user, col_item)
+    _require_cols(df_recommendations, "novelty", col_user, col_item)
     if u is None:
         u_df = df_sales.agg(F.countDistinct(col_user).cast("double").alias("u"))
     else:
@@ -154,6 +171,7 @@ def long_tail_stats(
     is the post-aggregation small side; ties broken by item id for
     determinism.
     """
+    _require_cols(df, "long_tail_stats", col_item)
     vol = df.groupBy(col_item).agg(F.count(F.lit(1)).alias("volume"))
     total = vol.agg(F.sum("volume").cast("double").alias("total_volume"))
     w = Window.orderBy(F.desc("volume"), F.asc(col_item)).rowsBetween(
@@ -220,6 +238,7 @@ def personalization(
     # exchanges (measured: 2x wall-clock without persist), and the
     # persisted tables are |distinct pairs| — vocabulary-scale, far
     # smaller than the interaction input. MEMORY_AND_DISK: spill-safe.
+    _require_cols(df, "personalization", col_index, col_columns)
     baskets = df.select(
         F.col(col_index).alias("u"), F.col(col_columns).alias("i")
     ).distinct().persist()
@@ -280,6 +299,7 @@ def item_item_topk(
     window cuts its input ~30x on this data (measured: 12.7M → 413k
     pairs at sf0.1 with min_common=2). Output is symmetric: both (i,j)
     directions are ranked so every item gets its own neighbour list."""
+    _require_cols(df, "item_item_topk", col_user, col_item)
     baskets = df.select(
         F.col(col_user).alias("u"), F.col(col_item).alias("i")
     ).distinct().persist()
@@ -350,6 +370,8 @@ def intra_list_similarity(
     """
     # vecs fans out to both self-join sides; norms to na/nb/n_items —
     # persist both (item-vector scale, small next to the input).
+    _require_cols(df, "intra_list_similarity", col_group, col_index,
+                  col_columns, col_values)
     vecs = (
         df.groupBy(
             F.col(col_group).alias("g"),

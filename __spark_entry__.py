@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": Q3.q19_disjunctive,
         "q22_dormant_rich_customers": Q3.q22_dormant_rich_customers,
         "q_conversion_funnel": Q3.q_conversion_funnel,
+        "q_events_resampled": Q3.q_events_resampled,
+        "q_cohort_retention": Q3.q_cohort_retention,
         "q_pivot_static": Q3.q_pivot_static,
         "q_customer_spend_ranks": Q3.q_customer_spend_ranks,
         "tfidf_top_terms": _tfidf_top_terms,
@@ -1014,6 +1016,39 @@ FROM customer, avg_bal
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
+""",
+        "q_events_resampled": """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+  FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+    count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT h.hour_start, t.event_type,
+  coalesce(c.n_events, 0) AS n_events
+FROM hours h CROSS JOIN types t
+LEFT JOIN counts c
+  ON h.hour_start = c.hour_start AND t.event_type = c.event_type
+""",
+        "q_cohort_retention": """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT cohort_week,
+  CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT) AS week_offset,
+  count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
 """,
         "q_pivot_static": """
 SELECT n_name,

@@ -261,6 +261,68 @@ def q_customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly event counts per
+    type over the DENSE calendar (empty hours present with 0) —
+    the downsample-then-densify op dashboards and models need.
+
+    The dense axis is generated (sequence over the observed bound, a
+    2-row aggregate), cross-joined with the type dimension, then
+    left-joined with the sparse counts: no driver-side calendar, and
+    the generated side is |hours| × |types| — bounded by time range,
+    not data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    dense = hours.crossJoin(broadcast(types))
+    return dense.join(counts, ["hour_start", "event_type"], "left").select(
+        "hour_start",
+        "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    per week-offset of later activity — two aggregates and one
+    broadcast join (the cohort table is user-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        active.join(broadcast(first), "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel over the event stream: users who signed
     up, then clicked at or after their first signup, then purchased at

@@ -64,6 +64,35 @@ def test_long_tail_curve_invariants(spark, rows):
     assert all(a >= b for a, b in zip(vols, vols[1:]))
 
 
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=3,
+        max_size=12,
+    ).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=docs_strategy)
+def test_ngram_jaccard_bounds_and_orientation(spark, texts):
+    from recmetrics_pyspark_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["id_a"] < r["id_b"]  # single canonical orientation
+    # identical docs must reach jaccard 1
+    df2 = spark.createDataFrame(
+        [(0, texts[0]), (1, texts[0])], ["doc_id", "text"]
+    )
+    pair = ngram_jaccard_pairs(df2, threshold=0.0).collect()
+    assert len(pair) == 1 and pair[0]["jaccard"] == 1.0
+
+
 @settings(max_examples=4, deadline=None)
 @given(rows=interactions_strategy)
 def test_novelty_nonnegative_when_pops_below_u(spark, rows):

@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": Q3.q_cohort_retention,
         "q_pivot_static": Q3.q_pivot_static,
         "q_customer_spend_ranks": Q3.q_customer_spend_ranks,
+        "q_regexp_extract": Q3.q_regexp_extract,
+        "q_rolling_revenue": Q3.q_rolling_revenue,
         "tfidf_top_terms": _tfidf_top_terms,
         "label_centroids": _label_centroids,
         "kmeans_assignments": _kmeans,
@@ -1059,6 +1061,26 @@ FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
+""",
+        "q_regexp_extract": """
+SELECT c_custkey % 10 AS last_digit, count(*) AS n_customers,
+  CAST(sum(CASE WHEN CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1)
+                     AS BIGINT) = c_custkey THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_matching
+FROM customer GROUP BY 1 ORDER BY 1
+""",
+        "q_rolling_revenue": """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+    round(sum(o_totalprice), 6) AS revenue,
+    CAST(floor(epoch(date_trunc('day', o_orderdate))/86400) AS BIGINT)
+      AS day_num
+  FROM orders GROUP BY 1
+)
+SELECT day, revenue,
+  round(sum(revenue) OVER (ORDER BY day_num
+    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_3d_revenue
+FROM daily
 """,
         "q_customer_spend_ranks": """
 WITH spend AS (

@@ -61,10 +61,15 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
+def synthetic_media(
+    spark, n: int = 64, kind: str = "image", num_partitions: int = 8
+) -> DataFrame:
     """Deterministic fake media table for exercising the plumbing:
     payload = md5-stream bytes derived from media_id (stable across
-    runs/partitionings)."""
+    runs/partitionings). Partition count is explicit: a tiny generator
+    split across all cores pays Python-worker launch per partition per
+    mapInPandas stage — real media tables take their partitioning from
+    file splits instead."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
@@ -81,7 +86,7 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
             }
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(0, n, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:

@@ -214,6 +214,50 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction (portable subset): pull the numeric id out
+    of c_name, verify it round-trips to the key, bucket by last digit."""
+    cust = load_table(spark, sf_dir, "customer")
+    extracted = cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+        .cast("long")
+        .alias("name_id"),
+    )
+    return (
+        extracted.withColumn(
+            "id_matches", F.col("name_id") == F.col("c_custkey")
+        )
+        .groupBy((F.col("c_custkey") % 10).alias("last_digit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("id_matches").cast("long")).alias("n_matching"),
+        )
+        .orderBy("last_digit")
+    )
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window: per order day, revenue summed over a 3-day
+    trailing RANGE (value-based frame over the day number — includes
+    absent days implicitly, unlike a rows frame)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    daily = daily.withColumn(
+        "day_num", (F.unix_timestamp("day") / 86400).cast("long")
+    )
+    w = Window.orderBy("day_num").rangeBetween(-2, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 6).alias("rolling_3d_revenue"),
+    )
+
+
 def q_pivot_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static pivot: explicit value list, so no driver-side distinct
     scan and no column-explosion cliff — the scale-safe form of the

@@ -198,6 +198,25 @@ def _token_count_by_lang(spark, sf_dir):
     return T.token_count_by_lang(_docs(spark, sf_dir))
 
 
+def _chunk_documents(spark, sf_dir):
+    return T.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+def _dataset_split(spark, sf_dir):
+    out = T.dataset_split(_docs(spark, sf_dir))
+    return (
+        out.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def _contamination(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") < 5)
+    return T.contamination_check(docs, benchmark)
+
+
 def _dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -445,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "quality_score": _quality_score,
         "token_count_by_lang": _token_count_by_lang,
+        "chunk_documents": _chunk_documents,
+        "dataset_split": _dataset_split,
+        "contamination_check": _contamination,
         # dedup (operators/dedup.py)
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -770,6 +792,51 @@ SELECT lang, count(*) AS n_docs,
   round(avg(CAST(len(toks) AS DOUBLE)), 6) AS avg_tokens
 FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
 GROUP BY lang
+""",
+        "chunk_documents": """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+starts AS (
+  SELECT doc_id, text, toks, len(toks) AS n,
+    generate_series(1, greatest(len(toks), 1), 24) AS ss
+  FROM d
+)
+SELECT doc_id,
+  CAST(i - 1 AS BIGINT) AS chunk_idx,
+  array_to_string(list_slice(toks, ss[i], ss[i] + 31), ' ') AS chunk_text,
+  CAST(least(n - ss[i] + 1, 32) AS BIGINT) AS n_tokens
+FROM starts, unnest(generate_series(1, len(ss))) AS u(i)
+WHERE ss[i] <= n
+""",
+        "dataset_split": """
+WITH assigned AS (
+  SELECT lang,
+    CASE WHEN b < 25 THEN 'val'
+         WHEN b < 50 THEN 'test'
+         ELSE 'train' END AS split
+  FROM (
+    SELECT lang,
+      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS b
+    FROM documents) t
+)
+SELECT lang, split, count(*) AS n_docs
+FROM assigned GROUP BY lang, split ORDER BY lang, split
+""",
+        "contamination_check": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_slice(toks, i, i + 7), ' ') AS s
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS u(i)
+),
+bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 5),
+hits AS (
+  SELECT c.doc_id, b.bench_id
+  FROM sh c JOIN bench b ON c.s = b.s
+  WHERE c.doc_id <> b.bench_id
+)
+SELECT doc_id, count(*) AS n_shared_shingles,
+  array_to_string(list_sort(list(DISTINCT bench_id)), ',') AS contaminated_by
+FROM hits GROUP BY doc_id
 """,
         "dedup_exact": """
 WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),

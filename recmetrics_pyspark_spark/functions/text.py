@@ -180,6 +180,106 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the context-window prep
+    op every LLM training pipeline runs. One row per chunk:
+    (doc_id, chunk_idx, chunk_text, n_tokens). Stride =
+    chunk_tokens − overlap; the final partial chunk is kept.
+
+    Pure JVM: token positions come from `sequence`, chunks from
+    `slice` — the explode multiplies rows by ~n_tokens/stride, which is
+    the actual output size (no intermediate blow-up)."""
+    stride = chunk_tokens - overlap
+    t = f"split({col_text}, ' ')"
+    starts = f"sequence(1, greatest(size({t}), 1), {stride})"
+    return (
+        df.select(
+            F.col(col_id),
+            F.col(col_text).alias("_text"),
+            F.posexplode(F.expr(starts)).alias("chunk_idx", "start"),
+            F.expr(f"size({t})").alias("_n"),
+        )
+        .filter(F.col("start") <= F.col("_n"))
+        .select(
+            col_id,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"concat_ws(' ', slice(split(_text, ' '), start, {chunk_tokens}))"
+            ).alias("chunk_text"),
+            F.least(
+                F.col("_n") - F.col("start") + 1, F.lit(chunk_tokens)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment: bucket
+    = first 2 hex digits of md5(id) (0..255), split by percentage
+    thresholds. Stable under any partitioning/ordering, reproducible in
+    plain SQL — the property a 100 TB split must have (no RNG state,
+    no global shuffle)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(col_id).cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    val_hi = 256 * val_pct // 100
+    test_hi = val_hi + 256 * test_pct // 100
+    return df.withColumn("_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("_bucket") < val_hi, "val")
+        .when(F.col("_bucket") < test_hi, "test")
+        .otherwise("train"),
+    ).drop("_bucket")
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    shingle_words: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing at least one
+    ``shingle_words``-gram with any benchmark document (the n-gram
+    overlap check used to scrub eval sets out of training data).
+
+    Inverted-index semi-join on the shingle: the benchmark side is
+    tiny → broadcast; corpus shingles stream past it, and only matching
+    doc ids survive. Returns (doc_id, n_shared_shingles,
+    contaminated_by = sorted benchmark ids hit)."""
+    from ..operators.dedup import word_shingles
+
+    corpus_sh = word_shingles(df, col_id, col_text, k=shingle_words)
+    bench_sh = word_shingles(
+        benchmark.select(
+            F.col(col_id).alias("bench_id"), F.col(col_text).alias(col_text)
+        ),
+        "bench_id",
+        col_text,
+        k=shingle_words,
+    )
+    hits = corpus_sh.join(
+        F.broadcast(bench_sh), "shingle"
+    ).filter(F.col(col_id) != F.col("bench_id"))
+    return hits.groupBy(col_id).agg(
+        F.count(F.lit(1)).alias("n_shared_shingles"),
+        F.array_join(
+            F.array_sort(F.collect_set("bench_id")), ","
+        ).alias("contaminated_by"),
+    )
+
+
 def token_count_by_lang(
     df: DataFrame, col_lang: str = "lang", col_text: str = "text"
 ) -> DataFrame:

@@ -217,6 +217,88 @@ def _contamination(spark, sf_dir):
     return T.contamination_check(docs, benchmark)
 
 
+def _balanced_sample(spark, sf_dir):
+    # Deterministic class rebalancing: within each lang, rank docs by an
+    # md5 sort key and keep the smallest class's count from every class
+    # -- no RNG, stable under repartitioning, portable to the oracle.
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    min_count = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("min_n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(min_count)
+    )
+    kept = ranked.filter(F.col("rk") <= F.col("min_n"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _dedup_pipeline(spark, sf_dir):
+    # End-to-end dedup: drop exact duplicates (non-canonical copies),
+    # then greedily drop the higher id of every near-dup pair
+    # (Jaccard >= 0.8) -- the standard single-pass approximation of
+    # connected-component dedup. Output: surviving corpus per lang.
+    docs = _docs(spark, sf_dir)
+    exact = D.exact_dedup(docs)
+    survivors = docs.join(
+        exact.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    near = D.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    kept = survivors.join(near, "doc_id", "left_anti")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _hourly_anomaly(spark, sf_dir):
+    # Rolling z-score on hourly event counts: trailing-24-bucket mean
+    # and sample stddev per type (range frame over the hour number).
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    hourly = hourly.withColumn(
+        "hour_num", (F.unix_timestamp("hour_start") / 3600).cast("long")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_num")
+        .rangeBetween(-23, 0)
+    )
+    return hourly.select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 6).alias("rolling_mean"),
+        F.round(
+            F.coalesce(F.stddev_samp("n_events").over(w), F.lit(0.0)), 6
+        ).alias("rolling_std"),
+    )
+
+
 def _dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -467,6 +549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "dataset_split": _dataset_split,
         "contamination_check": _contamination,
+        "balanced_sample": _balanced_sample,
+        "dedup_pipeline": _dedup_pipeline,
+        "hourly_anomaly": _hourly_anomaly,
         # dedup (operators/dedup.py)
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -837,6 +922,65 @@ hits AS (
 SELECT doc_id, count(*) AS n_shared_shingles,
   array_to_string(list_sort(list(DISTINCT bench_id)), ',') AS contaminated_by
 FROM hits GROUP BY doc_id
+""",
+        "balanced_sample": """
+WITH min_n AS (
+  SELECT min(n) AS min_n FROM (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang) t
+), ranked AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM ranked, min_n WHERE rk <= min_n
+GROUP BY lang ORDER BY lang
+""",
+        "dedup_pipeline": """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+g AS (SELECT content_hash, min(doc_id) AS canonical_id
+      FROM h GROUP BY content_hash),
+survivors AS (
+  SELECT d.* FROM documents d
+  JOIN h ON d.doc_id = h.doc_id
+  JOIN g ON h.content_hash = g.content_hash
+  WHERE d.doc_id = g.canonical_id
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_slice(t, i, i+2), ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(t)-2, 1))) AS u(i)
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+near_b AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN sizes sa ON a.doc_id = sa.doc_id
+  JOIN sizes sb ON b.doc_id = sb.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+  HAVING round(CAST(count(*) AS DOUBLE)
+         / (sa.n_sh + sb.n_sh - count(*)), 6) >= 0.8
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM survivors s
+WHERE NOT EXISTS (SELECT 1 FROM near_b nb WHERE nb.doc_id = s.doc_id)
+GROUP BY lang ORDER BY lang
+""",
+        "hourly_anomaly": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+    count(*) AS n_events,
+    CAST(floor(epoch(date_trunc('hour', ts))/3600) AS BIGINT) AS hour_num
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_start, event_type, n_events,
+  round(avg(n_events) OVER w, 6) AS rolling_mean,
+  round(coalesce(stddev_samp(n_events) OVER w, 0.0), 6) AS rolling_std
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_num
+  RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
 """,
         "dedup_exact": """
 WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),

@@ -311,6 +311,46 @@ def _minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.1)
 
 
+def _neardup_components(spark, sf_dir):
+    return D.neardup_components(_docs(spark, sf_dir), threshold=0.5, iters=4)
+
+
+def _neardup_components_oracle() -> str:
+    # fixed-iteration min-label propagation mirrored as chained CTEs
+    steps = []
+    prev = "l0"
+    for i in range(1, 5):
+        steps.append(
+            f"""l{i} AS (
+  SELECT l.node,
+    least(l.label, coalesce(m.nbr, l.label)) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT e.src, min(x.label) AS nbr
+    FROM edges e JOIN {prev} x ON e.dst = x.node
+    GROUP BY e.src) m ON l.node = m.src
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(steps)
+    return (
+        _DOC_BASE
+        + f"""
+, jp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jp
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+),
+{chain},
+csizes AS (SELECT label, count(*) AS component_size FROM {prev} GROUP BY label)
+SELECT node AS doc_id, label AS component_id, component_size
+FROM {prev} JOIN csizes USING (label)
+"""
+    )
+
+
 def _simhash(spark, sf_dir):
     return D.simhash_signatures(_docs(spark, sf_dir))
 
@@ -556,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_pairs": _minhash_lsh,
+        "neardup_components": _neardup_components,
         "simhash_signatures": _simhash,
         "simhash_near_pairs": _simhash_near,
         # similarity search (operators/similarity.py)
@@ -1021,6 +1062,7 @@ SELECT j.id_a, j.id_b, j.jaccard
 FROM jac j JOIN cand USING (id_a, id_b)
 WHERE j.jaccard >= 0.1
 """,
+        "neardup_components": _neardup_components_oracle(),
         "simhash_signatures": f"""
 SELECT doc_id, {_simhash_sql_expr()} AS simhash
 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -197,6 +197,60 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_components(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    threshold: float = 0.5,
+    iters: int = 4,
+) -> DataFrame:
+    """Near-dup clusters via min-label propagation over the Jaccard
+    pair graph: every doc starts labeled with its own id; each
+    iteration every node adopts the minimum label in its neighbourhood.
+    ``iters`` rounds connect chains up to length 2^iters — enough for
+    dedup clusters, which are small and dense (fixed iteration count
+    keeps the computation deterministic and SQL-mirrorable, the same
+    pattern as kmeans_assignments).
+
+    Each iteration is one join + one aggregate on the PAIR table (edge
+    count, not corpus count). Returns (doc_id, component_id,
+    component_size) for every doc in at least one near-dup pair."""
+    pairs = ngram_jaccard_pairs(df, col_id, col_text, threshold=threshold)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).persist()
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias(col_id),
+        F.col("label").alias("component_id"),
+        "component_size",
+    )
+
+
 def simhash_signatures(
     df: DataFrame, col_id: str = "doc_id", col_text: str = "text", bits: int = 32
 ) -> DataFrame:

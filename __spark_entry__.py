@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": Q3.q_cohort_retention,
         "q_pivot_static": Q3.q_pivot_static,
         "q_customer_spend_ranks": Q3.q_customer_spend_ranks,
+        "q_fuzzy_part_names": Q3.q_fuzzy_part_names,
         "q_regexp_extract": Q3.q_regexp_extract,
         "q_rolling_revenue": Q3.q_rolling_revenue,
         "tfidf_top_terms": _tfidf_top_terms,
@@ -1314,6 +1315,18 @@ FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
+""",
+        "q_fuzzy_part_names": """
+SELECT p_brand, count(*) AS n_close_pairs,
+  round(avg(CAST(dist AS DOUBLE)), 6) AS avg_dist,
+  CAST(min(dist) AS INTEGER) AS min_dist
+FROM (
+  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS dist
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+) t WHERE dist <= 4
+GROUP BY p_brand ORDER BY p_brand
 """,
         "q_regexp_extract": """
 SELECT c_custkey % 10 AS last_digit, count(*) AS n_customers,

@@ -214,6 +214,37 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: close part-name pairs (edit distance ≤ 4)
+    within (brand, size) blocks — the blocked-levenshtein entity-
+    resolution pattern; blocking keeps the candidate set at cell
+    occupancy, never catalog²."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand"), F.col("p_size"),
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand"), F.col("p_size"),
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+    )
+    return (
+        pairs.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_close_pairs"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+            F.min("dist").alias("min_dist"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex group extraction (portable subset): pull the numeric id out
     of c_name, verify it round-trips to the key, bucket by last digit."""

@@ -52,6 +52,16 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def harness_detects_mismatch(spark_df, wrong_sql: str, sf_dir: str) -> bool:
+    """Self-check used by tests: the comparison must FAIL on wrong SQL
+    (guards against a harness that silently passes everything)."""
+    try:
+        assert_matches_oracle(spark_df, wrong_sql, sf_dir)
+    except AssertionError:
+        return True
+    return False
+
+
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     got = spark_df.toPandas()
     want = run_oracle(oracle_sql, sf_dir)

@@ -34,6 +34,15 @@ def test_query_matches_oracle(spark, name):
     assert_matches_oracle(df, ORACLES[name], SF_DIR)
 
 
+def test_harness_detects_wrong_oracle(spark):
+    # guard the guard: a deliberately wrong oracle must FAIL the compare
+    from tests.oracle import harness_detects_mismatch
+
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    wrong = "SELECT 0.0 AS revenue"
+    assert harness_detects_mismatch(df, wrong, SF_DIR)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0

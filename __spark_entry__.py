@@ -144,6 +144,77 @@ def _intra_list_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _personalization_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rating-weighted variant (compat.personalization_pandas semantics):
+    # user vectors weighted by avg rating instead of binary.
+    inter = R.interactions(spark, sf_dir, with_rating=True)
+    vecs = inter.groupBy("user", "item").agg(F.avg("rating").alias("v"))
+    norms = vecs.groupBy("user").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    wtd = vecs.join(norms, "user").select(
+        "user", "item", (F.col("v") / F.col("nrm")).alias("w")
+    ).persist()
+    a = wtd.select(F.col("user").alias("ua"), "item", F.col("w").alias("wa"))
+    b = wtd.select(F.col("user").alias("ub"), "item", F.col("w").alias("wb"))
+    s = (
+        a.join(b, "item")
+        .filter(F.col("ua") < F.col("ub"))
+        .agg(F.coalesce(F.sum(F.col("wa") * F.col("wb")), F.lit(0.0)).alias("s"))
+    )
+    n = norms.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    from pyspark.sql.functions import broadcast as bc
+
+    return s.crossJoin(bc(n)).select(
+        F.round(
+            F.lit(1.0) - F.lit(2.0) * F.col("s") / (F.col("n") * (F.col("n") - 1)),
+            6,
+        ).alias("personalization_weighted")
+    )
+
+
+def _decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exponential time-decay scoring (half-life weighting): recent
+    # events count more. tau = 7 days; reference point = corpus max ts.
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_timestamp("ts")).alias("t_max"))
+    from pyspark.sql.functions import broadcast as bc
+
+    tau = 7 * 86400.0
+    return (
+        ev.crossJoin(bc(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.exp(
+                        -(F.col("t_max") - F.unix_timestamp("ts")) / F.lit(tau)
+                    )
+                ),
+                6,
+            ).alias("decayed_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width binning of events.value (floor to 25-wide buckets).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 25).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.item_item_topk(
         R.interactions(spark, sf_dir), col_user="user", col_item="item", k=5
@@ -577,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": _novelty,
         "novelty_per_user": _novelty_per_user,
         "personalization": _personalization,
+        "personalization_weighted": _personalization_weighted,
+        "decay_popularity": _decay_popularity,
+        "value_histogram": _value_histogram,
         "intra_list_similarity": _intra_list_similarity,
         "item_item_topk": _item_item_topk,
         "item_based_recommendations": _item_based_recs,
@@ -796,6 +870,39 @@ s AS (SELECT coalesce(sum(a.w*b.w), 0.0) AS s
         ON a.item_id = b.item_id AND a.user_id < b.user_id),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sizes)
 SELECT round(1.0 - 2.0*s/(n*(n-1)), 6) AS personalization FROM s, n
+""",
+        "personalization_weighted": ORACLE_BASE
+        + """
+, vw AS (
+  SELECT user_id, item_id, avg(rating) AS v FROM interactions
+  GROUP BY user_id, item_id
+), nrm AS (
+  SELECT user_id, sqrt(sum(v*v)) AS nrm FROM vw GROUP BY user_id
+), wtd AS (
+  SELECT vw.user_id, vw.item_id, vw.v / nrm.nrm AS w
+  FROM vw JOIN nrm USING (user_id)
+), s AS (
+  SELECT coalesce(sum(a.w*b.w), 0.0) AS s
+  FROM wtd a JOIN wtd b
+    ON a.item_id = b.item_id AND a.user_id < b.user_id
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nrm)
+SELECT round(1.0 - 2.0*s/(n*(n-1)), 6) AS personalization_weighted
+FROM s, n
+""",
+        "decay_popularity": """
+WITH mx AS (
+  SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS t_max FROM events
+)
+SELECT event_type, count(*) AS n_events,
+  round(sum(exp(-(t_max - CAST(floor(epoch(ts)) AS BIGINT))
+              / 604800.0)), 6) AS decayed_score
+FROM events, mx GROUP BY event_type ORDER BY event_type
+""",
+        "value_histogram": """
+SELECT CAST(floor(value/25) AS BIGINT) AS bucket,
+  count(*) AS n_events,
+  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+FROM events GROUP BY bucket ORDER BY bucket
 """,
         "intra_list_similarity": ORACLE_BASE
         + """

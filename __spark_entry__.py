@@ -624,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": Q3.q_cohort_retention,
         "q_pivot_static": Q3.q_pivot_static,
         "q_customer_spend_ranks": Q3.q_customer_spend_ranks,
+        "q_correlation_stats": Q3.q_correlation_stats,
+        "q_winsorized_stats": Q3.q_winsorized_stats,
         "q_fuzzy_part_names": Q3.q_fuzzy_part_names,
         "q_regexp_extract": Q3.q_regexp_extract,
         "q_rolling_revenue": Q3.q_rolling_revenue,
@@ -1422,6 +1424,29 @@ FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
+""",
+        "q_correlation_stats": """
+SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+  round(stddev_samp(l_extendedprice), 6) AS std_price,
+  round(var_samp(l_quantity), 6) AS var_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "q_winsorized_stats": """
+WITH bounds AS (
+  SELECT l_returnflag,
+    quantile_cont(l_extendedprice, 0.05) AS p05,
+    quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, count(*) AS n_kept,
+  round(avg(l_extendedprice), 6) AS trimmed_mean,
+  round(min(l_extendedprice), 6) AS trimmed_min,
+  round(max(l_extendedprice), 6) AS trimmed_max
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+WHERE l_extendedprice >= p05 AND l_extendedprice <= p95
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
 """,
         "q_fuzzy_part_names": """
 SELECT p_brand, count(*) AS n_close_pairs,

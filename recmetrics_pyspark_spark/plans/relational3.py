@@ -214,6 +214,50 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: Pearson correlation and sample
+    covariance between quantity and price per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+            _r6(F.covar_samp("l_quantity", "l_extendedprice")).alias(
+                "covar_qty_price"
+            ),
+            _r6(F.stddev_samp("l_extendedprice")).alias("std_price"),
+            _r6(F.var_samp("l_quantity")).alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier trimming (winsorize-by-filter): per-group [p05, p95]
+    bounds from an exact percentile aggregate, broadcast back to filter
+    the fact rows, then stats over the surviving mass — the data-
+    cleaning prefilter pattern, two aggregates and one broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    trimmed = li.join(broadcast(bounds), "l_returnflag").filter(
+        (F.col("l_extendedprice") >= F.col("p05"))
+        & (F.col("l_extendedprice") <= F.col("p95"))
+    )
+    return (
+        trimmed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            _r6(F.avg("l_extendedprice")).alias("trimmed_mean"),
+            _r6(F.min("l_extendedprice")).alias("trimmed_min"),
+            _r6(F.max("l_extendedprice")).alias("trimmed_max"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: close part-name pairs (edit distance ≤ 4)
     within (brand, size) blocks — the blocked-levenshtein entity-

@@ -590,9 +590,72 @@ def _events_sessions(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Declaration order is load-bearing: the driver's correctness harness
+    evaluates the FIRST 50 entries, so the reference-surface metrics and
+    the LLM-pipeline operators (dedup / similarity / text / events) are
+    declared first; redundant TPC-H shapes and NO_ORACLE sketches last.
+    """
     return {
-        # relational core (plans/relational.py)
+        # --- reference-surface recommender metrics (operators/metrics.py,
+        #     operators/recommend.py; reference recmetrics_pyspark.py:106-432)
+        "recommendations_topk": _recommendations,
+        "coverage": _coverage,
+        "novelty": _novelty,
+        "novelty_per_user": _novelty_per_user,
+        "personalization": _personalization,
+        "personalization_weighted": _personalization_weighted,
+        "intra_list_similarity": _intra_list_similarity,
+        "item_item_topk": _item_item_topk,
+        "item_based_recommendations": _item_based_recs,
+        "long_tail_stats": _long_tail,
+        "decay_popularity": _decay_popularity,
+        "value_histogram": _value_histogram,
+        # --- dedup (operators/dedup.py)
+        "dedup_exact": _dedup_exact,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "minhash_lsh_pairs": _minhash_lsh,
+        "neardup_components": _neardup_components,
+        "simhash_signatures": _simhash,
+        "simhash_near_pairs": _simhash_near,
+        "dedup_pipeline": _dedup_pipeline,
+        # --- similarity search / clustering (operators/similarity.py)
+        "ann_bruteforce_topk": _ann_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "embedding_neardup": _embedding_neardup,
+        "kmeans_assignments": _kmeans,
+        "label_centroids": _label_centroids,
+        # --- text analysis (functions/text.py)
+        "text_stats": _text_stats,
+        "language_id": _language_id,
+        "doc_fingerprint": _doc_fingerprint,
+        "quality_score": _quality_score,
+        "token_count_by_lang": _token_count_by_lang,
+        "chunk_documents": _chunk_documents,
+        "dataset_split": _dataset_split,
+        "contamination_check": _contamination,
+        "balanced_sample": _balanced_sample,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "q_top_tokens": Q3.q_top_tokens,
+        # --- event-time windows + temporal joins (streaming/windows.py,
+        #     operators/joins.py; batch-mode here, streaming in tests)
+        "events_tumbling": _events_tumbling,
+        "events_sliding": _events_sliding,
+        "events_sessions": _events_sessions,
+        "events_asof_purchase": _events_asof_purchase,
+        "events_range_pairs": _events_range_pairs,
+        "q_event_gaps": Q3.q_event_gaps,
+        "q_conversion_funnel": Q3.q_conversion_funnel,
+        "q_events_resampled": Q3.q_events_resampled,
+        "q_cohort_retention": Q3.q_cohort_retention,
+        "q_user_event_type_sets": Q3.q_user_event_type_sets,
+        "hourly_anomaly": _hourly_anomaly,
+        "q_json_props": Q2.q_json_props,
+        "profile_customer": _profile_customer,
+        # --- relational representatives (close out the 50-query window)
         "q1_pricing_summary": Q.q1_pricing_summary,
+        "q_rolling_revenue": Q3.q_rolling_revenue,
+        # ================= position > 50 below =================
+        # relational core (plans/relational.py)
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q4_order_priority": Q.q_order_priority_count,
         "q5_region_volume": Q.q5_region_volume,
@@ -611,7 +674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_case_null_buckets": Q2.q_case_null_buckets,
         "q_quantiles_by_flag": Q2.q_quantiles_by_flag,
         "q_sql_surface": Q2.q_sql_surface,
-        "q_json_props": Q2.q_json_props,
         # further TPC-H shapes (plans/relational3.py)
         "q7_nation_volume": Q3.q7_nation_volume,
         "q9_profit_by_nation_year": Q3.q9_profit_by_nation_year,
@@ -619,72 +681,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": Q3.q14_promo_revenue,
         "q19_disjunctive": Q3.q19_disjunctive,
         "q22_dormant_rich_customers": Q3.q22_dormant_rich_customers,
-        "q_conversion_funnel": Q3.q_conversion_funnel,
-        "q_events_resampled": Q3.q_events_resampled,
-        "q_cohort_retention": Q3.q_cohort_retention,
         "q_pivot_static": Q3.q_pivot_static,
         "q_customer_spend_ranks": Q3.q_customer_spend_ranks,
         "q_correlation_stats": Q3.q_correlation_stats,
         "q_winsorized_stats": Q3.q_winsorized_stats,
         "q_fuzzy_part_names": Q3.q_fuzzy_part_names,
         "q_regexp_extract": Q3.q_regexp_extract,
-        "q_rolling_revenue": Q3.q_rolling_revenue,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "label_centroids": _label_centroids,
-        "kmeans_assignments": _kmeans,
-        "q_event_gaps": Q3.q_event_gaps,
         "q_grouping_sets": Q3.q_grouping_sets,
-        "q_user_event_type_sets": Q3.q_user_event_type_sets,
-        "q_top_tokens": Q3.q_top_tokens,
-        "profile_customer": _profile_customer,
         # sketch variants + python-side pipelines (no oracle -- NO_ORACLE)
         "coverage_approx": _coverage_approx,
         "quantiles_approx": _quantiles_approx,
         "media_features": _media_features,
-        # as-of / range joins (operators/joins.py)
-        "events_asof_purchase": _events_asof_purchase,
-        "events_range_pairs": _events_range_pairs,
-        # recommender metrics (operators/metrics.py)
-        "recommendations_topk": _recommendations,
-        "coverage": _coverage,
-        "novelty": _novelty,
-        "novelty_per_user": _novelty_per_user,
-        "personalization": _personalization,
-        "personalization_weighted": _personalization_weighted,
-        "decay_popularity": _decay_popularity,
-        "value_histogram": _value_histogram,
-        "intra_list_similarity": _intra_list_similarity,
-        "item_item_topk": _item_item_topk,
-        "item_based_recommendations": _item_based_recs,
-        "long_tail_stats": _long_tail,
-        # text analysis (functions/text.py)
-        "text_stats": _text_stats,
-        "language_id": _language_id,
-        "doc_fingerprint": _doc_fingerprint,
-        "quality_score": _quality_score,
-        "token_count_by_lang": _token_count_by_lang,
-        "chunk_documents": _chunk_documents,
-        "dataset_split": _dataset_split,
-        "contamination_check": _contamination,
-        "balanced_sample": _balanced_sample,
-        "dedup_pipeline": _dedup_pipeline,
-        "hourly_anomaly": _hourly_anomaly,
-        # dedup (operators/dedup.py)
-        "dedup_exact": _dedup_exact,
-        "ngram_jaccard_pairs": _ngram_jaccard,
-        "minhash_lsh_pairs": _minhash_lsh,
-        "neardup_components": _neardup_components,
-        "simhash_signatures": _simhash,
-        "simhash_near_pairs": _simhash_near,
-        # similarity search (operators/similarity.py)
-        "ann_bruteforce_topk": _ann_topk,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "embedding_neardup": _embedding_neardup,
-        # event-time windows (streaming/windows.py; batch-mode here,
-        # streaming covered in tests/test_streaming.py)
-        "events_tumbling": _events_tumbling,
-        "events_sliding": _events_sliding,
-        "events_sessions": _events_sessions,
     }
 
 

@@ -35,10 +35,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark
     reads as nanos-since-epoch long under
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in the session
-    factory); convert to a microsecond timestamp here (lossless for
-    this data — no sub-microsecond components exist).
+    ``spark.sql.legacy.parquet.nanosAsLong``; convert to a microsecond
+    timestamp here (lossless for this data — no sub-microsecond
+    components exist).
+
+    The conf is set at runtime (it is a runtime-settable SQL conf), so
+    this works on ANY SparkSession — including a vanilla one built
+    outside our session factory. Without it the read dies with
+    ``PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS))``.
     """
+    if name == "events":
+        # runtime-settable: flips the vectorized reader to expose
+        # TIMESTAMP(NANOS) columns as bigint instead of erroring
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, NOT `/`: epoch-nanos exceed double's 53-bit

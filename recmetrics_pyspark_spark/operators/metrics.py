@@ -288,16 +288,23 @@ def item_item_topk(
 ) -> DataFrame:
     """Top-k most-similar items per item by co-occurrence cosine — the
     transpose of ``personalization``'s plan: binary item vectors over
-    the user dimension, cos(i,j) = |users(i)∩users(j)| / √(|i|·|j|),
-    computed by a user-key self-join so only co-purchased pairs exist.
+    the user dimension, cos(i,j) = |users(i)∩users(j)| / √(|i|·|j|).
+
+    Pair generation is done INSIDE the per-user aggregation: collect
+    each user's basket as a sorted array, then emit only the ia<ib
+    pairs JVM-side (nested ``transform`` + ``flatten``). One shuffle of
+    the baskets by user replaces the user-key self-join's double
+    shuffle, and pairs are map-side combined before the (ia, ib)
+    shuffle — measured 8.0s vs 17-19s for the equivalent self-join at
+    sf0.1 on local[32], identical 413k output rows.
 
     Per-user pair generation is quadratic in basket size — at 100 TB
-    cap or sample the heaviest baskets (power users contribute little
-    signal per pair and all of the skew; the cap is the standard
-    item2item lever). ``min_common`` is the support threshold: pairs
-    sharing fewer users are noise, and dropping them before the ranking
-    window cuts its input ~30x on this data (measured: 12.7M → 413k
-    pairs at sf0.1 with min_common=2). Output is symmetric: both (i,j)
+    cap the heaviest baskets (``slice(items, 1, cap)`` on the sorted
+    array; power users contribute little signal per pair and all of
+    the skew). ``min_common`` is the support threshold: pairs sharing
+    fewer users are noise, and dropping them before the ranking window
+    cuts its input ~30x on this data (measured: 12.7M → 413k pairs at
+    sf0.1 with min_common=2). Output is symmetric: both (i,j)
     directions are ranked so every item gets its own neighbour list."""
     _require_cols(df, "item_item_topk", col_user, col_item)
     baskets = df.select(
@@ -306,20 +313,34 @@ def item_item_topk(
     sizes = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("sz"))
     weighted = baskets.join(sizes, "i").select(
         "u", "i", (F.lit(1.0) / F.sqrt(F.col("sz"))).alias("w")
-    ).persist()
-    a = weighted.select("u", F.col("i").alias("ia"), F.col("w").alias("wa"))
-    b = weighted.select("u", F.col("i").alias("ib"), F.col("w").alias("wb"))
+    )
+    blists = weighted.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("i", "w"))).alias("items")
+    )
+    pairs = blists.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(items, (x, xi) ->
+                  transform(slice(items, xi + 2, size(items)), y ->
+                    struct(x.i AS ia, y.i AS ib, x.w * y.w AS ww))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
     sims = (
-        a.join(b, "u")
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
+        pairs.groupBy("ia", "ib")
         .agg(
-            F.sum(F.col("wa") * F.col("wb")).alias("sim"),
+            F.sum("ww").alias("sim"),
             F.count(F.lit(1)).alias("n_common"),
         )
         .filter(F.col("n_common") >= min_common)
         .drop("n_common")
-    ).persist()  # referenced twice (both union directions) — compute once
+    ).persist()
+    # materialize ONCE before the two-way union fan-out: sibling
+    # branches of a single job can otherwise race the unfilled cache
+    # and evaluate the pair pipeline twice
+    sims.count()
     both = sims.unionByName(
         sims.select(
             F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim"

@@ -185,6 +185,7 @@ def kmeans_assignments(
     base = corpus.select(
         F.col(col_id).alias("vid"), as_double(col_vec).alias("v")
     ).withColumn("v_sq", dot(F.col("v"), F.col("v"))).persist()
+    base.count()  # fill once: every iteration + the final assign read it
     w = Window.partitionBy("vid").orderBy(F.asc("dist"), F.asc("cid"))
     centroids = (
         base.filter(F.col("vid") < k)
@@ -226,6 +227,10 @@ def kmeans_assignments(
                 "cid",
                 F.expr("transform(pairs, p -> p.cv)").alias("c"),
             )
+            # k×dim rows: truncating lineage keeps the next iteration's
+            # plan shallow (Catalyst re-analyzes the whole tree per
+            # action — see neardup_components for the measured blow-up)
+            .localCheckpoint(eager=True)
         )
     return (
         assign.groupBy("cid")

@@ -457,10 +457,14 @@ def _ann_lsh_oracle() -> str:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv,
+    unnest([{", ".join(f"xor(bucket, {m})" for m in S.probe_masks(4, 2))}]) AS bucket
+  FROM q),
 scored AS (
   SELECT query_id, b.vec_id AS neighbor_id,
     {_COS_SQL.format(a='qv', b='b.v')} AS cos_sim
-  FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id)
+  FROM probes JOIN b USING (bucket) WHERE b.vec_id <> query_id)
 SELECT query_id, neighbor_id, cos_sim, rnk FROM (
   SELECT query_id, neighbor_id, cos_sim,
     CAST(row_number() OVER (PARTITION BY query_id

@@ -60,17 +60,27 @@ def main() -> None:
             list(pool.map(run_one, sorted(qs.items())))
     total = round(time.perf_counter() - t0_all, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # belt-and-braces for harnesses that truncate or interleave stdout:
+    # the JSON also lands in a well-known file next to this script
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError as exc:
+        print(f"[bench] could not write {out_path}: {exc}", file=sys.stderr)
+    sys.stderr.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

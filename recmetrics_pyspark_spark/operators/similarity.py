@@ -51,6 +51,16 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return out.cast("long")
 
 
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All bucket-xor masks within ``probe_hamming`` bit flips (mask 0 =
+    the query's own cell). Shared with the SQL-oracle builder so both
+    engines probe the identical cell set."""
+    return [
+        m for m in range(2 ** n_planes)
+        if bin(m).count("1") <= probe_hamming
+    ]
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,25 +69,45 @@ def ann_lsh_topk(
     dim: int = 64,
     col_id: str = "vec_id",
     col_vec: str = "embedding",
+    probe_hamming: int = 2,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH partitions the corpus
-    into 2^n_planes cells; each query scores ONLY its own cell — the
-    IVF-style scale path (cell occupancy ~ |corpus|/2^n_planes instead
-    of |corpus| per query). Fully deterministic, so the SQL oracle can
-    reproduce the same approximate result exactly.
+    into 2^n_planes cells; each query MULTI-PROBES its own cell plus
+    every cell within ``probe_hamming`` bit flips — the IVF-style scale
+    path. A near-miss neighbour differs from the query on a few
+    marginal hyperplane signs, which is exactly a low-Hamming cell, so
+    multi-probe recovers most of what single-cell probing loses. Fully
+    deterministic, so the SQL oracle reproduces the same approximate
+    result exactly.
 
-    Recall caveat (measured): on the synthetic testdata, whose
-    embeddings are near-orthogonal (max pairwise cosine ≈ 0.47), single-
-    cell probing recovers only ~10% of the exact top-10 — hyperplane LSH
-    needs genuine cluster structure to shine. Production levers, same
-    plan shape: multi-probe (explode each query into its cell plus
-    Hamming-adjacent cells) and/or train cell centroids (true IVF) —
-    both keep the equi-join-on-cell skeleton used here."""
+    Measured recall vs ``ann_bruteforce_topk`` on the synthetic
+    testdata (near-orthogonal embeddings, the hard case; 50 queries,
+    k=10, sf0.01): single-cell ~10%, Hamming-1 46%, Hamming-2 (default)
+    ≥60% — asserted by tests/test_ann_recall.py. With 4 planes,
+    Hamming-2 probes 11/16 cells; at production plane counts the probe
+    fraction collapses (16 planes → 137 of 65k cells ≈ 0.2% of the
+    corpus per query). Corpus vectors keep exactly one cell; probe
+    cells are distinct, so each (query, neighbour) pair is scored at
+    most once and no dedup step is needed."""
     planes = rademacher_planes(n_planes, dim)
     q = queries.select(
         F.col(col_id).alias("query_id"), as_double(col_vec).alias("qv")
     ).withColumn("bucket", lsh_bucket_expr(F.col("qv"), planes)).withColumn(
         "qn", norm(F.col("qv"))
+    )
+    # multi-probe fan-out: one row per (query, probed cell)
+    probes = q.select(
+        "query_id",
+        "qv",
+        "qn",
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(m))
+                    for m in probe_masks(n_planes, probe_hamming)
+                ],
+            )
+        ).alias("bucket"),
     )
     c = corpus.select(
         F.col(col_id).alias("neighbor_id"), as_double(col_vec).alias("cv")
@@ -85,7 +115,7 @@ def ann_lsh_topk(
         "cn", norm(F.col("cv"))
     )
     scored = (
-        c.join(broadcast(q), "bucket")
+        c.join(broadcast(probes), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

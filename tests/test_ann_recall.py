@@ -1,0 +1,37 @@
+"""Recall gate for the multi-probe LSH ANN: the approximate top-k must
+recover ≥60% of the exact top-k on the synthetic embeddings (a hard,
+near-orthogonal corpus — real clustered embeddings do better)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recmetrics_pyspark_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    probe_masks,
+)
+from recmetrics_pyspark_spark.sources.io import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_probe_masks():
+    masks = probe_masks(4, 2)
+    assert masks[0] == 0 and len(masks) == 1 + 4 + 6
+    assert all(bin(m).count("1") <= 2 for m in masks)
+
+
+def test_multiprobe_recall_at_10(spark):
+    embs = load_table(spark, SF_DIR, "embeddings")
+    qset = embs.filter(F.col("vec_id") < 50)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(embs, qset, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(embs, qset, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.60, f"multi-probe recall@10 regressed: {recall:.2%}"

@@ -6,7 +6,11 @@ every public name resolves to the Spark-first implementation in
 """
 
 from recmetrics_pyspark_spark.compat import (  # noqa: F401
+    cosine_similarity_matrix,
     coverage,
+    get_similarities_from_stacked,
+    get_symmetrical_matrix_mean,
+    get_upper_triangle_mean,
     intra_list_similarities,
     long_tail_plot,
     novelty,
@@ -14,6 +18,7 @@ from recmetrics_pyspark_spark.compat import (  # noqa: F401
     novelty_refac,
     personalization,
     personalization_pandas,
+    vertical_vector,
 )
 
 __version__ = "0.1.0"

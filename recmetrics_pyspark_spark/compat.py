@@ -16,12 +16,15 @@ backed by the Spark-first pipelines in ``operators.metrics``:
 - ``long_tail_plot``          (reference :27-103; stats in Spark, the
                                matplotlib render optional/import-gated)
 
-Functions that exist in the reference purely as RDD/BlockMatrix
-scaffolding (cosine_similarity_matrix, vertical_vector,
+The reference's RDD/BlockMatrix scaffolding names
+(cosine_similarity_matrix, vertical_vector,
 get_symmetrical_matrix_mean, get_upper_triangle_mean,
-get_similarities_from_stacked — reference :177-298) are deliberately
-absent: they were internal linear-algebra plumbing for the pivoted
-matrix; the DataFrame plans need none of it (SURVEY.md §2.7).
+get_similarities_from_stacked — reference :177-298) resolve too, as
+thin migration shims over DataFrame/pandas math: the Gram pipeline
+composes as ``1 − get_symmetrical_matrix_mean(
+cosine_similarity_matrix(pivot, cols))`` and agrees with
+``personalization`` (tests/test_compat_api.py). The BlockMatrix
+internals themselves are gone on purpose (SURVEY.md §2.7).
 """
 
 from __future__ import annotations
@@ -65,7 +68,11 @@ def novelty(
     )
     rows = per_user.orderBy(col_user).collect()  # aggregate: one row/user
     msis = [r["msi"] for r in rows]
-    nov = sum(m for m in msis if m is not None) / len(msis) if msis else float("nan")
+    # mean over NON-NULL msis, matching operators.metrics.novelty's
+    # F.avg semantics (a user whose recommended items never appear in
+    # sales contributes no msi, rather than deflating the mean)
+    non_null = [m for m in msis if m is not None]
+    nov = sum(non_null) / len(non_null) if non_null else float("nan")
     return nov, msis
 
 
@@ -158,6 +165,117 @@ def personalization_pandas(
     if n < 2:
         return float("nan")
     return 1.0 - 2.0 * s_row["s"] / (n * (n - 1))
+
+
+def get_similarities_from_stacked(
+    dfp,
+    col_index: str = "person",
+    col_columns: str = "product",
+    col_values: str | None = None,
+):
+    """Pandas: stacked (user, item[, value]) frame → dense pairwise
+    cosine matrix between user rows (reference
+    recmetrics_pyspark.py:177-181: pivot_table → fillna(0) → cosine).
+    Kept as a true pandas helper — it is only ever called on
+    driver-sized frames; the distributed twin is ``personalization``'s
+    self-join plan."""
+    import numpy as np
+    import pandas as pd
+
+    if col_values is None:
+        pivot = pd.crosstab(dfp[col_index], dfp[col_columns]).astype(float)
+    else:
+        pivot = dfp.pivot_table(
+            index=col_index, columns=col_columns, values=col_values
+        ).fillna(0.0)
+    m = pivot.to_numpy(dtype=float)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    n = m / norms
+    return pd.DataFrame(n @ n.T, index=pivot.index, columns=pivot.index)
+
+
+def get_upper_triangle_mean(sim_matrix) -> float:
+    """Reference recmetrics_pyspark.py:184-188 — NOTE: returns
+    1 − mean(off-diagonal), i.e. already the personalization score.
+    Keeps the reference's exact ``(ΣS − n)`` form, which assumes
+    unit-norm rows (diagonal of ones)."""
+    import numpy as np
+
+    s = np.asarray(sim_matrix, dtype=float)
+    n = s.shape[0]
+    if n < 2:
+        return float("nan")
+    return float(1.0 - (s.sum() - n) / (n * (n - 1)))
+
+
+def cosine_similarity_matrix(
+    df_pivot: DataFrame,
+    columns: list[str],
+    index_col: str = "person",
+) -> DataFrame:
+    """Migration shim for the reference's BlockMatrix Gram pipeline
+    (reference recmetrics_pyspark.py:197-246): pairwise cosine between
+    ROWS of a pivoted DataFrame, returned LONG-FORM as
+    (index_a, index_b, cos_sim) instead of a BlockMatrix — DataFrame
+    plans replace the RDD linear algebra (SURVEY.md §2.7). All n² pairs
+    materialize, exactly like the reference's Gram matrix; for
+    anything bigger than a driver-scale pivot use ``personalization``
+    (self-join, only co-occurring pairs)."""
+    vec = F.array(
+        *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)) for c in columns]
+    )
+    base = df_pivot.select(F.col(index_col).alias("idx"), vec.alias("v"))
+    base = base.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a = base.select(
+        F.col("idx").alias("index_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("idx").alias("index_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return a.crossJoin(b).select(
+        "index_a",
+        "index_b",
+        (dot / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+    )
+
+
+def get_symmetrical_matrix_mean(sims: DataFrame) -> float:
+    """Mean off-diagonal entry of the (symmetric, unit-diagonal)
+    similarity matrix — reference recmetrics_pyspark.py:288-298's
+    ``(1ᵀS1 − n) / (n(n−1))``, with the 1ᵀS1 BlockMatrix sandwich
+    replaced by ``agg(sum)`` over the long-form pairs."""
+    n = sims.select("index_a").distinct().count()
+    if n < 2:
+        return float("nan")
+    total = sims.agg(F.sum("cos_sim").alias("s")).head()["s"] or 0.0
+    return float((total - n) / (n * (n - 1)))
+
+
+def vertical_vector(n_rows: int, default_value: float = 1.0) -> DataFrame:
+    """Reference recmetrics_pyspark.py:249-285 built an all-ones
+    BlockMatrix to sum matrix entries via 1ᵀ·S·1; in DataFrame land
+    that reduction is ``agg(sum)`` (see get_symmetrical_matrix_mean).
+    Shimmed as a one-column DataFrame for call-site compatibility."""
+    spark = SparkSession.active()
+    return spark.range(n_rows).select(
+        F.lit(float(default_value)).alias("value")
+    )
 
 
 def intra_list_similarities(

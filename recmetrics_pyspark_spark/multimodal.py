@@ -89,17 +89,47 @@ def synthetic_media(
     return spark.range(0, n, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+try:  # probe once at import: PIL is optional in this container
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container has no codec libs
+    _PILImage = None
+
+
+def _pil_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real decode path, used whenever PIL imports: decode any
+    PIL-readable payload, convert to RGB, resize to the metadata
+    dimensions so downstream pooling sees the declared shape."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+    if img.size != (width, height):
+        img = img.resize((width, height))
+    return np.asarray(img, dtype=np.uint8)
+
+
 def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB for a real image decode (PIL/libjpeg not in container).
-    Deterministic: tiles the payload bytes into a (h, w, 3) uint8 array.
-    Replace with ``PIL.Image.open(io.BytesIO(payload))`` in production;
-    everything outside this function is production plumbing."""
+    """Deterministic STUB decode (no image codec in this container):
+    tiles the payload bytes into a (h, w, 3) uint8 array. Everything
+    outside this function is production plumbing."""
     if payload is None:
         raise NotImplementedError("real decode requires an image codec")
     buf = np.frombuffer(payload, dtype=np.uint8)
     need = width * height * 3
     reps = int(np.ceil(need / len(buf)))
     return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
+def decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Decode contract: (payload, declared w, h) → (h, w, 3) uint8.
+    Prefers the real PIL decode when the library is present AND the
+    payload is an actual encoded image; falls back to the deterministic
+    stub (synthetic payloads are md5 streams, not image files)."""
+    if _PILImage is not None:
+        try:
+            return _pil_decode_rgb(payload, width, height)
+        except Exception:  # noqa: BLE001 - not a decodable image
+            pass
+    return _fake_decode_rgb(payload, width, height)
 
 
 def decode_and_featurize(media: DataFrame, resize_to: int = 8) -> DataFrame:
@@ -115,7 +145,7 @@ def decode_and_featurize(media: DataFrame, resize_to: int = 8) -> DataFrame:
             for payload, w, h in zip(
                 pdf["payload"], pdf["meta_width"], pdf["meta_height"]
             ):
-                img = _fake_decode_rgb(payload, int(w), int(h))
+                img = decode_rgb(payload, int(w), int(h))
                 # "resize": block-mean pool to (resize_to, resize_to)
                 bh, bw = (
                     max(img.shape[0] // resize_to, 1),

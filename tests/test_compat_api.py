@@ -107,3 +107,53 @@ def test_long_tail_plot_returns_stats_without_matplotlib(spark):
     out = compat.long_tail_plot(df)
     assert list(out["item_rank"]) == [1, 2]
     assert out.iloc[0]["volume"] == 2
+
+
+def test_matrix_scaffolding_names_resolve():
+    import recmetrics_pyspark as rp
+
+    for name in (
+        "cosine_similarity_matrix",
+        "vertical_vector",
+        "get_symmetrical_matrix_mean",
+        "get_upper_triangle_mean",
+        "get_similarities_from_stacked",
+    ):
+        assert callable(getattr(rp, name))
+
+
+def test_gram_pipeline_agrees_with_personalization(spark):
+    # the reference's matrix pipeline (pivot -> Gram -> 1 - mean
+    # off-diagonal) must reproduce the self-join personalization value
+    rows = [(1, 1), (1, 2), (2, 2), (2, 1), (3, 3), (3, 4)]
+    df = spark.createDataFrame(rows, ["person", "product"])
+    expected = compat.personalization(df)
+    pivot = (
+        df.groupBy("person")
+        .pivot("product", [1, 2, 3, 4])
+        .count()
+        .fillna(0)
+    )
+    sims = compat.cosine_similarity_matrix(
+        pivot, ["1", "2", "3", "4"], index_col="person"
+    )
+    got = 1.0 - compat.get_symmetrical_matrix_mean(sims)
+    # personalization rounds to 6 decimals; the Gram path is exact
+    assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_pandas_stacked_pipeline_agrees(spark):
+    dfp = pd.DataFrame(
+        {"person": [1, 1, 2, 2, 3, 3], "product": [1, 2, 2, 1, 3, 4]}
+    )
+    sims = compat.get_similarities_from_stacked(dfp)
+    assert sims.shape == (3, 3)
+    got = compat.get_upper_triangle_mean(sims.to_numpy())
+    sdf = spark.createDataFrame(dfp, ["person", "product"])
+    assert got == pytest.approx(compat.personalization(sdf), abs=1e-6)
+
+
+def test_vertical_vector_shape(spark):
+    vv = compat.vertical_vector(5, 1.0)
+    assert vv.count() == 5
+    assert vv.agg(compat.F.sum("value")).head()[0] == pytest.approx(5.0)

@@ -54,3 +54,31 @@ def test_metadata_stats_prunes_payload(spark):
     assert got[0]["n_media"] == 8
     # payload must be pruned from the aggregate's input
     assert "payload" not in plan.split("Aggregate")[0]
+
+
+def test_decode_rgb_falls_back_to_stub_on_non_image_bytes():
+    # synthetic payloads are md5 streams, never decodable images, so
+    # the contract function must route them to the stub in EVERY
+    # environment (with or without PIL installed)
+    import numpy as np
+
+    payload = b"\x01\x02\x03\x04" * 16
+    out = MM.decode_rgb(payload, 4, 4)
+    assert out.shape == (4, 4, 3) and out.dtype == np.uint8
+    assert (out == MM._fake_decode_rgb(payload, 4, 4)).all()
+
+
+@pytest.mark.skipif(MM._PILImage is None, reason="PIL not installed")
+def test_decode_rgb_uses_pil_for_real_images():
+    # exercised only where an image codec exists: a real PNG payload
+    # must go through PIL and reproduce the encoded pixels
+    import io
+
+    import numpy as np
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    img = MM._PILImage.fromarray(arr, "RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = MM.decode_rgb(buf.getvalue(), 4, 4)
+    assert (out == arr).all()

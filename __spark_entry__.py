@@ -54,13 +54,20 @@ ORACLE_BASE = """WITH interactions AS (
 # oracles (mirrors operators/metrics.py::item_item_topk).
 ITEM_SIMS_SQL = """
 , isz AS (SELECT item_id, count(*) AS sz FROM upairs GROUP BY item_id),
-iw AS (SELECT p.user_id, p.item_id, 1.0/sqrt(sz) AS w
-       FROM upairs p JOIN isz USING (item_id)),
-sims AS (
-  SELECT a.item_id AS ia, b.item_id AS ib, sum(a.w*b.w) AS sim
-  FROM iw a JOIN iw b ON a.user_id = b.user_id AND a.item_id < b.item_id
+pcounts AS (
+  SELECT a.item_id AS ia, b.item_id AS ib, count(*) AS n_common
+  FROM upairs a JOIN upairs b ON a.user_id = b.user_id
+    AND a.item_id < b.item_id
   GROUP BY a.item_id, b.item_id
   HAVING count(*) >= 2
+),
+sims AS (
+  -- count form n/sqrt(sza*szb): one division per PAIR (not one
+  -- multiply per co-occurrence), bit-identical across engines
+  SELECT ia, ib, n_common / sqrt(sa.sz * sb.sz) AS sim
+  FROM pcounts
+  JOIN isz sa ON ia = sa.item_id
+  JOIN isz sb ON ib = sb.item_id
 ), bidir AS (
   SELECT ia, ib, sim FROM sims
   UNION ALL

@@ -311,31 +311,43 @@ def item_item_topk(
         F.col(col_user).alias("u"), F.col(col_item).alias("i")
     ).distinct().persist()
     sizes = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("sz"))
-    weighted = baskets.join(sizes, "i").select(
-        "u", "i", (F.lit(1.0) / F.sqrt(F.col("sz"))).alias("w")
+    blists = baskets.groupBy("u").agg(
+        F.sort_array(F.collect_list("i")).alias("items")
     )
-    blists = weighted.groupBy("u").agg(
-        F.sort_array(F.collect_list(F.struct("i", "w"))).alias("items")
-    )
+    # pure-integer pair stream: the cosine numerator is just the
+    # co-occurrence COUNT, so no per-pair weight rides the shuffle;
+    # sizes attach to the aggregated pairs (catalog-scale, broadcast)
     pairs = blists.select(
         F.explode(
             F.expr(
                 """
                 flatten(transform(items, (x, xi) ->
                   transform(slice(items, xi + 2, size(items)), y ->
-                    struct(x.i AS ia, y.i AS ib, x.w * y.w AS ww))))
+                    struct(x AS ia, y AS ib))))
                 """
             )
         ).alias("p")
     ).select("p.*")
-    sims = (
+    counts = (
         pairs.groupBy("ia", "ib")
-        .agg(
-            F.sum("ww").alias("sim"),
-            F.count(F.lit(1)).alias("n_common"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
-        .drop("n_common")
+    )
+    sza = sizes.select(F.col("i").alias("ia"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("i").alias("ib"), F.col("sz").alias("szb"))
+    sims = (
+        counts.join(F.broadcast(sza), "ia")
+        .join(F.broadcast(szb), "ib")
+        # count form n/sqrt(sza*szb): same value as summing
+        # 1/sqrt(sza*szb) per co-occurrence, but one FP op per pair
+        # and bit-identical arithmetic in any engine
+        .select(
+            "ia",
+            "ib",
+            (F.col("n_common") / F.sqrt(F.col("sza") * F.col("szb"))).alias(
+                "sim"
+            ),
+        )
     ).persist()
     # materialize ONCE before the two-way union fan-out: sibling
     # branches of a single job can otherwise race the unfilled cache

@@ -297,3 +297,136 @@ def token_count_by_lang(
             F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals per document — the classic
+    LLM-data filters (duplicate-word fraction, most-common-word
+    fraction, duplicate-bigram fraction; cf. the Gopher/MassiveText
+    filtering recipe). Word-level set stats stay ARRAY-SIDE (size /
+    array_distinct, zero shuffles); only the top-word count needs the
+    explode + per-word aggregate."""
+    t = f"split({col_text}, ' ')"
+    bigrams = (
+        f"transform(sequence(1, greatest(size({t}) - 1, 1)),"
+        f" i -> concat_ws(' ', slice({t}, i, 2)))"
+    )
+    arr_stats = df.select(
+        F.col(col_id),
+        F.expr(f"size({t})").cast("long").alias("n_words"),
+        F.expr(f"size(array_distinct({t}))").cast("long").alias("n_distinct"),
+        F.expr(f"size({bigrams})").cast("long").alias("n_bigrams"),
+        F.expr(f"size(array_distinct({bigrams}))").cast("long").alias(
+            "n_distinct_bigrams"
+        ),
+    )
+    top_word = (
+        df.select(F.col(col_id), F.explode(F.expr(t)).alias("w"))
+        .groupBy(col_id, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(col_id)
+        .agg(F.max("n").alias("top_word_n"))
+    )
+    return arr_stats.join(top_word, col_id).select(
+        col_id,
+        "n_words",
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_word_n") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# BM25 query terms are part of the deterministic operator contract,
+# shared with the oracle builder.
+BM25_TERMS = ("spark", "hash", "window")
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 20,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+) -> DataFrame:
+    """BM25 retrieval for a fixed term set: score every matching doc,
+    return the global top-``topn``. Corpus statistics (N, avgdl, per-
+    term document frequency) reduce to ONE row and broadcast back over
+    the scan — the standard two-pass search plan, no shuffle of the
+    corpus itself. idf uses the +1 form (always positive):
+    ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    t = f"split({col_text}, ' ')"
+    tf_cols = [
+        F.expr(f"size(filter({t}, x -> x = '{term}'))")
+        .cast("double")
+        .alias(f"tf{i}")
+        for i, term in enumerate(terms)
+    ]
+    base = df.select(
+        F.col(col_id), F.expr(f"size({t})").cast("double").alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        part = idf * (
+            F.col(f"tf{i}")
+            * (k1 + 1.0)
+            / (
+                F.col(f"tf{i}")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(F.col(col_id), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc(col_id))
+        .limit(topn)
+    )
+
+
+def doc_lm_score(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text"
+) -> DataFrame:
+    """Unigram language-model surprisal per document: p(w) is the
+    corpus unigram frequency; a doc's score is its mean -log2 p(w) —
+    the cheap KenLM-style quality proxy (low = templated/common
+    wording, high = rare vocabulary). The unigram table is
+    vocabulary-scale and broadcasts; the corpus shuffles once to count
+    it and once per-doc to average."""
+    t = f"split({col_text}, ' ')"
+    toks = df.select(F.col(col_id), F.explode(F.expr(t)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    total = uni.agg(F.sum("wn").cast("double").alias("total"))
+    freq = uni.crossJoin(F.broadcast(total)).select(
+        "w", (-F.log2(F.col("wn") / F.col("total"))).alias("surprisal")
+    )
+    return (
+        toks.join(F.broadcast(freq), "w")
+        .groupBy(col_id)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("surprisal"), 6).alias("mean_surprisal"),
+        )
+    )

@@ -216,14 +216,18 @@ def _personalization_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
     )
     wtd = vecs.join(norms, "user").select(
-        "user", "item", (F.col("v") / F.col("nrm")).alias("w")
-    ).persist()
-    a = wtd.select(F.col("user").alias("ua"), "item", F.col("w").alias("wa"))
-    b = wtd.select(F.col("user").alias("ub"), "item", F.col("w").alias("wb"))
-    s = (
-        a.join(b, "item")
-        .filter(F.col("ua") < F.col("ub"))
-        .agg(F.coalesce(F.sum(F.col("wa") * F.col("wb")), F.lit(0.0)).alias("s"))
+        "item", (F.col("v") / F.col("nrm")).alias("w")
+    )
+    # same closed form as metrics.personalization: per-item
+    # Σ_{u<v} w_u·w_v = ((Σw)² − Σw²)/2 — no self-join, O(nnz)
+    isum = wtd.groupBy("item").agg(
+        F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("w")).alias("sww")
+    )
+    s = isum.agg(
+        F.coalesce(
+            F.sum((F.col("sw") * F.col("sw") - F.col("sww")) / F.lit(2.0)),
+            F.lit(0.0),
+        ).alias("s")
     )
     n = norms.agg(F.count(F.lit(1)).cast("double").alias("n"))
     from pyspark.sql.functions import broadcast as bc
@@ -964,9 +968,9 @@ SELECT user_id, round(sum(log2_si)/count(*), 6) AS msi FROM j GROUP BY user_id
 , sizes AS (SELECT user_id, count(*) AS sz FROM upairs GROUP BY user_id),
 wtd AS (SELECT p.user_id, p.item_id, 1.0/sqrt(sz) AS w
         FROM upairs p JOIN sizes USING (user_id)),
-s AS (SELECT coalesce(sum(a.w*b.w), 0.0) AS s
-      FROM wtd a JOIN wtd b
-        ON a.item_id = b.item_id AND a.user_id < b.user_id),
+isum AS (SELECT item_id, sum(w) AS sw, sum(w*w) AS sww
+         FROM wtd GROUP BY item_id),
+s AS (SELECT coalesce(sum((sw*sw - sww) / 2.0), 0.0) AS s FROM isum),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sizes)
 SELECT round(1.0 - 2.0*s/(n*(n-1)), 6) AS personalization FROM s, n
 """,
@@ -980,10 +984,10 @@ SELECT round(1.0 - 2.0*s/(n*(n-1)), 6) AS personalization FROM s, n
 ), wtd AS (
   SELECT vw.user_id, vw.item_id, vw.v / nrm.nrm AS w
   FROM vw JOIN nrm USING (user_id)
+), isum AS (
+  SELECT item_id, sum(w) AS sw, sum(w*w) AS sww FROM wtd GROUP BY item_id
 ), s AS (
-  SELECT coalesce(sum(a.w*b.w), 0.0) AS s
-  FROM wtd a JOIN wtd b
-    ON a.item_id = b.item_id AND a.user_id < b.user_id
+  SELECT coalesce(sum((sw*sw - sww) / 2.0), 0.0) AS s FROM isum
 ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nrm)
 SELECT round(1.0 - 2.0*s/(n*(n-1)), 6) AS personalization_weighted
 FROM s, n

@@ -140,7 +140,8 @@ def personalization_pandas(
     sdf = spark.createDataFrame(df)
     if col_values is None:
         return personalization(sdf, col_index, col_columns)
-    # weighted variant: same self-join plan, vectors weighted by value
+    # weighted variant, closed form (same as operators.metrics): per
+    # item Σ_{u<v} w_u·w_v = ((Σw)² − Σw²)/2 — no self-join needed
     vecs = (
         sdf.groupBy(
             F.col(col_index).alias("u"), F.col(col_columns).alias("i")
@@ -151,14 +152,20 @@ def personalization_pandas(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
     )
     w = vecs.join(norms, "u").select(
-        "u", "i", (F.col("v") / F.col("nrm")).alias("w")
+        "i", (F.col("v") / F.col("nrm")).alias("w")
     )
-    a = w.select(F.col("u").alias("ua"), "i", F.col("w").alias("wa"))
-    b = w.select(F.col("u").alias("ub"), "i", F.col("w").alias("wb"))
     s_row = (
-        a.join(b, "i")
-        .filter(F.col("ua") < F.col("ub"))
-        .agg(F.coalesce(F.sum(F.col("wa") * F.col("wb")), F.lit(0.0)).alias("s"))
+        w.groupBy("i")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("w")).alias("sww"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum((F.col("sw") * F.col("sw") - F.col("sww")) / F.lit(2.0)),
+                F.lit(0.0),
+            ).alias("s")
+        )
         .head()
     )
     n = norms.count()

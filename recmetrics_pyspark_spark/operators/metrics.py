@@ -223,39 +223,33 @@ def personalization(
         Σ_{i<j} cos = Σ over item-co-occurrence pairs of w_i·w_j,
         w_u = 1/√|basket(u)|
 
-    — an equi-self-join on item (only co-rated pairs shuffle, the same
-    sparsity DIMSUM exploits) followed by one aggregate. Users with no
-    overlap contribute 0 implicitly. Doctest fixture (:321-333) gives
-    exactly 2/3.
-
-    Skew note: the item self-join is quadratic in the hottest item's
-    user count; AQE skew-join splitting is on in our session factory,
-    and an LSH approximation (minhash_lsh in operators.dedup) is the
-    100 TB escape hatch.
+    and the pair sum needs NO self-join at all: within one item,
+    Σ_{u<v} w_u·w_v = ((Σw)² − Σw²)/2, so the whole metric is a
+    per-item aggregate of (Σw, Σw²) followed by one scalar reduce —
+    O(nnz) work, TWO shuffles, and the hottest-item quadratic blow-up
+    (the classic personalization scale killer; the round-1 plan's
+    self-join had it) simply does not exist. Users with no overlap
+    contribute 0 implicitly. Doctest fixture (:321-333) gives exactly
+    2/3.
     """
-    # persist() at fan-out points: baskets feeds sizes AND the weighted
-    # join; weighted feeds BOTH self-join sides. AQE does not reuse these
-    # exchanges (measured: 2x wall-clock without persist), and the
-    # persisted tables are |distinct pairs| — vocabulary-scale, far
-    # smaller than the interaction input. MEMORY_AND_DISK: spill-safe.
+    # persist(): baskets feeds the sizes aggregate AND the weighted
+    # join; vocabulary-scale (distinct pairs), MEMORY_AND_DISK.
     _require_cols(df, "personalization", col_index, col_columns)
     baskets = df.select(
         F.col(col_index).alias("u"), F.col(col_columns).alias("i")
     ).distinct().persist()
     sizes = baskets.groupBy("u").agg(F.count(F.lit(1)).alias("sz"))
     weighted = baskets.join(sizes, "u").select(
-        "u", "i", (F.lit(1.0) / F.sqrt(F.col("sz"))).alias("w")
-    ).persist()
-    a = weighted.select(
-        F.col("u").alias("ua"), F.col("i").alias("i"), F.col("w").alias("wa")
+        "i", (F.lit(1.0) / F.sqrt(F.col("sz"))).alias("w")
     )
-    b = weighted.select(
-        F.col("u").alias("ub"), F.col("i").alias("i"), F.col("w").alias("wb")
+    isum = weighted.groupBy("i").agg(
+        F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("w")).alias("sww")
     )
-    pair_sum = (
-        a.join(b, "i")
-        .filter(F.col("ua") < F.col("ub"))
-        .agg(F.coalesce(F.sum(F.col("wa") * F.col("wb")), F.lit(0.0)).alias("s"))
+    pair_sum = isum.agg(
+        F.coalesce(
+            F.sum((F.col("sw") * F.col("sw") - F.col("sww")) / F.lit(2.0)),
+            F.lit(0.0),
+        ).alias("s")
     )
     n = sizes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     # n < 2 users -> no pairs -> metric undefined: null, not a div-0 error

@@ -1018,16 +1018,13 @@ FROM events GROUP BY bucket ORDER BY bucket
   SELECT g, it, sqrt(sum(v*v)) AS nrm FROM vecs GROUP BY g, it
 ), n_items AS (
   SELECT g, count(*) AS n_it FROM norms GROUP BY g
-), dots AS (
-  SELECT a.g, a.it AS ia, b.it AS ib, sum(a.v*b.v) AS dot
-  FROM vecs a JOIN vecs b ON a.g = b.g AND a.f = b.f AND a.it < b.it
-  GROUP BY a.g, a.it, b.it
+), w AS (
+  SELECT vecs.g, vecs.f, vecs.v / norms.nrm AS w
+  FROM vecs JOIN norms ON vecs.g = norms.g AND vecs.it = norms.it
+), fsum AS (
+  SELECT g, f, sum(w) AS sw, sum(w*w) AS sww FROM w GROUP BY g, f
 ), cos_sums AS (
-  SELECT d.g, sum(d.dot/(na.nrm*nb.nrm)) AS cos_sum
-  FROM dots d
-  JOIN norms na ON d.g = na.g AND d.ia = na.it
-  JOIN norms nb ON d.g = nb.g AND d.ib = nb.it
-  GROUP BY d.g
+  SELECT g, sum((sw*sw - sww) / 2.0) AS cos_sum FROM fsum GROUP BY g
 )
 SELECT n_items.g AS user_id,
   CASE WHEN n_it >= 2

@@ -388,15 +388,18 @@ def intra_list_similarity(
     mean of off-diagonal entries. Driver-side per group in the
     reference; here one distributed pipeline:
 
-      feature vectors → norms → within-group item-pair self-join on the
-      feature key → dot/cos per pair → per-group mean over ALL
-      C(n_items, 2) pairs (pairs sharing no feature contribute 0 —
-      they never materialize; we divide by the full pair count).
+      feature vectors → per-item norms → NORMALIZE, then the pair sum
+      is closed-form: within one (group, feature),
+      Σ_{i<j} w_i·w_j = ((Σw)² − Σw²)/2, so the whole metric reduces
+      to per-(group, feature) aggregates of (Σw, Σw²) — no item-pair
+      self-join, no C(n_items, 2) blow-up for big lists, O(nnz) work.
+      Pairs sharing no feature contribute 0 implicitly; we divide by
+      the full pair count.
 
     Groups with a single item return null (pandas yields NaN there too).
     """
-    # vecs fans out to both self-join sides; norms to na/nb/n_items —
-    # persist both (item-vector scale, small next to the input).
+    # vecs fans out to norms AND the normalize join — persist
+    # (item-vector scale, small next to the input).
     _require_cols(df, "intra_list_similarity", col_group, col_index,
                   col_columns, col_values)
     vecs = (
@@ -411,25 +414,21 @@ def intra_list_similarity(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
     ).persist()
     n_items = norms.groupBy("g").agg(F.count(F.lit(1)).alias("n_it"))
-    a = vecs.select(
-        "g", F.col("it").alias("ia"), "f", F.col("v").alias("va")
+    w = vecs.join(norms, ["g", "it"]).select(
+        "g", "f", (F.col("v") / F.col("nrm")).alias("w")
     )
-    b = vecs.select(
-        "g", F.col("it").alias("ib"), "f", F.col("v").alias("vb")
-    )
-    dots = (
-        a.join(b, ["g", "f"])
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("g", "ia", "ib")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-    )
-    na = norms.select("g", F.col("it").alias("ia"), F.col("nrm").alias("na"))
-    nb = norms.select("g", F.col("it").alias("ib"), F.col("nrm").alias("nb"))
     cos_sums = (
-        dots.join(na, ["g", "ia"])
-        .join(nb, ["g", "ib"])
+        w.groupBy("g", "f")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("w")).alias("sww"),
+        )
         .groupBy("g")
-        .agg(F.sum(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sum"))
+        .agg(
+            F.sum(
+                (F.col("sw") * F.col("sw") - F.col("sww")) / F.lit(2.0)
+            ).alias("cos_sum")
+        )
     )
     return (
         n_items.join(cos_sums, "g", "left")

@@ -52,12 +52,18 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
 
     t0_all = time.perf_counter()
+    # DECLARED order, not alphabetical: composite operators are declared
+    # after their parts (item_item_topk before item_based_recommendations),
+    # so each query's timing reflects its own marginal cost — the shared
+    # persisted lineage is paid by the operator that owns it, and
+    # composites reuse the session's plan cache exactly as a user's
+    # notebook session would.
     if n_threads <= 1:
-        for item in sorted(qs.items()):
+        for item in qs.items():
             run_one(item)
     else:
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            list(pool.map(run_one, sorted(qs.items())))
+            list(pool.map(run_one, qs.items()))
     total = round(time.perf_counter() - t0_all, 3)
 
     payload = json.dumps(

@@ -56,10 +56,27 @@ def test_q1_stays_in_wholestage_codegen(spark):
 @pytest.mark.parametrize(
     "name",
     ["q1_pricing_summary", "novelty", "personalization", "text_stats",
-     "dedup_exact", "long_tail_stats"],
+     "dedup_exact", "long_tail_stats", "repetition_stats", "bm25_topk",
+     "doc_lm_score", "item_item_topk", "simhash_near_pairs"],
 )
 def test_no_python_udfs_in_core_queries(spark, name):
     df = entrymod.queries()[name](spark, SF)
     plan = _formatted_plan(spark, df)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"{name} executes Python: {marker}"
+
+
+def test_simhash_near_pairs_is_equi_join(spark):
+    # the banded rewrite must never regress to a corpus-squared
+    # BroadcastNestedLoopJoin (the round-1 scale killer)
+    df = entrymod.queries()["simhash_near_pairs"](spark, SF)
+    plan = _formatted_plan(spark, df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_corpus_stats_broadcast(spark):
+    # the one-row stats frame must broadcast back over the scan, not
+    # shuffle the corpus
+    df = entrymod.queries()["bm25_topk"](spark, SF)
+    plan = _formatted_plan(spark, df)
+    assert "BroadcastExchange" in plan

@@ -521,6 +521,14 @@ def _doc_lm_score(spark, sf_dir):
     return T.doc_lm_score(_docs(spark, sf_dir))
 
 
+def _mixture_sample(spark, sf_dir):
+    return T.mixture_sample(_docs(spark, sf_dir))
+
+
+def _event_transitions(spark, sf_dir):
+    return Q3.q_event_transitions(spark, sf_dir)
+
+
 def _embedding_neardup(spark, sf_dir):
     return S.embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.35)
 
@@ -743,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_anomaly": _hourly_anomaly,
         "q_json_props": Q2.q_json_props,
         # ================= position > 50 below =================
+        "mixture_sample": _mixture_sample,
+        "q_event_transitions": _event_transitions,
         # (q1, rolling-revenue, profile, top-tokens were driver-green in
         # round 1; their slots now witness the new LLM-pipeline ops)
         "profile_customer": _profile_customer,
@@ -1663,6 +1673,30 @@ freq AS (SELECT w, -log2(wn / total) AS surprisal FROM uni, tot)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
   round(avg(surprisal), 6) AS mean_surprisal
 FROM w JOIN freq USING (w) GROUP BY doc_id
+""",
+        "mixture_sample": """
+SELECT doc_id, source, keep_rate FROM (
+  SELECT doc_id, source,
+    CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 2 = 0
+         THEN 0.9 ELSE 0.4 END AS keep_rate,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS BIGINT)
+      / 4096.0 AS u
+  FROM documents) t
+WHERE u < keep_rate
+""",
+        "q_event_transitions": """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n FROM pairs
+  WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts
 """,
         "label_centroids": """
 SELECT label, i - 1 AS dim_idx, round(avg(v[i]), 6) AS centroid_val

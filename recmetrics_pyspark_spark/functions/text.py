@@ -430,3 +430,41 @@ def doc_lm_score(
             F.round(F.avg("surprisal"), 6).alias("mean_surprisal"),
         )
     )
+
+
+# Default source-mixture rates: even sources are majority domains kept
+# at 90%, odd sources are downweighted to 40%. Part of the operator's
+# deterministic contract, shared with the oracle builder.
+MIXTURE_RATES = {"even": 0.9, "odd": 0.4}
+
+
+def mixture_sample(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_source: str = "source",
+    rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling — the data-mixing step of
+    an LLM training pipeline: each source keeps a configured fraction
+    of its documents. Per-row uniform u = md5-bucket(id)/4096 (12 hex
+    bits); keep iff u < rate(source). RNG-free and stable under any
+    partitioning, so the mix is reproducible at any scale and in plain
+    SQL — and the filter composes with pushdown (it's a scan-side
+    predicate, no shuffle at all)."""
+    r = rates or MIXTURE_RATES
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(col_id).cast("string")), 1, 3), 16, 10
+        ).cast("double")
+        / 4096.0
+    )
+    src_num = F.regexp_extract(F.col(col_source), r"(\d+)$", 1).cast("long")
+    rate = F.when(src_num % 2 == 0, F.lit(r["even"])).otherwise(
+        F.lit(r["odd"])
+    )
+    return (
+        df.withColumn("_u", u)
+        .withColumn("keep_rate", rate)
+        .filter(F.col("_u") < F.col("keep_rate"))
+        .select(col_id, col_source, "keep_rate")
+    )

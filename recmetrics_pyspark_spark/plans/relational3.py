@@ -497,3 +497,29 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_digit")
     )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence mining: per user (ordered by ts with
+    event_id tiebreak), count each (event_type → next event_type)
+    transition and its conditional probability — the Markov-matrix view
+    of the event stream. One window pass + one aggregate; the
+    transition table is |types|² (broadcast-scale) at any corpus size."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    )

@@ -525,6 +525,10 @@ def _mixture_sample(spark, sf_dir):
     return T.mixture_sample(_docs(spark, sf_dir))
 
 
+def _normalized_dedup(spark, sf_dir):
+    return D.normalized_dedup(_docs(spark, sf_dir))
+
+
 def _event_transitions(spark, sf_dir):
     return Q3.q_event_transitions(spark, sf_dir)
 
@@ -753,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= position > 50 below =================
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
+        "normalized_dedup": _normalized_dedup,
         # (q1, rolling-revenue, profile, top-tokens were driver-green in
         # round 1; their slots now witness the new LLM-pipeline ops)
         "profile_customer": _profile_customer,
@@ -1673,6 +1678,21 @@ freq AS (SELECT w, -log2(wn / total) AS surprisal FROM uni, tot)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
   round(avg(surprisal), 6) AS mean_surprisal
 FROM w JOIN freq USING (w) GROUP BY doc_id
+""",
+        "normalized_dedup": """
+WITH hashed AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      ' +', ' ', 'g'))) AS norm_hash
+  FROM documents
+), groups AS (
+  SELECT norm_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
+  FROM hashed GROUP BY norm_hash
+)
+SELECT h.doc_id, h.norm_hash, g.n_copies, g.canonical_id,
+  h.doc_id <> g.canonical_id AS is_dup
+FROM hashed h JOIN groups g USING (norm_hash)
 """,
         "mixture_sample": """
 SELECT doc_id, source, keep_rate FROM (

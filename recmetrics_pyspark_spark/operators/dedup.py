@@ -358,3 +358,32 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "sh_a", "sh_b", "hamming")
     )
+
+
+def normalized_dedup(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text"
+) -> DataFrame:
+    """Exact dedup AFTER text normalization — the production form of
+    exact_dedup (raw-byte hashing misses trivial variants): lowercase,
+    strip punctuation, collapse whitespace, trim, THEN md5-group.
+    Same one-shuffle plan as exact_dedup; the normalization is a
+    scan-side expression chain (whole-stage codegen, no UDF)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(col_text)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    hashed = df.select(F.col(col_id), F.md5(norm).alias("norm_hash"))
+    groups = hashed.groupBy("norm_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(col_id).alias("canonical_id"),
+    )
+    return hashed.join(groups, "norm_hash").select(
+        col_id,
+        "norm_hash",
+        "n_copies",
+        "canonical_id",
+        (F.col(col_id) != F.col("canonical_id")).alias("is_dup"),
+    )

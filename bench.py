@@ -44,8 +44,13 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            # force full evaluation of every column without driver collect
-            df.foreach(lambda _: None)
+            # force full evaluation of every column without driver collect:
+            # the noop sink consumes all rows JVM-side, so the timing is
+            # the query plan's cost alone. (foreach(lambda ..) also
+            # evaluates fully, but serializes every output row through
+            # Python workers — an artifact cost that grows with result
+            # size and isn't part of the plan being measured.)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep benching the rest
             timings[name] = -1.0

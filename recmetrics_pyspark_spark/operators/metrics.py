@@ -284,13 +284,24 @@ def item_item_topk(
     transpose of ``personalization``'s plan: binary item vectors over
     the user dimension, cos(i,j) = |users(i)∩users(j)| / √(|i|·|j|).
 
-    Pair generation is done INSIDE the per-user aggregation: collect
-    each user's basket as a sorted array, then emit only the ia<ib
-    pairs JVM-side (nested ``transform`` + ``flatten``). One shuffle of
-    the baskets by user replaces the user-key self-join's double
-    shuffle, and pairs are map-side combined before the (ia, ib)
-    shuffle — measured 8.0s vs 17-19s for the equivalent self-join at
-    sf0.1 on local[32], identical 413k output rows.
+    Pair generation is done INSIDE the per-user aggregation: one
+    ``collect_set`` shuffle by user builds the distinct baskets (the
+    map-side partial collect_set subsumes a separate ``distinct``),
+    then a double ``explode`` with an ``x < y`` filter emits each
+    unordered pair once — a codegen'd Generate pipeline, measured ~1s
+    for 13.1M pairs at sf0.1 vs ~3s for the equivalent nested
+    ``transform``/``flatten`` lambda (higher-order functions are
+    interpreted per row) and 17-19s for a user-key self-join.
+
+    The pair COUNT aggregation is the real cost (13.1M rows,
+    ~10M mostly-unique keys, so map-side combine barely reduces): the
+    two item ids are packed into one BIGINT key
+    (``ia * 2^32 + ib``) so the hash aggregate runs on its
+    single-primitive-key fast path — measured 6.5s vs 10.4s for the
+    two-column struct key at sf0.1 on local[32], identical 413k output
+    rows. Packing assumes item ids fit in 32 bits (4.3B distinct
+    items — beyond any real catalog); ANSI mode overflows loudly, not
+    silently, if that's ever violated.
 
     Per-user pair generation is quadratic in basket size — at 100 TB
     cap the heaviest baskets (``slice(items, 1, cap)`` on the sorted
@@ -301,31 +312,39 @@ def item_item_topk(
     sf0.1 with min_common=2). Output is symmetric: both (i,j)
     directions are ranked so every item gets its own neighbour list."""
     _require_cols(df, "item_item_topk", col_user, col_item)
-    baskets = df.select(
-        F.col(col_user).alias("u"), F.col(col_item).alias("i")
-    ).distinct().persist()
-    sizes = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("sz"))
-    blists = baskets.groupBy("u").agg(
-        F.sort_array(F.collect_list("i")).alias("items")
+    item_type = dict(df.dtypes)[col_item]
+    blists = (
+        df.groupBy(F.col(col_user).alias("u"))
+        .agg(F.collect_set(F.col(col_item)).alias("items"))
+        .persist()
+    )
+    # materialize before the fan-out: sizes and pairs are sibling
+    # branches of one job and would race the unfilled cache
+    blists.count()
+    sizes = blists.select(F.explode("items").alias("i")).groupBy("i").agg(
+        F.count(F.lit(1)).alias("sz")
     )
     # pure-integer pair stream: the cosine numerator is just the
     # co-occurrence COUNT, so no per-pair weight rides the shuffle;
     # sizes attach to the aggregated pairs (catalog-scale, broadcast)
-    pairs = blists.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(items, (x, xi) ->
-                  transform(slice(items, xi + 2, size(items)), y ->
-                    struct(x AS ia, y AS ib))))
-                """
-            )
-        ).alias("p")
-    ).select("p.*")
+    pairs = (
+        blists.select(F.col("items"), F.explode("items").alias("x"))
+        .select(F.col("x"), F.explode("items").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            (F.col("x").cast("bigint") * F.lit(4294967296).cast("bigint")
+             + F.col("y").cast("bigint")).alias("pk")
+        )
+    )
     counts = (
-        pairs.groupBy("ia", "ib")
+        pairs.groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
+        .select(
+            F.expr("pk div 4294967296").cast(item_type).alias("ia"),
+            (F.col("pk") % F.lit(4294967296)).cast(item_type).alias("ib"),
+            "n_common",
+        )
     )
     sza = sizes.select(F.col("i").alias("ia"), F.col("sz").alias("sza"))
     szb = sizes.select(F.col("i").alias("ib"), F.col("sz").alias("szb"))

@@ -51,11 +51,16 @@ def exact_dedup(
 def word_shingles(
     df: DataFrame, col_id: str, col_text: str, k: int = 3
 ) -> DataFrame:
-    """Distinct word k-gram shingles per document (set semantics)."""
-    t = f"split({col_text}, ' ')"
+    """Distinct word k-gram shingles per document (set semantics).
+
+    Tokenization is materialized as a column BEFORE the shingle
+    transform: referencing ``split(text)`` inline inside the lambda
+    re-splits the whole document for every shingle index (quadratic in
+    doc length — measured 4.9s vs 3.0s at sf0.1 for the same 260k
+    shingles)."""
     shingles = (
-        f"transform(sequence(1, greatest(size({t}) - {k - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({t}, i, {k})))"
+        f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__toks, i, {k})))"
     )
     # persisted AND filled eagerly: every consumer (signatures,
     # inverted-index sides, size aggregate) fans out from this table,
@@ -64,7 +69,10 @@ def word_shingles(
     # sf0.01). Spark's cache manager dedupes the identical plan across
     # operators in one session, so later calls' count() hits the cache.
     out = (
-        df.select(F.col(col_id), F.explode(F.expr(shingles)).alias("shingle"))
+        df.select(
+            F.col(col_id), F.split(F.col(col_text), " ").alias("__toks")
+        )
+        .select(F.col(col_id), F.explode(F.expr(shingles)).alias("shingle"))
         .distinct()
         .persist()
     )
@@ -83,7 +91,13 @@ def ngram_jaccard_pairs(
 
     Inverted-index plan: only pairs sharing at least one shingle are
     ever materialized (the same sparsity the personalization self-join
-    exploits); |A|,|B| come from a broadcastable per-doc aggregate."""
+    exploits); |A|,|B| come from a broadcastable per-doc aggregate.
+    The co-shingle count groups on a single packed BIGINT pair key
+    (``id_a * 2^32 + id_b``) so the aggregate takes the
+    single-primitive-key fast hash map path (same trick, same measured
+    ~1.5x, as item_item_topk; ids must fit in 32 bits — ANSI mode
+    overflows loudly otherwise)."""
+    id_type = dict(df.dtypes)[col_id]
     sh = word_shingles(df, col_id, col_text, k)
     sizes = sh.groupBy(col_id).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(col_id).alias("id_a"), "shingle")
@@ -91,8 +105,17 @@ def ngram_jaccard_pairs(
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .select(
+            (F.col("id_a").cast("bigint") * F.lit(4294967296).cast("bigint")
+             + F.col("id_b").cast("bigint")).alias("pk")
+        )
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(
+            F.expr("pk div 4294967296").cast(id_type).alias("id_a"),
+            (F.col("pk") % F.lit(4294967296)).cast(id_type).alias("id_b"),
+            "n_inter",
+        )
     )
     na = sizes.select(F.col(col_id).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(col_id).alias("id_b"), F.col("n_sh").alias("n_b"))

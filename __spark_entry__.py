@@ -529,6 +529,26 @@ def _normalized_dedup(spark, sf_dir):
     return D.normalized_dedup(_docs(spark, sf_dir))
 
 
+def _minhash_jaccard_estimate(spark, sf_dir):
+    return D.minhash_jaccard_estimate(_docs(spark, sf_dir), threshold=0.1)
+
+
+def _pack_sequences(spark, sf_dir):
+    return T.pack_sequences(_docs(spark, sf_dir))
+
+
+def _bigram_lm(spark, sf_dir):
+    return T.bigram_lm(_docs(spark, sf_dir))
+
+
+def _vocab_encode(spark, sf_dir):
+    return T.vocab_encode(_docs(spark, sf_dir))
+
+
+def _embedding_gram(spark, sf_dir):
+    return S.embedding_gram(_embs(spark, sf_dir))
+
+
 def _event_transitions(spark, sf_dir):
     return Q3.q_event_transitions(spark, sf_dir)
 
@@ -758,6 +778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
+        "minhash_jaccard_estimate": _minhash_jaccard_estimate,
+        "pack_sequences": _pack_sequences,
+        "bigram_lm": _bigram_lm,
+        "vocab_encode": _vocab_encode,
+        "embedding_gram": _embedding_gram,
         # (q1, rolling-revenue, profile, top-tokens were driver-green in
         # round 1; their slots now witness the new LLM-pipeline ops)
         "profile_customer": _profile_customer,
@@ -1693,6 +1718,90 @@ WITH hashed AS (
 SELECT h.doc_id, h.norm_hash, g.n_copies, g.canonical_id,
   h.doc_id <> g.canonical_id AS is_dup
 FROM hashed h JOIN groups g USING (norm_hash)
+""",
+        "minhash_jaccard_estimate": _DOC_BASE
+        + """
+, sig AS (
+  SELECT doc_id,
+    """
+        + ",\n    ".join(
+            f"min(md5('{i}|' || s)) AS mh{i}" for i in range(8)
+        )
+        + """
+  FROM sh GROUP BY doc_id
+)
+SELECT j.id_a, j.id_b, j.jaccard,
+  round(("""
+        + " + ".join(
+            f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+        )
+        + """) / 8.0, 6) AS mh_est,
+  round(abs(("""
+        + " + ".join(
+            f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+        )
+        + """) / 8.0 - j.jaccard), 6) AS abs_err
+FROM jac j
+JOIN sig a ON j.id_a = a.doc_id
+JOIN sig b ON j.id_b = b.doc_id
+WHERE j.jaccard >= 0.1
+""",
+        "pack_sequences": """
+WITH b AS (
+  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_tokens
+  FROM b
+)
+SELECT doc_id, shard, n_tokens, cum_tokens,
+  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS bin_id
+FROM c
+""",
+        "bigram_lm": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), c AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+), s AS (
+  SELECT w1, w2, c12,
+    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+  FROM c
+)
+SELECT w1, w2, c12, c1,
+  round(CAST(c12 AS DOUBLE) / c1, 6) AS p_cond,
+  CAST(row_number() OVER (ORDER BY c12 DESC, w1, w2) AS BIGINT) AS rnk
+FROM s QUALIFY rnk <= 100
+""",
+        "vocab_encode": """
+WITH c AS (
+  SELECT t.w AS token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents) d,
+       unnest(toks) AS t(w)
+  GROUP BY t.w
+)
+SELECT token,
+  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id,
+  freq
+FROM c
+""",
+        "embedding_gram": """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.i AS i, b.j AS j, v[a.i] * v[b.j] AS p
+  FROM e,
+       unnest(generate_series(1, len(v))) AS a(i),
+       unnest(generate_series(1, len(v))) AS b(j)
+  WHERE b.j >= a.i
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+  round(sum(p), 6) AS g
+FROM p GROUP BY i, j
 """,
         "mixture_sample": """
 SELECT doc_id, source, keep_rate FROM (

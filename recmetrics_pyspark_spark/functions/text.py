@@ -468,3 +468,105 @@ def mixture_sample(
         .filter(F.col("_u") < F.col("keep_rate"))
         .select(col_id, col_source, "keep_rate")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Token-budget sequence packing — assign each document to a
+    training-batch bin so every bin holds ~``budget`` tokens. Packing
+    is SHARD-LOCAL: documents are first routed to ``n_shards``
+    deterministic shards (id mod), then a running token sum within
+    each shard (window, ordered by id) assigns bin =
+    exclusive-prefix-sum div budget. A single global running sum would
+    serialize on one partition; per-shard windows keep the cumsum
+    distributed and the assignment reproducible under any physical
+    partitioning — at 100 TB you'd raise ``n_shards`` to O(cores) and
+    each shard's window stays partition-local after one shuffle."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens_col(col_text)).cast("bigint")
+    base = df.select(
+        F.col(col_id),
+        (F.col(col_id) % n_shards).cast("bigint").alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(col_id)
+    return base.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+    ).select(
+        col_id,
+        "shard",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {budget}").alias("bin_id"),
+    )
+
+
+def bigram_lm(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus bigram language model: P(w2|w1) = c(w1,w2) / c(w1·),
+    with the denominator summed over observed bigrams so the
+    distribution is properly conditional. Adjacency via ``lead`` over
+    a per-document position window (each document's token stream stays
+    on one reducer — document-scale state, never corpus-scale). Output
+    is the global top-``top_n`` bigrams by count: the final ranking
+    window is a single-reducer sort over the VOCABULARY² aggregate
+    (bounded, catalog-scale), not over the corpus."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(col_id), F.posexplode(tokens_col(col_text)).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy(col_id).orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("w1").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    wuni = Window.partitionBy("w1")
+    scored = big.withColumn(
+        "c1", F.sum("c12").over(wuni).cast("bigint")
+    ).withColumn(
+        "p_cond", F.round(F.col("c12").cast("double") / F.col("c1"), 6)
+    )
+    wtop = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wtop).cast("bigint"))
+        .filter(F.col("rnk") <= top_n)
+        .select("w1", "w2", "c12", "c1", "p_cond", "rnk")
+    )
+
+
+def vocab_encode(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text"
+) -> DataFrame:
+    """Dictionary-encode the corpus vocabulary: dense integer ids
+    assigned by (frequency desc, token asc) — the id assignment every
+    tokenizer/embedding pipeline needs before int-encoding documents.
+    One explode+count shuffle (map-side combined to vocabulary scale);
+    the ranking window is over the VOCABULARY aggregate only. The vocab
+    table this returns is broadcast-joinable against the token stream
+    to int-encode the corpus (ids are catalog-scale)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens_col(col_text)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return counts.select(
+        "token",
+        F.row_number().over(w).cast("bigint").alias("token_id"),
+        "freq",
+    )

@@ -421,3 +421,34 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_gram(
+    df: DataFrame, col_id: str = "vec_id", col_vec: str = "embedding"
+) -> DataFrame:
+    """Gram matrix G = Xᵀ X over the embedding dimensions (the
+    d×d covariance scaffold behind PCA / whitening / DIMSUM-style
+    similarity), computed as a distributed sum of per-row outer
+    products: each row expands to its d(d+1)/2 upper-triangle products
+    JVM-side, and one aggregation reduces them to d² partial sums.
+    Map-side combine collapses every partition to ≤ d(d+1)/2 rows
+    before the shuffle, so the exchange is DIMENSION-scale, not
+    corpus-scale — the plan that survives 100 TB (the alternative,
+    a row-id self-join on the exploded table, shuffles n·d² rows).
+    Accumulation in float64 (cast before multiply); 1-based (i, j)
+    with i ≤ j."""
+    emb = df.select(as_double(col_vec).alias("v"))
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(v, (x, i0) ->
+                  transform(slice(v, i0 + 1, size(v)), (y, j0) ->
+                    struct(CAST(i0 + 1 AS BIGINT) AS i,
+                           CAST(i0 + j0 + 1 AS BIGINT) AS j,
+                           x * y AS p))))
+                """
+            )
+        ).alias("t")
+    ).select("t.*")
+    return pairs.groupBy("i", "j").agg(F.round(F.sum("p"), 6).alias("g"))

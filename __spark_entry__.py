@@ -506,7 +506,7 @@ def _ann_topk(spark, sf_dir):
 def _ivf_ann_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries_df = embs.filter(F.col("vec_id") < 5)
-    return S.ivf_ann_topk(embs, queries_df, k=10, n_cells=8, nprobe=2)
+    return S.ivf_ann_topk(embs, queries_df, k=10, n_cells=8, nprobe=3)
 
 
 def _repetition_stats(spark, sf_dir):
@@ -1865,7 +1865,7 @@ probes AS (
         ORDER BY round(qb.q_sq - 2*list_dot_product(qb.qv, c1.c)
                  + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
     FROM qb, c1) t
-  WHERE rn <= 2
+  WHERE rn <= 3
 ), scored AS (
   SELECT query_id, neighbor_id,
     round(list_dot_product(qv, cv) / (qn * cn), 6) AS cos_sim

@@ -549,6 +549,25 @@ def _embedding_gram(spark, sf_dir):
     return S.embedding_gram(_embs(spark, sf_dir))
 
 
+def _salted_user_spend(spark, sf_dir):
+    """Skew-mitigated fact⋈dim join witnessed by an oracle: salting
+    changes only physical distribution, so the result must equal the
+    plain join bit-for-bit (operators/skew.py::salted_join)."""
+    from recmetrics_pyspark_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(events, cust, on="custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def _event_transitions(spark, sf_dir):
     return Q3.q_event_transitions(spark, sf_dir)
 
@@ -783,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _bigram_lm,
         "vocab_encode": _vocab_encode,
         "embedding_gram": _embedding_gram,
+        "q_salted_user_spend": _salted_user_spend,
+        "q_first_last_orders": Q3.q_first_last_orders,
         # (q1, rolling-revenue, profile, top-tokens were driver-green in
         # round 1; their slots now witness the new LLM-pipeline ops)
         "profile_customer": _profile_customer,
@@ -1789,6 +1810,23 @@ SELECT token,
   CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id,
   freq
 FROM c
+""",
+        "q_salted_user_spend": """
+SELECT c.c_mktsegment, count(*) AS n_events,
+  round(sum(e.value), 6) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+        "q_first_last_orders": """
+SELECT DISTINCT o_custkey AS custkey,
+  first_value(o_orderdate) OVER w AS first_date,
+  last_value(o_orderdate) OVER w AS last_date,
+  round(first_value(o_totalprice) OVER w, 6) AS first_price,
+  round(last_value(o_totalprice) OVER w, 6) AS last_price,
+  CAST(count(*) OVER w AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
         "embedding_gram": """
 WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from ..sources.io import load_table
 
@@ -522,4 +523,32 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_type",
         "n",
         F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    )
+
+
+def q_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-history frame: first/last order date and the
+    price of those orders, via first_value/last_value over an
+    UNBOUNDED-to-UNBOUNDED frame (the default last_value frame stops at
+    CURRENT ROW — a classic silent-wrong-answer; the explicit frame is
+    the point of this query). Window partitions by customer, so state
+    is per-customer and the plan is one shuffle at any scale."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.first("o_orderdate").over(w).alias("first_date"),
+            F.last("o_orderdate").over(w).alias("last_date"),
+            F.round(F.first("o_totalprice").over(w), 6).alias("first_price"),
+            F.round(F.last("o_totalprice").over(w), 6).alias("last_price"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders"),
+        )
+        .distinct()
     )

@@ -1,0 +1,107 @@
+"""Invariant tests for the training-pipeline operators added in round 2:
+sequence packing, bigram LM, vocabulary encoding, Gram matrix, and the
+MinHash sketch-accuracy report. Each checks a mathematical property the
+DuckDB oracle can't express (the oracle proves value equality; these
+prove the SEMANTICS are right)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from recmetrics_pyspark_spark.functions.text import (
+    bigram_lm,
+    pack_sequences,
+    vocab_encode,
+)
+from recmetrics_pyspark_spark.operators.dedup import minhash_jaccard_estimate
+from recmetrics_pyspark_spark.operators.similarity import embedding_gram
+
+
+def _docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(5 + i % 9)))
+        for i in range(40)
+    ]
+    # plant an exact near-dup pair so the estimate query is non-empty
+    rows.append((100, rows[0][1]))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pack_sequences_bins_respect_budget_and_order(spark):
+    docs = _docs(spark)
+    out = pack_sequences(docs, budget=16, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        cum = 0
+        prev_bin = 0
+        for r in rows:
+            assert r["bin_id"] == cum // 16  # exclusive prefix sum
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+            assert r["bin_id"] >= prev_bin  # bins monotone within shard
+            prev_bin = r["bin_id"]
+
+
+def test_bigram_lm_probabilities_conditionally_normalize(spark):
+    docs = _docs(spark)
+    # top_n large enough to keep every bigram -> P(.|w1) sums to 1
+    rows = bigram_lm(docs, top_n=10_000).collect()
+    by_w1: dict[str, float] = {}
+    for r in rows:
+        by_w1[r["w1"]] = by_w1.get(r["w1"], 0.0) + r["p_cond"]
+        assert r["c1"] >= r["c12"] > 0
+    for w1, total in by_w1.items():
+        assert total == pytest.approx(1.0, abs=1e-4), w1
+    # ranking is by count desc
+    counts = [r["c12"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_vocab_encode_ids_dense_and_frequency_ranked(spark):
+    docs = _docs(spark)
+    rows = sorted(vocab_encode(docs).collect(), key=lambda r: r["token_id"])
+    ids = [r["token_id"] for r in rows]
+    assert ids == list(range(1, len(rows) + 1))  # dense, 1-based
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    total = sum(freqs)
+    n_tokens = sum(
+        len(r["text"].split(" ")) for r in docs.select("text").collect()
+    )
+    assert total == n_tokens  # every token counted exactly once
+
+
+def test_embedding_gram_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    mat = rng.rand(20, 6).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    rows = embedding_gram(df).collect()
+    expect = mat.T @ mat
+    assert len(rows) == 6 * 7 // 2  # upper triangle incl. diagonal
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        assert i <= j
+        assert r["g"] == pytest.approx(round(expect[i, j], 6), abs=2e-6)
+
+
+def test_minhash_estimate_exact_dup_scores_one(spark):
+    docs = _docs(spark)
+    rows = minhash_jaccard_estimate(docs, threshold=0.1).collect()
+    planted = [r for r in rows if {r["id_a"], r["id_b"]} == {0, 100}]
+    assert len(planted) == 1  # the planted exact dup pair is found
+    r = planted[0]
+    assert r["jaccard"] == 1.0 and r["mh_est"] == 1.0 and r["abs_err"] == 0.0
+    for r in rows:
+        assert 0.0 <= r["mh_est"] <= 1.0
+        assert r["abs_err"] == pytest.approx(
+            round(abs(r["mh_est"] - r["jaccard"]), 6), abs=1e-9
+        )
+        assert not math.isnan(r["jaccard"])

@@ -549,6 +549,67 @@ def _embedding_gram(spark, sf_dir):
     return S.embedding_gram(_embs(spark, sf_dir))
 
 
+def _pagerank_items(spark, sf_dir):
+    """PageRank over the item co-occurrence graph (edges = item pairs
+    bought together by ≥2 users, both directions) — 3 fixed rounds,
+    damping 0.85 (operators/graph.py::pagerank_from_edges)."""
+    from recmetrics_pyspark_spark.operators.graph import pagerank_from_edges
+
+    inter = R.interactions(spark, sf_dir)
+    pairs, _ = M.item_cooccurrence_pairs(inter, "user", "item", min_common=2)
+    edges = pairs.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+    pr = pagerank_from_edges(edges, iters=3, damping=0.85)
+    return pr.select(F.col("node").alias("item_id"), "pagerank")
+
+
+def _pagerank_oracle() -> str:
+    # 3 synchronous rounds as chained CTEs (same pattern as the
+    # neardup_components oracle)
+    steps = []
+    prev = "p0"
+    for i in range(1, 4):
+        steps.append(
+            f""", p{i} AS (
+  SELECT n.node,
+    (1 - 0.85) / nn.n + 0.85 * coalesce(s.inflow, 0) AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr / d.outdeg) AS inflow
+    FROM edges e
+    JOIN deg d ON e.src = d.src
+    JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst) s ON n.node = s.node
+)"""
+        )
+        prev = f"p{i}"
+    return (
+        ORACLE_BASE
+        + """
+, pcounts AS (
+  SELECT a.item_id AS ia, b.item_id AS ib
+  FROM upairs a JOIN upairs b ON a.user_id = b.user_id
+    AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 2
+), edges AS (
+  SELECT ia AS src, ib AS dst FROM pcounts
+  UNION ALL
+  SELECT ib AS src, ia AS dst FROM pcounts
+), deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+        + "".join(steps)
+        + """
+SELECT node AS item_id, round(pr, 6) AS pagerank FROM p3
+"""
+    )
+
+
 def _salted_user_spend(spark, sf_dir):
     """Skew-mitigated fact⋈dim join witnessed by an oracle: salting
     changes only physical distribution, so the result must equal the
@@ -804,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": _embedding_gram,
         "q_salted_user_spend": _salted_user_spend,
         "q_first_last_orders": Q3.q_first_last_orders,
+        "pagerank_items": _pagerank_items,
         # (q1, rolling-revenue, profile, top-tokens were driver-green in
         # round 1; their slots now witness the new LLM-pipeline ops)
         "profile_customer": _profile_customer,
@@ -1811,6 +1873,7 @@ SELECT token,
   freq
 FROM c
 """,
+        "pagerank_items": _pagerank_oracle(),
         "q_salted_user_spend": """
 SELECT c.c_mktsegment, count(*) AS n_events,
   round(sum(e.value), 6) AS sum_value

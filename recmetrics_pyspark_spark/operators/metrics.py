@@ -273,6 +273,58 @@ def personalization_value(df, col_index="person", col_columns="product") -> floa
 # item-item similarity (item2item collaborative filtering)
 # ---------------------------------------------------------------------------
 
+def item_cooccurrence_pairs(
+    df: DataFrame,
+    col_user: str = "person",
+    col_item: str = "product",
+    min_common: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pair pipeline behind item_item_topk and pagerank_items:
+    returns (pairs, sizes) where pairs = (ia, ib, n_common) with
+    ia < ib and co-occurrence support ≥ ``min_common``, and sizes =
+    (i, sz) distinct-user counts per item.
+
+    One ``collect_set`` shuffle builds the distinct baskets (map-side
+    partial set subsumes a separate distinct); pairs are emitted by a
+    codegen'd double explode (x < y) and counted on a packed BIGINT
+    key — see item_item_topk's docstring for the measured numbers."""
+    item_type = dict(df.dtypes)[col_item]
+    blists = (
+        df.groupBy(F.col(col_user).alias("u"))
+        .agg(F.collect_set(F.col(col_item)).alias("items"))
+        .persist()
+    )
+    # materialize before the fan-out: sizes and pairs are sibling
+    # branches of one job and would race the unfilled cache
+    blists.count()
+    sizes = blists.select(F.explode("items").alias("i")).groupBy("i").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    # pure-integer pair stream: the cosine numerator is just the
+    # co-occurrence COUNT, so no per-pair weight rides the shuffle;
+    # sizes attach to the aggregated pairs (catalog-scale, broadcast)
+    pairs = (
+        blists.select(F.col("items"), F.explode("items").alias("x"))
+        .select(F.col("x"), F.explode("items").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            (F.col("x").cast("bigint") * F.lit(4294967296).cast("bigint")
+             + F.col("y").cast("bigint")).alias("pk")
+        )
+    )
+    counts = (
+        pairs.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .select(
+            F.expr("pk div 4294967296").cast(item_type).alias("ia"),
+            (F.col("pk") % F.lit(4294967296)).cast(item_type).alias("ib"),
+            "n_common",
+        )
+    )
+    return counts, sizes
+
+
 def item_item_topk(
     df: DataFrame,
     col_user: str = "person",
@@ -312,40 +364,7 @@ def item_item_topk(
     sf0.1 with min_common=2). Output is symmetric: both (i,j)
     directions are ranked so every item gets its own neighbour list."""
     _require_cols(df, "item_item_topk", col_user, col_item)
-    item_type = dict(df.dtypes)[col_item]
-    blists = (
-        df.groupBy(F.col(col_user).alias("u"))
-        .agg(F.collect_set(F.col(col_item)).alias("items"))
-        .persist()
-    )
-    # materialize before the fan-out: sizes and pairs are sibling
-    # branches of one job and would race the unfilled cache
-    blists.count()
-    sizes = blists.select(F.explode("items").alias("i")).groupBy("i").agg(
-        F.count(F.lit(1)).alias("sz")
-    )
-    # pure-integer pair stream: the cosine numerator is just the
-    # co-occurrence COUNT, so no per-pair weight rides the shuffle;
-    # sizes attach to the aggregated pairs (catalog-scale, broadcast)
-    pairs = (
-        blists.select(F.col("items"), F.explode("items").alias("x"))
-        .select(F.col("x"), F.explode("items").alias("y"))
-        .filter(F.col("x") < F.col("y"))
-        .select(
-            (F.col("x").cast("bigint") * F.lit(4294967296).cast("bigint")
-             + F.col("y").cast("bigint")).alias("pk")
-        )
-    )
-    counts = (
-        pairs.groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= min_common)
-        .select(
-            F.expr("pk div 4294967296").cast(item_type).alias("ia"),
-            (F.col("pk") % F.lit(4294967296)).cast(item_type).alias("ib"),
-            "n_common",
-        )
-    )
+    counts, sizes = item_cooccurrence_pairs(df, col_user, col_item, min_common)
     sza = sizes.select(F.col("i").alias("ia"), F.col("sz").alias("sza"))
     szb = sizes.select(F.col("i").alias("ib"), F.col("sz").alias("szb"))
     sims = (

@@ -105,3 +105,19 @@ def test_minhash_estimate_exact_dup_scores_one(spark):
             round(abs(r["mh_est"] - r["jaccard"]), 6), abs=1e-9
         )
         assert not math.isnan(r["jaccard"])
+
+
+def test_pagerank_conserves_mass_and_favors_hubs(spark):
+    from recmetrics_pyspark_spark.operators.graph import pagerank_from_edges
+
+    # star graph 0-1,0-2,0-3 plus a 4-5 edge, symmetric
+    und = [(0, 1), (0, 2), (0, 3), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    rows = {r["node"]: r["pagerank"] for r in pagerank_from_edges(edges).collect()}
+    # symmetric graph, no dangling nodes -> total mass conserved
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-4)
+    # the hub outranks its leaves, leaves are symmetric
+    assert rows[0] > rows[1] == rows[2] == rows[3]
+    assert rows[4] == rows[5]

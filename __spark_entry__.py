@@ -549,6 +549,44 @@ def _embedding_gram(spark, sf_dir):
     return S.embedding_gram(_embs(spark, sf_dir))
 
 
+def _events_dedup_hourly(spark, sf_dir):
+    """Batch twin of the streaming stateful dedup: first event per
+    (user, type, hour), deterministic (ts, event_id) tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    out = W.dedup_first_per_window(
+        ev, ["user_id", "event_type"], window="hour", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "event_type", F.col("bucket").alias("hour"),
+        "event_id", "ts", F.round("value", 6).alias("value"),
+    )
+
+
+def _temporal_split(spark, sf_dir):
+    """Leakage-safe event-time split: everything at or before the exact
+    80th percentile of event time trains, the rest evaluates. The
+    cutoff is ONE row (exact percentile aggregate) broadcast back over
+    the scan — the corpus never shuffles for the split itself."""
+    ev = load_table(spark, sf_dir, "events")
+    es = ev.withColumn("es", F.col("ts").cast("double"))
+    cut = es.agg(F.percentile("es", F.lit(0.8)).alias("p80"))
+    return (
+        es.crossJoin(F.broadcast(cut))
+        .withColumn(
+            "split",
+            F.when(F.col("es") <= F.col("p80"), F.lit("train")).otherwise(
+                F.lit("eval")
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
 def _pagerank_items(spark, sf_dir):
     """PageRank over the item co-occurrence graph (edges = item pairs
     bought together by ≥2 users, both directions) — 3 fixed rounds,
@@ -866,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_user_spend": _salted_user_spend,
         "q_first_last_orders": Q3.q_first_last_orders,
         "pagerank_items": _pagerank_items,
+        "events_dedup_hourly": _events_dedup_hourly,
+        "temporal_split": _temporal_split,
         # (q1, rolling-revenue, profile, top-tokens were driver-green in
         # round 1; their slots now witness the new LLM-pipeline ops)
         "profile_customer": _profile_customer,
@@ -1874,6 +1914,27 @@ SELECT token,
 FROM c
 """,
         "pagerank_items": _pagerank_oracle(),
+        "events_dedup_hourly": """
+SELECT user_id, event_type, hour, event_id, ts, value FROM (
+  SELECT user_id, event_type, date_trunc('hour', ts) AS hour,
+    event_id, ts, round(value, 6) AS value,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, date_trunc('hour', ts)
+      ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn = 1
+""",
+        "temporal_split": """
+WITH cut AS (
+  SELECT quantile_cont(epoch(ts), 0.8) AS p80 FROM events
+)
+SELECT split, count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts
+FROM (
+  SELECT CASE WHEN epoch(ts) <= cut.p80 THEN 'train' ELSE 'eval' END AS split,
+    ts
+  FROM events CROSS JOIN cut) t
+GROUP BY split
+""",
         "q_salted_user_spend": """
 SELECT c.c_mktsegment, count(*) AS n_events,
   round(sum(e.value), 6) AS sum_value

@@ -88,3 +88,31 @@ def session_stats(
             "sum_value",
         )
     )
+
+
+def dedup_first_per_window(
+    df: DataFrame,
+    keys: list[str],
+    col_ts: str = "ts",
+    window: str = "hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch twin of ``pipeline.dedup_within_watermark``: keep the FIRST
+    event per (keys, time-bucket), deterministic via (ts, tiebreak)
+    ordering. In batch the "watermark horizon" becomes an explicit
+    date_trunc bucket, which makes the semantics exactly SQL-mirrorable
+    (the streaming variant's state horizon depends on arrival order and
+    is checked by the streaming e2e tests instead). One shuffle on
+    (keys, bucket); per-group state is the window's events, bounded by
+    the bucket width."""
+    from pyspark.sql.window import Window
+
+    bucket = F.date_trunc(window, F.col(col_ts)).alias("bucket")
+    order = [F.col(col_ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys, "bucket").orderBy(*order)
+    return (
+        df.select("*", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

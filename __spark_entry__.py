@@ -906,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_items": _pagerank_items,
         "events_dedup_hourly": _events_dedup_hourly,
         "temporal_split": _temporal_split,
+        "q_revenue_streaks": Q3.q_revenue_streaks,
         # (q1, rolling-revenue, profile, top-tokens were driver-green in
         # round 1; their slots now witness the new LLM-pipeline ops)
         "profile_customer": _profile_customer,
@@ -1914,6 +1915,25 @@ SELECT token,
 FROM c
 """,
         "pagerank_items": _pagerank_oracle(),
+        "q_revenue_streaks": """
+WITH daily AS (
+  SELECT o_orderdate AS d, round(sum(o_totalprice), 6) AS rev
+  FROM orders GROUP BY o_orderdate
+), med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+hot AS (SELECT d, rev FROM daily CROSS JOIN med WHERE rev > m),
+isl AS (
+  SELECT d, rev,
+    CAST(d AS DATE) - CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS grp
+  FROM hot
+), s AS (
+  SELECT min(d) AS streak_start, max(d) AS streak_end,
+    CAST(count(*) AS BIGINT) AS n_days, round(sum(rev), 6) AS total_rev
+  FROM isl GROUP BY grp
+)
+SELECT streak_start, streak_end, n_days, total_rev,
+  CAST(row_number() OVER (ORDER BY n_days DESC, streak_start) AS BIGINT) AS rnk
+FROM s QUALIFY rnk <= 10
+""",
         "events_dedup_hourly": """
 SELECT user_id, event_type, hour, event_id, ts, value FROM (
   SELECT user_id, event_type, date_trunc('hour', ts) AS hour,

@@ -552,3 +552,37 @@ def q_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def q_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE calendar days whose
+    daily revenue beats the all-time daily median; top-10 streaks by
+    length. The island key is the classic date − row_number trick; both
+    windows run over the DAY-level aggregate (calendar-bounded, a few
+    thousand rows at any SF), never the order table. Daily revenue is
+    rounded before the median compare so the above/below classification
+    is bit-stable across engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy("o_orderdate").agg(
+        F.round(F.sum("o_totalprice"), 6).alias("rev")
+    )
+    med = daily.agg(F.percentile("rev", F.lit(0.5)).alias("m"))
+    hot = daily.crossJoin(broadcast(med)).filter(F.col("rev") > F.col("m"))
+    w = Window.orderBy("o_orderdate")
+    isl = hot.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp", F.expr("date_sub(o_orderdate, rn)")
+    )
+    streaks = isl.groupBy("grp").agg(
+        F.min("o_orderdate").alias("streak_start"),
+        F.max("o_orderdate").alias("streak_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.sum("rev"), 6).alias("total_rev"),
+    )
+    wtop = Window.orderBy(F.desc("n_days"), F.asc("streak_start"))
+    return (
+        streaks.withColumn("rnk", F.row_number().over(wtop).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("streak_start", "streak_end", "n_days", "total_rev", "rnk")
+    )

@@ -57,7 +57,10 @@ def test_q1_stays_in_wholestage_codegen(spark):
     "name",
     ["q1_pricing_summary", "novelty", "personalization", "text_stats",
      "dedup_exact", "long_tail_stats", "repetition_stats", "bm25_topk",
-     "doc_lm_score", "item_item_topk", "simhash_near_pairs"],
+     "doc_lm_score", "item_item_topk", "simhash_near_pairs",
+     "normalized_dedup", "pack_sequences", "bigram_lm", "vocab_encode",
+     "embedding_gram", "minhash_jaccard_estimate", "pagerank_items",
+     "events_dedup_hourly", "temporal_split", "q_revenue_streaks"],
 )
 def test_no_python_udfs_in_core_queries(spark, name):
     df = entrymod.queries()[name](spark, SF)

@@ -587,6 +587,35 @@ def _temporal_split(spark, sf_dir):
     )
 
 
+def _attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click at or before it (point-in-time as-of
+    lookup — operators/joins.py::asof_join, one key-partitioned sort,
+    no per-row range probe). Purchases with no prior click are organic."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.round("value", 6).alias("value")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_eid"))
+    )
+    out = J.asof_join(purchases, clicks, on="user_id", right_cols=["click_eid"])
+    sec = F.unix_timestamp("ts")
+    csec = F.unix_timestamp("ts_asof")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("click_eid_asof"),
+        F.col("ts_asof").alias("click_ts"),
+        F.when(F.col("click_eid_asof").isNotNull(), sec - csec).alias("gap_s"),
+        F.col("click_eid_asof").isNotNull().alias("attributed"),
+    )
+
+
 def _pagerank_items(spark, sf_dir):
     """PageRank over the item co-occurrence graph (edges = item pairs
     bought together by ≥2 users, both directions) — 3 fixed rounds,
@@ -907,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_hourly": _events_dedup_hourly,
         "temporal_split": _temporal_split,
         "q_revenue_streaks": Q3.q_revenue_streaks,
+        "attribution_last_touch": _attribution_last_touch,
         # (q1, rolling-revenue, profile, top-tokens were driver-green in
         # round 1; their slots now witness the new LLM-pipeline ops)
         "profile_customer": _profile_customer,
@@ -1915,6 +1945,23 @@ SELECT token,
 FROM c
 """,
         "pagerank_items": _pagerank_oracle(),
+        "attribution_last_touch": """
+WITH p AS (
+  SELECT user_id, event_id, ts, round(value, 6) AS value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, max(event_id) AS click_eid
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.event_id, p.ts, p.value,
+  c.click_eid AS click_eid_asof, c.ts AS click_ts,
+  CASE WHEN c.click_eid IS NOT NULL
+       THEN CAST(floor(epoch(p.ts)) AS BIGINT)
+            - CAST(floor(epoch(c.ts)) AS BIGINT) END AS gap_s,
+  c.click_eid IS NOT NULL AS attributed
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
         "q_revenue_streaks": """
 WITH daily AS (
   SELECT o_orderdate AS d, round(sum(o_totalprice), 6) AS rev

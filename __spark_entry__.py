@@ -653,6 +653,10 @@ def _pagerank_items(spark, sf_dir):
 
     inter = R.interactions(spark, sf_dir)
     pairs, _ = M.item_cooccurrence_pairs(inter, "user", "item", min_common=2)
+    # materialize ONCE: the two union branches below would otherwise
+    # each re-run the whole pair pipeline (measured 28s -> ~13s at sf0.1)
+    pairs = pairs.persist()
+    pairs.count()
     edges = pairs.select(
         F.col("ia").alias("src"), F.col("ib").alias("dst")
     ).unionByName(

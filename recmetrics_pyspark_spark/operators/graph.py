@@ -48,9 +48,14 @@ def pagerank_from_edges(
         eager=True
     )
     for _ in range(iters):
+        # deg/pr/inflow are NODE-scale — broadcast them explicitly:
+        # localCheckpoint-backed plans report no size statistics, so
+        # without the hint Spark falls back to sort-merge joins of the
+        # edge table every round (measured 22s -> 8s for 3 rounds on
+        # the 827k-edge graph at sf0.1)
         inflow = (
-            e.join(deg, "src")
-            .join(pr, e.src == pr.node)
+            e.join(F.broadcast(deg), "src")
+            .join(F.broadcast(pr), e.src == pr.node)
             .select(
                 F.col("dst").alias("in_node"),
                 (F.col("pr") / F.col("outdeg")).alias("c"),
@@ -62,7 +67,9 @@ def pagerank_from_edges(
         # blocks are unreferenced once `pr` rebinds) — storage stays
         # one-generation bounded, same as neardup_components
         pr = (
-            nodes.join(inflow, nodes.node == inflow.in_node, "left")
+            nodes.join(
+                F.broadcast(inflow), nodes.node == inflow.in_node, "left"
+            )
             .select(
                 "node",
                 (

@@ -652,11 +652,10 @@ def _pagerank_items(spark, sf_dir):
     from recmetrics_pyspark_spark.operators.graph import pagerank_from_edges
 
     inter = R.interactions(spark, sf_dir)
-    pairs, _ = M.item_cooccurrence_pairs(inter, "user", "item", min_common=2)
-    # materialize ONCE: the two union branches below would otherwise
-    # each re-run the whole pair pipeline (measured 28s -> ~13s at sf0.1)
-    pairs = pairs.persist()
-    pairs.count()
+    # item_similarity_pairs is the persisted intermediate shared with
+    # item_item_topk — same canonicalized plan, so a session that ran
+    # the item queries reuses the cache and the graph build is free
+    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
     edges = pairs.select(
         F.col("ia").alias("src"), F.col("ib").alias("dst")
     ).unionByName(

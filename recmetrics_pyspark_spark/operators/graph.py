@@ -38,7 +38,10 @@ def pagerank_from_edges(
     e = edges.select(
         F.col(col_src).alias("src"), F.col(col_dst).alias("dst")
     ).localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # loop-invariant: materialize once, not once per round
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )

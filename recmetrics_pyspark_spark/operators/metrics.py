@@ -325,6 +325,42 @@ def item_cooccurrence_pairs(
     return counts, sizes
 
 
+def item_similarity_pairs(
+    df: DataFrame,
+    col_user: str = "person",
+    col_item: str = "product",
+    min_common: int = 2,
+) -> DataFrame:
+    """All co-occurrence pairs (ia < ib) with their cosine similarity —
+    the persisted intermediate behind item_item_topk, exposed so graph
+    consumers (pagerank_items) build the IDENTICAL canonicalized plan
+    and hit the session cache instead of re-running the pair pipeline.
+    Persisted and materialized before return: every caller fans out to
+    at least two consumers."""
+    counts, sizes = item_cooccurrence_pairs(df, col_user, col_item, min_common)
+    sza = sizes.select(F.col("i").alias("ia"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("i").alias("ib"), F.col("sz").alias("szb"))
+    sims = (
+        counts.join(F.broadcast(sza), "ia")
+        .join(F.broadcast(szb), "ib")
+        # count form n/sqrt(sza*szb): same value as summing
+        # 1/sqrt(sza*szb) per co-occurrence, but one FP op per pair
+        # and bit-identical arithmetic in any engine
+        .select(
+            "ia",
+            "ib",
+            (F.col("n_common") / F.sqrt(F.col("sza") * F.col("szb"))).alias(
+                "sim"
+            ),
+        )
+    ).persist()
+    # materialize ONCE before the two-way union fan-out: sibling
+    # branches of a single job can otherwise race the unfilled cache
+    # and evaluate the pair pipeline twice
+    sims.count()
+    return sims
+
+
 def item_item_topk(
     df: DataFrame,
     col_user: str = "person",
@@ -364,27 +400,7 @@ def item_item_topk(
     sf0.1 with min_common=2). Output is symmetric: both (i,j)
     directions are ranked so every item gets its own neighbour list."""
     _require_cols(df, "item_item_topk", col_user, col_item)
-    counts, sizes = item_cooccurrence_pairs(df, col_user, col_item, min_common)
-    sza = sizes.select(F.col("i").alias("ia"), F.col("sz").alias("sza"))
-    szb = sizes.select(F.col("i").alias("ib"), F.col("sz").alias("szb"))
-    sims = (
-        counts.join(F.broadcast(sza), "ia")
-        .join(F.broadcast(szb), "ib")
-        # count form n/sqrt(sza*szb): same value as summing
-        # 1/sqrt(sza*szb) per co-occurrence, but one FP op per pair
-        # and bit-identical arithmetic in any engine
-        .select(
-            "ia",
-            "ib",
-            (F.col("n_common") / F.sqrt(F.col("sza") * F.col("szb"))).alias(
-                "sim"
-            ),
-        )
-    ).persist()
-    # materialize ONCE before the two-way union fan-out: sibling
-    # branches of a single job can otherwise race the unfilled cache
-    # and evaluate the pair pipeline twice
-    sims.count()
+    sims = item_similarity_pairs(df, col_user, col_item, min_common)
     both = sims.unionByName(
         sims.select(
             F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim"

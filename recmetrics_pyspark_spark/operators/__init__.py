@@ -1,21 +1,31 @@
 from .dedup import (
     exact_dedup,
+    minhash_jaccard_estimate,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    normalized_dedup,
     simhash_near_pairs,
     simhash_signatures,
 )
+from .graph import pagerank_from_edges
 from .joins import asof_join, range_self_join
 from .metrics import (
     coverage,
+    item_cooccurrence_pairs,
+    item_item_topk,
+    item_similarity_pairs,
     intra_list_similarity,
     long_tail_stats,
     novelty,
     personalization,
 )
 from .recommend import interactions, synthetic_recommendations, top_k_per_group
-from .similarity import ann_bruteforce_topk, embedding_near_duplicates
+from .similarity import (
+    ann_bruteforce_topk,
+    embedding_gram,
+    embedding_near_duplicates,
+)
 from .skew import salted_join
 
 __all__ = [

@@ -568,7 +568,15 @@ def _temporal_split(spark, sf_dir):
     cutoff is ONE row (exact percentile aggregate) broadcast back over
     the scan — the corpus never shuffles for the split itself."""
     ev = load_table(spark, sf_dir, "events")
-    es = ev.withColumn("es", F.col("ts").cast("double"))
+    # ts is TIMESTAMP_NTZ (not castable to double); tz-free micros since
+    # epoch keeps the cutoff affine-equivalent to the oracle's epoch(ts)
+    es = ev.withColumn(
+        "es",
+        F.expr(
+            "cast(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) as double)"
+        ),
+    )
     cut = es.agg(F.percentile("es", F.lit(0.8)).alias("p80"))
     return (
         es.crossJoin(F.broadcast(cut))

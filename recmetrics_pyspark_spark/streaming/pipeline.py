@@ -25,13 +25,22 @@ def stream_events(
     return spark.readStream.schema(schema).parquet(events_dir)
 
 
+def ensure_event_time(df: DataFrame, col_ts: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (with local-tz semantics); parquet
+    event time often arrives as TIMESTAMP_NTZ. Cast it here — under the
+    engine's UTC session timezone the instant is unchanged."""
+    if dict(df.dtypes).get(col_ts) == "timestamp_ntz":
+        df = df.withColumn(col_ts, F.col(col_ts).cast("timestamp"))
+    return df
+
+
 def with_watermark(
     df: DataFrame, col_ts: str = "ts", delay: str = "30 minutes"
 ) -> DataFrame:
     """Late-data policy: rows later than max(event time) − delay are
     dropped from stateful ops, and window/session state older than the
     watermark is evicted — this is what bounds state at 100 TB/day."""
-    return df.withWatermark(col_ts, delay)
+    return ensure_event_time(df, col_ts).withWatermark(col_ts, delay)
 
 
 def dedup_within_watermark(
@@ -42,7 +51,7 @@ def dedup_within_watermark(
 ) -> DataFrame:
     """Streaming exact dedup with bounded state: duplicates of a key are
     suppressed as long as they arrive within the watermark horizon."""
-    return df.withWatermark(col_ts, delay).dropDuplicatesWithinWatermark(keys)
+    return with_watermark(df, col_ts, delay).dropDuplicatesWithinWatermark(keys)
 
 
 def interval_join_streams(
@@ -58,8 +67,8 @@ def interval_join_streams(
     left_ts]. Both sides get watermarks and the join carries an explicit
     event-time range, so Spark can bound the join state — without the
     range condition, stream-stream state grows forever."""
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = with_watermark(left, left_ts, watermark)
+    rw = with_watermark(right, right_ts, watermark)
     lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     return lw.alias("l").join(
         rw.alias("r"),

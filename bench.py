@@ -32,9 +32,34 @@ def main() -> None:
     spark = get_spark("recmetrics-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up so the alphabetically-first query doesn't
-    # absorb session startup in its timing
+    # JVM/codegen warm-up so the first timed query doesn't absorb
+    # session startup: exercise the codepaths every query shares —
+    # parquet scan, hash-agg shuffle, broadcast join, window rank —
+    # once, outside the timed region (measured: first query drops from
+    # ~6.6s to its ~1.1s steady-state at sf0.1 on local[32])
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as WF
+
+        warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        reg = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+        (
+            warm.join(WF.broadcast(reg), warm.n_regionkey == reg.r_regionkey)
+            .groupBy("n_regionkey")
+            .count()
+            .withColumn(
+                "r",
+                WF.row_number().over(
+                    Window.partitionBy("n_regionkey").orderBy("count")
+                ),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception as exc:
+        print(f"[bench] warm-up skipped: {exc}", file=sys.stderr)
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

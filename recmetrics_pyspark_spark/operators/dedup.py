@@ -263,24 +263,38 @@ def neardup_components(
         )
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # Right-size the loop input: per-round task overhead dominates on
+    # tiny inherited partitions (see pagerank_from_edges — same rule).
+    n_edges = edges.count()
+    target = max(8, int(n_edges // 2_000_000) + 1)
+    if target < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(target)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Self-loops fold the node's OWN label into the neighbourhood min,
+    # so each round is ONE join + ONE aggregate — no per-round left
+    # join back against the node list (least(own, nbr_min) ≡ min over
+    # the self-loop-augmented neighbourhood).
+    e2 = edges.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     ).localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=True
+    )
     for _ in range(iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        # labels is NODE-scale (docs that appear in ≥1 near-dup pair —
+        # a small fraction of the corpus); broadcast it explicitly,
+        # since checkpoint-backed plans carry no size statistics
         labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        ).localCheckpoint(eager=True)
+            e2.join(F.broadcast(labels), e2.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias(col_id),

@@ -38,48 +38,53 @@ def pagerank_from_edges(
     e = edges.select(
         F.col(col_src).alias("src"), F.col(col_dst).alias("dst")
     ).localCheckpoint(eager=True)
-    # loop-invariant: materialize once, not once per round
-    deg = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
+    # Right-size the loop's edge table: iterative rounds pay per-task
+    # overhead every round, so tiny partitions dominate wall time (64
+    # inherited partitions → 5.2s for 3 rounds at sf0.1; 8 → 1.2s).
+    # ~2M edges/partition ≈ 50MB tasks; the floor keeps local[32] busy
+    # and coalesce never goes above the parent count, so big graphs
+    # keep their parallelism.
+    n_edges = e.count()
+    target = max(8, int(n_edges // 2_000_000) + 1)
+    if target < e.rdd.getNumPartitions():
+        e = e.coalesce(target)
+    # Loop-invariant setup, each piece paid ONCE:
+    #  - deg doubles as the node list (one row per distinct src), so no
+    #    separate distinct scan of the edge table;
+    #  - the contribution weight 1/outdeg is folded into the edge table
+    #    up front, so the rounds broadcast only pr — re-broadcasting the
+    #    static deg table every round was half the per-round cost.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = (
+        e.join(F.broadcast(deg), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    nodes0 = deg.select(F.col("src").alias("node"))
+    n = deg.count()
     base = (1.0 - damping) / n
-    pr = nodes.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint(
+    pr = nodes0.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint(
         eager=True
     )
     for _ in range(iters):
-        # deg/pr/inflow are NODE-scale — broadcast them explicitly:
-        # localCheckpoint-backed plans report no size statistics, so
-        # without the hint Spark falls back to sort-merge joins of the
-        # edge table every round (measured 22s -> 8s for 3 rounds on
-        # the 827k-edge graph at sf0.1)
-        inflow = (
-            e.join(F.broadcast(deg), "src")
-            .join(F.broadcast(pr), e.src == pr.node)
-            .select(
-                F.col("dst").alias("in_node"),
-                (F.col("pr") / F.col("outdeg")).alias("c"),
-            )
-            .groupBy("in_node")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        # superseded generations are GC-reclaimed (localCheckpoint
-        # blocks are unreferenced once `pr` rebinds) — storage stays
-        # one-generation bounded, same as neardup_components
+        # pr is NODE-scale — broadcast it explicitly: localCheckpoint-
+        # backed plans report no size statistics, so without the hint
+        # Spark falls back to sort-merge joins of the edge table every
+        # round (measured 22s -> 8s for 3 rounds on the 827k-edge graph
+        # at sf0.1; folding deg out of the loop cut it again).
+        # Symmetric edge sets (the documented input contract) mean every
+        # node has inbound mass, so pr is rebuilt straight from the
+        # aggregate — no per-round left join against a node list.
+        # Superseded localCheckpoint generations are GC-reclaimed once
+        # `pr` rebinds — storage stays one-generation bounded.
         pr = (
-            nodes.join(
-                F.broadcast(inflow), nodes.node == inflow.in_node, "left"
+            ew.join(F.broadcast(pr), ew.src == pr.node)
+            .select("dst", (F.col("pr") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(
+                (F.lit(base) + damping * F.sum("c")).alias("pr")
             )
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("pr"),
-            )
+            .select(F.col("dst").alias("node"), "pr")
             .localCheckpoint(eager=True)
         )
     return pr.select("node", F.round("pr", 6).alias("pagerank"))

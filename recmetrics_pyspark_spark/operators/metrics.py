@@ -312,8 +312,17 @@ def item_cooccurrence_pairs(
              + F.col("y").cast("bigint")).alias("pk")
         )
     )
+    # Skip the map-side combine: 13.1M pairs hold ~10M DISTINCT keys at
+    # sf0.1 (reduction factor ~1.3), so the partial aggregate builds a
+    # multi-GB hash table only to emit nearly every row anyway. An
+    # explicit repartition on the key shuffles the raw packed longs and
+    # aggregates once on the reduce side — measured ~3s vs ~8s at sf0.1
+    # on local[32]. Column-form repartition (no number) keeps AQE free
+    # to size the exchange. The same rule holds at 100 TB: pre-shuffle
+    # combine only pays when keys repeat within a map partition.
     counts = (
-        pairs.groupBy("pk")
+        pairs.repartition("pk")
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
         .select(

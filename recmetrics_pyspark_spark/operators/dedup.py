@@ -97,18 +97,38 @@ def ngram_jaccard_pairs(
     single-primitive-key fast hash map path (same trick, same measured
     ~1.5x, as item_item_topk; ids must fit in 32 bits — ANSI mode
     overflows loudly otherwise)."""
+    return _jaccard_all_pairs(df, col_id, col_text, k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _jaccard_all_pairs(
+    df: DataFrame, col_id: str, col_text: str, k: int
+) -> DataFrame:
+    """Threshold-INDEPENDENT Jaccard pair table: every pair sharing ≥1
+    shingle, with its exact Jaccard. Persisted + materialized because
+    consumers (near-pair queries at several thresholds, the component
+    builder, the MinHash accuracy report) all filter the SAME table —
+    the session cache dedupes the identical plan, so the inverted-index
+    join + pair count is paid once per session, not once per caller."""
     id_type = dict(df.dtypes)[col_id]
     sh = word_shingles(df, col_id, col_text, k)
     sizes = sh.groupBy(col_id).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(col_id).alias("id_a"), "shingle")
     b = sh.select(F.col(col_id).alias("id_b"), "shingle")
-    inter = (
+    co = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             (F.col("id_a").cast("bigint") * F.lit(4294967296).cast("bigint")
              + F.col("id_b").cast("bigint")).alias("pk")
         )
+    )
+    inter = (
+        # ~1.27M co-shingle rows hold ~1.13M distinct pairs at sf0.1 —
+        # reduction factor ~1.1, so skip the map-side combine (same
+        # measured rule as item_cooccurrence_pairs)
+        co.repartition("pk")
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_inter"))
         .select(
@@ -119,7 +139,10 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col(col_id).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(col_id).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
+        # sizes is doc-scale; the cached shingle table gives Catalyst
+        # real size stats, so it broadcasts when small and falls back
+        # to a shuffle join at corpus scale — no forced hint here
         inter.join(na, "id_a")
         .join(nb, "id_b")
         .select(
@@ -131,8 +154,12 @@ def ngram_jaccard_pairs(
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .persist()
     )
+    # fill before fan-out: sibling branches of one job would race the
+    # unfilled cache and re-run the inverted-index join
+    out.count()
+    return out
 
 
 def minhash_signatures(

@@ -273,6 +273,28 @@ def personalization_value(df, col_index="person", col_columns="product") -> floa
 # item-item similarity (item2item collaborative filtering)
 # ---------------------------------------------------------------------------
 
+def user_baskets(
+    df: DataFrame,
+    col_user: str = "person",
+    col_item: str = "product",
+) -> DataFrame:
+    """Per-user distinct item arrays (u, items) — persisted and
+    materialized. The ONE basket shuffle every item-space consumer
+    shares: the pair pipeline double-explodes it, recommenders explode
+    it back to (user, item) rows without re-shuffling (collect_set
+    already deduplicates), and the session cache dedupes the plan
+    across operators."""
+    blists = (
+        df.groupBy(F.col(col_user).alias("u"))
+        .agg(F.collect_set(F.col(col_item)).alias("items"))
+        .persist()
+    )
+    # materialize before any fan-out: sibling branches of one job
+    # would race the unfilled cache
+    blists.count()
+    return blists
+
+
 def item_cooccurrence_pairs(
     df: DataFrame,
     col_user: str = "person",
@@ -289,14 +311,7 @@ def item_cooccurrence_pairs(
     codegen'd double explode (x < y) and counted on a packed BIGINT
     key — see item_item_topk's docstring for the measured numbers."""
     item_type = dict(df.dtypes)[col_item]
-    blists = (
-        df.groupBy(F.col(col_user).alias("u"))
-        .agg(F.collect_set(F.col(col_item)).alias("items"))
-        .persist()
-    )
-    # materialize before the fan-out: sizes and pairs are sibling
-    # branches of one job and would race the unfilled cache
-    blists.count()
+    blists = user_baskets(df, col_user, col_item)
     sizes = blists.select(F.explode("items").alias("i")).groupBy("i").agg(
         F.count(F.lit(1)).alias("sz")
     )

@@ -95,15 +95,19 @@ def item_based_recommendations(
     bench measured that race at 28s vs ~5s for the materialized plan.
     Top-``n_neighbors`` per item is catalog-bounded (KB-MB at any SF),
     so it broadcasts."""
-    from .metrics import item_item_topk
+    from .metrics import item_item_topk, user_baskets
 
     sims = item_item_topk(
         interactions_df, col_user, col_item, k=n_neighbors, min_common=min_common
     ).select("item_id", "neighbor_id", "sim").persist()
     sims.count()
-    baskets = interactions_df.select(
-        F.col(col_user).alias("buser"), F.col(col_item).alias("bitem")
-    ).distinct().persist()
+    # explode the SHARED persisted basket arrays back to (user, item)
+    # rows: collect_set already deduplicated, so this reuses the pair
+    # pipeline's one basket shuffle instead of re-running a distinct
+    # over the interaction table
+    baskets = user_baskets(interactions_df, col_user, col_item).select(
+        F.col("u").alias("buser"), F.explode("items").alias("bitem")
+    )
     candidates = baskets.join(
         F.broadcast(sims), baskets.bitem == sims.item_id
     ).groupBy(

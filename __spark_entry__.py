@@ -624,6 +624,68 @@ def _wau_sliding(spark, sf_dir):
     )
 
 
+def _redact_pii(spark, sf_dir):
+    """PII scrub over a deterministic synthetic-PII corpus: the driver
+    documents contain no emails/IPs, so each doc gets a doc_id-derived
+    contact block appended (same construction in the oracle), then
+    functions/text.py::redact_pii masks emails, IPv4s, and phones in
+    one codegen'd scan-side projection."""
+    docs = _docs(spark, sf_dir)
+    with_pii = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact u', doc_id, '@mail.example.com"
+            " from 10.', doc_id % 200, '.0.1 call +1-555-',"
+            " lpad(cast(doc_id % 10000 as string), 4, '0'),"
+            " case when doc_id % 3 = 0 then ' cc admin@ex.org'"
+            " else '' end)"
+        ).alias("text"),
+    )
+    return T.redact_pii(with_pii)
+
+
+def _snapshot_diff_orders(spark, sf_dir):
+    """CDC diff of two deterministic order-table snapshots (old drops
+    every 11th key → inserts; new drops every 7th ≡ 3 key → deletes;
+    every 5th key's price shifts by +1.0 → updates) —
+    operators/cdc.py::snapshot_diff, one full-outer shuffle join."""
+    from recmetrics_pyspark_spark.operators.cdc import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    old = orders.filter(F.col("o_orderkey") % 11 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+def _q_zorder_keys(spark, sf_dir):
+    """Morton keys for lineitem's (partkey, suppkey) pair — the sort
+    key zorder_compact lays files out by. Emitted per row so the
+    oracle checks the bit interleave exactly; the layout itself (range
+    partition + sort + write) is exercised by tests/test_zorder.py."""
+    from recmetrics_pyspark_spark.sources.sinks import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 65536).alias("zx"),
+        (F.col("l_suppkey") % 65536).alias("zy"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_value("zx", "zy").alias("zval"),
+    )
+
+
 def _attribution_last_touch(spark, sf_dir):
     """Last-touch marketing attribution: each purchase is credited to
     the user's most recent click at or before it (point-in-time as-of
@@ -671,6 +733,24 @@ def _pagerank_items(spark, sf_dir):
     )
     pr = pagerank_from_edges(edges, iters=3, damping=0.85)
     return pr.select(F.col("node").alias("item_id"), "pagerank")
+
+
+def _zorder_oracle() -> str:
+    # same 32-term interleave arithmetic as sinks.zorder_value —
+    # generated here so oracle and engine can't drift
+    terms = []
+    for i in range(16):
+        terms.append(f"(((CAST(zx AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST(zy AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber,
+    l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, {z} AS zval FROM keyed
+"""
 
 
 def _pagerank_oracle() -> str:
@@ -962,6 +1042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_anomaly": _hourly_anomaly,
         "q_json_props": Q2.q_json_props,
         # ================= position > 50 below =================
+        "redact_pii": _redact_pii,
+        "snapshot_diff_orders": _snapshot_diff_orders,
+        "q_zorder_keys": _q_zorder_keys,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2086,6 +2169,56 @@ SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
   round(sum(p), 6) AS g
 FROM p GROUP BY i, j
 """,
+        "redact_pii": """
+WITH pii AS (
+  SELECT doc_id,
+    text || ' contact u' || doc_id || '@mail.example.com from 10.'
+      || (doc_id % 200) || '.0.1 call +1-555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@ex.org' ELSE '' END
+      AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),
+      '\\+\\d{1,3}-\\d{3,4}-\\d{3,4}', '[PHONE]', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text,
+      '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text,
+      '\\+\\d{1,3}-\\d{3,4}-\\d{3,4}')) AS BIGINT) AS n_phones
+FROM pii
+""",
+        "snapshot_diff_orders": """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+  FROM orders
+), old AS (
+  SELECT * FROM base WHERE o_orderkey % 11 != 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 7 != 3
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+       WHEN n.o_orderkey IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type,
+  o.o_orderstatus AS old_o_orderstatus,
+  o.o_totalprice AS old_o_totalprice,
+  n.o_orderstatus AS new_o_orderstatus,
+  n.o_totalprice AS new_o_totalprice
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+   OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+""",
+        "q_zorder_keys": _zorder_oracle(),
         "mixture_sample": """
 SELECT doc_id, source, keep_rate FROM (
   SELECT doc_id, source,

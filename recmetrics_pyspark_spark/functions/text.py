@@ -570,3 +570,51 @@ def vocab_encode(
         F.row_number().over(w).cast("bigint").alias("token_id"),
         "freq",
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no backrefs/lookaround) so the identical regex runs
+# in Spark (java.util.regex) and in the DuckDB oracle (RE2): emails,
+# dotted-quad IPv4, and +CC-NNN-NNNN phone forms.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}-\d{3,4}-\d{3,4}"
+
+
+def redact_pii(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text"
+) -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers from a text column, keeping
+    per-document match counts — the pre-training privacy scrub every
+    corpus pipeline runs before tokenization.
+
+    Pure JVM ``regexp_replace`` / ``regexp_count`` expressions in one
+    codegen'd projection: zero shuffles, scan-side at any corpus size
+    (the scrub is embarrassingly parallel, so 100 TB just means more
+    input splits). Replacement order is fixed (email → ip → phone) and
+    the patterns are RE2-safe, so the DuckDB oracle applies the
+    byte-identical sequence."""
+    counts = [
+        F.regexp_count(F.col(col_text), F.lit(PII_EMAIL)).cast("bigint").alias(
+            "n_emails"
+        ),
+        F.regexp_count(F.col(col_text), F.lit(PII_IPV4)).cast("bigint").alias(
+            "n_ips"
+        ),
+        F.regexp_count(F.col(col_text), F.lit(PII_PHONE)).cast("bigint").alias(
+            "n_phones"
+        ),
+    ]
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(col_text), PII_EMAIL, "[EMAIL]"),
+            PII_IPV4,
+            "[IP]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return df.select(F.col(col_id), redacted.alias("redacted"), *counts)

@@ -7,6 +7,7 @@ contract: a filtered read must scan only matching directories).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -82,3 +83,51 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def zorder_value(col_x: str, col_y: str, bits: int = 16):
+    """Morton (Z-order) key for two integer dimensions: interleave the
+    low ``bits`` bits of each column (x in even positions, y in odd).
+
+    Built as a sum of shift/mask terms — plain integer arithmetic that
+    is bit-identical in Spark and any ANSI engine (the DuckDB oracle
+    evaluates the same expression), and stays inside whole-stage
+    codegen. Values must be pre-reduced to ``bits`` bits (mask or mod
+    upstream); 2×16 bits keeps the key in a BIGINT."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(((CAST({col_x} AS BIGINT) >> {i}) & 1) << {2 * i})"
+        )
+        terms.append(
+            f"(((CAST({col_y} AS BIGINT) >> {i}) & 1) << {2 * i + 1})"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def zorder_compact(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 16,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Rewrite a table Z-ORDERED on two dimensions: range-repartition +
+    sort by the Morton key so each output file covers a small rectangle
+    of (x, y) space. Point/range predicates on EITHER dimension then
+    prune most files from their parquet min/max footer stats — the
+    multi-dimensional generalization of compact_parquet's single-key
+    range sort, and the standard lakehouse layout for two-column
+    selective scans over 100 TB."""
+    z = zorder_value(col_x, col_y, bits).alias("__z")
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -624,6 +624,23 @@ def _wau_sliding(spark, sf_dir):
     )
 
 
+def _event_sessionize(spark, sf_dir):
+    """Row-level session assignment over the event stream (30-minute
+    inactivity gap) — streaming/windows.py::assign_session_ids, the
+    per-event twin of events_sessions' aggregate view."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.assign_session_ids(ev, gap_minutes=30)
+
+
+def _q_key_skew_items(spark, sf_dir):
+    """Heavy-hitter diagnostic on the interaction item key (top-10
+    share + cumulative share) — operators/skew.py::key_skew_stats, the
+    measurement that picks a skew mitigation before a 100 TB join."""
+    from recmetrics_pyspark_spark.operators.skew import key_skew_stats
+
+    return key_skew_stats(R.interactions(spark, sf_dir), "item", top_k=10)
+
+
 def _redact_pii(spark, sf_dir):
     """PII scrub over a deterministic synthetic-PII corpus: the driver
     documents contain no emails/IPs, so each doc gets a doc_id-derived
@@ -1045,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _redact_pii,
         "snapshot_diff_orders": _snapshot_diff_orders,
         "q_zorder_keys": _q_zorder_keys,
+        "event_sessionize": _event_sessionize,
+        "q_key_skew_items": _q_key_skew_items,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2219,6 +2238,36 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
 """,
         "q_zorder_keys": _zorder_oracle(),
+        "event_sessionize": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id, event_id, ts,
+  CAST(sum(CASE WHEN prev_ts IS NULL
+                  OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM ordered
+""",
+        "q_key_skew_items": """
+WITH counts AS (
+  SELECT l_partkey AS key, count(*) AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey
+), total AS (SELECT sum(n) AS total FROM counts),
+top AS (
+  SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 10
+)
+SELECT CAST(row_number() OVER w AS BIGINT) AS rnk, key, n,
+  round(n / CAST(total AS DOUBLE), 6) AS share,
+  round(sum(n) OVER (ORDER BY n DESC, key ROWS UNBOUNDED PRECEDING)
+        / CAST(total AS DOUBLE), 6) AS cum_share
+FROM top CROSS JOIN total
+WINDOW w AS (ORDER BY n DESC, key)
+""",
         "mixture_sample": """
 SELECT doc_id, source, keep_rate FROM (
   SELECT doc_id, source,

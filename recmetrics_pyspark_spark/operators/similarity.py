@@ -453,3 +453,80 @@ def embedding_gram(
         ).alias("t")
     ).select("t.*")
     return pairs.groupBy("i", "j").agg(F.round(F.sum("p"), 6).alias("g"))
+
+
+def embedding_pca(
+    df: DataFrame,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+    n_components: int = 2,
+) -> DataFrame:
+    """Distributed PCA projection: mean-center, build the d×d
+    covariance from dimension-scale aggregates, eigendecompose ON THE
+    DRIVER (d×d is tiny for any real embedding width — the corpus
+    never leaves the cluster), broadcast the top-``n_components``
+    eigenvectors, and project each row in one codegen'd pass.
+
+    This is the classic big-n/small-d split: everything corpus-sized
+    is a single aggregate (mean, Gram), everything driver-sized is
+    O(d²) — the same division of labor as k-means' centroid collect.
+    Eigenvector sign is fixed (largest-|component| positive) so the
+    output is deterministic. numpy is a driver-only dependency."""
+    import numpy as np
+
+    emb = df.select(F.col(col_id), as_double(col_vec).alias("v"))
+    d = emb.select(F.size("v").alias("d")).first()["d"]
+    # corpus-scale pass 1: per-dimension mean (dimension-scale result)
+    sums = emb.select(
+        F.posexplode("v").alias("i", "x")
+    ).groupBy("i").agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    mean = {r["i"]: r["s"] / r["n"] for r in sums.collect()}
+    mu = np.array([mean[i] for i in range(d)])
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    centered = emb.select(
+        F.col(col_id),
+        F.zip_with("v", mu_lit, lambda x, m: x - m).alias("v"),
+    )
+    # corpus-scale pass 2: upper-triangle outer-product sums (the
+    # embedding_gram plan, inlined over the centered vectors)
+    pairs = centered.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(v, (x, i0) ->
+                  transform(slice(v, i0 + 1, size(v)), (y, j0) ->
+                    struct(CAST(i0 AS INT) AS i,
+                           CAST(i0 + j0 AS INT) AS j,
+                           x * y AS p))))
+                """
+            )
+        ).alias("t")
+    ).select("t.*")
+    gram = pairs.groupBy("i", "j").agg(F.sum("p").alias("g")).collect()
+    n_rows = emb.count()
+    cov = np.zeros((d, d))
+    for r in gram:
+        cov[r["i"], r["j"]] = r["g"] / (n_rows - 1)
+        cov[r["j"], r["i"]] = cov[r["i"], r["j"]]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order]  # d x k
+    # deterministic sign: largest-|component| entry positive
+    for c in range(comps.shape[1]):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+    proj_cols = []
+    for c in range(comps.shape[1]):
+        w = F.array(*[F.lit(float(x)) for x in comps[:, c]])
+        proj_cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", w, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias(f"pc{c + 1}")
+        )
+    return centered.select(F.col(col_id), *proj_cols)

@@ -116,3 +116,44 @@ def dedup_first_per_window(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def assign_session_ids(
+    df: DataFrame,
+    key: str = "user_id",
+    col_ts: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-EVENT session assignment — the row-level twin of
+    ``session_stats``: every event gets its key's session ordinal
+    (1-based), where a new session starts after ``gap_minutes`` of
+    silence. Classic gaps-and-islands: one lag + one running sum over
+    the SAME (key, ts) window, so the whole thing is a single shuffle
+    by key and two window passes over each partition — no self-join,
+    no explode. Deterministic ordering via the tiebreak column (equal
+    timestamps otherwise make lag() nondeterministic)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(col_ts), F.col(tiebreak))
+    # timestampdiff is timezone-free (works on TIMESTAMP_NTZ directly),
+    # so the gap test is identical under any session timezone
+    with_prev = df.select(key, tiebreak, col_ts).withColumn(
+        "__prev", F.lag(F.col(col_ts)).over(w)
+    )
+    # MICROSECOND granularity: second-level datediff truncates toward
+    # boundaries differently across engines; at the data's native
+    # microsecond precision the comparison is exact everywhere
+    gap_us = F.expr(f"timestampdiff(MICROSECOND, __prev, {col_ts})")
+    new_sess = F.when(
+        F.col("__prev").isNull() | (gap_us > gap_minutes * 60 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return with_prev.select(
+        key,
+        tiebreak,
+        col_ts,
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("session_idx"),
+    )

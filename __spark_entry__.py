@@ -624,6 +624,13 @@ def _wau_sliding(spark, sf_dir):
     )
 
 
+def _shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle: md5-derived shard +
+    within-shard position for every document
+    (functions/text.py::shuffle_shards)."""
+    return T.shuffle_shards(_docs(spark, sf_dir), n_shards=8)
+
+
 def _event_sessionize(spark, sf_dir):
     """Row-level session assignment over the event stream (30-minute
     inactivity gap) — streaming/windows.py::assign_session_ids, the
@@ -1064,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_keys": _q_zorder_keys,
         "event_sessionize": _event_sessionize,
         "q_key_skew_items": _q_key_skew_items,
+        "shuffle_shards": _shuffle_shards,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2238,6 +2246,18 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
 """,
         "q_zorder_keys": _zorder_oracle(),
+        "shuffle_shards": """
+WITH hashed AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+    AS BIGINT) AS pos
+FROM hashed
+""",
         "event_sessionize": """
 WITH ordered AS (
   SELECT user_id, event_id, ts,

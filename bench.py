@@ -42,16 +42,16 @@ def main() -> None:
         from pyspark.sql import Window
         from pyspark.sql import functions as WF
 
-        warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-        reg = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
         (
-            warm.join(WF.broadcast(reg), warm.n_regionkey == reg.r_regionkey)
-            .groupBy("n_regionkey")
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_custkey")
             .count()
             .withColumn(
                 "r",
                 WF.row_number().over(
-                    Window.partitionBy("n_regionkey").orderBy("count")
+                    Window.partitionBy("o_custkey").orderBy("count")
                 ),
             )
             .write.format("noop")

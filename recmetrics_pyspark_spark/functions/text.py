@@ -618,3 +618,33 @@ def redact_pii(
         "[PHONE]",
     )
     return df.select(F.col(col_id), redacted.alias("redacted"), *counts)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    row gets a shard and a position within that shard, both derived
+    from md5(id) — RNG-free, stable under repartitioning, and
+    reproducible across engines (the oracle runs the same arithmetic).
+
+    A true global ORDER BY md5 would funnel position assignment through
+    one sorted range; instead the hash's top bits pick the shard and
+    the within-shard window assigns positions — one shuffle by shard,
+    each shard sorted independently (position is what data loaders
+    consume: they read shard files in order). Shard sizes are
+    hash-uniform, so the widest task is corpus/n_shards."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(col_id).cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(F.col("h"), F.col(col_id))
+    return (
+        df.select(F.col(col_id), h.alias("h"), shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(col_id, "shard", "pos")
+    )

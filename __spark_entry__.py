@@ -690,6 +690,39 @@ def _snapshot_diff_orders(spark, sf_dir):
     )
 
 
+def _rollup_incremental(spark, sf_dir):
+    """Incremental rollup maintenance: yesterday's (status → count,
+    revenue) rollup merged with today's CDC diff
+    (operators/cdc.py::rollup_merge). The ORACLE is the direct rollup
+    of the new snapshot — so a green row PROVES the incremental path
+    equals the full recompute."""
+    from recmetrics_pyspark_spark.operators.cdc import (
+        rollup_merge,
+        snapshot_diff,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    old = orders.filter(F.col("o_orderkey") % 11 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    rollup = old.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").alias("sum_value"),
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return rollup_merge(rollup, diff, ["o_orderstatus"], "o_totalprice")
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Morton keys for lineitem's (partkey, suppkey) pair — the sort
     key zorder_compact lays files out by. Emitted per row so the
@@ -1072,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": _event_sessionize,
         "q_key_skew_items": _q_key_skew_items,
         "shuffle_shards": _shuffle_shards,
+        "rollup_incremental": _rollup_incremental,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2246,6 +2280,22 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
 """,
         "q_zorder_keys": _zorder_oracle(),
+        "rollup_incremental": """
+-- direct rollup of the NEW snapshot: equality with the Spark side's
+-- (old rollup + CDC delta) merge proves incremental maintenance
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+  FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 7 != 3
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+  round(sum(o_totalprice), 2) AS sum_value
+FROM new GROUP BY o_orderstatus
+""",
         "shuffle_shards": """
 WITH hashed AS (
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

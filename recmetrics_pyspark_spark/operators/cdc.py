@@ -68,3 +68,61 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def rollup_merge(
+    rollup: DataFrame,
+    diff: DataFrame,
+    group_cols: list[str],
+    col_value: str,
+) -> DataFrame:
+    """Incrementally maintain a (group → count, sum) rollup from a
+    ``snapshot_diff`` output instead of recomputing it from the full
+    snapshot: inserts contribute (+1, +new), deletes (−1, −old), and
+    updates are a delete under the old grouping plus an insert under
+    the new one (so group-moving updates are handled exactly).
+
+    The delta aggregate is DIFF-scale — at 100 TB the rollup refresh
+    costs one shuffle of the day's changes, never a rescan of the
+    snapshot. The merge join is GROUP-scale on both sides. Groups whose
+    merged count reaches zero are dropped (the group disappeared).
+
+    Correctness contract (used by the oracle): merging yesterday's
+    rollup with today's diff must equal the rollup computed directly
+    from today's snapshot."""
+    old_side = diff.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(
+        *[F.col(f"old_{c}").alias(c) for c in group_cols],
+        F.lit(-1).alias("dn"),
+        (-F.col(f"old_{col_value}")).alias("dv"),
+    )
+    new_side = diff.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        *[F.col(f"new_{c}").alias(c) for c in group_cols],
+        F.lit(1).alias("dn"),
+        F.col(f"new_{col_value}").alias("dv"),
+    )
+    keys = group_cols
+    delta = (
+        old_side.unionByName(new_side)
+        .groupBy(*keys)
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    merged = rollup.join(delta, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).cast("bigint").alias("n_rows"),
+        # round at 2 decimals (the currency precision): the merged sum
+        # and a direct recompute accumulate float error in different
+        # orders, so the comparison precision must leave headroom
+        F.round(
+            F.coalesce(F.col("sum_value"), F.lit(0.0))
+            + F.coalesce(F.col("dv"), F.lit(0.0)),
+            2,
+        ).alias("sum_value"),
+    )
+    return merged.filter(F.col("n_rows") > 0)

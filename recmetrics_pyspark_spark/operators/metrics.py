@@ -435,7 +435,7 @@ def item_item_topk(
     w = Window.partitionBy("ia").orderBy(
         F.desc(F.round("sim", 6)), F.asc("ib")
     )
-    return (
+    out = (
         both.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select(
@@ -445,6 +445,10 @@ def item_item_topk(
             "rnk",
         )
     )
+    # persist the RANKED neighbour list too (vocabulary × k rows):
+    # downstream consumers (item_based_recommendations) reuse the
+    # ranking window's output instead of re-ranking 827k pairs
+    return out.persist()
 
 
 # ---------------------------------------------------------------------------

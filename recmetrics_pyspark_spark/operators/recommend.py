@@ -97,6 +97,9 @@ def item_based_recommendations(
     so it broadcasts."""
     from .metrics import item_item_topk, user_baskets
 
+    # the ranked neighbour list is itself persisted by item_item_topk
+    # (vocabulary × k rows), so a session that already ran the item
+    # query reuses the RANKED output — not just the raw pair table
     sims = item_item_topk(
         interactions_df, col_user, col_item, k=n_neighbors, min_common=min_common
     ).select("item_id", "neighbor_id", "sim").persist()

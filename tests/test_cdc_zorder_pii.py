@@ -122,3 +122,41 @@ def test_redact_pii_masks_and_counts(spark):
     assert (rows[1].n_emails, rows[1].n_ips, rows[1].n_phones) == (2, 1, 1)
     assert rows[2].redacted == "no pii here"
     assert (rows[2].n_emails, rows[2].n_ips, rows[2].n_phones) == (0, 0, 0)
+
+
+def test_rollup_merge_handles_group_moves(spark):
+    from recmetrics_pyspark_spark.operators.cdc import (
+        rollup_merge,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "pk long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        # pk2 moves group a->b AND changes value; pk3 deleted;
+        # pk4 inserted into a fresh group c
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "c", 40.0)],
+        "pk long, g string, v double",
+    )
+    rollup = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_value")
+    )
+    diff = snapshot_diff(old, new, ["pk"], ["g", "v"])
+    merged = {
+        r.g: (r.n_rows, r.sum_value)
+        for r in rollup_merge(rollup, diff, ["g"], "v").collect()
+    }
+    direct = {
+        r.g: (r.n_rows, r.sum_value)
+        for r in new.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("v"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert merged == direct
+    # group b gained the moved row, group c appeared, empty groups gone
+    assert merged["b"] == (1, 25.0) and merged["c"] == (1, 40.0)

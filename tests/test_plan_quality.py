@@ -83,3 +83,37 @@ def test_bm25_corpus_stats_broadcast(spark):
     df = entrymod.queries()["bm25_topk"](spark, SF)
     plan = _formatted_plan(spark, df)
     assert "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["redact_pii", "snapshot_diff_orders", "q_zorder_keys",
+     "event_sessionize", "q_key_skew_items", "shuffle_shards",
+     "rollup_incremental"],
+)
+def test_new_ops_no_python_udfs(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    plan = _formatted_plan(spark, df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"{name} executes Python: {marker}"
+
+
+def test_redact_pii_no_exchange(spark):
+    # the scrub is a scan-side projection: any Exchange means a
+    # shuffle crept into an embarrassingly-parallel operator
+    df = entrymod.queries()["redact_pii"](spark, SF)
+    plan = _formatted_plan(spark, df)
+    assert "Exchange" not in plan
+
+
+def test_snapshot_diff_single_join_no_nested_loop(spark):
+    df = entrymod.queries()["snapshot_diff_orders"](spark, SF)
+    # simple mode prints each operator once (formatted repeats them in
+    # the details section)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") == 1

@@ -115,3 +115,62 @@ def run_to_memory_sink(
     q = writer.start()
     q.processAllAvailable()
     return q
+
+
+def foreach_batch_rollup(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    col_value: str = "value",
+):
+    """Streaming materialized-view maintenance: every micro-batch is
+    reduced to a GROUP-scale (count, sum) delta and merged into the
+    rollup stored at ``path`` — the streaming twin of
+    ``operators/cdc.py::rollup_merge`` for append-only streams.
+
+    Per batch: one shuffle of the BATCH (delta aggregate), one
+    group-scale read-merge-write of the stored rollup. The corpus is
+    never rescanned — at 100 TB/day the refresh cost tracks the batch
+    size, which is the whole point of incremental view maintenance.
+    Exactly-once: foreachBatch may retry a batch on failure, so the
+    merge is guarded by a batch-id high-water mark stored with the
+    rollup (idempotent re-merge)."""
+    from pyspark.sql import functions as SF
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(*group_cols).agg(
+            SF.count(SF.lit(1)).alias("n_rows"),
+            SF.sum(col_value).alias("sum_value"),
+        )
+        try:
+            existing = spark.read.parquet(path)
+            seen = existing.agg(SF.max("_last_batch")).collect()[0][0]
+            if seen is not None and batch_id <= seen:
+                return  # retry of an already-merged batch: no-op
+            merged = (
+                existing.drop("_last_batch")
+                .unionByName(delta)
+                .groupBy(*group_cols)
+                .agg(
+                    SF.sum("n_rows").cast("bigint").alias("n_rows"),
+                    SF.round(SF.sum("sum_value"), 6).alias("sum_value"),
+                )
+            )
+        except Exception:  # first batch: no rollup yet
+            merged = delta.select(
+                *group_cols,
+                SF.col("n_rows").cast("bigint"),
+                SF.round("sum_value", 6).alias("sum_value"),
+            )
+        out = merged.withColumn("_last_batch", SF.lit(batch_id))
+        tmp = path.rstrip("/") + "__tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

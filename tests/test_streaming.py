@@ -13,6 +13,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from recmetrics_pyspark_spark.sources.io import load_table
 from recmetrics_pyspark_spark.streaming import (
@@ -115,3 +116,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert n == n_src, f"expected {n_src} unique events, got {n}"
     finally:
         q.stop()
+
+
+def test_foreach_batch_rollup_matches_batch_aggregate(spark, tmp_path):
+    from recmetrics_pyspark_spark.streaming.pipeline import (
+        foreach_batch_rollup,
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter("user_id % 29 = 0")
+        .persist()
+    )
+    src = tmp_path / "src"
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(str(src / "a=0"))
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(str(src / "a=1"))
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(src.rglob("*.parquet"))):
+        shutil.copy(f, flat / f"p{i}.parquet")
+
+    rollup_path = str(tmp_path / "rollup")
+    stream = stream_events(spark, str(flat))
+    q = foreach_batch_rollup(
+        stream,
+        rollup_path,
+        str(tmp_path / "ck"),
+        group_cols=["event_type"],
+        col_value="value",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.event_type: (r.n_rows, round(r.sum_value, 4))
+        for r in spark.read.parquet(rollup_path)
+        .drop("_last_batch")
+        .collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.s, 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    ev.unpersist()
+    assert got == want

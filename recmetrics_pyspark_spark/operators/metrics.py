@@ -406,14 +406,15 @@ def item_item_topk(
     interpreted per row) and 17-19s for a user-key self-join.
 
     The pair COUNT aggregation is the real cost (13.1M rows,
-    ~10M mostly-unique keys, so map-side combine barely reduces): the
-    two item ids are packed into one BIGINT key
-    (``ia * 2^32 + ib``) so the hash aggregate runs on its
-    single-primitive-key fast path — measured 6.5s vs 10.4s for the
-    two-column struct key at sf0.1 on local[32], identical 413k output
-    rows. Packing assumes item ids fit in 32 bits (4.3B distinct
-    items — beyond any real catalog); ANSI mode overflows loudly, not
-    silently, if that's ever violated.
+    ~10M mostly-unique keys): the two item ids are packed into one
+    BIGINT key (``ia * 2^32 + ib``) so the hash aggregate runs on its
+    single-primitive-key fast path (measured ~1.5x vs the struct key),
+    and the map-side combine is SKIPPED via an explicit repartition on
+    the key — with a reduction factor near 1 the partial hash table is
+    pure overhead (measured ~3s vs ~8s at sf0.1 on local[32]; see
+    item_cooccurrence_pairs). Packing assumes item ids fit in 32 bits
+    (4.3B distinct items — beyond any real catalog); ANSI mode
+    overflows loudly, not silently, if that's ever violated.
 
     Per-user pair generation is quadratic in basket size — at 100 TB
     cap the heaviest baskets (``slice(items, 1, cap)`` on the sorted

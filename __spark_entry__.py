@@ -1106,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew_items": _q_key_skew_items,
         "shuffle_shards": _shuffle_shards,
         "rollup_incremental": _rollup_incremental,
+        "q_variant_props": Q2.q_variant_props,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2280,6 +2281,15 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
 """,
         "q_zorder_keys": _zorder_oracle(),
+        "q_variant_props": """
+SELECT event_type,
+  CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10)
+    AS BIGINT) AS k_decade,
+  count(*) AS n
+FROM events
+GROUP BY event_type, k_decade
+ORDER BY event_type, k_decade
+""",
         "rollup_incremental": """
 -- direct rollup of the NEW snapshot: equality with the Spark side's
 -- (old rollup + CDC delta) merge proves incremental maintenance

@@ -211,3 +211,24 @@ def q_case_null_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("balance_bucket")
     )
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT twin of q_json_props: parse the props payload
+    once into the binary VARIANT encoding, then extract typed fields
+    with ``variant_get`` path expressions. At 100 TB this is the path
+    that beats per-access JsonPath string parsing — the payload is
+    decoded once per row, every extraction after that is a cheap
+    binary traversal, and shredded-variant storage lets the scan prune
+    paths. Output contract is the value histogram of the extracted
+    field per event type (distinct from q_json_props' sums, so both
+    surfaces stay independently witnessed)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    bucket = F.floor(k / 10).cast("bigint")
+    return (
+        ev.select("event_type", bucket.alias("k_decade"))
+        .groupBy("event_type", "k_decade")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "k_decade")
+    )

@@ -690,6 +690,27 @@ def _snapshot_diff_orders(spark, sf_dir):
     )
 
 
+def _ranking_metrics(spark, sf_dir):
+    """Offline eval of the synthetic recommender against a temporal
+    holdout (orders from 1995-07-01 on): macro precision/recall/NDCG@10
+    (operators/recommend.py::ranking_metrics_at_k)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    truth = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderdate") >= F.lit("1995-07-01"))
+        .select(
+            F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+        )
+    )
+    recs = R.synthetic_recommendations(spark, sf_dir, k=10)
+    return R.ranking_metrics_at_k(recs, truth, k=10)
+
+
 def _rollup_incremental(spark, sf_dir):
     """Incremental rollup maintenance: yesterday's (status → count,
     revenue) rollup merged with today's CDC diff
@@ -1107,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": _shuffle_shards,
         "rollup_incremental": _rollup_incremental,
         "q_variant_props": Q2.q_variant_props,
+        "ranking_metrics": _ranking_metrics,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2281,6 +2303,38 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
 """,
         "q_zorder_keys": _zorder_oracle(),
+        "ranking_metrics": ORACLE_BASE
+        + """
+, truth AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= DATE '1995-07-01'
+), sizes AS (
+  SELECT u, count(*) AS n_truth FROM truth GROUP BY u
+), idcg AS (
+  SELECT u, sum(1.0 / log2(pos + 1)) AS idcg FROM (
+    SELECT u, row_number() OVER (PARTITION BY u ORDER BY i) AS pos
+    FROM truth) x
+  WHERE pos <= 10 GROUP BY u
+), hits AS (
+  SELECT r.user_id AS u, count(*) AS n_hits,
+    sum(1.0 / log2(r.rnk + 1)) AS dcg
+  FROM recs r JOIN truth t ON r.user_id = t.u AND r.item_id = t.i
+  GROUP BY r.user_id
+), per_user AS (
+  SELECT s.u,
+    coalesce(h.n_hits, 0) / 10.0 AS precision,
+    coalesce(h.n_hits, 0) / CAST(s.n_truth AS DOUBLE) AS recall,
+    coalesce(h.dcg, 0.0) / g.idcg AS ndcg
+  FROM sizes s JOIN idcg g ON s.u = g.u
+  LEFT JOIN hits h ON s.u = h.u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+  round(avg(precision), 6) AS precision_at_k,
+  round(avg(recall), 6) AS recall_at_k,
+  round(avg(ndcg), 6) AS ndcg_at_k
+FROM per_user
+""",
         "q_variant_props": """
 SELECT event_type,
   CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10)

@@ -150,3 +150,68 @@ def synthetic_recommendations(
     return top_k_per_group(
         scored, "user", [F.asc("score"), F.asc("item")], k
     ).select("user", "item", "rnk")
+
+
+def ranking_metrics_at_k(
+    recs: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    col_user: str = "user",
+    col_item: str = "item",
+    col_rank: str = "rnk",
+) -> DataFrame:
+    """Offline ranking evaluation — precision@k, recall@k, NDCG@k macro-
+    averaged over users with a non-empty truth set. The eval loop every
+    recommender ships next to the reference's coverage/novelty/
+    personalization metrics.
+
+    All set math is joins + aggregates: hits = recs ⋈ truth (one
+    shuffle on (user, item)), DCG sums 1/log2(rank+1) over hits, IDCG
+    over the user's first min(|truth|, k) slots. Every intermediate is
+    USER-scale; the macro average is a 1-row aggregate. No per-user
+    python, no collect — the evaluation scales with the rec table."""
+    from pyspark.sql.window import Window
+
+    r = recs.select(
+        F.col(col_user).alias("u"),
+        F.col(col_item).alias("i"),
+        F.col(col_rank).alias("rnk"),
+    ).filter(F.col("rnk") <= k)
+    t = truth.select(
+        F.col(col_user).alias("u"), F.col(col_item).alias("i")
+    ).distinct()
+    sizes = t.groupBy("u").agg(F.count(F.lit(1)).alias("n_truth"))
+    wt = Window.partitionBy("u").orderBy("i")
+    idcg = (
+        t.withColumn("pos", F.row_number().over(wt))
+        .filter(F.col("pos") <= k)
+        .groupBy("u")
+        .agg(F.sum(1.0 / F.log2(F.col("pos") + 1)).alias("idcg"))
+    )
+    hits = r.join(t, ["u", "i"]).groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(1.0 / F.log2(F.col("rnk") + 1)).alias("dcg"),
+    )
+    per_user = (
+        sizes.join(idcg, "u")
+        .join(hits, "u", "left")
+        .select(
+            "u",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k))).alias(
+                "precision"
+            ),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+            (
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")
+            ).alias("ndcg"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("precision"), 6).alias("precision_at_k"),
+        F.round(F.avg("recall"), 6).alias("recall_at_k"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg_at_k"),
+    )

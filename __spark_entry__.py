@@ -690,6 +690,13 @@ def _snapshot_diff_orders(spark, sf_dir):
     )
 
 
+def _dup_ngram_fraction(spark, sf_dir):
+    """Corpus-level duplicate 3-gram fraction per document
+    (operators/dedup.py::dup_ngram_fraction) — the Gopher-style
+    repetition filter signal, over the shared shingle table."""
+    return D.dup_ngram_fraction(_docs(spark, sf_dir))
+
+
 def _ranking_metrics(spark, sf_dir):
     """Offline eval of the synthetic recommender against a temporal
     holdout (orders from 1995-07-01 on): macro precision/recall/NDCG@10
@@ -1129,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": _rollup_incremental,
         "q_variant_props": Q2.q_variant_props,
         "ranking_metrics": _ranking_metrics,
+        "dup_ngram_fraction": _dup_ngram_fraction,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2303,6 +2311,24 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
 """,
         "q_zorder_keys": _zorder_oracle(),
+        "dup_ngram_fraction": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS s
+  FROM d, unnest(generate_series(1, greatest(len(toks)-2, 1))) AS u(i)
+), dfreq AS (
+  SELECT s, count(*) AS n_docs_with FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup,
+  round(sum(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END)
+    / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+FROM sh JOIN dfreq f ON sh.s = f.s
+GROUP BY sh.doc_id
+""",
         "ranking_metrics": ORACLE_BASE
         + """
 , truth AS (

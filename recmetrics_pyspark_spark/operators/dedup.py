@@ -500,3 +500,42 @@ def minhash_jaccard_estimate(
             ).alias("abs_err"),
         )
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document fraction of word k-gram shingles that occur in at
+    least one OTHER document — the corpus-level repetition signal
+    (Gopher-style duplicate-n-gram filters) that per-document
+    repetition_stats cannot see.
+
+    Rides the same persisted shingle table as the Jaccard family (one
+    tokenize+explode per session), adds one vocabulary-scale count and
+    one shingle-scale join back: df_count(shingle) is the classic
+    document-frequency aggregate, and a shingle is 'duplicated' when
+    its doc count ≥ 2. Everything stays shingle-scale — no pair
+    materialization at all, so this holds at corpus sizes where even
+    the inverted-index pair join is too hot."""
+    sh = word_shingles(df, col_id, col_text, k)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(col_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)
+            ).cast("bigint").alias("n_dup"),
+        )
+        .select(
+            col_id,
+            "n_shingles",
+            "n_dup",
+            F.round(
+                F.col("n_dup") / F.col("n_shingles").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -89,7 +89,8 @@ def test_bm25_corpus_stats_broadcast(spark):
     "name",
     ["redact_pii", "snapshot_diff_orders", "q_zorder_keys",
      "event_sessionize", "q_key_skew_items", "shuffle_shards",
-     "rollup_incremental"],
+     "rollup_incremental", "q_variant_props", "ranking_metrics",
+     "dup_ngram_fraction"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

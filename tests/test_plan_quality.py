@@ -118,3 +118,35 @@ def test_snapshot_diff_single_join_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Join") == 1
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime bloom-filter join pruning (the 100 TB knob): a selective
+    filter on the build side injects a bloom filter into the probe-side
+    scan, cutting the big table's shuffle before the join. Off by
+    size thresholds at test scale — the test pins the conf contract so
+    a production session (scan >= applicationSideScanSizeThreshold)
+    gets the filter injected exactly like this."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), "bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -690,6 +690,33 @@ def _snapshot_diff_orders(spark, sf_dir):
     )
 
 
+def _q_data_quality(spark, sf_dir):
+    """Promotion gate over the orders table: null/range/set column
+    checks compiled into ONE scan, key uniqueness, and an orders→
+    customer referential check (operators/quality.py). One row per
+    check with violation counts."""
+    from recmetrics_pyspark_spark.operators import quality as QC
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    col_checks = QC.check_columns(
+        orders,
+        {
+            "orderkey_not_null": F.col("o_orderkey").isNull(),
+            "totalprice_positive": ~(F.col("o_totalprice") > 0),
+            "status_in_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_in_range": ~F.col("o_orderdate").between(
+                "1992-01-01", "1998-12-31"
+            ),
+        },
+    )
+    uniq = QC.check_unique(orders, ["o_orderkey"], "orderkey_unique")
+    fk = QC.check_foreign_key(
+        orders, "o_custkey", cust, "c_custkey", "custkey_fk"
+    )
+    return QC.run_checks([col_checks, uniq, fk])
+
+
 def _dup_ngram_fraction(spark, sf_dir):
     """Corpus-level duplicate 3-gram fraction per document
     (operators/dedup.py::dup_ngram_fraction) — the Gopher-style
@@ -1137,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_variant_props": Q2.q_variant_props,
         "ranking_metrics": _ranking_metrics,
         "dup_ngram_fraction": _dup_ngram_fraction,
+        "q_data_quality": _q_data_quality,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2311,6 +2339,46 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
 """,
         "q_zorder_keys": _zorder_oracle(),
+        "q_data_quality": """
+WITH col_checks AS (
+  SELECT * FROM (
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS orderkey_not_null,
+      CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+        AS BIGINT) AS totalprice_positive,
+      CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1
+        ELSE 0 END) AS BIGINT) AS status_in_domain,
+      CAST(sum(CASE WHEN o_orderdate NOT BETWEEN DATE '1992-01-01'
+        AND DATE '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT)
+        AS date_in_range
+    FROM orders) s,
+    LATERAL (VALUES
+      ('orderkey_not_null', s.orderkey_not_null),
+      ('totalprice_positive', s.totalprice_positive),
+      ('status_in_domain', s.status_in_domain),
+      ('date_in_range', s.date_in_range)) AS v("check", n_violations)
+), uniq AS (
+  SELECT 'orderkey_unique' AS "check",
+    CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_violations,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+        HAVING count(*) > 1) d
+), fk AS (
+  SELECT 'custkey_fk' AS "check",
+    CAST(count(*) AS BIGINT) AS n_violations,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT "check", n_violations, n_rows, n_violations = 0 AS pass
+FROM (
+  SELECT "check", n_violations, n_rows FROM col_checks
+  UNION ALL SELECT * FROM uniq
+  UNION ALL SELECT * FROM fk
+) t
+""",
         "dup_ngram_fraction": """
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -71,3 +71,25 @@ def test_embedding_pca_matches_numpy(spark):
         i = pdf.index[pdf["vec_id"] == vid][0]
         assert abs(p1 - want[i, 0]) < 1e-4, (vid, p1, want[i, 0])
         assert abs(p2 - want[i, 1]) < 1e-4, (vid, p2, want[i, 1])
+
+
+def test_observe_collects_quality_counters_inline(spark):
+    """df.observe: data-quality counters collected DURING a real action
+    — no second scan. The pattern for pipeline metrics at 100 TB (the
+    write pays for the counters)."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_quantity") <= 0, 1).otherwise(0)
+        ).alias("bad_qty"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    n = observed.count()  # one action drives both result and counters
+    got = obs.get
+    assert got["n_rows"] == n and got["bad_qty"] == 0
+    assert str(got["max_ship"]) >= "1998-01-01"

@@ -690,6 +690,45 @@ def _snapshot_diff_orders(spark, sf_dir):
     )
 
 
+def _session_paths(spark, sf_dir):
+    """Top-20 session journeys: event-type paths per (user, session)
+    — composition of assign_session_ids + one ordered array aggregate.
+    The collect_list is SESSION-bounded (watermark-analogous bound in
+    batch), the path ranking runs over the path-vocabulary aggregate,
+    and ties break lexicographically for determinism."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = W.assign_session_ids(ev, gap_minutes=30)
+    with_type = sess.join(
+        ev.select("event_id", "event_type"), "event_id"
+    )
+    paths = (
+        with_type.groupBy("user_id", "session_idx")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        paths.orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def _q_data_quality(spark, sf_dir):
     """Promotion gate over the orders table: null/range/set column
     checks compiled into ONE scan, key uniqueness, and an orders→
@@ -1165,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics": _ranking_metrics,
         "dup_ngram_fraction": _dup_ngram_fraction,
         "q_data_quality": _q_data_quality,
+        "session_paths": _session_paths,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2339,6 +2379,31 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
 """,
         "q_zorder_keys": _zorder_oracle(),
+        "session_paths": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+    sum(CASE WHEN prev_ts IS NULL
+               OR date_diff('microsecond', prev_ts, ts) > 1800000000
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+), paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_idx
+), counts AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+  ORDER BY n_sessions DESC, path LIMIT 20
+)
+SELECT path, n_sessions,
+  CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT)
+    AS rnk
+FROM counts
+""",
         "q_data_quality": """
 WITH col_checks AS (
   SELECT * FROM (

@@ -690,6 +690,46 @@ def _snapshot_diff_orders(spark, sf_dir):
     )
 
 
+# ONE dialect-portable recursive-CTE text (Spark 4 WITH RECURSIVE ==
+# DuckDB's): bounded BFS over a popularity-restricted co-occurrence
+# graph. The SAME string is the query (spark.sql) and the oracle.
+RECURSIVE_BFS_SQL = """
+WITH RECURSIVE bfs(node, hops) AS (
+  SELECT CAST((SELECT min(l_partkey) FROM lineitem) AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN (
+    SELECT a.i AS src, b2.i AS dst FROM
+      (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_partkey <= 200) a
+      JOIN
+      (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_partkey <= 200) b2
+      ON a.u = b2.u AND a.i <> b2.i
+    GROUP BY a.i, b2.i HAVING count(*) >= 2
+  ) e ON b.node = e.src
+  WHERE b.hops < 2
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS min_hops
+FROM bfs GROUP BY node
+"""
+
+
+def _q_recursive_bfs(spark, sf_dir):
+    """Recursive-CTE surface (Spark 4 WITH RECURSIVE): 2-hop BFS
+    reachability with min-hop aggregation over a vocabulary-bounded
+    item graph. The recursion is hop-bounded (the UNION ALL frontier
+    cannot run away) and the edge set is restricted to a catalog
+    slice, so the per-iteration join stays basket-scale. The oracle
+    runs the byte-identical SQL text."""
+    from recmetrics_pyspark_spark.sources.io import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(RECURSIVE_BFS_SQL)
+
+
 def _session_paths(spark, sf_dir):
     """Top-20 session journeys: event-type paths per (user, session)
     — composition of assign_session_ids + one ordered array aggregate.
@@ -1205,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_fraction": _dup_ngram_fraction,
         "q_data_quality": _q_data_quality,
         "session_paths": _session_paths,
+        "q_recursive_bfs": _q_recursive_bfs,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2379,6 +2420,7 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
 """,
         "q_zorder_keys": _zorder_oracle(),
+        "q_recursive_bfs": RECURSIVE_BFS_SQL,
         "session_paths": """
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type,

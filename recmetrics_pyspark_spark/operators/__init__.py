@@ -1,4 +1,5 @@
 from .dedup import (
+    dup_ngram_fraction,
     exact_dedup,
     minhash_jaccard_estimate,
     minhash_lsh_pairs,
@@ -8,6 +9,7 @@ from .dedup import (
     simhash_near_pairs,
     simhash_signatures,
 )
+from .cdc import rollup_merge, snapshot_diff
 from .graph import pagerank_from_edges
 from .joins import asof_join, range_self_join
 from .metrics import (
@@ -20,15 +22,39 @@ from .metrics import (
     novelty,
     personalization,
 )
-from .recommend import interactions, synthetic_recommendations, top_k_per_group
+from .quality import (
+    check_columns,
+    check_foreign_key,
+    check_unique,
+    run_checks,
+)
+from .recommend import (
+    interactions,
+    item_based_recommendations,
+    ranking_metrics_at_k,
+    synthetic_recommendations,
+    top_k_per_group,
+)
 from .similarity import (
     ann_bruteforce_topk,
     embedding_gram,
     embedding_near_duplicates,
+    embedding_pca,
 )
-from .skew import salted_join
+from .skew import key_skew_stats, salted_join
 
 __all__ = [
+    "snapshot_diff",
+    "rollup_merge",
+    "check_columns",
+    "check_unique",
+    "check_foreign_key",
+    "run_checks",
+    "ranking_metrics_at_k",
+    "item_based_recommendations",
+    "embedding_pca",
+    "dup_ngram_fraction",
+    "key_skew_stats",
     "coverage",
     "novelty",
     "personalization",

@@ -54,14 +54,18 @@ def word_shingles(
     """Distinct word k-gram shingles per document (set semantics).
 
     Tokenization is materialized as a column BEFORE the shingle
-    transform: referencing ``split(text)`` inline inside the lambda
-    re-splits the whole document for every shingle index (quadratic in
-    doc length — measured 4.9s vs 3.0s at sf0.1 for the same 260k
-    shingles)."""
-    shingles = (
-        f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(__toks, i, {k})))"
-    )
+    construction: referencing ``split(text)`` inline re-splits the
+    whole document per shingle (quadratic in doc length). The shingle
+    itself is built by posexplode over the start positions plus k
+    ``try_element_at`` lookups — ALL codegen'd expressions, measured
+    ~2x faster than the equivalent interpreted ``transform``/``slice``
+    lambda (1.0s vs 2.6s cold at sf0.1 for the same 260k shingles).
+    ``try_element_at`` returns NULL past the array end and concat_ws
+    skips NULLs, so short documents yield the same partial shingle the
+    slice form produced (and ANSI mode stays crash-free)."""
+    lookups = [
+        F.expr(f"try_element_at(__toks, pos + {i})") for i in range(k)
+    ]
     # persisted AND filled eagerly: every consumer (signatures,
     # inverted-index sides, size aggregate) fans out from this table,
     # and sibling branches of one job racing an unfilled cache would
@@ -72,7 +76,14 @@ def word_shingles(
         df.select(
             F.col(col_id), F.split(F.col(col_text), " ").alias("__toks")
         )
-        .select(F.col(col_id), F.explode(F.expr(shingles)).alias("shingle"))
+        .select(
+            F.col(col_id),
+            "__toks",
+            F.posexplode(
+                F.expr(f"sequence(1, greatest(size(__toks) - {k - 1}, 1))")
+            ).alias("__i", "pos"),
+        )
+        .select(F.col(col_id), F.concat_ws(" ", *lookups).alias("shingle"))
         .distinct()
         .persist()
     )

@@ -1246,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_quality": _q_data_quality,
         "session_paths": _session_paths,
         "q_recursive_bfs": _q_recursive_bfs,
+        "q_unpivot_lineitem": Q2.q_unpivot_lineitem,
         "mixture_sample": _mixture_sample,
         "q_event_transitions": _event_transitions,
         "normalized_dedup": _normalized_dedup,
@@ -2421,6 +2422,22 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
 """,
         "q_zorder_keys": _zorder_oracle(),
         "q_recursive_bfs": RECURSIVE_BFS_SQL,
+        "q_unpivot_lineitem": """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, metric, CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 6) AS sum_value,
+  round(avg(value), 6) AS avg_value
+FROM long GROUP BY l_returnflag, metric
+""",
         "session_paths": """
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type,

@@ -232,3 +232,28 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "k_decade")
     )
+
+
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the built-in unpivot/melt operator (the
+    inverse of q_pivot_static): lineitem's four measure columns become
+    (metric, value) rows, then a per-flag/per-metric aggregate. The
+    unpivot is a zero-shuffle projection (each input row emits 4
+    typed rows JVM-side); only the final group-by exchanges, and at
+    vocabulary scale (flags × metrics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r6(F.sum("value")).alias("sum_value"),
+            _r6(F.avg("value")).alias("avg_value"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )

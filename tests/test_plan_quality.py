@@ -77,6 +77,15 @@ def test_simhash_near_pairs_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_balanced_sample_has_no_window_sort(spark):
+    # hash-threshold selection replaced the per-class row_number window
+    # (r2 verdict "what's wrong" #1: a dominant class would be a single
+    # reducer's sort at 100 TB) — the plan must stay window-free
+    df = entrymod.queries()["balanced_sample"](spark, SF)
+    plan = _formatted_plan(spark, df)
+    assert "Window" not in plan, "balanced_sample regressed to a window sort"
+
+
 def test_bm25_corpus_stats_broadcast(spark):
     # the one-row stats frame must broadcast back over the scan, not
     # shuffle the corpus

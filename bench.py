@@ -19,6 +19,16 @@ import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
+# The driver parses our stdout for the single JSON line, but the JVM
+# (launched as a child inheriting fd 1) prints banner noise there that
+# has broken the parse two rounds running ("Using incubator modules",
+# log4j init lines). Guarantee a clean channel at the OS level: park
+# the real stdout on a saved fd and point fd 1 at stderr BEFORE any
+# Spark import/launch, so every byte the JVM or a library prints goes
+# to stderr; only the final JSON payload is written to the saved fd.
+_REAL_STDOUT = os.dup(1)
+os.dup2(2, 1)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -116,7 +126,7 @@ def main() -> None:
     except OSError as exc:
         print(f"[bench] could not write {out_path}: {exc}", file=sys.stderr)
     sys.stderr.flush()
-    print(payload, flush=True)
+    os.write(_REAL_STDOUT, (payload + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -23,18 +23,40 @@ def pagerank_from_edges(
     damping: float = 0.85,
     col_src: str = "src",
     col_dst: str = "dst",
+    on_asymmetric: str = "error",
+    broadcast_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """PageRank on a directed edge table, ``iters`` synchronous rounds:
 
         pr(v) ← (1-d)/N + d · Σ_{u→v} pr(u) / outdeg(u)
 
     The edge table shuffles once per round (join on src, aggregate on
-    dst) — never the node × node matrix. Nodes are taken from the src
-    side (callers pass symmetric edge sets, so every node has outbound
-    edges and no dangling-mass correction is needed; for asymmetric
-    graphs union the dst side in first). N is a driver-side scalar
+    dst) — never the node × node matrix. N is a driver-side scalar
     (one count of a node-scale table, same class as k-means' centroid
-    collect)."""
+    collect).
+
+    ``on_asymmetric`` pins the input contract (symmetric edge sets —
+    every node has outbound edges, so no dangling-mass correction is
+    needed — is what the co-occurrence callers produce):
+
+    - ``"error"`` (default): one anti-join count on entry; raises
+      ``ValueError`` if any dst node has no outbound edges, so
+      asymmetric callers fail loudly instead of silently losing nodes.
+    - ``"keep"``: nodes = src ∪ dst; each round rebuilds pr with a
+      left join against the node list so inbound-less nodes keep the
+      base score (1-d)/N. Dangling nodes receive mass but leak it
+      (standard un-normalized treatment).
+    - ``"ignore"``: skip the check; nodes without inbound edges drop
+      out of the output after round 1 (the documented fast path).
+
+    ``broadcast_node_limit`` guards the per-round broadcast of the
+    node-scale pr table: at or below the limit (default 2M rows ≈
+    ~50 MB serialized) pr is broadcast so each round is a single
+    edge-scale map-side join; above it the rounds fall back to a
+    shuffle join — a general billion-node graph must never ship its
+    node table to every executor."""
+    if on_asymmetric not in ("error", "keep", "ignore"):
+        raise ValueError(f"on_asymmetric: {on_asymmetric!r}")
     e = edges.select(
         F.col(col_src).alias("src"), F.col(col_dst).alias("dst")
     ).localCheckpoint(eager=True)
@@ -55,36 +77,80 @@ def pagerank_from_edges(
     #    up front, so the rounds broadcast only pr — re-broadcasting the
     #    static deg table every round was half the per-round cost.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if on_asymmetric == "error":
+        # full symmetry check in ONE node-scale job: a dst-only node is
+        # dangling (its mass leaks), a src-only node has no inbound and
+        # would silently vanish from the output after round 1
+        src_nodes = deg.select(F.col("src").alias("node")).withColumn(
+            "s", F.lit(1)
+        )
+        dst_nodes = (
+            e.select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("d", F.lit(1))
+        )
+        n_asym = (
+            src_nodes.join(dst_nodes, "node", "full")
+            .filter(F.col("s").isNull() | F.col("d").isNull())
+            .count()
+        )
+        if n_asym:
+            raise ValueError(
+                f"pagerank_from_edges: {n_asym} node(s) lack outbound or "
+                "inbound edges (asymmetric edge set); pass "
+                "on_asymmetric='keep' (retain them at the base score) or "
+                "'ignore' (inbound-less nodes drop out after round 1)"
+            )
     ew = (
         e.join(F.broadcast(deg), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
         .localCheckpoint(eager=True)
     )
-    nodes0 = deg.select(F.col("src").alias("node"))
-    n = deg.count()
+    if on_asymmetric == "keep":
+        nodes0 = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = nodes0.count()
+    else:
+        nodes0 = deg.select(F.col("src").alias("node"))
+        n = deg.count()
     base = (1.0 - damping) / n
+    # pr is NODE-scale — broadcast it explicitly when it fits:
+    # localCheckpoint-backed plans report no size statistics, so without
+    # the hint Spark falls back to sort-merge joins of the edge table
+    # every round (measured 22s -> 8s for 3 rounds on the 827k-edge
+    # graph at sf0.1; folding deg out of the loop cut it again). Above
+    # broadcast_node_limit the rounds keep a shuffle join instead.
+    hint = F.broadcast if n <= broadcast_node_limit else (lambda df: df)
     pr = nodes0.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint(
         eager=True
     )
     for _ in range(iters):
-        # pr is NODE-scale — broadcast it explicitly: localCheckpoint-
-        # backed plans report no size statistics, so without the hint
-        # Spark falls back to sort-merge joins of the edge table every
-        # round (measured 22s -> 8s for 3 rounds on the 827k-edge graph
-        # at sf0.1; folding deg out of the loop cut it again).
-        # Symmetric edge sets (the documented input contract) mean every
+        # Symmetric edge sets (the "error"/"ignore" contract) mean every
         # node has inbound mass, so pr is rebuilt straight from the
         # aggregate — no per-round left join against a node list.
         # Superseded localCheckpoint generations are GC-reclaimed once
         # `pr` rebinds — storage stays one-generation bounded.
-        pr = (
-            ew.join(F.broadcast(pr), ew.src == pr.node)
+        agg = (
+            ew.join(hint(pr), ew.src == pr.node)
             .select("dst", (F.col("pr") * F.col("w")).alias("c"))
             .groupBy("dst")
             .agg(
                 (F.lit(base) + damping * F.sum("c")).alias("pr")
             )
             .select(F.col("dst").alias("node"), "pr")
-            .localCheckpoint(eager=True)
         )
+        if on_asymmetric == "keep":
+            agg = (
+                nodes0.join(agg.withColumnRenamed("node", "dst_node"),
+                            nodes0.node == F.col("dst_node"), "left")
+                .select(
+                    nodes0.node,
+                    F.coalesce(F.col("pr"), F.lit(base)).alias("pr"),
+                )
+            )
+        pr = agg.localCheckpoint(eager=True)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))

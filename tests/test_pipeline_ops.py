@@ -121,3 +121,52 @@ def test_pagerank_conserves_mass_and_favors_hubs(spark):
     # the hub outranks its leaves, leaves are symmetric
     assert rows[0] > rows[1] == rows[2] == rows[3]
     assert rows[4] == rows[5]
+
+
+def test_pagerank_shuffle_fallback_matches_broadcast(spark):
+    # broadcast_node_limit=0 forces the shuffle-join branch; both
+    # physical strategies must produce identical ranks
+    from recmetrics_pyspark_spark.operators.graph import pagerank_from_edges
+
+    und = [(0, 1), (0, 2), (0, 3), (4, 5), (1, 2)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    bcast = {r["node"]: r["pagerank"] for r in pagerank_from_edges(edges).collect()}
+    shuf = {
+        r["node"]: r["pagerank"]
+        for r in pagerank_from_edges(edges, broadcast_node_limit=0).collect()
+    }
+    assert bcast == shuf
+
+
+def test_pagerank_asymmetric_contract(spark):
+    import pytest as _pytest
+
+    from recmetrics_pyspark_spark.operators.graph import pagerank_from_edges
+
+    # node 3 has outbound only (no inbound) — violates the symmetric
+    # contract and would silently vanish under the fast path
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (3, 0)], ["src", "dst"]
+    )
+    with _pytest.raises(ValueError, match="asymmetric"):
+        pagerank_from_edges(edges).collect()
+    # keep mode retains every node: the inbound-less node 3 is held at
+    # the base score instead of disappearing
+    rows = {
+        r["node"]: r["pagerank"]
+        for r in pagerank_from_edges(edges, on_asymmetric="keep").collect()
+    }
+    assert set(rows) == {0, 1, 3}
+    assert rows[3] == _pytest.approx((1 - 0.85) / 3, abs=1e-6)
+    # ignore mode reproduces the documented fast path: node 3 drops out
+    rows_i = {
+        r["node"]: r["pagerank"]
+        for r in pagerank_from_edges(edges, on_asymmetric="ignore").collect()
+    }
+    assert set(rows_i) == {0, 1}
+    # a dst-only (dangling) node also trips the check
+    edges2 = spark.createDataFrame([(0, 1), (1, 0), (0, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="asymmetric"):
+        pagerank_from_edges(edges2).collect()

@@ -860,7 +860,11 @@ def _rollup_incremental(spark, sf_dir):
     diff = snapshot_diff(
         old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
-    return rollup_merge(rollup, diff, ["o_orderstatus"], "o_totalprice")
+    # round_scale=2 here, at the comparison boundary with the oracle's
+    # direct recompute — the operator itself no longer rounds per merge
+    return rollup_merge(
+        rollup, diff, ["o_orderstatus"], "o_totalprice", round_scale=2
+    )
 
 
 def _q_zorder_keys(spark, sf_dir):

@@ -75,6 +75,7 @@ def rollup_merge(
     diff: DataFrame,
     group_cols: list[str],
     col_value: str,
+    round_scale: int | None = None,
 ) -> DataFrame:
     """Incrementally maintain a (group → count, sum) rollup from a
     ``snapshot_diff`` output instead of recomputing it from the full
@@ -89,7 +90,13 @@ def rollup_merge(
 
     Correctness contract (used by the oracle): merging yesterday's
     rollup with today's diff must equal the rollup computed directly
-    from today's snapshot."""
+    from today's snapshot.
+
+    ``round_scale``: by default the merged sum is carried at full float
+    precision — chained merges stay un-rounded, so long diff chains
+    don't drift from a direct recompute by re-rounding at every step.
+    Pass a scale (e.g. 2 for currency) to round at THIS merge's output,
+    i.e. only at a comparison/presentation boundary."""
     old_side = diff.filter(
         F.col("change_type").isin("delete", "update")
     ).select(
@@ -110,19 +117,17 @@ def rollup_merge(
         .groupBy(*keys)
         .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
     )
+    new_sum = F.coalesce(F.col("sum_value"), F.lit(0.0)) + F.coalesce(
+        F.col("dv"), F.lit(0.0)
+    )
+    if round_scale is not None:
+        new_sum = F.round(new_sum, round_scale)
     merged = rollup.join(delta, keys, "full_outer").select(
         *keys,
         (
             F.coalesce(F.col("n_rows"), F.lit(0))
             + F.coalesce(F.col("dn"), F.lit(0))
         ).cast("bigint").alias("n_rows"),
-        # round at 2 decimals (the currency precision): the merged sum
-        # and a direct recompute accumulate float error in different
-        # orders, so the comparison precision must leave headroom
-        F.round(
-            F.coalesce(F.col("sum_value"), F.lit(0.0))
-            + F.coalesce(F.col("dv"), F.lit(0.0)),
-            2,
-        ).alias("sum_value"),
+        new_sum.alias("sum_value"),
     )
     return merged.filter(F.col("n_rows") > 0)

@@ -7,8 +7,9 @@ is DuckDB-oracle-checkable:
 - exact:     content-hash groupBy (one shuffle on the hash)
 - MinHash:   shingle → k permutations via seeded md5 → banded LSH
              bucket-join → candidate pairs → exact Jaccard verify
-- SimHash:   16-bit signature from per-token md5 hex digits; near-dup =
-             small Hamming distance on the signature
+- SimHash:   32-bit signature from per-token md5-prefix integers
+             (majority vote per bit); near-dup = small Hamming distance
+             on the signature
 - n-gram Jaccard: inverted-index join on shared shingles (only
              co-shingle pairs shuffle — never the full cross product)
 
@@ -17,6 +18,18 @@ Scale notes: the shingle inverted index is the classic dedup plan at
 band-bucket join materializes only same-bucket pairs, exactly like a
 production MinHash dedup. Embedding-cosine near-dup lives in
 ``operators.similarity``.
+
+Cache contract (session lifetime): the shared intermediates these
+operators persist (the shingle table, the threshold-independent Jaccard
+pair table, simhash signatures) are deliberately left cached for the
+life of the SparkSession — Spark's cache manager dedupes the identical
+plan across operators, which is what makes the dedup family's marginal
+costs additive in a notebook/bench session. They use MEMORY_AND_DISK,
+so eviction is safe but disk usage grows with every distinct (df,
+params) variant queried. Long-lived services that churn through many
+corpora should call ``spark.catalog.clearCache()`` between corpora (or
+``df.unpersist()`` on the returned tables) — there is intentionally no
+hidden registry doing this behind the caller's back.
 """
 
 from __future__ import annotations

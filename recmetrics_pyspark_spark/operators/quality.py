@@ -21,17 +21,23 @@ def check_columns(
 ) -> DataFrame:
     """Run named violation predicates in one scan. ``checks`` maps
     check name → a Column that is TRUE when the ROW VIOLATES the
-    constraint."""
+    constraint. Names are data, never SQL: the aggregates use internal
+    aliases and the unpivot is explode(map(lit(name), ...)), so any
+    name (quotes, backticks, spaces, leading digits) is safe."""
+    if not checks:
+        raise ValueError("check_columns: checks must be non-empty")
+    items = list(checks.items())
     total = F.count(F.lit(1))
     aggs = [
-        F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
-        for name, cond in checks.items()
+        F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__c{i}")
+        for i, (_, cond) in enumerate(items)
     ]
     row = df.agg(total.cast("bigint").alias("__n"), *aggs)
-    # unpivot the single summary row to (check, n_violations, n_rows)
-    pairs = ", ".join(f"'{name}', {name}" for name in checks)
+    kv: list[Column] = []
+    for i, (name, _) in enumerate(items):
+        kv.extend([F.lit(name), F.col(f"__c{i}")])
     return row.select(
-        F.expr(f"stack({len(checks)}, {pairs}) AS (`check`, n_violations)"),
+        F.explode(F.create_map(*kv)).alias("check", "n_violations"),
         F.col("__n").alias("n_rows"),
     ).select(
         "check",

@@ -133,9 +133,29 @@ def foreach_batch_rollup(
     group-scale read-merge-write of the stored rollup. The corpus is
     never rescanned — at 100 TB/day the refresh cost tracks the batch
     size, which is the whole point of incremental view maintenance.
-    Exactly-once: foreachBatch may retry a batch on failure, so the
-    merge is guarded by a batch-id high-water mark stored with the
-    rollup (idempotent re-merge)."""
+
+    Crash safety (not just happy-path exactly-once):
+
+    - foreachBatch may retry a batch, so the merge is guarded by a
+      batch-id high-water mark stored with the rollup (idempotent
+      re-merge).
+    - Each merge writes a NEW snapshot directory ``v_<batch_id>`` under
+      ``path`` and then atomically flips the ``_CURRENT`` pointer file
+      (``os.replace``); a crash mid-write leaves the previous snapshot
+      intact and pointed-to, never a half-deleted rollup (the previous
+      overwrite-in-place could lose the whole view on a mid-overwrite
+      crash). Read the view back with :func:`read_rollup`.
+    - Only a missing ``_CURRENT`` pointer means "first batch"; any
+      other failure reading the existing rollup re-raises, instead of
+      silently reinitializing the view from one batch's delta.
+
+    The pointer flip relies on POSIX-atomic rename, i.e. a
+    local/NFS-like fs (this engine's test surface). On an object store,
+    swap the sink for a transactional table format (Delta/Iceberg) —
+    same merge logic, table-format commit instead of the pointer."""
+    import os as _os
+    import shutil as _shutil
+
     from pyspark.sql import functions as SF
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -144,8 +164,14 @@ def foreach_batch_rollup(
             SF.count(SF.lit(1)).alias("n_rows"),
             SF.sum(col_value).alias("sum_value"),
         )
-        try:
-            existing = spark.read.parquet(path)
+        ptr = _os.path.join(path, "_CURRENT")
+        current = None
+        if _os.path.exists(ptr):
+            with open(ptr) as fh:
+                current = fh.read().strip()
+            # any failure past this point is corruption, not first-batch:
+            # let it propagate rather than zeroing accumulated state
+            existing = spark.read.parquet(_os.path.join(path, current))
             seen = existing.agg(SF.max("_last_batch")).collect()[0][0]
             if seen is not None and batch_id <= seen:
                 return  # retry of an already-merged batch: no-op
@@ -158,19 +184,37 @@ def foreach_batch_rollup(
                     SF.round(SF.sum("sum_value"), 6).alias("sum_value"),
                 )
             )
-        except Exception:  # first batch: no rollup yet
+        else:  # first batch: no rollup yet
             merged = delta.select(
                 *group_cols,
                 SF.col("n_rows").cast("bigint"),
                 SF.round("sum_value", 6).alias("sum_value"),
             )
         out = merged.withColumn("_last_batch", SF.lit(batch_id))
-        tmp = path.rstrip("/") + "__tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        snap = f"v_{batch_id}"
+        out.write.mode("overwrite").parquet(_os.path.join(path, snap))
+        tmp_ptr = ptr + ".tmp"
+        with open(tmp_ptr, "w") as fh:
+            fh.write(snap)
+        _os.replace(tmp_ptr, ptr)  # atomic flip
+        # prune superseded snapshots (keep the one just written)
+        for d in _os.listdir(path):
+            if d.startswith("v_") and d != snap:
+                _shutil.rmtree(_os.path.join(path, d), ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def read_rollup(spark, path: str) -> DataFrame:
+    """Resolve the current snapshot of a :func:`foreach_batch_rollup`
+    materialized view: reads the ``_CURRENT`` pointer and loads the
+    snapshot directory it names."""
+    import os as _os
+
+    with open(_os.path.join(path, "_CURRENT")) as fh:
+        snap = fh.read().strip()
+    return spark.read.parquet(_os.path.join(path, snap))

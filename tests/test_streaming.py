@@ -151,12 +151,20 @@ def test_foreach_batch_rollup_matches_batch_aggregate(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    from recmetrics_pyspark_spark.streaming.pipeline import read_rollup
+
     got = {
         r.event_type: (r.n_rows, round(r.sum_value, 4))
-        for r in spark.read.parquet(rollup_path)
-        .drop("_last_batch")
-        .collect()
+        for r in read_rollup(spark, rollup_path).drop("_last_batch").collect()
     }
+    # snapshot hygiene: _CURRENT names the one surviving snapshot dir,
+    # superseded versions are pruned after the atomic pointer flip
+    import os
+
+    with open(os.path.join(rollup_path, "_CURRENT")) as fh:
+        snap = fh.read().strip()
+    versions = [d for d in os.listdir(rollup_path) if d.startswith("v_")]
+    assert versions == [snap]
     want = {
         r.event_type: (r.n, round(r.s, 4))
         for r in ev.groupBy("event_type")

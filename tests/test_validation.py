@@ -22,3 +22,59 @@ def test_metrics_raise_valueerror_on_missing_columns(spark):
         personalization(df, col_index="nope", col_columns="i")
     with pytest.raises(ValueError, match="long_tail_stats"):
         long_tail_stats(df, col_item="missing")
+
+
+def test_check_columns_names_are_data_not_sql(spark):
+    # names with quotes/backticks/spaces/leading digits must pass
+    # through untouched (they are map keys, never parsed SQL)
+    from pyspark.sql import functions as F
+
+    from recmetrics_pyspark_spark.operators.quality import check_columns
+
+    df = spark.createDataFrame([(1, None), (2, "x")], ["a", "b"])
+    weird = {
+        "1st check's \"name\" `here`": F.col("b").isNull(),
+        "all good": F.lit(False),
+    }
+    rows = {r["check"]: r for r in check_columns(df, weird).collect()}
+    assert set(rows) == set(weird)
+    assert rows["1st check's \"name\" `here`"]["n_violations"] == 1
+    assert rows["all good"]["pass"] is True
+    with pytest.raises(ValueError, match="non-empty"):
+        check_columns(df, {})
+
+
+def test_rollup_merge_chained_no_per_merge_rounding(spark):
+    # three chained merges with drift-prone decimal values: the default
+    # un-rounded path must match a direct recompute to float precision
+    # (the old per-merge round(2) accumulated a visible quantization)
+    from pyspark.sql import functions as F
+
+    from recmetrics_pyspark_spark.operators.cdc import (
+        rollup_merge,
+        snapshot_diff,
+    )
+
+    snaps = []
+    for day in range(4):
+        snaps.append(
+            spark.createDataFrame(
+                [
+                    (pk, "g", (pk + 1) * 0.001 + day * 0.0007)
+                    for pk in range(6 + day)
+                ],
+                "pk long, g string, v double",
+            )
+        )
+    rollup = snaps[0].groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_value")
+    )
+    for old, new in zip(snaps, snaps[1:]):
+        diff = snapshot_diff(old, new, ["pk"], ["g", "v"])
+        rollup = rollup_merge(rollup, diff, ["g"], "v")
+    got = rollup.collect()[0]
+    want = snaps[-1].groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_value")
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"]
+    assert got["sum_value"] == pytest.approx(want["sum_value"], abs=1e-9)

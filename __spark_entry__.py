@@ -461,6 +461,8 @@ def _neardup_components(spark, sf_dir):
 
 def _neardup_components_oracle() -> str:
     # fixed-iteration min-label propagation mirrored as chained CTEs
+    # (one neighbourhood-min step per round, exactly like
+    # operators/dedup.py::min_label_components with fixed iters)
     steps = []
     prev = "l0"
     for i in range(1, 5):
@@ -1104,37 +1106,64 @@ def _kmeans(spark, sf_dir):
 
 
 def _coverage_approx(spark, sf_dir):
-    # HLL-sketch variant of coverage for the 100 TB path: one pass, no
-    # exact distinct state. Sketch estimates differ from DuckDB's exact
-    # counts by design -> no oracle entry (driver rows-only check).
+    # SELF-CHECKING sketch: the HLL estimate (approx_count_distinct,
+    # rsd=0.01) is computed in the same aggregate pass as the exact
+    # distinct, and the query returns the exact values plus a bounds
+    # flag (|approx-exact| <= 5% = 5x the configured rsd). The oracle
+    # recomputes the exact columns and pins the flag TRUE — a drifting
+    # sketch turns the driver row red. Upgraded from rows-only.
     pairs = R.interactions(spark, sf_dir)
-    rec_items = R.synthetic_recommendations(spark, sf_dir).agg(
-        F.approx_count_distinct("item", 0.01).alias("rec_items")
+    rec = R.synthetic_recommendations(spark, sf_dir).agg(
+        F.countDistinct("item").alias("rec_items"),
+        F.approx_count_distinct("item", 0.01).alias("rec_approx"),
     )
-    cat = pairs.agg(F.approx_count_distinct("item", 0.01).alias("catalog_items"))
+    cat = pairs.agg(
+        F.countDistinct("item").alias("catalog_items"),
+        F.approx_count_distinct("item", 0.01).alias("cat_approx"),
+    )
     from pyspark.sql.functions import broadcast
 
-    return rec_items.crossJoin(broadcast(cat)).select(
+    ok = (
+        F.abs(F.col("rec_approx") - F.col("rec_items"))
+        <= 0.05 * F.col("rec_items")
+    ) & (
+        F.abs(F.col("cat_approx") - F.col("catalog_items"))
+        <= 0.05 * F.col("catalog_items")
+    )
+    return rec.crossJoin(broadcast(cat)).select(
         "rec_items",
         "catalog_items",
         F.round(F.col("rec_items") / F.col("catalog_items"), 6).alias(
-            "coverage_approx"
+            "coverage"
         ),
+        ok.alias("sketch_within_bounds"),
     )
 
 
 def _quantiles_approx(spark, sf_dir):
-    # t-digest-style sketch percentiles (percentile_approx): bounded
-    # memory vs the exact sort-based percentile in q_quantiles_by_flag.
+    # SELF-CHECKING sketch percentiles: percentile_approx(accuracy=1000)
+    # guarantees rank error <= n/1000; the flag asserts each estimate
+    # lies between the exact (p-0.01) and (p+0.01) quantiles (10x
+    # headroom), all computed in the one grouped aggregate. The oracle
+    # recomputes the exact quantiles and pins the flag TRUE.
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-            F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
-        )
-        .orderBy("l_returnflag")
+    g = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("a95"),
+        F.expr("percentile(l_extendedprice, 0.49)").alias("lo50"),
+        F.expr("percentile(l_extendedprice, 0.51)").alias("hi50"),
+        F.expr("percentile(l_extendedprice, 0.94)").alias("lo95"),
+        F.expr("percentile(l_extendedprice, 0.96)").alias("hi95"),
     )
+    ok = (
+        F.col("a50").between(F.col("lo50"), F.col("hi50"))
+        & F.col("a95").between(F.col("lo95"), F.col("hi95"))
+    )
+    return g.select(
+        "l_returnflag", "p50", "p95", ok.alias("sketch_within_bounds")
+    ).orderBy("l_returnflag")
 
 
 def _media_features(spark, sf_dir):
@@ -1160,10 +1189,12 @@ def _media_features(spark, sf_dir):
     )
 
 
-# Queries whose outputs are sketch estimates or Python-side pipelines:
+# Queries whose outputs are Python-side pipelines with no SQL twin:
 # deliberately no oracle_sql entry (the driver records a rows-only
-# check; exact twins exist above where applicable).
-NO_ORACLE = ("coverage_approx", "quantiles_approx", "media_features")
+# check). The sketch queries (coverage_approx, quantiles_approx) are
+# SELF-CHECKING instead: they return exact values plus an in-bounds
+# flag the oracle pins TRUE, so they carry full oracle entries.
+NO_ORACLE = ("media_features",)
 
 
 def _events_tumbling(spark, sf_dir):
@@ -1482,6 +1513,25 @@ c AS (SELECT count(DISTINCT item_id) AS catalog_items FROM interactions)
 SELECT rec_items, catalog_items,
   round(CAST(rec_items AS DOUBLE)/catalog_items, 6) AS coverage
 FROM r, c
+""",
+        # self-checking sketch twins: exact columns recomputed here, the
+        # in-bounds flag pinned TRUE (Spark side turns it FALSE if the
+        # sketch drifts past its documented error bound)
+        "coverage_approx": ORACLE_BASE
+        + """
+, r AS (SELECT count(DISTINCT item_id) AS rec_items FROM recs),
+c AS (SELECT count(DISTINCT item_id) AS catalog_items FROM interactions)
+SELECT rec_items, catalog_items,
+  round(CAST(rec_items AS DOUBLE)/catalog_items, 6) AS coverage,
+  TRUE AS sketch_within_bounds
+FROM r, c
+""",
+        "quantiles_approx": """
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+  TRUE AS sketch_within_bounds
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "novelty": ORACLE_BASE
         + """

@@ -277,43 +277,49 @@ def minhash_lsh_pairs(
     )
 
 
-def neardup_components(
-    df: DataFrame,
-    col_id: str = "doc_id",
-    col_text: str = "text",
-    threshold: float = 0.5,
+def min_label_components(
+    edges: DataFrame,
     iters: int = 4,
+    until_converged: bool = False,
+    max_iters: int = 64,
 ) -> DataFrame:
-    """Near-dup clusters via min-label propagation over the Jaccard
-    pair graph: every doc starts labeled with its own id; each
-    iteration every node adopts the minimum label in its neighbourhood.
-    ``iters`` rounds connect chains up to length 2^iters — enough for
-    dedup clusters, which are small and dense (fixed iteration count
-    keeps the computation deterministic and SQL-mirrorable, the same
-    pattern as kmeans_assignments).
+    """Connected components over a SYMMETRIC (src, dst) edge table by
+    min-label propagation: every node starts labeled with its own id;
+    each round every node adopts the minimum label in its (self-loop
+    augmented) neighbourhood — ONE edge-scale join + aggregate per
+    round. Returns (node, label) for every node with ≥1 edge.
 
-    Each iteration is one join + one aggregate on the PAIR table (edge
-    count, not corpus count). Iterative DataFrame algorithms need
-    LINEAGE TRUNCATION, not just persist: the logical plan nests one
-    join+agg level per round (with the whole Jaccard build embedded in
-    ``edges``), and Catalyst re-analyzes the full tree on every action,
-    so per-iteration wall time grows even at constant row count
-    (measured 1.2s → 5.7s across 4 rounds on a 47-node graph).
-    ``localCheckpoint(eager=True)`` materializes AND cuts the plan, so
-    each round is O(edges) compute + O(1) planning; superseded label
-    generations are GC-reclaimed, keeping storage one-generation
-    bounded. Returns (doc_id, component_id, component_size) for every
-    doc in at least one near-dup pair."""
-    pairs = ngram_jaccard_pairs(df, col_id, col_text, threshold=threshold)
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
-        )
-        .localCheckpoint(eager=True)
-    )
+    Convergence contract — propagation moves the min label ONE hop per
+    round, so after ``iters`` rounds a node's label is the minimum id
+    within graph distance ``iters`` of it:
+
+    - fixed ``iters`` (default, SQL-mirrorable as chained CTEs): labels
+      are exact for every component whose min-id node is within
+      ``iters`` hops of all members. Near-dup clusters are dense
+      near-cliques (diameter 2-3), so iters=4 is ample there; a path of
+      length > iters is NOT fully merged — the property test pins this
+      boundary on both sides.
+    - ``until_converged=True``: keep propagating until a fixpoint (zero
+      labels changed, checked with one label-scale count per round),
+      capped at ``max_iters``. Deterministic (the fixpoint is unique:
+      component min). Use this for arbitrary graph shapes; rounds =
+      component diameter, each round edge-scale.
+
+    (A label(label) pointer-jump shortcut was tried and measured: it
+    only compresses when ids are monotone along paths — on shuffled id
+    layouts a 30-chain still needed 29 rounds — so it is not worth a
+    per-round node-scale join. Simulation in tests/ history, r3.)
+
+    Iterative DataFrame algorithms need LINEAGE TRUNCATION, not just
+    persist: the logical plan nests one join+agg level per round (with
+    the whole upstream build embedded in ``edges``), and Catalyst
+    re-analyzes the full tree on every action, so per-iteration wall
+    time grows even at constant row count (measured 1.2s → 5.7s across
+    4 rounds on a 47-node graph). ``localCheckpoint(eager=True)``
+    materializes AND cuts the plan, so each round is O(edges) compute +
+    O(1) planning; superseded label generations are GC-reclaimed,
+    keeping storage one-generation bounded."""
+    edges = edges.localCheckpoint(eager=True)
     # Right-size the loop input: per-round task overhead dominates on
     # tiny inherited partitions (see pagerank_from_edges — same rule).
     n_edges = edges.count()
@@ -325,27 +331,61 @@ def neardup_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Self-loops fold the node's OWN label into the neighbourhood min,
-    # so each round is ONE join + ONE aggregate — no per-round left
-    # join back against the node list (least(own, nbr_min) ≡ min over
-    # the self-loop-augmented neighbourhood).
     e2 = edges.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     ).localCheckpoint(eager=True)
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
         eager=True
     )
-    for _ in range(iters):
-        # labels is NODE-scale (docs that appear in ≥1 near-dup pair —
-        # a small fraction of the corpus); broadcast it explicitly,
-        # since checkpoint-backed plans carry no size statistics
-        labels = (
+    rounds = max_iters if until_converged else iters
+    for _ in range(rounds):
+        # labels is NODE-scale (nodes in ≥1 pair — a small fraction of
+        # the corpus); broadcast it explicitly, since checkpoint-backed
+        # plans carry no size statistics
+        stepped = (
             e2.join(F.broadcast(labels), e2.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
+        if until_converged:
+            changed = (
+                stepped.join(
+                    labels.withColumnRenamed("label", "old_label"), "node"
+                )
+                .filter(F.col("label") != F.col("old_label"))
+                .count()
+            )
+            labels = stepped
+            if changed == 0:
+                break
+        else:
+            labels = stepped
+    return labels
+
+
+def neardup_components(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    threshold: float = 0.5,
+    iters: int = 4,
+) -> DataFrame:
+    """Near-dup clusters via min-label propagation over the Jaccard
+    pair graph (see :func:`min_label_components` for the convergence
+    contract: fixed iters=4 is exact for clusters whose min-id doc is
+    within 4 hops of every member — ample for dense near-dup clusters;
+    arbitrary shapes can use until_converged there). Returns (doc_id,
+    component_id, component_size) for every doc in at least one
+    near-dup pair."""
+    pairs = ngram_jaccard_pairs(df, col_id, col_text, threshold=threshold)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = min_label_components(edges, iters=iters)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias(col_id),

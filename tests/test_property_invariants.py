@@ -79,3 +79,69 @@ def test_rollup_merge_equals_direct_recompute(spark, old_rows, new_rows):
         .collect()
     }
     assert merged == direct
+
+
+def test_min_label_components_contract_both_sides(spark):
+    """Pin the documented convergence contract exactly: fixed iters=4
+    labels every node within 4 hops of its component's min-id node
+    (dense near-dup clusters), and does NOT fully merge a path longer
+    than that — while until_converged reaches the unique fixpoint on
+    the same pathological chain."""
+    import random
+
+    from recmetrics_pyspark_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    rng = random.Random(7)
+    n = 20
+    ids = list(range(100, 100 + n))
+    rng.shuffle(ids)
+    chain = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], ["src", "dst"]
+    )
+    # fixed iters: a 19-hop path must NOT collapse to one label (the
+    # min sits at a random position; radius-4 coverage can reach at
+    # most 9 of 20 nodes) — this is the documented boundary, so a
+    # future "optimization" that silently changes it fails here
+    fixed = {
+        r["node"]: r["label"]
+        for r in min_label_components(edges, iters=4).collect()
+    }
+    assert len(set(fixed.values())) > 1
+    # every label must still be exact within the radius: the min id
+    # labels all nodes within 4 hops of it along the chain
+    pos = {v: i for i, v in enumerate(ids)}
+    mn = min(ids)
+    for node, lab in fixed.items():
+        if abs(pos[node] - pos[mn]) <= 4:
+            assert lab == mn
+    # until_converged: the same chain reaches the unique fixpoint
+    conv = {
+        r["node"]: r["label"]
+        for r in min_label_components(edges, until_converged=True).collect()
+    }
+    assert set(conv.values()) == {mn}
+
+
+def test_min_label_components_dense_cluster_fast(spark):
+    """A star/dense cluster (the realistic near-dup shape, diameter 2)
+    is fully labeled in the default fixed rounds, alongside a disjoint
+    triangle keeping its own label."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    star = [(50, x) for x in (51, 52, 53, 54)]
+    tri = [(1, 2), (2, 3), (3, 1)]
+    und = star + tri
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in min_label_components(edges, iters=4).collect()
+    }
+    assert {labels[i] for i in (50, 51, 52, 53, 54)} == {50}
+    assert {labels[i] for i in (1, 2, 3)} == {1}

@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from recmetrics_pyspark_spark.functions import curation as C
 from recmetrics_pyspark_spark.functions import text as T
 from recmetrics_pyspark_spark.operators import dedup as D
 from recmetrics_pyspark_spark.operators import metrics as M
@@ -1209,71 +1210,151 @@ def _events_sessions(spark, sf_dir):
     return W.session_stats(load_table(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------------
+# Round-3 curation operators (functions/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def _dpo_pair_mining(spark, sf_dir):
+    """Preference-pair mining for DPO-style training data: per user,
+    (top-rated, bottom-rated) item with deterministic tie-breaks
+    (functions/curation.py::dpo_pair_mining)."""
+    return C.dpo_pair_mining(
+        R.interactions(spark, sf_dir, with_rating=True), min_margin=1.0
+    )
+
+
+def _stratified_metrics(spark, sf_dir):
+    return C.stratified_metrics(_docs(spark, sf_dir))
+
+
+def _doc_cooccurrence_pmi(spark, sf_dir):
+    return C.doc_cooccurrence_pmi(_docs(spark, sf_dir))
+
+
+def _entity_extract_stats(spark, sf_dir):
+    return C.entity_extract_stats(_docs(spark, sf_dir))
+
+
+def _seqlen_histogram(spark, sf_dir):
+    return C.seqlen_histogram(_docs(spark, sf_dir))
+
+
+def _tokenizer_fertility(spark, sf_dir):
+    return C.tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def _loss_mask_spans(spark, sf_dir):
+    return C.loss_mask_spans(_docs(spark, sf_dir))
+
+
+def _curriculum_order(spark, sf_dir):
+    return C.curriculum_order(_docs(spark, sf_dir))
+
+
+def _q_window_dedup_rank(spark, sf_dir):
+    """Keep-first-per-key dedup (the DISTINCT ON shape): the earliest
+    event per (user, event_type), then per-type survivor stats."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    first = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        first.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_first"),
+            F.round(F.avg("value"), 6).alias("avg_first_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _freshness_decay_sample(spark, sf_dir):
+    """Freshness-weighted deterministic sampling: keep orders with
+    probability 0.5^age_years via the same 32-bit md5-prefix threshold
+    trick as balanced_sample (no RNG, no window; one broadcast of the
+    max-year row). Output: per-year achieved vs target rate."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    mx = orders.agg(F.max(yr).alias("max_year"))
+    u = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    keyed = orders.select(
+        yr.alias("o_year"), u.alias("u")
+    ).crossJoin(F.broadcast(mx))
+    rate = F.pow(F.lit(0.5), (F.col("max_year") - F.col("o_year")))
+    flagged = keyed.select(
+        "o_year",
+        "u",
+        F.floor(F.lit(4294967296.0) * rate).alias("u_threshold"),
+        F.round(rate, 6).alias("target_rate"),
+    )
+    return (
+        flagged.groupBy("o_year", "target_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("u") < F.col("u_threshold"), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "o_year",
+            "n_orders",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_orders"), 6).alias(
+                "achieved_rate"
+            ),
+            "target_rate",
+        )
+        .orderBy("o_year")
+    )
+
+
+def _cross_lingual_contamination(spark, sf_dir):
+    """Docs whose min-shingle fingerprint (functions/text.py::
+    doc_fingerprint) collides across DIFFERENT languages — the
+    translated/transliterated near-dup leak a multilingual corpus has
+    to quarantine. One fingerprint scan + one fingerprint-scale
+    aggregate; langs joined into a sorted CSV string so the output is
+    deterministic and hash-comparable."""
+    docs = _docs(spark, sf_dir)
+    fp = T.doc_fingerprint(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    groups = (
+        fp.groupBy("shingle_fp")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("lang"))
+            ).alias("langs"),
+        )
+        .filter(F.col("n_langs") > 1)
+    )
+    return groups.select(
+        "shingle_fp", "n_langs", "n_docs", "min_doc", "langs"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
-    evaluates the FIRST 50 entries, so the reference-surface metrics and
-    the LLM-pipeline operators (dedup / similarity / text / events) are
-    declared first; redundant TPC-H shapes and NO_ORACLE sketches last.
+    evaluates the FIRST 50 entries. Round-3 rotation: the 30 round-2
+    operators that never had a driver row (redact_pii..wau_sliding),
+    the two upgraded self-checking sketches, and the queries whose
+    constructions CHANGED this round (balanced_sample, simhash family,
+    neardup_components) plus a few stable canaries occupy the window;
+    everything driver-green in r1/r2 and unchanged since sits after.
     """
     return {
-        # --- reference-surface recommender metrics (operators/metrics.py,
-        #     operators/recommend.py; reference recmetrics_pyspark.py:106-432)
-        "recommendations_topk": _recommendations,
-        "coverage": _coverage,
-        "novelty": _novelty,
-        "novelty_per_user": _novelty_per_user,
-        "personalization": _personalization,
-        "personalization_weighted": _personalization_weighted,
-        "intra_list_similarity": _intra_list_similarity,
-        "item_item_topk": _item_item_topk,
-        "item_based_recommendations": _item_based_recs,
-        "long_tail_stats": _long_tail,
-        "decay_popularity": _decay_popularity,
-        "value_histogram": _value_histogram,
-        # --- dedup (operators/dedup.py)
-        "dedup_exact": _dedup_exact,
-        "ngram_jaccard_pairs": _ngram_jaccard,
-        "minhash_lsh_pairs": _minhash_lsh,
-        "neardup_components": _neardup_components,
-        "simhash_signatures": _simhash,
-        "simhash_near_pairs": _simhash_near,
-        "dedup_pipeline": _dedup_pipeline,
-        # --- similarity search / clustering (operators/similarity.py)
-        "ann_bruteforce_topk": _ann_topk,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ivf_ann_topk": _ivf_ann_topk,
-        "embedding_neardup": _embedding_neardup,
-        "kmeans_assignments": _kmeans,
-        "label_centroids": _label_centroids,
-        # --- text analysis (functions/text.py)
-        "text_stats": _text_stats,
-        "language_id": _language_id,
-        "doc_fingerprint": _doc_fingerprint,
-        "quality_score": _quality_score,
-        "token_count_by_lang": _token_count_by_lang,
-        "chunk_documents": _chunk_documents,
-        "dataset_split": _dataset_split,
-        "contamination_check": _contamination,
-        "balanced_sample": _balanced_sample,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "repetition_stats": _repetition_stats,
-        "bm25_topk": _bm25_topk,
-        "doc_lm_score": _doc_lm_score,
-        # --- event-time windows + temporal joins (streaming/windows.py,
-        #     operators/joins.py; batch-mode here, streaming in tests)
-        "events_tumbling": _events_tumbling,
-        "events_sliding": _events_sliding,
-        "events_sessions": _events_sessions,
-        "events_asof_purchase": _events_asof_purchase,
-        "events_range_pairs": _events_range_pairs,
-        "q_event_gaps": Q3.q_event_gaps,
-        "q_conversion_funnel": Q3.q_conversion_funnel,
-        "q_events_resampled": Q3.q_events_resampled,
-        "q_cohort_retention": Q3.q_cohort_retention,
-        "q_user_event_type_sets": Q3.q_user_event_type_sets,
-        "hourly_anomaly": _hourly_anomaly,
-        "q_json_props": Q2.q_json_props,
-        # ================= position > 50 below =================
+        # --- round-2 operators rotated in for driver witnessing
         "redact_pii": _redact_pii,
         "snapshot_diff_orders": _snapshot_diff_orders,
         "q_zorder_keys": _q_zorder_keys,
@@ -1304,8 +1385,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_streaks": Q3.q_revenue_streaks,
         "attribution_last_touch": _attribution_last_touch,
         "wau_sliding": _wau_sliding,
-        # (q1, rolling-revenue, profile, top-tokens were driver-green in
-        # round 1; their slots now witness the new LLM-pipeline ops)
+        # --- sketches upgraded to self-checking oracles this round
+        "coverage_approx": _coverage_approx,
+        "quantiles_approx": _quantiles_approx,
+        # --- constructions changed in round 3: re-witness
+        "balanced_sample": _balanced_sample,
+        "simhash_signatures": _simhash,
+        "simhash_near_pairs": _simhash_near,
+        "neardup_components": _neardup_components,
+        # --- stable canaries (r2-green) to detect harness regressions
+        "coverage": _coverage,
+        "personalization": _personalization,
+        "minhash_lsh_pairs": _minhash_lsh,
+        # --- new round-3 queries (window slots up to 50)
+        "dpo_pair_mining": _dpo_pair_mining,
+        "stratified_metrics": _stratified_metrics,
+        "q_window_dedup_rank": _q_window_dedup_rank,
+        "doc_cooccurrence_pmi": _doc_cooccurrence_pmi,
+        "entity_extract_stats": _entity_extract_stats,
+        "seqlen_histogram": _seqlen_histogram,
+        "freshness_decay_sample": _freshness_decay_sample,
+        "cross_lingual_contamination": _cross_lingual_contamination,
+        "tokenizer_fertility": _tokenizer_fertility,
+        "loss_mask_spans": _loss_mask_spans,
+        "curriculum_order": _curriculum_order,
+        # ================= position > 50 below =================
+        # --- reference-surface recommender metrics (operators/metrics.py,
+        #     operators/recommend.py; reference recmetrics_pyspark.py:106-432)
+        "recommendations_topk": _recommendations,
+        "novelty": _novelty,
+        "novelty_per_user": _novelty_per_user,
+        "personalization_weighted": _personalization_weighted,
+        "intra_list_similarity": _intra_list_similarity,
+        "item_item_topk": _item_item_topk,
+        "item_based_recommendations": _item_based_recs,
+        "long_tail_stats": _long_tail,
+        "decay_popularity": _decay_popularity,
+        "value_histogram": _value_histogram,
+        # --- dedup (operators/dedup.py)
+        "dedup_exact": _dedup_exact,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "dedup_pipeline": _dedup_pipeline,
+        # --- similarity search / clustering (operators/similarity.py)
+        "ann_bruteforce_topk": _ann_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ivf_ann_topk": _ivf_ann_topk,
+        "embedding_neardup": _embedding_neardup,
+        "kmeans_assignments": _kmeans,
+        "label_centroids": _label_centroids,
+        # --- text analysis (functions/text.py)
+        "text_stats": _text_stats,
+        "language_id": _language_id,
+        "doc_fingerprint": _doc_fingerprint,
+        "quality_score": _quality_score,
+        "token_count_by_lang": _token_count_by_lang,
+        "chunk_documents": _chunk_documents,
+        "dataset_split": _dataset_split,
+        "contamination_check": _contamination,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "repetition_stats": _repetition_stats,
+        "bm25_topk": _bm25_topk,
+        "doc_lm_score": _doc_lm_score,
+        # --- event-time windows + temporal joins (streaming/windows.py,
+        #     operators/joins.py; batch-mode here, streaming in tests)
+        "events_tumbling": _events_tumbling,
+        "events_sliding": _events_sliding,
+        "events_sessions": _events_sessions,
+        "events_asof_purchase": _events_asof_purchase,
+        "events_range_pairs": _events_range_pairs,
+        "q_event_gaps": Q3.q_event_gaps,
+        "q_conversion_funnel": Q3.q_conversion_funnel,
+        "q_events_resampled": Q3.q_events_resampled,
+        "q_cohort_retention": Q3.q_cohort_retention,
+        "q_user_event_type_sets": Q3.q_user_event_type_sets,
+        "hourly_anomaly": _hourly_anomaly,
+        "q_json_props": Q2.q_json_props,
         "profile_customer": _profile_customer,
         "q_top_tokens": Q3.q_top_tokens,
         "q1_pricing_summary": Q.q1_pricing_summary,
@@ -1343,9 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_part_names": Q3.q_fuzzy_part_names,
         "q_regexp_extract": Q3.q_regexp_extract,
         "q_grouping_sets": Q3.q_grouping_sets,
-        # sketch variants + python-side pipelines (no oracle -- NO_ORACLE)
-        "coverage_approx": _coverage_approx,
-        "quantiles_approx": _quantiles_approx,
+        # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
 
@@ -1532,6 +1684,204 @@ SELECT l_returnflag,
   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
   TRUE AS sketch_within_bounds
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        # ---- round-3 curation operators (functions/curation.py) ----
+        "dpo_pair_mining": ORACLE_BASE
+        + """
+, per AS (
+  SELECT user_id, item_id, avg(rating) AS r
+  FROM interactions GROUP BY user_id, item_id
+), ranked AS (
+  SELECT user_id, item_id, r,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY r DESC, item_id ASC) AS rn_top,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY r ASC, item_id DESC) AS rn_bot
+  FROM per
+), pairs AS (
+  SELECT user_id,
+    max(CASE WHEN rn_top = 1 THEN item_id END) AS chosen_item,
+    max(CASE WHEN rn_top = 1 THEN r END) AS r_chosen,
+    max(CASE WHEN rn_bot = 1 THEN item_id END) AS rejected_item,
+    max(CASE WHEN rn_bot = 1 THEN r END) AS r_rejected
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id AS "user", chosen_item, rejected_item,
+  round(r_chosen - r_rejected, 6) AS margin
+FROM pairs
+WHERE chosen_item <> rejected_item
+  AND round(r_chosen - r_rejected, 6) >= 1.0
+""",
+        "stratified_metrics": """
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+    round(avg(length(text)), 6) AS avg_chars,
+    round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+  FROM documents GROUP BY lang
+), st AS (
+  SELECT avg(avg_chars) AS mu, stddev_samp(avg_chars) AS sigma FROM per
+)
+SELECT lang, n_docs, avg_chars, avg_tokens,
+  round((avg_chars - mu) / sigma, 6) AS len_zscore
+FROM per, st ORDER BY lang
+""",
+        "doc_cooccurrence_pmi": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tk AS (
+  SELECT DISTINCT doc_id AS doc, u.tok
+  FROM d, unnest(list_distinct(toks)) AS u(tok)
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+), dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+bounded AS (
+  SELECT tok, df FROM dfreq, nd WHERE df >= 5 AND df <= 0.5 * n_docs
+), kept AS (SELECT tk.doc, tk.tok, b.df FROM tk JOIN bounded b USING (tok)),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+    count(*) AS n_ab
+  FROM kept a JOIN kept b ON a.doc = b.doc AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5
+), scored AS (
+  SELECT tok_a, tok_b, n_ab,
+    round(ln(n_ab * n_docs / (df_a * df_b)), 6) AS pmi
+  FROM pairs, nd
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, tok_a, tok_b)
+            AS BIGINT) AS rnk,
+  tok_a, tok_b, n_ab, pmi
+FROM scored QUALIFY rnk <= 50
+""",
+        "entity_extract_stats": r"""
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(regexp_extract_all(text, '\b[A-Z][a-z]+'))) AS BIGINT)
+    AS capitalized_words,
+  CAST(sum(len(regexp_extract_all(text, '\b[0-9]+\b'))) AS BIGINT)
+    AS numbers,
+  CAST(sum(len(regexp_extract_all(text, '\b[A-Z]{2,}\b'))) AS BIGINT)
+    AS acronyms,
+  round(avg(len(regexp_extract_all(text, '\b[A-Z][a-z]+'))), 6)
+    AS avg_cap_per_doc
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "seqlen_histogram": """
+WITH per AS (
+  SELECT CASE WHEN len(string_split(text, ' ')) <= 1 THEN 1
+    ELSE (1::BIGINT << length(bin(len(string_split(text, ' ')) - 1)))
+    END AS len_bucket,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), agg AS (
+  SELECT len_bucket, count(*) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per GROUP BY len_bucket
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM agg)
+SELECT len_bucket, n_docs, n_tokens,
+  round(CAST(sum(n_tokens) OVER (ORDER BY len_bucket
+      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 6) AS cum_token_share
+FROM agg, tot ORDER BY len_bucket
+""",
+        "tokenizer_fertility": """
+SELECT lang,
+  CAST(sum(len(regexp_extract_all(text,
+    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_pieces,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+  round(CAST(sum(len(regexp_extract_all(text,
+      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS DOUBLE)
+    / sum(len(string_split(text, ' '))), 6) AS fertility
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "loss_mask_spans": f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+     + len(list_filter(toks, x -> x IN {_sqlset(T.STOPWORDS_EN)}))
+     AS BIGINT) AS n_masked,
+  CAST(len(toks)
+     - len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+     - len(list_filter(toks, x -> x IN {_sqlset(T.STOPWORDS_EN)}))
+     AS BIGINT) AS n_loss_tokens,
+  round(CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+     + len(list_filter(toks, x -> x IN {_sqlset(T.STOPWORDS_EN)}))
+     AS DOUBLE) / len(toks), 6) AS mask_ratio
+FROM d
+""",
+        "curriculum_order": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sc AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+    round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+      + (CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+          AS DOUBLE) / CAST(len(toks) AS DOUBLE)) / 10.0 * 0.5,
+      6) AS difficulty
+  FROM d
+), st AS (
+  SELECT doc_id, n_tok, difficulty,
+    CAST(ntile(4) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS stage
+  FROM sc
+)
+SELECT stage, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  round(min(difficulty), 6) AS min_difficulty,
+  round(max(difficulty), 6) AS max_difficulty
+FROM st GROUP BY stage ORDER BY stage
+""",
+        "q_window_dedup_rank": """
+WITH first AS (
+  SELECT event_type, value FROM (
+    SELECT event_type, value,
+      row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY ts, event_id) AS rn
+    FROM events) t
+  WHERE rn = 1
+)
+SELECT event_type, count(*) AS n_first,
+  round(avg(value), 6) AS avg_first_value
+FROM first GROUP BY event_type ORDER BY event_type
+""",
+        "freshness_decay_sample": """
+WITH mx AS (SELECT max(year(o_orderdate)) AS max_year FROM orders),
+k AS (
+  SELECT year(o_orderdate) AS o_year,
+    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS u
+  FROM orders
+), f AS (
+  SELECT o_year, u,
+    CAST(floor(4294967296.0 * pow(0.5, (max_year - o_year)))
+         AS BIGINT) AS u_threshold,
+    round(pow(0.5, (max_year - o_year)), 6) AS target_rate
+  FROM k, mx
+)
+SELECT o_year, count(*) AS n_orders,
+  CAST(sum(CASE WHEN u < u_threshold THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  round(CAST(sum(CASE WHEN u < u_threshold THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 6) AS achieved_rate,
+  target_rate
+FROM f GROUP BY o_year, target_rate ORDER BY o_year
+""",
+        "cross_lingual_contamination": """
+WITH d AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+  FROM documents
+), fp AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(toks) >= 3 THEN
+      list_min(list_transform(generate_series(1, len(toks) - 2),
+        i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))))
+    ELSE md5(text) END AS shingle_fp
+  FROM d
+)
+SELECT shingle_fp,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  count(*) AS n_docs,
+  min(doc_id) AS min_doc,
+  array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+FROM fp GROUP BY shingle_fp HAVING count(DISTINCT lang) > 1
 """,
         "novelty": ORACLE_BASE
         + """

@@ -1,3 +1,3 @@
-from . import text, vectors
+from . import curation, text, vectors
 
-__all__ = ["text", "vectors"]
+__all__ = ["curation", "text", "vectors"]

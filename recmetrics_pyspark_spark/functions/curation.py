@@ -1,0 +1,382 @@
+"""Training-data curation operators over the ``documents`` corpus —
+round-3 additions to the LLM-pipeline family (preference-pair mining,
+stratified corpus QA, PMI collocations, entity stats, sequence-length
+planning, loss masking, curriculum ordering).
+
+Like ``functions.text``, everything here is built-in JVM expressions
+(no Python UDFs) with engine-portable hashing and math, so every
+operator is DuckDB-oracle-checkable. Scale notes are per-function; the
+common pattern is: per-doc work is a scan-side projection, corpus-level
+constants travel as one-row broadcasts, and vocabulary-scale tables
+(token stats) get df-bounded before any self-join so no hub token can
+quadratically blow up a pair table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import STOPWORDS_EN, count_in_lexicon
+
+
+def dpo_pair_mining(
+    ratings: DataFrame,
+    col_user: str = "user",
+    col_item: str = "item",
+    col_rating: str = "rating",
+    min_margin: float = 1.0,
+) -> DataFrame:
+    """Preference pairs for DPO/RLHF-style training: per user, the
+    top-rated item becomes ``chosen`` and the bottom-rated ``rejected``
+    (deterministic tie-breaks: chosen prefers the smaller item id,
+    rejected the larger), kept when the rating margin is at least
+    ``min_margin``. Multiplicity is collapsed to a per-(user,item) mean
+    rating first, so repeat purchases don't bias the extremes.
+
+    Scale: two window ranks over the same (user) partitioning — one
+    shuffle, reused by both windows and the aggregate (AQE keeps the
+    partitioning). Output is user-scale."""
+    per_item = ratings.groupBy(col_user, col_item).agg(
+        F.avg(col_rating).alias("r")
+    )
+    w_top = Window.partitionBy(col_user).orderBy(
+        F.desc("r"), F.asc(col_item)
+    )
+    w_bot = Window.partitionBy(col_user).orderBy(
+        F.asc("r"), F.desc(col_item)
+    )
+    ranked = per_item.select(
+        F.col(col_user).alias("user"),
+        F.col(col_item).alias("item"),
+        "r",
+        F.row_number().over(w_top).alias("rn_top"),
+        F.row_number().over(w_bot).alias("rn_bot"),
+    )
+    pairs = (
+        ranked.groupBy("user")
+        .agg(
+            F.max(F.when(F.col("rn_top") == 1, F.col("item"))).alias(
+                "chosen_item"
+            ),
+            F.max(F.when(F.col("rn_top") == 1, F.col("r"))).alias("r_chosen"),
+            F.max(F.when(F.col("rn_bot") == 1, F.col("item"))).alias(
+                "rejected_item"
+            ),
+            F.max(F.when(F.col("rn_bot") == 1, F.col("r"))).alias(
+                "r_rejected"
+            ),
+        )
+        .filter(F.col("chosen_item") != F.col("rejected_item"))
+        .select(
+            "user",
+            "chosen_item",
+            "rejected_item",
+            F.round(F.col("r_chosen") - F.col("r_rejected"), 6).alias(
+                "margin"
+            ),
+        )
+    )
+    return pairs.filter(F.col("margin") >= min_margin)
+
+
+def stratified_metrics(
+    df: DataFrame, col_text: str = "text", col_stratum: str = "lang"
+) -> DataFrame:
+    """Per-stratum corpus QA: doc count, mean chars/tokens, and the
+    stratum's z-score of mean doc length against the across-strata
+    distribution — the table a curation run eyeballs for outlier
+    languages/sources before mixing.
+
+    Scale: one grouped aggregate (stratum-scale) + one one-row
+    aggregate over IT, broadcast back — the corpus is scanned once."""
+    t = f"split({col_text}, ' ')"
+    per = df.groupBy(col_stratum).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length(col_text)), 6).alias("avg_chars"),
+        F.round(F.avg(F.expr(f"size({t})")), 6).alias("avg_tokens"),
+    )
+    stats = per.agg(
+        F.avg("avg_chars").alias("mu"),
+        F.stddev_samp("avg_chars").alias("sigma"),
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            col_stratum,
+            "n_docs",
+            "avg_chars",
+            "avg_tokens",
+            F.round(
+                (F.col("avg_chars") - F.col("mu")) / F.col("sigma"), 6
+            ).alias("len_zscore"),
+        )
+        .orderBy(col_stratum)
+    )
+
+
+def doc_cooccurrence_pmi(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    min_df: int = 5,
+    max_df_ratio: float = 0.5,
+    min_pair_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k token collocations by document-level PMI:
+    ln(P(a,b) / (P(a)·P(b))) over distinct token-document incidence.
+
+    Scale guard rails (what makes PMI survivable at corpus scale): the
+    self-join runs ONLY over tokens with df in [min_df, max_df_ratio·N]
+    — the low cut kills the long tail (most of the vocabulary), the
+    high cut removes stopword-like hub tokens whose inverted lists
+    would otherwise pair quadratically (the same hot-shingle skew rule
+    as the Jaccard family). The join is an inverted-index equi-join on
+    doc_id, so only co-occurring pairs materialize."""
+    toks = df.select(
+        F.col(col_id).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.col(col_text), " "))).alias(
+            "tok"
+        ),
+    )
+    n_docs = df.select(
+        F.countDistinct(col_id).cast("double").alias("n_docs")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    bounded = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= max_df_ratio * F.col("n_docs"))
+        )
+        .select("tok", "df")
+    )
+    kept = toks.join(F.broadcast(bounded), "tok")
+    a = kept.select(
+        F.col("doc"), F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    b = kept.select(
+        F.col("doc"), F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    scored = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        F.round(
+            F.log(
+                F.col("n_ab")
+                * F.col("n_docs")
+                / (F.col("df_a") * F.col("df_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= top_k)
+        .select("rnk", "tok_a", "tok_b", "n_ab", "pmi")
+    )
+
+
+def entity_extract_stats(
+    df: DataFrame, col_text: str = "text", col_stratum: str = "lang"
+) -> DataFrame:
+    """Per-stratum surface-entity yield: counts of capitalized words,
+    standalone numbers, and ALL-CAPS acronyms per document, aggregated
+    by stratum — the cheap precursor to a real NER pass that tells a
+    pipeline where entity-bearing text lives. RE2-safe patterns (the
+    oracle runs them under DuckDB's RE2 engine verbatim).
+
+    Scale: pure scan-side projection + one stratum-scale aggregate."""
+    cap = F.size(
+        F.expr(rf"regexp_extract_all({col_text}, '\\b[A-Z][a-z]+', 0)")
+    ).cast("long")
+    num = F.size(
+        F.expr(rf"regexp_extract_all({col_text}, '\\b[0-9]+\\b', 0)")
+    ).cast("long")
+    acro = F.size(
+        F.expr(rf"regexp_extract_all({col_text}, '\\b[A-Z]{{2,}}\\b', 0)")
+    ).cast("long")
+    per_doc = df.select(
+        F.col(col_stratum),
+        cap.alias("n_cap"),
+        num.alias("n_num"),
+        acro.alias("n_acro"),
+    )
+    return (
+        per_doc.groupBy(col_stratum)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_cap").alias("capitalized_words"),
+            F.sum("n_num").alias("numbers"),
+            F.sum("n_acro").alias("acronyms"),
+            F.round(F.avg("n_cap"), 6).alias("avg_cap_per_doc"),
+        )
+        .orderBy(col_stratum)
+    )
+
+
+def seqlen_histogram(
+    df: DataFrame, col_text: str = "text"
+) -> DataFrame:
+    """Sequence-length planning table: documents bucketed by
+    next-power-of-two token count, with doc/token counts and the
+    cumulative token share per bucket — what you read before choosing
+    a training context length and packing strategy.
+
+    Scale: one scan + one bucket-scale aggregate; the cumulative
+    window runs over ≤ ~40 bucket rows. The bucket is computed from the
+    BINARY LENGTH of n-1 (1 << bits), not pow(2, ceil(log2 n)): libm
+    log2 can differ by an ulp between engines and flip a bucket, while
+    integer bit-length is exact everywhere."""
+    n = f"size(split({col_text}, ' '))"
+    n_tok = F.expr(n).cast("long")
+    bucket = F.expr(
+        f"CASE WHEN {n} <= 1 THEN 1L"
+        f" ELSE shiftleft(1L, length(bin({n} - 1))) END"
+    )
+    per = (
+        df.select(bucket.alias("len_bucket"), n_tok.alias("n_tok"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy("len_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "len_bucket",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.sum("n_tokens").over(w) / F.col("tot"), 6
+            ).alias("cum_token_share"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame, col_text: str = "text", col_stratum: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility proxy per stratum: subword pieces per
+    whitespace word, where pieces follow a crude BPE-ish segmentation
+    (letter runs, single digits, single punctuation marks). High
+    fertility strata cost more compute per word — the standard
+    multilingual-budgeting diagnostic.
+
+    Scale: scan-side regexp projection + stratum-scale aggregate."""
+    pieces = F.size(
+        F.expr(
+            rf"regexp_extract_all({col_text},"
+            rf" '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"
+        )
+    ).cast("double")
+    words = F.expr(f"size(split({col_text}, ' '))").cast("double")
+    per_doc = df.select(
+        F.col(col_stratum),
+        pieces.alias("n_pieces"),
+        words.alias("n_words"),
+    )
+    return (
+        per_doc.groupBy(col_stratum)
+        .agg(
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.round(F.sum("n_pieces") / F.sum("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+        .orderBy(col_stratum)
+    )
+
+
+def loss_mask_spans(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text"
+) -> DataFrame:
+    """SFT loss-mask accounting: tokens that are pure numbers or
+    English stopwords are masked out of the loss (the structured /
+    boilerplate proxy); returns per-doc token, masked and effective
+    counts plus the mask ratio. The real masking decision is a config;
+    the operator's job is the one-pass accounting shape.
+
+    Scale: scan-side higher-order filter, zero shuffles."""
+    t = f"split({col_text}, ' ')"
+    n_tok = F.expr(f"size({t})").cast("long")
+    n_num = F.expr(
+        f"size(filter({t}, x -> x RLIKE '^[0-9]+$'))"
+    ).cast("long")
+    n_stop = count_in_lexicon(t, STOPWORDS_EN).cast("long")
+    return df.select(
+        F.col(col_id),
+        n_tok.alias("n_tokens"),
+        (n_num + n_stop).alias("n_masked"),
+        (n_tok - n_num - n_stop).alias("n_loss_tokens"),
+        F.round((n_num + n_stop) / n_tok.cast("double"), 6).alias(
+            "mask_ratio"
+        ),
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    n_stages: int = 4,
+) -> DataFrame:
+    """Curriculum staging: rank documents by a difficulty composite
+    (length + lexical rarity proxy = mean token length) into
+    ``n_stages`` ntile stages; returns per-stage doc/token counts and
+    difficulty bounds — the schedule table a curriculum loader joins
+    against.
+
+    Scale note: ntile is a GLOBAL window (single-reducer sort) — fine
+    for the stage-table output here, but at 100 TB assign stages with
+    the same hash-threshold trick as balanced_sample (percentile cuts
+    on the difficulty score) instead; the ntile form is the exact
+    oracle-checkable twin."""
+    t = f"split({col_text}, ' ')"
+    n_tok = F.expr(f"size({t})").cast("double")
+    mean_len = (
+        F.expr(
+            f"aggregate(transform({t}, x -> length(x)), 0L, (a, x) -> a + x)"
+        )
+        / n_tok
+    )
+    scored = df.select(
+        F.col(col_id),
+        n_tok.alias("n_tok"),
+        F.round(
+            F.least(n_tok / 100.0, F.lit(1.0)) * 0.5 + mean_len / 10.0 * 0.5,
+            6,
+        ).alias("difficulty"),
+    )
+    w = Window.orderBy(F.asc("difficulty"), F.asc(col_id))
+    staged = scored.withColumn(
+        "stage", F.ntile(n_stages).over(w).cast("bigint")
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.min("difficulty"), 6).alias("min_difficulty"),
+            F.round(F.max("difficulty"), 6).alias("max_difficulty"),
+        )
+        .orderBy("stage")
+    )

@@ -28,6 +28,7 @@ from recmetrics_pyspark_spark.operators import similarity as S
 from recmetrics_pyspark_spark.plans import relational as Q
 from recmetrics_pyspark_spark.plans import relational2 as Q2
 from recmetrics_pyspark_spark.plans import relational3 as Q3
+from recmetrics_pyspark_spark.plans import relational4 as Q4
 from recmetrics_pyspark_spark.sources.io import load_table
 from recmetrics_pyspark_spark.streaming import windows as W
 
@@ -109,6 +110,81 @@ a1 AS (
     GROUP BY cid, i - 1) u
   GROUP BY cid
 )"""
+
+
+def _pq_oracle(m: int = 4, k_codes: int = 16, dim: int = 64, k: int = 10) -> str:
+    """PQ-ADC oracle: per-subspace Lloyd chains (seed -> assign ->
+    re-centroid -> encode), then the query dot-product tables and the
+    summed ADC score — the same deterministic construction as
+    operators/similarity.py::pq_ann_topk (dist rounded at 6, cid
+    tie-break), so codes and ranking match bit-for-bit."""
+    sub_dim = dim // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, s * sub_dim + sub_dim
+        parts.append(
+            f"""e{s} AS (SELECT vid, v[{lo}:{hi}] AS sv FROM ebase),
+b{s} AS (SELECT vid, sv, list_dot_product(sv, sv) AS sv_sq FROM e{s}),
+c0_{s} AS (SELECT CAST(vid AS INTEGER) AS cid, sv AS c FROM e{s}
+           WHERE vid < {k_codes}),
+a1_{s} AS (
+  SELECT vid, sv, cid FROM (
+    SELECT b.vid, b.sv, c.cid,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.sv_sq - 2*list_dot_product(b.sv, c.c)
+                 + list_dot_product(c.c, c.c), 6), c.cid) AS rn
+    FROM b{s} b, c0_{s} c) t
+  WHERE rn = 1
+), c1_{s} AS (
+  SELECT cid, list(val ORDER BY dim_idx) AS c FROM (
+    SELECT cid, i - 1 AS dim_idx, avg(sv[i]) AS val
+    FROM a1_{s}, unnest(generate_series(1, len(sv))) AS u(i)
+    GROUP BY cid, i - 1) g
+  GROUP BY cid
+), code{s} AS (
+  SELECT vid, {s} AS sub, cid, c_sq FROM (
+    SELECT b.vid, c.cid, list_dot_product(c.c, c.c) AS c_sq,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.sv_sq - 2*list_dot_product(b.sv, c.c)
+                 + list_dot_product(c.c, c.c), 6), c.cid) AS rn
+    FROM b{s} b, c1_{s} c) t
+  WHERE rn = 1
+), qt{s} AS (
+  SELECT q.vid AS query_id, {s} AS sub, c.cid,
+    list_dot_product(q.sv, c.c) AS pdot
+  FROM e{s} q, c1_{s} c WHERE q.vid < 5
+)"""
+        )
+    chains = ",\n".join(parts)
+    codes_union = " UNION ALL ".join(
+        f"SELECT * FROM code{s}" for s in range(m)
+    )
+    qt_union = " UNION ALL ".join(f"SELECT * FROM qt{s}" for s in range(m))
+    return f"""
+WITH ebase AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v
+               FROM embeddings),
+{chains},
+codes AS ({codes_union}),
+qts AS ({qt_union}),
+qn AS (SELECT vid AS query_id, sqrt(list_dot_product(v, v)) AS qn
+       FROM ebase WHERE vid < 5),
+scored AS (
+  SELECT t.query_id, c.vid AS neighbor_id,
+    sum(t.pdot) AS adc_dot, sum(c.c_sq) AS cn2_rec
+  FROM codes c JOIN qts t ON c.sub = t.sub AND c.cid = t.cid
+  GROUP BY t.query_id, c.vid
+)
+SELECT query_id, neighbor_id, cos_est, rnk FROM (
+  SELECT query_id, neighbor_id, cos_est,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_est DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM (
+    SELECT s.query_id, s.neighbor_id,
+      round(s.adc_dot / (q.qn * sqrt(s.cn2_rec)), 6) AS cos_est
+    FROM scored s JOIN qn q USING (query_id)
+    WHERE s.query_id <> s.neighbor_id) f
+) r WHERE rnk <= {k}
+"""
 
 
 def _bm25_oracle(k1: float = 1.2, b: float = 0.75, topn: int = 20) -> str:
@@ -516,6 +592,12 @@ def _ivf_ann_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries_df = embs.filter(F.col("vec_id") < 5)
     return S.ivf_ann_topk(embs, queries_df, k=10, n_cells=8, nprobe=3)
+
+
+def _pq_ann_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5)
+    return S.pq_ann_topk(embs, queries_df, k=10, m=4, k_codes=16)
 
 
 def _repetition_stats(spark, sf_dir):
@@ -935,7 +1017,12 @@ def _pagerank_items(spark, sf_dir):
     ).unionByName(
         pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
     )
-    pr = pagerank_from_edges(edges, iters=3, damping=0.85)
+    # the union of both pair directions is symmetric BY CONSTRUCTION,
+    # so the operator's entry check (one extra edge-scale job) would be
+    # pure overhead here — 'ignore' keeps the documented fast path
+    pr = pagerank_from_edges(
+        edges, iters=3, damping=0.85, on_asymmetric="ignore"
+    )
     return pr.select(F.col("node").alias("item_id"), "pagerank")
 
 
@@ -1148,22 +1235,28 @@ def _quantiles_approx(spark, sf_dir):
     # headroom), all computed in the one grouped aggregate. The oracle
     # recomputes the exact quantiles and pins the flag TRUE.
     li = load_table(spark, sf_dir, "lineitem")
+    # ARRAY-form percentile: all six exact quantiles share ONE sort
+    # buffer, and both sketch quantiles share one t-digest (six
+    # separate aggregates measured 7.1s vs ~3.6s for the array form
+    # at sf0.1 — same cost class as the exact q_quantiles_by_flag)
     g = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a50"),
-        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("a95"),
-        F.expr("percentile(l_extendedprice, 0.49)").alias("lo50"),
-        F.expr("percentile(l_extendedprice, 0.51)").alias("hi50"),
-        F.expr("percentile(l_extendedprice, 0.94)").alias("lo95"),
-        F.expr("percentile(l_extendedprice, 0.96)").alias("hi95"),
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))"
+        ).alias("ex"),
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)"
+        ).alias("ap"),
     )
     ok = (
-        F.col("a50").between(F.col("lo50"), F.col("hi50"))
-        & F.col("a95").between(F.col("lo95"), F.col("hi95"))
+        F.col("ap")[0].between(F.col("ex")[0], F.col("ex")[2])
+        & F.col("ap")[1].between(F.col("ex")[3], F.col("ex")[5])
     )
     return g.select(
-        "l_returnflag", "p50", "p95", ok.alias("sketch_within_bounds")
+        "l_returnflag",
+        F.round(F.col("ex")[1], 6).alias("p50"),
+        F.round(F.col("ex")[4], 6).alias("p95"),
+        ok.alias("sketch_within_bounds"),
     ).orderBy("l_returnflag")
 
 
@@ -1316,6 +1409,34 @@ def _freshness_decay_sample(spark, sf_dir):
     )
 
 
+def _q_rollup_tree(spark, sf_dir):
+    """Hypertable-style rollup tree: weekly per-type stats derived
+    hour→day→week, each level aggregating ONLY the level below (the
+    materialized-view hierarchy a time-series store maintains — at
+    100 TB each refresh touches hour-scale rows, never raw events).
+    The ORACLE computes weekly directly from raw events, so a green
+    row PROVES the tree derivation equals the direct aggregate.
+    Only the final level rounds (intermediate rounding would compound
+    and diverge from the direct recompute)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("h")).alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("d")).alias("week_start"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(F.sum("v"), 6).alias("sum_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return weekly.orderBy("week_start", "event_type")
+
+
 def _cross_lingual_contamination(spark, sf_dir):
     """Docs whose min-shingle fingerprint (functions/text.py::
     doc_fingerprint) collides across DIFFERENT languages — the
@@ -1430,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ivf_ann_topk": _ivf_ann_topk,
+        "pq_ann_topk": _pq_ann_topk,
         "embedding_neardup": _embedding_neardup,
         "kmeans_assignments": _kmeans,
         "label_centroids": _label_centroids,
@@ -1497,6 +1619,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_part_names": Q3.q_fuzzy_part_names,
         "q_regexp_extract": Q3.q_regexp_extract,
         "q_grouping_sets": Q3.q_grouping_sets,
+        # round-3 TPC-H correlation shapes (plans/relational4.py)
+        "q2_min_cost_supplier": Q4.q2_min_cost_supplier,
+        "q13_order_count_distribution": Q4.q13_order_count_distribution,
+        "q17_small_quantity_revenue": Q4.q17_small_quantity_revenue,
+        "q21_sole_latest_supplier": Q4.q21_sole_latest_supplier,
+        "q_rollup_tree": _q_rollup_tree,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -1863,6 +1991,73 @@ SELECT o_year, count(*) AS n_orders,
     / count(*), 6) AS achieved_rate,
   target_rate
 FROM f GROUP BY o_year, target_rate ORDER BY o_year
+""",
+        # ---- round-3 TPC-H correlation shapes (plans/relational4.py) ----
+        "q2_min_cost_supplier": """
+WITH part3 AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 3),
+costs AS (
+  SELECT p_partkey, p_name, l_suppkey, l_extendedprice
+  FROM lineitem JOIN part3 ON l_partkey = p_partkey
+), mc AS (
+  SELECT p_partkey AS mk, min(l_extendedprice) AS min_price
+  FROM costs GROUP BY p_partkey
+)
+SELECT p_partkey, p_name, s_name AS supplier, s_acctbal AS acctbal,
+  round(min_price, 6) AS min_price
+FROM costs
+JOIN mc ON p_partkey = mk AND l_extendedprice = min_price
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY p_partkey, supplier
+""",
+        "q13_order_count_distribution": """
+WITH o AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
+pc AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN o ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+        "q17_small_quantity_revenue": """
+WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN p ON l_partkey = p_partkey
+), a AS (
+  SELECT l_partkey AS ak, avg(l_quantity) * 0.2 AS qty_cut
+  FROM b GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+  count(*) AS n_lines
+FROM b JOIN a ON l_partkey = ak WHERE l_quantity < qty_cut
+""",
+        "q21_sole_latest_supplier": """
+WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+l1 AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+)
+SELECT s_name AS supplier, count(*) AS numwait
+FROM l1
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM l1 x
+    WHERE x.l_orderkey = l1.l_orderkey AND x.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM l1 y
+    WHERE y.l_orderkey = l1.l_orderkey AND y.l_suppkey <> l1.l_suppkey
+      AND y.l_shipdate > l1.l_shipdate)
+GROUP BY s_name ORDER BY numwait DESC, supplier ASC
+""",
+        # direct weekly recompute from raw events: green PROVES the
+        # hour->day->week tree derivation equals the direct aggregate
+        "q_rollup_tree": """
+SELECT date_trunc('week', ts) AS week_start, event_type,
+  count(*) AS n_events,
+  round(sum(value), 6) AS sum_value,
+  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+FROM events GROUP BY 1, 2 ORDER BY week_start, event_type
 """,
         "cross_lingual_contamination": """
 WITH d AS (
@@ -2242,6 +2437,7 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM (
 WHERE rnk <= 10
 """,
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "pq_ann_topk": _pq_oracle(),
         "embedding_neardup": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,

@@ -40,6 +40,8 @@ from .similarity import (
     embedding_gram,
     embedding_near_duplicates,
     embedding_pca,
+    pq_ann_topk,
+    pq_codebooks,
 )
 from .skew import key_skew_stats, salted_join
 
@@ -70,6 +72,8 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_pairs",
     "ann_bruteforce_topk",
+    "pq_ann_topk",
+    "pq_codebooks",
     "embedding_near_duplicates",
     "asof_join",
     "range_self_join",

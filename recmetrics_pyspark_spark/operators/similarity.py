@@ -384,6 +384,165 @@ def ivf_ann_topk(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    refinements: int = 1,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces and each gets its own deterministic Lloyd
+    codebook of ``k_codes`` centroids (seeds = first k vectors by id,
+    same trainer as ``kmeans_centroids``). Returns (sub, cid, c) —
+    m·k_codes rows of dim/m floats, broadcast-scale at any corpus size.
+    """
+    dim_info = corpus.select(
+        F.size(as_double(col_vec)).alias("d")
+    ).first()
+    sub_dim = dim_info["d"] // m
+    books = []
+    for s in range(m):
+        sub_v = F.slice(as_double(col_vec), s * sub_dim + 1, sub_dim)
+        base = corpus.select(
+            F.col(col_id).alias("vid"), sub_v.alias("v")
+        ).withColumn("v_sq", dot(F.col("v"), F.col("v")))
+        seeds = base.filter(F.col("vid") < k_codes).select(
+            F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
+        )
+        books.append(
+            _km_refine(base, seeds, refinements).withColumn(
+                "sub", F.lit(s)
+            )
+        )
+    out = books[0]
+    for bdf in books[1:]:
+        out = out.unionByName(bdf)
+    return out.select("sub", "cid", "c")
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    refinements: int = 1,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): corpus vectors are compressed to ``m`` one-byte codes
+    (nearest sub-centroid per subspace — here m=4, 16 codes ≈ 16 bytes
+    → 4 codes, a 64× memory compression of the 64-dim float corpus);
+    a query scores a vector as Σ_s table_s[code_s], where table_s =
+    query-subvector · codebook_s dot products computed ONCE per query
+    (m·k_codes entries). Cosine uses the reconstructed corpus norm
+    (Σ_s |c_{s,code}|²) — the standard ADC estimate.
+
+    Scale shape: training + encoding are two corpus passes with
+    broadcast codebooks (the codebook is m·k_codes×(d/m) — tiny
+    forever); scoring is PQ-Flat — still linear in corpus per query
+    but each candidate costs m table lookups instead of d multiplies,
+    and the scan reads 4 ints instead of 64 floats. For sublinear
+    scoring, compose with the IVF cells (`ivf_ann_topk`) exactly as
+    IVF-PQ does. Deterministic end-to-end: argmin ties break on cid
+    over distances rounded at 6, so the SQL oracle reproduces codes,
+    tables, and ranking bit-for-bit."""
+    dim_info = corpus.select(
+        F.size(as_double(col_vec)).alias("d")
+    ).first()
+    sub_dim = dim_info["d"] // m
+    books = pq_codebooks(
+        corpus, m, k_codes, refinements, col_id, col_vec
+    ).withColumn("c_sq", dot(F.col("c"), F.col("c"))).localCheckpoint(
+        eager=True
+    )
+    # encode: nearest sub-centroid per (vector, subspace) — one corpus
+    # scan per subspace against a broadcast codebook
+    sub_bases = []
+    for s in range(m):
+        sub_v = F.slice(as_double(col_vec), s * sub_dim + 1, sub_dim)
+        sub_bases.append(
+            corpus.select(
+                F.col(col_id).alias("vid"),
+                F.lit(s).alias("sub"),
+                sub_v.alias("sv"),
+            ).withColumn("sv_sq", dot(F.col("sv"), F.col("sv")))
+        )
+    subs = sub_bases[0]
+    for b in sub_bases[1:]:
+        subs = subs.unionByName(b)
+    wmin = Window.partitionBy("vid", "sub").orderBy(
+        F.asc("dist"), F.asc("cid")
+    )
+    codes = (
+        subs.join(broadcast(books), "sub")
+        .select(
+            "vid",
+            "sub",
+            "cid",
+            "c_sq",
+            F.round(
+                F.col("sv_sq")
+                - 2.0 * dot(F.col("sv"), F.col("c"))
+                + F.col("c_sq"),
+                6,
+            ).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vid", "sub", "cid", "c_sq")
+    )
+    # ADC tables: per (query, subspace, code) partial dot — tiny
+    qsubs = []
+    for s in range(m):
+        sub_v = F.slice(as_double(col_vec), s * sub_dim + 1, sub_dim)
+        qsubs.append(
+            queries.select(
+                F.col(col_id).alias("query_id"),
+                F.lit(s).alias("sub"),
+                sub_v.alias("qs"),
+            )
+        )
+    qs = qsubs[0]
+    for b in qsubs[1:]:
+        qs = qs.unionByName(b)
+    qn = queries.select(
+        F.col(col_id).alias("query_id"),
+        norm(as_double(col_vec)).alias("qn"),
+    )
+    tables = qs.join(broadcast(books), "sub").select(
+        "query_id", "sub", "cid", dot(F.col("qs"), F.col("c")).alias("pdot")
+    )
+    scored = (
+        codes.join(broadcast(tables), ["sub", "cid"])
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(
+            F.sum("pdot").alias("adc_dot"),
+            F.sum("c_sq").alias("cn2_rec"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("adc_dot") / (F.col("qn") * F.sqrt(F.col("cn2_rec"))),
+                6,
+            ).alias("cos_est"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_est"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -35,3 +35,26 @@ def test_multiprobe_recall_at_10(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.60, f"multi-probe recall@10 regressed: {recall:.2%}"
+
+
+def test_pq_adc_recall_at_10(spark):
+    """PQ-ADC recall floor. Context for the low bar: the synthetic
+    corpus is ISOTROPIC random vectors — the worst case for product
+    quantization, which exploits clustered subspace distributions
+    (measured 34% at m=4, 38% at m=16; real embeddings do far
+    better). The gate catches regressions in the codebook/encode/ADC
+    chain, not the data's intrinsic quantizability."""
+    from recmetrics_pyspark_spark.operators.similarity import pq_ann_topk
+
+    embs = load_table(spark, SF_DIR, "embeddings")
+    qset = embs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(embs, qset, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_ann_topk(embs, qset, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"PQ-ADC recall@10 regressed: {recall:.2%}"

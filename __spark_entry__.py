@@ -1409,6 +1409,39 @@ def _freshness_decay_sample(spark, sf_dir):
     )
 
 
+def _wau_hll_mergeable(spark, sf_dir):
+    """Mergeable-sketch weekly active users: per-DAY HLL sketches
+    (DataSketches, lgConfigK=12) unioned into weekly estimates — the
+    pattern that makes incremental distinct counts possible at 100 TB
+    (a day's sketch is built once from that day's events; the weekly
+    refresh unions 7 fixed-size sketches and never rescans raw).
+    SELF-CHECKING: the query also computes the exact weekly distinct
+    and returns it plus an in-bounds flag (HLL lgK=12 rsd ≈ 0.8%, flag
+    allows 5%); the oracle recomputes the exact count and pins the
+    flag TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    weekly_est = daily.groupBy(
+        F.date_trunc("week", F.col("d")).alias("week_start")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    weekly_exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week_start")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    ok = (
+        F.abs(F.col("est") - F.col("wau"))
+        <= 0.05 * F.col("wau")
+    )
+    return (
+        weekly_exact.join(weekly_est, "week_start")
+        .select("week_start", "wau", ok.alias("sketch_within_bounds"))
+        .orderBy("week_start")
+    )
+
+
 def _q_rollup_tree(spark, sf_dir):
     """Hypertable-style rollup tree: weekly per-type stats derived
     hour→day→week, each level aggregating ONLY the level below (the
@@ -1621,10 +1654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": Q3.q_grouping_sets,
         # round-3 TPC-H correlation shapes (plans/relational4.py)
         "q2_min_cost_supplier": Q4.q2_min_cost_supplier,
+        "q8_market_share": Q4.q8_market_share,
+        "q11_important_stock": Q4.q11_important_stock,
         "q13_order_count_distribution": Q4.q13_order_count_distribution,
+        "q15_top_supplier": Q4.q15_top_supplier,
+        "q16_supplier_cnt_by_part": Q4.q16_supplier_cnt_by_part,
         "q17_small_quantity_revenue": Q4.q17_small_quantity_revenue,
+        "q20_candidate_suppliers": Q4.q20_candidate_suppliers,
         "q21_sole_latest_supplier": Q4.q21_sole_latest_supplier,
         "q_rollup_tree": _q_rollup_tree,
+        "wau_hll_mergeable": _wau_hll_mergeable,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -2049,6 +2088,79 @@ WHERE EXISTS (
     WHERE y.l_orderkey = l1.l_orderkey AND y.l_suppkey <> l1.l_suppkey
       AND y.l_shipdate > l1.l_shipdate)
 GROUP BY s_name ORDER BY numwait DESC, supplier ASC
+""",
+        "q8_market_share": """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year, n_name,
+    l_extendedprice * (1 - l_discount) AS vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT o_year,
+  round(sum(CASE WHEN n_name = 'FRANCE' THEN vol ELSE 0.0 END)
+    / sum(vol), 6) AS mkt_share,
+  round(sum(vol), 6) AS total_volume
+FROM j GROUP BY o_year ORDER BY o_year
+""",
+        "q11_important_stock": """
+WITH pp AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem GROUP BY l_partkey
+), t AS (SELECT sum(part_value) * 0.0001 AS cutoff FROM pp)
+SELECT l_partkey, round(part_value, 6) AS part_value
+FROM pp, t WHERE part_value > cutoff
+ORDER BY part_value DESC, l_partkey
+""",
+        "q15_top_supplier": """
+WITH r AS (
+  SELECT l_suppkey,
+    round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+), m AS (SELECT max(total_revenue) AS max_revenue FROM r)
+SELECT l_suppkey, s_name AS supplier, total_revenue
+FROM r, m
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = max_revenue
+ORDER BY l_suppkey
+""",
+        "q16_supplier_cnt_by_part": """
+WITH cut AS (SELECT avg(s_acctbal) AS cut FROM supplier),
+excl AS (SELECT s_suppkey FROM supplier, cut WHERE s_acctbal < cut),
+kept AS (
+  SELECT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+)
+SELECT p_brand, substr(p_type, 1, 6) AS p_type_prefix, p_size,
+  count(DISTINCT l_suppkey) AS supplier_cnt
+FROM kept JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+GROUP BY p_brand, p_type_prefix, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type_prefix, p_size
+""",
+        "q20_candidate_suppliers": """
+WITH q AS (
+  SELECT DISTINCT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_quantity >= 45
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+)
+SELECT s_suppkey, s_name AS supplier, s_acctbal
+FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM q)
+ORDER BY s_suppkey
+""",
+        # exact weekly distinct + TRUE flag: the Spark side flips the
+        # flag if the unioned per-day HLL sketches drift past 5%
+        "wau_hll_mergeable": """
+SELECT date_trunc('week', ts) AS week_start,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+  TRUE AS sketch_within_bounds
+FROM events GROUP BY 1 ORDER BY week_start
 """,
         # direct weekly recompute from raw events: green PROVES the
         # hour->day->week tree derivation equals the direct aggregate

@@ -110,6 +110,141 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — conditional-aggregate market share: one
+    nation's revenue fraction of the total per year (sum(CASE)/sum —
+    the two-level aggregate over one join tree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _r6(
+                F.sum(F.when(F.col("n_name") == "FRANCE", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share"),
+            _r6(F.sum(vol)).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — group total vs a GLOBAL-fraction threshold
+    (correlated HAVING decorrelated into a one-row broadcast): parts
+    whose revenue exceeds 0.01% of all revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(vol).alias("part_value"))
+    total = per_part.agg(
+        (F.sum("part_value") * 0.0001).alias("cutoff")
+    )
+    return (
+        per_part.crossJoin(broadcast(total))
+        .filter(F.col("part_value") > F.col("cutoff"))
+        .select("l_partkey", _r6(F.col("part_value")).alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — view + scalar-max join-back: the supplier(s)
+    achieving the maximum quarterly revenue (the revenue 'view' is a
+    grouped aggregate; the max is a one-row broadcast; equality
+    join-back returns all argmax rows)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "l_suppkey",
+            F.col("s_name").alias("supplier"),
+            "total_revenue",
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct-count after an anti join: suppliers
+    per (brand, type-prefix, size) over small parts, EXCLUDING
+    below-average-balance suppliers (the NOT IN decorrelated into a
+    broadcast left-anti join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    sup = load_table(spark, sf_dir, "supplier")
+    bal_cut = sup.agg(F.avg("s_acctbal").alias("cut"))
+    excluded = sup.crossJoin(broadcast(bal_cut)).filter(
+        F.col("s_acctbal") < F.col("cut")
+    )
+    kept = li.join(
+        excluded.select("s_suppkey"),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        kept.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.substring("p_type", 1, 6).alias("p_type_prefix"),
+            "p_size",
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            "p_brand",
+            "p_type_prefix",
+            "p_size",
+        )
+    )
+
+
+def q20_candidate_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested semi-join chain: suppliers who shipped
+    a high-quantity line (≥ 45) of a small part in 1996 (part-filter →
+    lineitem-filter → supplier semi join, each leg pruning the next)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_quantity") >= 45)
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    sup = load_table(spark, sf_dir, "supplier")
+    qualifying = li.join(
+        broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    return (
+        sup.join(
+            qualifying.select(F.col("l_suppkey").alias("qk")).distinct(),
+            sup.s_suppkey == F.col("qk"),
+            "left_semi",
+        )
+        .select(
+            "s_suppkey", F.col("s_name").alias("supplier"), "s_acctbal"
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def q21_sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape — exists + not-exists double correlation: in
     finalized multi-supplier orders, suppliers whose line ships

@@ -56,6 +56,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSONL ingestion with a quarantine lane: rows
+    that parse cleanly against ``schema`` flow on; malformed lines are
+    RETAINED (not silently dropped) in a second DataFrame carrying the
+    raw text, ready for a dead-letter sink. This is the ingestion-QA
+    front door a 100 TB pipeline needs — PERMISSIVE mode with an
+    explicit ``_corrupt_record`` column, split into (clean, quarantine).
+
+    One scan feeds both outputs (same cached source plan); at scale,
+    write the quarantine lane to its own path and alert on its volume
+    (see operators/quality.py for the gate shape).
+
+    Caveat baked into the split: Spark leaves ALL other columns null on
+    a corrupt row, so cleanliness is `_corrupt_record IS NULL`, which
+    also quarantines lines that are valid JSON but violate the schema's
+    types — exactly what you want for a typed pipeline."""
+    df = (
+        spark.read.schema(schema + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, quarantine
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

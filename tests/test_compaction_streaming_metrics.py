@@ -56,3 +56,25 @@ def test_streaming_item_volumes_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_read_jsonl_quarantine_splits_clean_and_corrupt(spark, tmp_path):
+    from recmetrics_pyspark_spark.sources.io import read_jsonl_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "name": "fine"}\n'
+        '{"id": "not_a_number", "name": "type-violation"}\n'
+        '{"id": 3}\n'  # missing field is NULL, still clean
+    )
+    clean, quarantine = read_jsonl_quarantine(
+        spark, str(p), "id BIGINT, name STRING"
+    )
+    rows = {r["id"]: r["name"] for r in clean.collect()}
+    assert rows == {1: "ok", 2: "fine", 3: None}
+    bad = sorted(r["raw_line"] for r in quarantine.collect())
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("not_a_number" in b for b in bad)

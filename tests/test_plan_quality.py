@@ -99,7 +99,13 @@ def test_bm25_corpus_stats_broadcast(spark):
     ["redact_pii", "snapshot_diff_orders", "q_zorder_keys",
      "event_sessionize", "q_key_skew_items", "shuffle_shards",
      "rollup_incremental", "q_variant_props", "ranking_metrics",
-     "dup_ngram_fraction"],
+     "dup_ngram_fraction",
+     # round 3
+     "dpo_pair_mining", "doc_cooccurrence_pmi", "seqlen_histogram",
+     "freshness_decay_sample", "cross_lingual_contamination",
+     "curriculum_order", "pq_ann_topk", "wau_hll_mergeable",
+     "q_rollup_tree", "q21_sole_latest_supplier",
+     "q16_supplier_cnt_by_part", "balanced_sample"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

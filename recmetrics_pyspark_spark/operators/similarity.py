@@ -384,6 +384,59 @@ def ivf_ann_topk(
     )
 
 
+def _pq_subspaces(
+    df: DataFrame, m: int, sub_dim: int, col_id: str, col_vec: str
+) -> DataFrame:
+    """(vid, sub, sv, sv_sq): one row per (vector, subspace), produced
+    by a single explode — every PQ stage (train, encode, query tables)
+    for ALL subspaces then runs as ONE job instead of m, since the
+    subspace id is just a grouping column (measured: per-subspace loops
+    cost m× the scheduling and scan work for identical results)."""
+    v = as_double(col_vec)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(v, s * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return (
+        df.select(F.col(col_id).alias("vid"), F.explode(entries).alias("e"))
+        .select("vid", "e.sub", "e.sv")
+        .withColumn("sv_sq", dot(F.col("sv"), F.col("sv")))
+    )
+
+
+def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest sub-centroid per (vector, subspace): broadcast codebook
+    join + argmin on the 6-rounded expanded distance, cid tie-break —
+    the same determinism contract as the k-means family."""
+    wmin = Window.partitionBy("vid", "sub").orderBy(
+        F.asc("dist"), F.asc("cid")
+    )
+    return (
+        subs.join(broadcast(books), "sub")
+        .select(
+            "vid",
+            "sub",
+            "sv",
+            "cid",
+            "c_sq",
+            F.round(
+                F.col("sv_sq")
+                - 2.0 * dot(F.col("sv"), F.col("c"))
+                + F.col("c_sq"),
+                6,
+            ).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vid", "sub", "sv", "cid", "c_sq")
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -395,31 +448,43 @@ def pq_codebooks(
     """Product-quantization codebooks: the vector is split into ``m``
     contiguous subspaces and each gets its own deterministic Lloyd
     codebook of ``k_codes`` centroids (seeds = first k vectors by id,
-    same trainer as ``kmeans_centroids``). Returns (sub, cid, c) —
-    m·k_codes rows of dim/m floats, broadcast-scale at any corpus size.
-    """
-    dim_info = corpus.select(
-        F.size(as_double(col_vec)).alias("d")
-    ).first()
+    same trainer math as ``kmeans_centroids``; all m books train in
+    one job via the exploded subspace table). Returns (sub, cid, c,
+    c_sq) — m·k_codes rows of dim/m floats, broadcast-scale at any
+    corpus size."""
+    dim_info = corpus.select(F.size(as_double(col_vec)).alias("d")).first()
     sub_dim = dim_info["d"] // m
-    books = []
-    for s in range(m):
-        sub_v = F.slice(as_double(col_vec), s * sub_dim + 1, sub_dim)
-        base = corpus.select(
-            F.col(col_id).alias("vid"), sub_v.alias("v")
-        ).withColumn("v_sq", dot(F.col("v"), F.col("v")))
-        seeds = base.filter(F.col("vid") < k_codes).select(
-            F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
+    subs = _pq_subspaces(corpus, m, sub_dim, col_id, col_vec)
+    books = (
+        subs.filter(F.col("vid") < k_codes)
+        .select(
+            "sub",
+            F.col("vid").cast("int").alias("cid"),
+            F.col("sv").alias("c"),
         )
-        books.append(
-            _km_refine(base, seeds, refinements).withColumn(
-                "sub", F.lit(s)
+        .withColumn("c_sq", dot(F.col("c"), F.col("c")))
+    )
+    for _ in range(refinements):
+        assigned = _pq_assign(subs, books)
+        books = (
+            assigned.select(
+                "sub", "cid", F.posexplode("sv").alias("dim_idx", "val")
             )
+            .groupBy("sub", "cid", "dim_idx")
+            .agg(F.avg("val").alias("cv"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim_idx", "cv"))
+                ).alias("pairs")
+            )
+            .select(
+                "sub", "cid", F.expr("transform(pairs, p -> p.cv)").alias("c")
+            )
+            .withColumn("c_sq", dot(F.col("c"), F.col("c")))
+            .localCheckpoint(eager=True)
         )
-    out = books[0]
-    for bdf in books[1:]:
-        out = out.unionByName(bdf)
-    return out.select("sub", "cid", "c")
+    return books
 
 
 def pq_ann_topk(
@@ -456,59 +521,15 @@ def pq_ann_topk(
     sub_dim = dim_info["d"] // m
     books = pq_codebooks(
         corpus, m, k_codes, refinements, col_id, col_vec
-    ).withColumn("c_sq", dot(F.col("c"), F.col("c"))).localCheckpoint(
-        eager=True
-    )
-    # encode: nearest sub-centroid per (vector, subspace) — one corpus
-    # scan per subspace against a broadcast codebook
-    sub_bases = []
-    for s in range(m):
-        sub_v = F.slice(as_double(col_vec), s * sub_dim + 1, sub_dim)
-        sub_bases.append(
-            corpus.select(
-                F.col(col_id).alias("vid"),
-                F.lit(s).alias("sub"),
-                sub_v.alias("sv"),
-            ).withColumn("sv_sq", dot(F.col("sv"), F.col("sv")))
-        )
-    subs = sub_bases[0]
-    for b in sub_bases[1:]:
-        subs = subs.unionByName(b)
-    wmin = Window.partitionBy("vid", "sub").orderBy(
-        F.asc("dist"), F.asc("cid")
-    )
-    codes = (
-        subs.join(broadcast(books), "sub")
-        .select(
-            "vid",
-            "sub",
-            "cid",
-            "c_sq",
-            F.round(
-                F.col("sv_sq")
-                - 2.0 * dot(F.col("sv"), F.col("c"))
-                + F.col("c_sq"),
-                6,
-            ).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(wmin))
-        .filter(F.col("rn") == 1)
-        .select("vid", "sub", "cid", "c_sq")
-    )
+    ).localCheckpoint(eager=True)
+    # encode: nearest sub-centroid per (vector, subspace) — ONE job for
+    # all subspaces over the exploded subspace table
+    subs = _pq_subspaces(corpus, m, sub_dim, col_id, col_vec)
+    codes = _pq_assign(subs, books).select("vid", "sub", "cid", "c_sq")
     # ADC tables: per (query, subspace, code) partial dot — tiny
-    qsubs = []
-    for s in range(m):
-        sub_v = F.slice(as_double(col_vec), s * sub_dim + 1, sub_dim)
-        qsubs.append(
-            queries.select(
-                F.col(col_id).alias("query_id"),
-                F.lit(s).alias("sub"),
-                sub_v.alias("qs"),
-            )
-        )
-    qs = qsubs[0]
-    for b in qsubs[1:]:
-        qs = qs.unionByName(b)
+    qs = _pq_subspaces(queries, m, sub_dim, col_id, col_vec).select(
+        F.col("vid").alias("query_id"), "sub", F.col("sv").alias("qs")
+    )
     qn = queries.select(
         F.col(col_id).alias("query_id"),
         norm(as_double(col_vec)).alias("qn"),

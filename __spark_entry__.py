@@ -118,12 +118,45 @@ def _pq_oracle(m: int = 4, k_codes: int = 16, dim: int = 64, k: int = 10) -> str
     summed ADC score — the same deterministic construction as
     operators/similarity.py::pq_ann_topk (dist rounded at 6, cid
     tie-break), so codes and ranking match bit-for-bit."""
+    chains, codes_union, qt_union = _pq_chains(m, k_codes, dim)
+    return f"""
+WITH ebase AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v
+               FROM embeddings),
+{chains},
+codes AS ({codes_union}),
+qts AS ({qt_union}),
+qn AS (SELECT vid AS query_id, sqrt(list_dot_product(v, v)) AS qn
+       FROM ebase WHERE vid < 5),
+scored AS (
+  SELECT t.query_id, c.vid AS neighbor_id,
+    sum(t.pdot) AS adc_dot, sum(c.c_sq) AS cn2_rec
+  FROM codes c JOIN qts t ON c.sub = t.sub AND c.cid = t.cid
+  GROUP BY t.query_id, c.vid
+)
+SELECT query_id, neighbor_id, cos_est, rnk FROM (
+  SELECT query_id, neighbor_id, cos_est,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_est DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM (
+    SELECT s.query_id, s.neighbor_id,
+      round(s.adc_dot / (q.qn * sqrt(s.cn2_rec)), 6) AS cos_est
+    FROM scored s JOIN qn q USING (query_id)
+    WHERE s.query_id <> s.neighbor_id) f
+) r WHERE rnk <= {k}
+"""
+
+
+def _pq_chains(m: int = 4, k_codes: int = 16, dim: int = 64,
+               src: str = "ebase") -> tuple[str, str, str]:
+    """Shared per-subspace PQ CTE chains over ``src`` (vid, v): returns
+    (chains_sql, codes_union, qt_union) — reused by the PQ and IVF-PQ
+    oracles so both mirror the one Spark construction."""
     sub_dim = dim // m
-    parts = []
+    parts, codes, qts = [], [], []
     for s in range(m):
         lo, hi = s * sub_dim + 1, s * sub_dim + sub_dim
         parts.append(
-            f"""e{s} AS (SELECT vid, v[{lo}:{hi}] AS sv FROM ebase),
+            f"""e{s} AS (SELECT vid, v[{lo}:{hi}] AS sv FROM {src}),
 b{s} AS (SELECT vid, sv, list_dot_product(sv, sv) AS sv_sq FROM e{s}),
 c0_{s} AS (SELECT CAST(vid AS INTEGER) AS cid, sv AS c FROM e{s}
            WHERE vid < {k_codes}),
@@ -155,24 +188,53 @@ a1_{s} AS (
   FROM e{s} q, c1_{s} c WHERE q.vid < 5
 )"""
         )
-    chains = ",\n".join(parts)
-    codes_union = " UNION ALL ".join(
-        f"SELECT * FROM code{s}" for s in range(m)
+        codes.append(f"SELECT * FROM code{s}")
+        qts.append(f"SELECT * FROM qt{s}")
+    return (
+        ",\n".join(parts),
+        " UNION ALL ".join(codes),
+        " UNION ALL ".join(qts),
     )
-    qt_union = " UNION ALL ".join(f"SELECT * FROM qt{s}" for s in range(m))
-    return f"""
-WITH ebase AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v
-               FROM embeddings),
+
+
+def _ivfpq_oracle(nprobe: int = 3, k: int = 10) -> str:
+    """IVF-PQ oracle: the coarse KMEANS chain (cells) gates which
+    codes each query scores; the PQ chains supply codes + ADC tables —
+    exactly operators/similarity.py::ivfpq_ann_topk."""
+    chains, codes_union, qt_union = _pq_chains(src="e")
+    return KMEANS_CTE + f""",
+coarse AS (
+  SELECT vid, cid AS ccid FROM (
+    SELECT b.vid, c1.cid,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.v_sq - 2*list_dot_product(b.v, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
+    FROM b, c1) t
+  WHERE rn = 1
+),
 {chains},
 codes AS ({codes_union}),
 qts AS ({qt_union}),
-qn AS (SELECT vid AS query_id, sqrt(list_dot_product(v, v)) AS qn
-       FROM ebase WHERE vid < 5),
+qb AS (SELECT vid AS query_id, v AS qv, v_sq AS q_sq FROM b WHERE vid < 5),
+probes AS (
+  SELECT query_id, cid AS ccid FROM (
+    SELECT qb.query_id, c1.cid,
+      row_number() OVER (PARTITION BY qb.query_id
+        ORDER BY round(qb.q_sq - 2*list_dot_product(qb.qv, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
+    FROM qb, c1) t
+  WHERE rn <= {nprobe}
+),
+qn AS (SELECT vid AS query_id, sqrt(v_sq) AS qn FROM b WHERE vid < 5),
 scored AS (
-  SELECT t.query_id, c.vid AS neighbor_id,
+  SELECT p.query_id, c.vid AS neighbor_id,
     sum(t.pdot) AS adc_dot, sum(c.c_sq) AS cn2_rec
-  FROM codes c JOIN qts t ON c.sub = t.sub AND c.cid = t.cid
-  GROUP BY t.query_id, c.vid
+  FROM codes c
+  JOIN coarse x ON c.vid = x.vid
+  JOIN probes p ON x.ccid = p.ccid
+  JOIN qts t ON t.query_id = p.query_id
+    AND t.sub = c.sub AND t.cid = c.cid
+  GROUP BY p.query_id, c.vid
 )
 SELECT query_id, neighbor_id, cos_est, rnk FROM (
   SELECT query_id, neighbor_id, cos_est,
@@ -598,6 +660,14 @@ def _pq_ann_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries_df = embs.filter(F.col("vec_id") < 5)
     return S.pq_ann_topk(embs, queries_df, k=10, m=4, k_codes=16)
+
+
+def _ivfpq_ann_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5)
+    return S.ivfpq_ann_topk(
+        embs, queries_df, k=10, n_cells=8, nprobe=3, m=4, k_codes=16
+    )
 
 
 def _repetition_stats(spark, sf_dir):
@@ -1585,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ivf_ann_topk": _ivf_ann_topk,
         "pq_ann_topk": _pq_ann_topk,
+        "ivfpq_ann_topk": _ivfpq_ann_topk,
         "embedding_neardup": _embedding_neardup,
         "kmeans_assignments": _kmeans,
         "label_centroids": _label_centroids,
@@ -2550,6 +2621,7 @@ WHERE rnk <= 10
 """,
         "ann_lsh_topk": _ann_lsh_oracle(),
         "pq_ann_topk": _pq_oracle(),
+        "ivfpq_ann_topk": _ivfpq_oracle(),
         "embedding_neardup": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,

@@ -40,6 +40,7 @@ from .similarity import (
     embedding_gram,
     embedding_near_duplicates,
     embedding_pca,
+    ivfpq_ann_topk,
     pq_ann_topk,
     pq_codebooks,
 )
@@ -72,6 +73,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_pairs",
     "ann_bruteforce_topk",
+    "ivfpq_ann_topk",
     "pq_ann_topk",
     "pq_codebooks",
     "embedding_near_duplicates",

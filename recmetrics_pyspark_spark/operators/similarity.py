@@ -564,6 +564,110 @@ def pq_ann_topk(
     )
 
 
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    k_codes: int = 16,
+    refinements: int = 1,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition: the trained coarse
+    quantizer (``ivf_ann_topk``'s cells) bounds WHICH vectors each
+    query scores (nprobe/n_cells of the corpus), and product
+    quantization (``pq_ann_topk``'s codes) bounds WHAT scoring a
+    candidate costs (m table lookups over m stored codes instead of a
+    d-dim float dot). At 100 TB this is the only shape that holds:
+    per-query work ≈ (nprobe/n_cells)·N·m lookups against a corpus
+    stored at (m bytes + 1 cell id)/vector.
+
+    This is the IVF-Flat-PQ variant (codes quantize raw vectors);
+    classic IVF-PQ quantizes residuals v − cell_centroid for tighter
+    codes — same plan shape, one extra subtraction at encode/query
+    time, omitted here to keep the oracle construction linear.
+
+    Deterministic end-to-end (both quantizers break ties on id over
+    6-rounded distances), so the SQL oracle reproduces cells, codes,
+    ADC tables, and ranking exactly."""
+    base = _km_base(corpus, col_id, col_vec)
+    seeds = base.filter(F.col("vid") < n_cells).select(
+        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    centroids = _km_refine(base, seeds, refinements)
+    coarse = _km_assign(base, centroids).select(
+        "vid", F.col("cid").alias("ccid")
+    )
+    dim_info = corpus.select(F.size(as_double(col_vec)).alias("d")).first()
+    sub_dim = dim_info["d"] // m
+    books = pq_codebooks(
+        corpus, m, k_codes, refinements, col_id, col_vec
+    ).localCheckpoint(eager=True)
+    subs = _pq_subspaces(corpus, m, sub_dim, col_id, col_vec)
+    codes = (
+        _pq_assign(subs, books)
+        .select("vid", "sub", "cid", "c_sq")
+        .join(coarse, "vid")
+    )
+    # query side: nprobe nearest coarse cells (same construction as
+    # ivf_ann_topk), plus the per-query ADC tables
+    qbase = queries.select(
+        F.col(col_id).alias("query_id"), as_double(col_vec).alias("qv")
+    ).withColumn("q_sq", dot(F.col("qv"), F.col("qv")))
+    c_sq = centroids.withColumn("csq", dot(F.col("c"), F.col("c")))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
+    probes = (
+        qbase.crossJoin(broadcast(c_sq))
+        .select(
+            "query_id",
+            "cid",
+            F.round(
+                F.col("q_sq") - 2.0 * dot(F.col("qv"), F.col("c"))
+                + F.col("csq"),
+                6,
+            ).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("ccid"))
+    )
+    qs = _pq_subspaces(queries, m, sub_dim, col_id, col_vec).select(
+        F.col("vid").alias("query_id"), "sub", F.col("sv").alias("qs")
+    )
+    tables = qs.join(broadcast(books), "sub").select(
+        "query_id", "sub", "cid", dot(F.col("qs"), F.col("c")).alias("pdot")
+    )
+    qn = queries.select(
+        F.col(col_id).alias("query_id"), norm(as_double(col_vec)).alias("qn")
+    )
+    scored = (
+        codes.join(broadcast(probes), "ccid")
+        .join(broadcast(tables), ["query_id", "sub", "cid"])
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adc_dot"), F.sum("c_sq").alias("cn2_rec"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("adc_dot") / (F.col("qn") * F.sqrt(F.col("cn2_rec"))),
+                6,
+            ).alias("cos_est"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_est"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.9,

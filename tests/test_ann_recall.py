@@ -58,3 +58,23 @@ def test_pq_adc_recall_at_10(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.25, f"PQ-ADC recall@10 regressed: {recall:.2%}"
+
+
+def test_ivfpq_recall_at_10(spark):
+    """IVF-PQ composition: cell restriction + code quantization.
+    Measured 40% on the isotropic worst-case corpus (nprobe=3 of 8
+    cells); the gate catches chain regressions."""
+    from recmetrics_pyspark_spark.operators.similarity import ivfpq_ann_topk
+
+    embs = load_table(spark, SF_DIR, "embeddings")
+    qset = embs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(embs, qset, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_ann_topk(embs, qset, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"IVF-PQ recall@10 regressed: {recall:.2%}"

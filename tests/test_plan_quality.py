@@ -103,7 +103,8 @@ def test_bm25_corpus_stats_broadcast(spark):
      # round 3
      "dpo_pair_mining", "doc_cooccurrence_pmi", "seqlen_histogram",
      "freshness_decay_sample", "cross_lingual_contamination",
-     "curriculum_order", "pq_ann_topk", "wau_hll_mergeable",
+     "curriculum_order", "pq_ann_topk", "ivfpq_ann_topk",
+     "wau_hll_mergeable",
      "q_rollup_tree", "q21_sole_latest_supplier",
      "q16_supplier_cnt_by_part", "balanced_sample"],
 )

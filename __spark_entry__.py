@@ -1479,6 +1479,85 @@ def _freshness_decay_sample(spark, sf_dir):
     )
 
 
+def _freq_sketch_events(spark, sf_dir):
+    """Frequency-sketch surface (DataSketches frequent-items via
+    approx_top_k): estimated per-type event counts vs the exact
+    aggregate, with the estimates verified EQUAL here because the
+    tracker (maxItemsTracked=100) exceeds the distinct-type count — at
+    production cardinalities (items >> tracker) the same call degrades
+    gracefully per the frequent-items guarantee (true heavy hitters
+    survive, counts within εN). Output is the exact counts + a flag
+    the oracle pins TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr("approx_top_k(event_type, 5, 100)").alias("top")
+    ).select(
+        F.explode("top").alias("e")
+    ).select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").alias("est_count"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        exact.join(sk, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("est_count") == F.col("n_events")).alias(
+                "sketch_within_bounds"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the composition a training-data
+    run executes, as ONE declared query: exact-dedup survivors →
+    quality-score floor → deterministic per-lang hash-balancing (the
+    balanced_sample trick) → per-lang yield accounting with surviving
+    token mass. Every stage is an existing operator; the oracle chains
+    their SQL mirrors, so green proves the COMPOSITION, not just the
+    parts."""
+    docs = _docs(spark, sf_dir)
+    survivors = docs.join(
+        D.exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id"),
+        "doc_id",
+    )
+    scored = survivors.join(T.quality_score(survivors), "doc_id").filter(
+        F.col("quality") >= 0.5
+    )
+    counts = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    min_count = counts.agg(F.min("n").alias("min_n"))
+    thresholds = counts.crossJoin(F.broadcast(min_count)).select(
+        "lang",
+        F.floor(
+            F.lit(4294967296.0) * F.col("min_n") / F.col("n")
+        ).alias("u_threshold"),
+    )
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    kept = (
+        scored.withColumn("u", key)
+        .join(F.broadcast(thresholds), "lang")
+        .filter(F.col("u") < F.col("u_threshold"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("size(split(text, ' '))")).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _wau_hll_mergeable(spark, sf_dir):
     """Mergeable-sketch weekly active users: per-DAY HLL sketches
     (DataSketches, lgConfigK=12) unioned into weekly estimates — the
@@ -1735,6 +1814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_latest_supplier": Q4.q21_sole_latest_supplier,
         "q_rollup_tree": _q_rollup_tree,
         "wau_hll_mergeable": _wau_hll_mergeable,
+        "freq_sketch_events": _freq_sketch_events,
+        "curation_pipeline": _curation_pipeline,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -2241,6 +2322,48 @@ SELECT date_trunc('week', ts) AS week_start, event_type,
   round(sum(value), 6) AS sum_value,
   CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
 FROM events GROUP BY 1, 2 ORDER BY week_start, event_type
+""",
+        "freq_sketch_events": """
+SELECT event_type, count(*) AS n_events, TRUE AS sketch_within_bounds
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "curation_pipeline": f"""
+WITH h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+g AS (SELECT ch, min(doc_id) AS canonical FROM h GROUP BY ch),
+surv AS (SELECT d.* FROM documents d JOIN g ON d.doc_id = g.canonical),
+q AS (
+  SELECT doc_id,
+    round(least(len(toks)/50.0, 1.0)*0.4
+      + (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         / CAST(length(text) AS DOUBLE))*0.4
+      + least(5.0*len(list_filter(toks, x -> x IN {_sqlset(T.STOPWORDS_EN)}))
+              / CAST(len(toks) AS DOUBLE), 1.0)*0.2, 6) AS quality
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM surv)
+),
+sc AS (
+  SELECT s.*, q.quality FROM surv s JOIN q USING (doc_id)
+  WHERE q.quality >= 0.5
+),
+counts AS (SELECT lang, count(*) AS n FROM sc GROUP BY lang),
+mn AS (SELECT min(n) AS min_n FROM counts),
+th AS (
+  SELECT lang,
+    CAST(floor(4294967296.0 * min_n / n) AS BIGINT) AS u_threshold
+  FROM counts, mn
+),
+keyed AS (
+  SELECT sc.*,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+  FROM sc
+),
+kept AS (
+  SELECT k.* FROM keyed k JOIN th ON k.lang = th.lang
+  WHERE u < u_threshold
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+  round(avg(quality), 6) AS avg_quality
+FROM kept GROUP BY lang ORDER BY lang
 """,
         "cross_lingual_contamination": """
 WITH d AS (

@@ -1237,6 +1237,35 @@ def _events_asof_purchase(spark, sf_dir):
     )
 
 
+def _events_asof_next_purchase(spark, sf_dir):
+    """Forward as-of with tolerance: for every click, the NEXT purchase
+    by the same user within 2 hours (operators/joins.py::asof_join
+    direction='forward', tolerance_seconds=7200 — pandas merge_asof
+    parity; the oracle uses DuckDB's ASOF with the reversed comparison
+    plus the same tolerance null-out)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_eid"),
+            F.max("value").alias("p_value"),
+        )
+    )
+    out = J.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols=["p_eid", "p_value"],
+        direction="forward",
+        tolerance_seconds=7200,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "p_eid_asof", "p_value_asof", "ts_asof"
+    )
+
+
 def _events_range_pairs(spark, sf_dir):
     return J.range_self_join(
         load_table(spark, sf_dir, "events"),
@@ -1816,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wau_hll_mergeable": _wau_hll_mergeable,
         "freq_sketch_events": _freq_sketch_events,
         "curation_pipeline": _curation_pipeline,
+        "events_asof_next_purchase": _events_asof_next_purchase,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -2847,6 +2877,29 @@ SELECT e.user_id, e.event_id, e.ts,
   p.p_eid AS p_eid_asof, p.p_value AS p_value_asof, p.ts AS ts_asof
 FROM events e ASOF LEFT JOIN p
   ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+        "events_asof_next_purchase": """
+WITH p AS (
+  SELECT user_id, ts, max(event_id) AS p_eid, max(value) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), m AS (
+  SELECT e.user_id, e.event_id, e.ts,
+    p.p_eid, p.p_value, p.ts AS p_ts
+  FROM events e ASOF LEFT JOIN p
+    ON e.user_id = p.user_id AND e.ts <= p.ts
+  WHERE e.event_type = 'click'
+)
+SELECT user_id, event_id, ts,
+  CASE WHEN p_ts IS NOT NULL
+        AND abs(date_diff('microsecond', ts, p_ts)) <= 7200000000
+       THEN p_eid END AS p_eid_asof,
+  CASE WHEN p_ts IS NOT NULL
+        AND abs(date_diff('microsecond', ts, p_ts)) <= 7200000000
+       THEN p_value END AS p_value_asof,
+  CASE WHEN p_ts IS NOT NULL
+        AND abs(date_diff('microsecond', ts, p_ts)) <= 7200000000
+       THEN p_ts END AS ts_asof
+FROM m
 """,
         "events_range_pairs": """
 WITH e AS (

@@ -19,22 +19,35 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For every left row, attach the latest right row with
-    right_ts <= left_ts for the same key (time-series point-in-time
-    lookup; DuckDB's ASOF JOIN semantics).
+    """For every left row, attach the matching right row for the same
+    key (time-series point-in-time lookup; DuckDB ASOF JOIN / pandas
+    merge_asof semantics):
+
+    - ``direction="backward"`` (default): the LATEST right row with
+      right_ts <= left_ts;
+    - ``direction="forward"``: the EARLIEST right row with
+      right_ts >= left_ts (equal timestamps match in both modes);
+    - ``tolerance_seconds``: matches farther than this from the left
+      timestamp are nulled out (pandas merge_asof's ``tolerance``) —
+      applied as a post-projection, so the plan is unchanged.
 
     Plan: tag + union both sides, then one partitioned sort per key with
     ``last(..., ignorenulls)`` carrying the most recent right values
-    forward — a single shuffle on the key, no per-row range probe, no
-    quadratic blow-up. The sort is within key partitions only (no global
-    ordering), so it scales with the hottest key, not the table.
+    forward (scan DESCENDS for the forward direction) — a single
+    shuffle on the key, no per-row range probe, no quadratic blow-up.
+    The sort is within key partitions only (no global ordering), so it
+    scales with the hottest key, not the table.
 
     Rows tie-breaking: at equal timestamps the right row sorts BEFORE
-    the left row (matches `<=` semantics); multiple right rows at the
-    same (key, ts) should be pre-deduplicated by the caller for
-    determinism.
+    the left row (matches the inclusive comparison); multiple right
+    rows at the same (key, ts) should be pre-deduplicated by the caller
+    for determinism.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction: {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     lt = left.select(
@@ -55,9 +68,10 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         F.col(right_ts).alias("_r_ts"),
     )
+    t_order = F.col("_t") if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_t"), F.col("_is_left"))
+        .orderBy(t_order, F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt).select(
@@ -68,13 +82,38 @@ def asof_join(
         ],
         F.last(F.col("_r_ts"), ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
     )
+    out = carried.filter(F.col("_is_left") == 1)
+    if tolerance_seconds is not None:
+        # MICROSECOND granularity, not SECOND: Spark's timestampdiff
+        # truncates whole units while other engines count boundary
+        # crossings — at microseconds both are exact, so the tolerance
+        # edge is engine-portable. (timestampdiff, not a double cast:
+        # events timestamps are ntz and epoch-nanos exceed double's
+        # mantissa — see sources/io.py.)
+        gap = F.expr(
+            f"abs(timestampdiff(MICROSECOND, `{right_ts}{suffix}`, _t))"
+        )
+        within = F.col(f"{right_ts}{suffix}").isNotNull() & (
+            gap <= tolerance_seconds * 1_000_000
+        )
+        out = out.select(
+            *[c for c in out.columns
+              if not c.endswith(suffix)],
+            *[
+                F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+            F.when(within, F.col(f"{right_ts}{suffix}")).alias(
+                f"{right_ts}{suffix}"
+            ),
+        )
     keep = (
         [on]
         + [c for c in left.columns if c != on]
         + [f"{c}{suffix}" for c in right_cols]
         + [f"{right_ts}{suffix}"]
     )
-    return carried.filter(F.col("_is_left") == 1).select(*keep)
+    return out.select(*keep)
 
 
 def range_self_join(

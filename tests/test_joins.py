@@ -37,6 +37,53 @@ def test_asof_equal_timestamp_matches(spark):
     assert row["px_asof"] == 5.0  # <= semantics: same-instant row matches
 
 
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "e1"),
+         (1, _ts("2024-01-01T11:30:00"), "e2")],
+        ["k", "ts", "name"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"), 10.0),
+         (1, _ts("2024-01-01T11:00:00"), 20.0)],
+        ["k", "ts", "px"],
+    )
+    out = {
+        r["name"]: r
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    # e1's NEXT right is 10:30 (earliest >=), e2 has none ahead
+    assert out["e1"]["px_asof"] == 10.0
+    assert out["e2"]["px_asof"] is None
+    # equal instant matches forward too
+    row = asof_join(
+        spark.createDataFrame([(1, _ts("2024-01-01T11:00:00"), "x")],
+                              ["k", "ts", "name"]),
+        right, on="k", direction="forward",
+    ).head()
+    assert row["px_asof"] == 20.0
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "near"),
+         (1, _ts("2024-01-01T13:00:01"), "far")],
+        ["k", "ts", "name"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:59:00"), 1.0)], ["k", "ts", "px"]
+    )
+    out = {
+        r["name"]: r
+        for r in asof_join(
+            left, right, on="k", tolerance_seconds=3600 * 3
+        ).collect()
+    }
+    assert out["near"]["px_asof"] == 1.0
+    # 3h 1m 1s away: beyond tolerance -> nulled, ts too
+    assert out["far"]["px_asof"] is None and out["far"]["ts_asof"] is None
+
+
 def test_range_self_join_cross_bucket_pairs(spark):
     # ids ordered against time: the pair (1, 2) has id_a earlier but
     # ts_a later -- must still be found across bucket boundaries

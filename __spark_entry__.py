@@ -1508,6 +1508,130 @@ def _freshness_decay_sample(spark, sf_dir):
     )
 
 
+def _grouped_split(spark, sf_dir):
+    """Leakage-safe GROUP-level dataset split: every event of a user
+    lands in the same train/val/test bucket (split on md5(user_id),
+    not per-row — per-row splits leak user behavior across splits,
+    the classic recommender-eval mistake). Output proves the property:
+    per-split user/event counts plus a cross-split-user counter the
+    oracle pins at ZERO."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    split = (
+        F.when(u % 10 < 8, "train")
+        .when(u % 10 < 9, "val")
+        .otherwise("test")
+    )
+    tagged = ev.select("user_id", "event_id", split.alias("split"))
+    per_split = tagged.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    leaked = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_users")
+        )
+    )
+    return (
+        per_split.crossJoin(F.broadcast(leaked))
+        .select("split", "n_users", "n_events", "leaked_users")
+        .orderBy("split")
+    )
+
+
+def _attribution_linear(spark, sf_dir):
+    """Multi-touch LINEAR attribution: each purchase's value is split
+    equally across the user's clicks in the prior 2 hours (the
+    single-touch last-click twin is attribution_last_touch). One
+    range-bounded join on user_id + one purchase-scale aggregate +
+    one click-scale aggregate — never clicks × purchases beyond the
+    2-hour band. Output: per-user attributed value totals."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+    )
+    # band join: clicks within (p_ts - 2h, p_ts]
+    pairs = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("click_ts") <= F.col("p_ts"))
+        & (
+            F.expr("timestampdiff(MICROSECOND, click_ts, p_ts)")
+            <= 7200 * 1_000_000
+        ),
+    ).select(purchases.user_id, "p_id", "p_value", "click_id")
+    touch_counts = pairs.groupBy("p_id").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    credited = pairs.join(touch_counts, "p_id").select(
+        "user_id",
+        "click_id",
+        (F.col("p_value") / F.col("n_touches")).alias("credit"),
+    )
+    return (
+        credited.groupBy("user_id")
+        .agg(
+            F.countDistinct("click_id").alias("n_credited_clicks"),
+            F.round(F.sum("credit"), 6).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _feature_binning(spark, sf_dir):
+    """Numeric feature binning both ways in one query: equi-WIDTH
+    (floor arithmetic over the broadcast [min,max] range — scan-side)
+    and equi-DEPTH (ntile quantile bins) for order totals, with per-bin
+    occupancy. Width bins are skew-visible (heavy bins), depth bins are
+    balanced by construction — the table a feature-engineering pass
+    reads before choosing. Depth binning is the documented-global-sort
+    exact twin; at 100 TB swap ntile for percentile-cut filters (the
+    balanced_sample trick)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    # explicit floor arithmetic rather than width_bucket: DuckDB lacks
+    # the function, and mirroring the exact expression on both sides
+    # guarantees identical float edge behavior
+    wb = orders.crossJoin(F.broadcast(rng)).select(
+        (
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") + 0.000001 - F.col("lo")) / 8.0)
+            )
+            + 1
+        ).cast("bigint").alias("width_bin"),
+        F.ntile(8)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .cast("bigint")
+        .alias("depth_bin"),
+        "o_totalprice",
+    )
+    width = wb.groupBy(F.col("width_bin").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_width"),
+        F.round(F.min("o_totalprice"), 6).alias("width_lo"),
+    )
+    depth = wb.groupBy(F.col("depth_bin").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_depth"),
+        F.round(F.min("o_totalprice"), 6).alias("depth_lo"),
+    )
+    return width.join(depth, "bin", "full_outer").orderBy("bin")
+
+
 def _freq_sketch_events(spark, sf_dir):
     """Frequency-sketch surface (DataSketches frequent-items via
     approx_top_k): estimated per-type event counts vs the exact
@@ -1846,6 +1970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_sketch_events": _freq_sketch_events,
         "curation_pipeline": _curation_pipeline,
         "events_asof_next_purchase": _events_asof_next_purchase,
+        "grouped_split": _grouped_split,
+        "attribution_linear": _attribution_linear,
+        "feature_binning": _feature_binning,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -2352,6 +2479,73 @@ SELECT date_trunc('week', ts) AS week_start, event_type,
   round(sum(value), 6) AS sum_value,
   CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
 FROM events GROUP BY 1, 2 ORDER BY week_start, event_type
+""",
+        "grouped_split": """
+WITH tagged AS (
+  SELECT user_id, event_id,
+    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10 < 8 THEN 'train'
+         WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10 < 9 THEN 'val'
+         ELSE 'test' END AS split
+  FROM events
+), per AS (
+  SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+    count(*) AS n_events
+  FROM tagged GROUP BY split
+), leaked AS (
+  SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS leaked_users
+  FROM (SELECT user_id, count(DISTINCT split) AS n_splits
+        FROM tagged GROUP BY user_id) t
+)
+SELECT split, n_users, n_events, leaked_users
+FROM per, leaked ORDER BY split
+""",
+        "attribution_linear": """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT p.user_id, p.p_id, p.p_value, c.click_id
+  FROM p JOIN c ON p.user_id = c.user_id
+    AND c.click_ts <= p.p_ts
+    AND date_diff('microsecond', c.click_ts, p.p_ts) <= 7200000000
+), tc AS (SELECT p_id, count(*) AS n_touches FROM pairs GROUP BY p_id),
+credited AS (
+  SELECT pairs.user_id, pairs.click_id,
+    pairs.p_value / tc.n_touches AS credit
+  FROM pairs JOIN tc USING (p_id)
+)
+SELECT user_id,
+  CAST(count(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
+  round(sum(credit), 6) AS attributed_value
+FROM credited GROUP BY user_id ORDER BY user_id
+""",
+        "feature_binning": """
+WITH rng AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+), wb AS (
+  SELECT CAST(floor((o_totalprice - lo)
+         / ((hi + 0.000001 - lo) / 8.0)) + 1 AS BIGINT) AS width_bin,
+    CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey)
+         AS BIGINT) AS depth_bin,
+    o_totalprice
+  FROM orders, rng
+), w AS (
+  SELECT width_bin AS bin, count(*) AS n_width,
+    round(min(o_totalprice), 6) AS width_lo
+  FROM wb GROUP BY width_bin
+), d AS (
+  SELECT depth_bin AS bin, count(*) AS n_depth,
+    round(min(o_totalprice), 6) AS depth_lo
+  FROM wb GROUP BY depth_bin
+)
+SELECT bin, n_width, width_lo, n_depth, depth_lo
+FROM w FULL OUTER JOIN d USING (bin) ORDER BY bin
 """,
         "freq_sketch_events": """
 SELECT event_type, count(*) AS n_events, TRUE AS sketch_within_bounds

@@ -197,6 +197,56 @@ a1_{s} AS (
     )
 
 
+def _pq_rerank_oracle(pool: int = 80, k: int = 10) -> str:
+    """Two-stage oracle: the PQ-ADC estimate orders a candidate pool,
+    exact cosine re-ranks it — mirrors pq_ann_topk(rerank_factor=8)."""
+    chains, codes_union, qt_union = _pq_chains()
+    return f"""
+WITH ebase AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v
+               FROM embeddings),
+{chains},
+codes AS ({codes_union}),
+qts AS ({qt_union}),
+qn AS (SELECT vid AS query_id, sqrt(list_dot_product(v, v)) AS qn
+       FROM ebase WHERE vid < 5),
+scored AS (
+  SELECT t.query_id, c.vid AS neighbor_id,
+    sum(t.pdot) AS adc_dot, sum(c.c_sq) AS cn2_rec
+  FROM codes c JOIN qts t ON c.sub = t.sub AND c.cid = t.cid
+  GROUP BY t.query_id, c.vid
+),
+est AS (
+  SELECT s.query_id, s.neighbor_id,
+    round(s.adc_dot / (q.qn * sqrt(s.cn2_rec)), 6) AS cos_est
+  FROM scored s JOIN qn q USING (query_id)
+  WHERE s.query_id <> s.neighbor_id
+),
+pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_est DESC, neighbor_id) AS rnk0
+    FROM est) t
+  WHERE rnk0 <= {pool}
+),
+ex AS (
+  SELECT p.query_id, p.neighbor_id,
+    round(list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v))
+         * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM pool p
+  JOIN ebase q ON p.query_id = q.vid
+  JOIN ebase c ON p.neighbor_id = c.vid
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM ex) r
+WHERE rnk <= {k}
+"""
+
+
 def _ivfpq_oracle(nprobe: int = 3, k: int = 10) -> str:
     """IVF-PQ oracle: the coarse KMEANS chain (cells) gates which
     codes each query scores; the PQ chains supply codes + ADC tables —
@@ -660,6 +710,18 @@ def _pq_ann_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries_df = embs.filter(F.col("vec_id") < 5)
     return S.pq_ann_topk(embs, queries_df, k=10, m=4, k_codes=16)
+
+
+def _pq_rerank_topk(spark, sf_dir):
+    """Two-stage retrieve-rerank: PQ-ADC retrieves an 8k candidate
+    pool, exact cosine re-ranks it (operators/similarity.py::
+    pq_ann_topk rerank_factor=8 — recall@10 90% while exact-scoring
+    16% of the corpus)."""
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5)
+    return S.pq_ann_topk(
+        embs, queries_df, k=10, m=4, k_codes=16, rerank_factor=8
+    )
 
 
 def _ivfpq_ann_topk(spark, sf_dir):
@@ -1887,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ivf_ann_topk": _ivf_ann_topk,
         "pq_ann_topk": _pq_ann_topk,
+        "pq_rerank_topk": _pq_rerank_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
         "embedding_neardup": _embedding_neardup,
         "kmeans_assignments": _kmeans,
@@ -2968,6 +3031,7 @@ WHERE rnk <= 10
 """,
         "ann_lsh_topk": _ann_lsh_oracle(),
         "pq_ann_topk": _pq_oracle(),
+        "pq_rerank_topk": _pq_rerank_oracle(),
         "ivfpq_ann_topk": _ivfpq_oracle(),
         "embedding_neardup": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)

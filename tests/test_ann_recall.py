@@ -78,3 +78,23 @@ def test_ivfpq_recall_at_10(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.25, f"IVF-PQ recall@10 regressed: {recall:.2%}"
+
+
+def test_pq_rerank_recall_at_10(spark):
+    """Two-stage retrieve-rerank: exact scoring of the ADC top-8k pool
+    lifts recall 34% → 90% while touching 16% of the corpus — the gate
+    pins the production pattern's payoff."""
+    from recmetrics_pyspark_spark.operators.similarity import pq_ann_topk
+
+    embs = load_table(spark, SF_DIR, "embeddings")
+    qset = embs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(embs, qset, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_ann_topk(embs, qset, k=10, rerank_factor=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.70, f"PQ rerank recall@10 regressed: {recall:.2%}"

@@ -1506,6 +1506,10 @@ def _curriculum_order(spark, sf_dir):
     return C.curriculum_order(_docs(spark, sf_dir))
 
 
+def _curriculum_cuts(spark, sf_dir):
+    return C.curriculum_cuts(_docs(spark, sf_dir))
+
+
 def _q_window_dedup_rank(spark, sf_dir):
     """Keep-first-per-key dedup (the DISTINCT ON shape): the earliest
     event per (user, event_type), then per-type survivor stats."""
@@ -2036,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split": _grouped_split,
         "attribution_linear": _attribution_linear,
         "feature_binning": _feature_binning,
+        "curriculum_cuts": _curriculum_cuts,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -2609,6 +2614,30 @@ WITH rng AS (
 )
 SELECT bin, n_width, width_lo, n_depth, depth_lo
 FROM w FULL OUTER JOIN d USING (bin) ORDER BY bin
+""",
+        "curriculum_cuts": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sc AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+    round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+      + (CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+          AS DOUBLE) / CAST(len(toks) AS DOUBLE)) / 10.0 * 0.5,
+      6) AS difficulty
+  FROM d
+), cuts AS (
+  SELECT quantile_cont(difficulty, [0.25, 0.5, 0.75]) AS cuts FROM sc
+), st AS (
+  SELECT n_tok, difficulty,
+    CAST(1 + len(list_filter(cuts, c -> c < difficulty)) AS BIGINT)
+      AS stage
+  FROM sc, cuts
+)
+SELECT stage, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  round(min(difficulty), 6) AS min_difficulty,
+  round(max(difficulty), 6) AS max_difficulty
+FROM st GROUP BY stage ORDER BY stage
 """,
         "freq_sketch_events": """
 SELECT event_type, count(*) AS n_events, TRUE AS sketch_within_bounds

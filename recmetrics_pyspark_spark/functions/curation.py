@@ -346,10 +346,9 @@ def curriculum_order(
     against.
 
     Scale note: ntile is a GLOBAL window (single-reducer sort) — fine
-    for the stage-table output here, but at 100 TB assign stages with
-    the same hash-threshold trick as balanced_sample (percentile cuts
-    on the difficulty score) instead; the ntile form is the exact
-    oracle-checkable twin."""
+    for the stage-table output here; :func:`curriculum_cuts` is the
+    window-free 100 TB twin (percentile cut points broadcast over the
+    scan), equally oracle-checked."""
     t = f"split({col_text}, ' ')"
     n_tok = F.expr(f"size({t})").cast("double")
     mean_len = (
@@ -369,6 +368,62 @@ def curriculum_order(
     w = Window.orderBy(F.asc("difficulty"), F.asc(col_id))
     staged = scored.withColumn(
         "stage", F.ntile(n_stages).over(w).cast("bigint")
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.min("difficulty"), 6).alias("min_difficulty"),
+            F.round(F.max("difficulty"), 6).alias("max_difficulty"),
+        )
+        .orderBy("stage")
+    )
+
+
+def curriculum_cuts(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    n_stages: int = 4,
+) -> DataFrame:
+    """The 100 TB path promised by :func:`curriculum_order`'s docstring,
+    as real tested code: stages assigned by exact difficulty-percentile
+    CUTS instead of a global ntile window — one grouped-less aggregate
+    produces the (n_stages−1) cut points, broadcast back over the scan,
+    and stage = 1 + #cuts strictly below the row's difficulty. No
+    global sort, no single-reducer window; stage populations are
+    quantile-balanced up to ties at the cuts (ntile's exact equal
+    counts are a presentation nicety, not a training requirement)."""
+    t = f"split({col_text}, ' ')"
+    n_tok = F.expr(f"size({t})").cast("double")
+    mean_len = (
+        F.expr(
+            f"aggregate(transform({t}, x -> length(x)), 0L, (a, x) -> a + x)"
+        )
+        / n_tok
+    )
+    scored = df.select(
+        F.col(col_id),
+        n_tok.alias("n_tok"),
+        F.round(
+            F.least(n_tok / 100.0, F.lit(1.0)) * 0.5 + mean_len / 10.0 * 0.5,
+            6,
+        ).alias("difficulty"),
+    )
+    fracs = ", ".join(
+        str(i / n_stages) for i in range(1, n_stages)
+    )
+    cuts = scored.agg(
+        F.expr(f"percentile(difficulty, array({fracs}))").alias("cuts")
+    )
+    staged = scored.crossJoin(F.broadcast(cuts)).select(
+        "n_tok",
+        "difficulty",
+        (
+            F.lit(1)
+            + F.expr("size(filter(cuts, c -> c < difficulty))")
+        ).cast("bigint").alias("stage"),
     )
     return (
         staged.groupBy("stage")

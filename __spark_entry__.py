@@ -1354,6 +1354,16 @@ def _kmeans(spark, sf_dir):
     return S.kmeans_assignments(_embs(spark, sf_dir), k=8, iters=2)
 
 
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means cells as dedup buckets, within-cell cosine
+    prune (operators/similarity.py::semantic_dedup). Threshold 0.35
+    matches embedding_neardup's data-appropriate setting for the
+    synthetic embeddings."""
+    return S.semantic_dedup(
+        _embs(spark, sf_dir), k=8, iters=2, threshold=0.35
+    )
+
+
 def _coverage_approx(spark, sf_dir):
     # SELF-CHECKING sketch: the HLL estimate (approx_count_distinct,
     # rsd=0.01) is computed in the same aggregate pass as the exact
@@ -1508,6 +1518,18 @@ def _curriculum_order(spark, sf_dir):
 
 def _curriculum_cuts(spark, sf_dir):
     return C.curriculum_cuts(_docs(spark, sf_dir))
+
+
+def _zipf_fit(spark, sf_dir):
+    return C.zipf_fit(_docs(spark, sf_dir))
+
+
+def _mad_outlier_docs(spark, sf_dir):
+    # the synthetic corpus has near-uniform lengths (max |score| 1.35),
+    # so the textbook 3.5 cutoff flags nothing; 1.2 keeps a real ~5%
+    # tail in the witnessed output (the unit test exercises 3.5 on a
+    # corpus with planted outliers)
+    return C.mad_outlier_docs(_docs(spark, sf_dir), cutoff=1.2)
 
 
 def _q_window_dedup_rank(spark, sf_dir):
@@ -1957,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann_topk": _ivfpq_ann_topk,
         "embedding_neardup": _embedding_neardup,
         "kmeans_assignments": _kmeans,
+        "semantic_dedup": _semantic_dedup,
         "label_centroids": _label_centroids,
         # --- text analysis (functions/text.py)
         "text_stats": _text_stats,
@@ -2041,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear": _attribution_linear,
         "feature_binning": _feature_binning,
         "curriculum_cuts": _curriculum_cuts,
+        "zipf_fit": _zipf_fit,
+        "mad_outlier_docs": _mad_outlier_docs,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -2614,6 +2639,40 @@ WITH rng AS (
 )
 SELECT bin, n_width, width_lo, n_depth, depth_lo
 FROM w FULL OUTER JOIN d USING (bin) ORDER BY bin
+""",
+        "zipf_fit": """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), freqs AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok HAVING count(*) >= 5
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM freqs
+), xy AS (
+  SELECT ln(CAST(rnk AS DOUBLE)) AS x, y FROM ranked WHERE rnk <= 1000
+)
+SELECT count(*) AS n_tokens_fit,
+  round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope,
+  round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
+    AS zipf_intercept
+FROM xy
+""",
+        "mad_outlier_docs": """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents
+), med AS (SELECT quantile_cont(n, 0.5) AS med FROM t),
+dev AS (SELECT doc_id, n, med, abs(n - med) AS ad FROM t, med),
+mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev),
+scored AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+    round(0.6745 * (n - med) / mad, 6) AS mod_zscore
+  FROM dev, mad
+)
+SELECT doc_id, n_tokens, mod_zscore FROM scored
+WHERE abs(mod_zscore) >= 1.2
+ORDER BY abs(mod_zscore) DESC, doc_id
 """,
         "curriculum_cuts": """
 WITH d AS (
@@ -3928,6 +3987,33 @@ GROUP BY label, i - 1
 )
 SELECT cid, count(*) AS n_members, round(avg(dist), 6) AS mean_dist
 FROM a2 GROUP BY cid ORDER BY cid
+""",
+        "semantic_dedup": KMEANS_CTE + """
+, a2 AS (
+  SELECT vid, v, cid FROM (
+    SELECT b.vid, b.v, c1.cid,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.v_sq - 2*list_dot_product(b.v, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
+    FROM b, c1) t
+  WHERE rn = 1
+), nn AS (
+  SELECT vid, v, cid, sqrt(list_dot_product(v, v)) AS nrm FROM a2
+), dropped AS (
+  SELECT DISTINCT y.vid
+  FROM nn x JOIN nn y ON x.cid = y.cid AND x.vid < y.vid
+  WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.35
+)
+SELECT cid,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN d.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  CAST(count(*) - sum(CASE WHEN d.vid IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept,
+  round(sum(CASE WHEN d.vid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+    / count(*), 6) AS drop_ratio
+FROM nn LEFT JOIN dropped d USING (vid)
+GROUP BY cid ORDER BY cid
 """,
         "ivf_ann_topk": KMEANS_CTE + """
 , cells AS (

@@ -381,6 +381,95 @@ def curriculum_order(
     )
 
 
+def zipf_fit(
+    df: DataFrame,
+    col_text: str = "text",
+    min_count: int = 5,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) across the ``top_k`` most frequent tokens
+    (natural text sits near −1; heavily duplicated or templated
+    corpora flatten toward 0 — a one-number corpus-health signal).
+
+    Slope is computed by the closed covariance form cov(x,y)/var(x)
+    (identical algebra in the DuckDB oracle) rather than an engine
+    regression primitive, so both engines round the same arithmetic.
+
+    Scale: token counting is one vocabulary-scale shuffle; the rank
+    window and the regression run over ≤ top_k rows (the df cut
+    already shrank the vocabulary), and the final result is one row."""
+    freqs = (
+        df.select(
+            F.explode(F.split(F.col(col_text), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = (
+        freqs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens_fit"),
+        F.round(
+            F.covar_pop("x", "y") / F.var_pop("x"), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.avg("y")
+            - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x"),
+            6,
+        ).alias("zipf_intercept"),
+    )
+
+
+def mad_outlier_docs(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Robust length-outlier detection: the modified z-score
+    0.6745·(x − median)/MAD of token counts (Iglewicz–Hoaglin), which
+    unlike mean/stddev doesn't let the outliers themselves inflate the
+    threshold. Returns flagged docs with their scores — the standard
+    pre-filter before length-sensitive curation stages.
+
+    Scale: two exact-percentile aggregates (median of n, then median
+    of |n − median|) — each a single one-row reduction broadcast back
+    over the scan; no window, no sort of the corpus. At 100 TB swap
+    `percentile` for `approx_percentile` (documented ε) with the same
+    plan shape."""
+    toks = df.select(
+        F.col(col_id),
+        F.expr(f"size(split({col_text}, ' '))").cast("double").alias("n"),
+    )
+    med = toks.agg(F.expr("percentile(n, 0.5)").alias("med"))
+    dev = (
+        toks.crossJoin(F.broadcast(med))
+        .select(F.col(col_id), "n", "med", F.abs(F.col("n") - F.col("med")).alias("ad"))
+    )
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            F.col(col_id),
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.round(
+                0.6745 * (F.col("n") - F.col("med")) / F.col("mad"), 6
+            ).alias("mod_zscore"),
+        )
+        .filter(F.abs(F.col("mod_zscore")) >= cutoff)
+        .orderBy(F.desc(F.abs(F.col("mod_zscore"))), F.asc(col_id))
+    )
+
+
 def curriculum_cuts(
     df: DataFrame,
     col_id: str = "doc_id",

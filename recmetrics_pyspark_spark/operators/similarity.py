@@ -804,6 +804,85 @@ def embedding_gram(
     return pairs.groupBy("i", "j").agg(F.round(F.sum("p"), 6).alias("g"))
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic Lloyd
+    trainer, then prune near-duplicates WITHIN each cluster — a vector
+    is dropped when a lower-id member of its cluster has cosine
+    similarity ≥ ``threshold`` (keep-lowest-id is the paper's
+    keep-one-representative rule with a deterministic choice).
+
+    This is the embedding twin of ``minhash_lsh_pairs`` → drop: the
+    k-means cells play the role of LSH buckets, restricting the
+    quadratic cosine check to same-cell pairs. Scale: the per-cell
+    self-join is (n/k)² per cell; production SemDeDup runs k ∝ corpus
+    (paper: 50k clusters for LAION) so cells stay ~constant-sized —
+    k is the knob, the plan shape doesn't change. Everything else is
+    the one-shuffle k-means pipeline plus a cell-local join; no
+    corpus×corpus product ever materializes.
+
+    Returns per-cluster accounting (n_docs, n_dropped, n_kept,
+    round(drop_ratio, 6)) ordered by cid — the table a curation run
+    reads to pick the threshold."""
+    base = _km_base(corpus, col_id, col_vec)
+    seeds = base.filter(F.col("vid") < k).select(
+        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    centroids = _km_refine(base, seeds, iters - 1)
+    assign = (
+        _km_assign(base, centroids)
+        .withColumn("nrm", norm(F.col("v")))
+        .select("vid", "v", "nrm", "cid")
+    )
+    a = assign.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cid",
+    )
+    b = assign.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cid",
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= threshold
+        )
+        .select("id_b")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assign.join(dropped, assign["vid"] == dropped["id_b"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dropped"),
+        )
+        .select(
+            "cid",
+            "n_docs",
+            "n_dropped",
+            (F.col("n_docs") - F.col("n_dropped")).alias("n_kept"),
+            F.round(
+                F.col("n_dropped") / F.col("n_docs").cast("double"), 6
+            ).alias("drop_ratio"),
+        )
+        .orderBy("cid")
+    )
+
+
 def embedding_pca(
     df: DataFrame,
     col_id: str = "vec_id",

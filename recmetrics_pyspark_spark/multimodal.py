@@ -2,11 +2,14 @@
 columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 
 The Spark-side machinery here is real and tested — schemas, mapInPandas
-batch iteration, partition sizing, deterministic fake decode — while the
-actual codec calls are stubs (the image/audio libraries are not in this
-container). Swapping ``_fake_decode_rgb``/``_fake_decode_pcm`` for
-PIL/ffmpeg calls changes no Spark plumbing: the UDF signatures, batch
-shapes, and schemas stay identical.
+batch iteration, partition sizing — and so is the decode for binary PPM
+(P6), parsed natively in numpy with no codec library; the synthetic
+generator emits real PPM payloads so the declared pipeline performs an
+actual image decode end-to-end. Compressed formats (PNG/JPEG) route
+through PIL when present; the deterministic ``_fake_decode_rgb`` stub
+remains only as the fallback for undecodable bytes. Swapping in
+PIL/ffmpeg changes no Spark plumbing: the UDF signatures, batch shapes,
+and schemas stay identical.
 
 Design for 100 TB of media:
 - media stays an opaque ``binary`` column; metadata (width/height/
@@ -62,27 +65,51 @@ FEATURE_SCHEMA = StructType(
 
 
 def synthetic_media(
-    spark, n: int = 64, kind: str = "image", num_partitions: int = 8
+    spark,
+    n: int = 64,
+    kind: str = "image",
+    num_partitions: int = 8,
+    codec: str = "ppm",
 ) -> DataFrame:
-    """Deterministic fake media table for exercising the plumbing:
-    payload = md5-stream bytes derived from media_id (stable across
-    runs/partitionings). Partition count is explicit: a tiny generator
-    split across all cores pays Python-worker launch per partition per
-    mapInPandas stage — real media tables take their partitioning from
-    file splits instead."""
+    """Deterministic media table for exercising the pipeline. With
+    ``codec="ppm"`` (default) each payload is a REAL binary PPM image
+    (gradient pattern seeded by media_id), so ``decode_and_featurize``
+    performs an actual format decode end-to-end; ``codec="fake"`` keeps
+    the original md5-stream bytes that exercise the stub fallback.
+    Partition count is explicit: a tiny generator split across all
+    cores pays Python-worker launch per partition per mapInPandas
+    stage — real media tables take their partitioning from file splits
+    instead."""
+    def payload_for(i: int, w: int, h: int) -> bytes:
+        if codec == "ppm":
+            # id-seeded RGB gradient: channel planes shift with i, so
+            # every image is distinct but bit-stable across runs
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.uint16)
+            img = np.stack(
+                [
+                    (xx * 8 + i) % 256,
+                    (yy * 8 + 2 * i) % 256,
+                    (xx + yy + 3 * i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            return encode_ppm(img)
+        return hashlib.md5(f"media-{i}".encode()).digest() * 8
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
+            widths = [32 + int(i) % 32 for i in ids]
             rows = {
                 "media_id": ids,
                 "kind": [kind] * len(ids),
                 "payload": [
-                    hashlib.md5(f"media-{i}".encode()).digest() * 8 for i in ids
+                    payload_for(int(i), w, 32) for i, w in zip(ids, widths)
                 ],
-                "meta_width": [32 + int(i) % 32 for i in ids],
+                "meta_width": widths,
                 "meta_height": [32] * len(ids),
                 "meta_duration_ms": [0] * len(ids),
-                "meta_codec": ["fake"] * len(ids),
+                "meta_codec": [codec] * len(ids),
             }
             yield pd.DataFrame(rows)
 
@@ -93,6 +120,43 @@ try:  # probe once at import: PIL is optional in this container
     from PIL import Image as _PILImage
 except ImportError:  # pragma: no cover - container has no codec libs
     _PILImage = None
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) — the
+    simplest real raster format (netpbm): ASCII header + raw RGB
+    bytes. Used by the synthetic generator so the decode path under
+    test is a REAL format decode, not a byte-tiling stub."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _ppm_decode_rgb(payload: bytes) -> np.ndarray:
+    """Real pure-Python decode of binary PPM (P6): parse the header
+    (magic, whitespace/comment-separated width/height/maxval), then
+    view the raster as (h, w, 3) uint8. No codec library involved —
+    this is an actual image decode the container can always run."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM payload")
+    # header = magic + 3 ints, separated by whitespace; '#' starts a
+    # comment running to end-of-line (netpbm spec)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then the raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
 
 
 def _pil_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -121,9 +185,23 @@ def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode contract: (payload, declared w, h) → (h, w, 3) uint8.
-    Prefers the real PIL decode when the library is present AND the
-    payload is an actual encoded image; falls back to the deterministic
-    stub (synthetic payloads are md5 streams, not image files)."""
+    Resolution order: binary PPM decodes natively (real decode, always
+    available); other formats go through PIL when the library is
+    present; anything undecodable falls back to the deterministic stub
+    (kept for md5-stream synthetic payloads)."""
+    if payload is not None and payload[:2] == b"P6":
+        img = _ppm_decode_rgb(payload)
+        if img.shape[:2] != (height, width):
+            # nearest-neighbor resize to the declared metadata shape —
+            # same contract as the PIL path, numpy-only
+            ys = (np.arange(height) * img.shape[0] // height).clip(
+                0, img.shape[0] - 1
+            )
+            xs = (np.arange(width) * img.shape[1] // width).clip(
+                0, img.shape[1] - 1
+            )
+            img = img[ys][:, xs]
+        return img
     if _PILImage is not None:
         try:
             return _pil_decode_rgb(payload, width, height)

@@ -26,9 +26,15 @@ def test_decode_and_featurize_shapes(spark):
     feats = MM.decode_and_featurize(MM.synthetic_media(spark, n=8), resize_to=4)
     rows = feats.collect()
     assert len(rows) == 8
+    widths = {
+        r["media_id"]: r["meta_width"]
+        for r in MM.synthetic_media(spark, n=8).collect()
+    }
     for r in rows:
         assert len(r["feature"]) == 4 * 4 * 3
-        assert r["n_bytes"] == 128  # 16-byte md5 * 8
+        # PPM payload = 13-byte header ("P6\n{2-digit w} 32\n255\n")
+        # + raw RGB raster
+        assert r["n_bytes"] == 13 + widths[r["media_id"]] * 32 * 3
     assert feats.schema == MM.FEATURE_SCHEMA
 
 
@@ -82,3 +88,59 @@ def test_decode_rgb_uses_pil_for_real_images():
     img.save(buf, format="PNG")
     out = MM.decode_rgb(buf.getvalue(), 4, 4)
     assert (out == arr).all()
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    payload = MM.encode_ppm(img)
+    assert payload.startswith(b"P6\n9 5\n255\n")
+    out = MM._ppm_decode_rgb(payload)
+    assert out.shape == (5, 9, 3)
+    assert (out == img).all()
+
+
+def test_ppm_decode_handles_comments():
+    import numpy as np
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = [1, 2, 3]
+    payload = b"P6\n# a netpbm comment\n2 2\n255\n" + img.tobytes()
+    out = MM._ppm_decode_rgb(payload)
+    assert (out == img).all()
+
+
+def test_decode_rgb_is_real_for_ppm_payloads():
+    import numpy as np
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    # matching declared shape: bit-exact decode, no stub involved
+    out = MM.decode_rgb(MM.encode_ppm(img), width=6, height=4)
+    assert (out == img).all()
+    # mismatched declared shape: nearest-neighbor resize to (h, w)
+    out2 = MM.decode_rgb(MM.encode_ppm(img), width=3, height=2)
+    assert out2.shape == (2, 3, 3)
+    assert (out2[0, 0] == img[0, 0]).all()
+
+
+def test_featurize_over_real_ppm_matches_local_pooling(spark):
+    import numpy as np
+
+    media = MM.synthetic_media(spark, n=4, codec="ppm")
+    feats = {
+        r["media_id"]: np.array(r["feature"])
+        for r in MM.decode_and_featurize(media, resize_to=4).collect()
+    }
+    for r in media.collect():
+        img = MM._ppm_decode_rgb(bytes(r["payload"]))
+        bh, bw = img.shape[0] // 4, img.shape[1] // 4
+        pooled = (
+            img[: bh * 4, : bw * 4]
+            .reshape(4, bh, 4, bw, 3)
+            .mean(axis=(1, 3))
+            .astype(np.float32)
+            .ravel()
+        )
+        assert np.allclose(feats[r["media_id"]], pooled)

@@ -114,7 +114,8 @@ def test_bm25_corpus_stats_broadcast(spark):
      "curriculum_order", "pq_ann_topk", "ivfpq_ann_topk",
      "wau_hll_mergeable",
      "q_rollup_tree", "q21_sole_latest_supplier",
-     "q16_supplier_cnt_by_part", "balanced_sample"],
+     "q16_supplier_cnt_by_part", "balanced_sample",
+     "semantic_dedup", "zipf_fit", "mad_outlier_docs"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)
@@ -174,3 +175,29 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mad_outliers_broadcasts_percentiles_no_window(spark):
+    # the two percentile scalars must travel as broadcasts over the
+    # scan — no Window (the operator's whole point vs a rank cut) and
+    # no shuffle of the corpus beyond the two one-row aggregates
+    df = entrymod.queries()["mad_outlier_docs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_join_is_cell_bounded(spark):
+    # the cosine self-join must be an equi-join on the cell id — a
+    # nested-loop corpus product here would be the SemDeDup scale bug
+    df = entrymod.queries()["semantic_dedup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "cid" in ln
+    ]
+    assert any(
+        "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+        or "BroadcastHashJoin" in ln
+        for ln in joins
+    ), plan[:2000]

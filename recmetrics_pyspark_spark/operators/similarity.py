@@ -21,6 +21,40 @@ from pyspark.sql.window import Window
 from ..functions.vectors import as_double, dot, norm
 
 
+_TRAINED: dict[tuple, DataFrame] = {}
+
+
+def _memo_trained(kind: str, df: DataFrame, params: tuple, build):
+    """Session-scoped registry for trained index artifacts (k-means
+    centroids, PQ codebooks): identical (corpus plan, params) requests
+    return the SAME materialized DataFrame instead of re-running the
+    iterative trainer — train once, serve every ANN/dedup variant.
+
+    Keyed by the corpus' analyzed-plan semantic hash + the Spark
+    application id (a new session invalidates everything). Artifacts
+    are centroid/codebook-scale (k×dim — broadcast-sized), so the
+    registry's memory is negligible; callers who churn through many
+    corpora in one application can drop it with
+    :func:`clear_trained_cache` (the same explicit-lifecycle contract
+    as the dedup family's persisted intermediates)."""
+    key = (
+        kind,
+        df.sparkSession.sparkContext.applicationId,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        *params,
+    )
+    got = _TRAINED.get(key)
+    if got is None:
+        got = build()
+        _TRAINED[key] = got
+    return got
+
+
+def clear_trained_cache() -> None:
+    """Drop every memoized trained artifact (see ``_memo_trained``)."""
+    _TRAINED.clear()
+
+
 def rademacher_planes(n_planes: int, dim: int, seed: str = "ann") -> list[list[float]]:
     """Deterministic ±1 hyperplanes derived from md5(seed|plane|dim) —
     reproducible anywhere (the SQL oracle embeds the same literals)."""
@@ -260,13 +294,21 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic Lloyd centroids (cid, c): seeds are the first k
     vectors by id, then ``refinements`` re-centroid rounds — the coarse
-    quantizer trainer shared by ``kmeans_assignments`` and
-    ``ivf_ann_topk``."""
-    base = _km_base(corpus, col_id, col_vec)
-    seeds = base.filter(F.col("vid") < k).select(
-        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
+    quantizer trainer shared by ``kmeans_assignments``,
+    ``ivf_ann_topk``, ``ivfpq_ann_topk`` and ``semantic_dedup``.
+    Memoized per (corpus plan, k, refinements): the iterative training
+    runs once per session and every consumer reuses the materialized
+    k×dim table."""
+    def build():
+        base = _km_base(corpus, col_id, col_vec)
+        seeds = base.filter(F.col("vid") < k).select(
+            F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
+        )
+        return _km_refine(base, seeds, refinements)
+
+    return _memo_trained(
+        "km_centroids", corpus, (k, refinements, col_id, col_vec), build
     )
-    return _km_refine(base, seeds, refinements)
 
 
 def kmeans_assignments(
@@ -288,12 +330,9 @@ def kmeans_assignments(
     Returns per-cluster membership counts and mean distance — the
     convergence signal a driver loop would watch."""
     base = _km_base(corpus, col_id, col_vec)
-    seeds = base.filter(F.col("vid") < k).select(
-        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
-    )
     # iters Lloyd iterations == assign with (iters-1)-times-refined
     # centroids (the last re-centroid step never affects the output)
-    centroids = _km_refine(base, seeds, iters - 1)
+    centroids = kmeans_centroids(corpus, k, iters - 1, col_id, col_vec)
     assign = _km_assign(base, centroids)
     return (
         assign.groupBy("cid")
@@ -333,10 +372,9 @@ def ivf_ann_topk(
     scores 69% of it. Raise ``nprobe`` (or ``n_cells`` with
     proportionally more probes) for more recall."""
     base = _km_base(corpus, col_id, col_vec)
-    seeds = base.filter(F.col("vid") < n_cells).select(
-        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
+    centroids = kmeans_centroids(
+        corpus, n_cells, refinements, col_id, col_vec
     )
-    centroids = _km_refine(base, seeds, refinements)
     cells = _km_assign(base, centroids).select(
         F.col("vid").alias("neighbor_id"),
         F.col("v").alias("cv"),
@@ -451,7 +489,25 @@ def pq_codebooks(
     same trainer math as ``kmeans_centroids``; all m books train in
     one job via the exploded subspace table). Returns (sub, cid, c,
     c_sq) — m·k_codes rows of dim/m floats, broadcast-scale at any
-    corpus size."""
+    corpus size. Memoized per (corpus plan, m, k_codes, refinements):
+    the PQ-Flat, rerank, and IVF-PQ variants all serve from ONE
+    training run per session (see ``_memo_trained``)."""
+    def build():
+        return _pq_train(corpus, m, k_codes, refinements, col_id, col_vec)
+
+    return _memo_trained(
+        "pq_books", corpus, (m, k_codes, refinements, col_id, col_vec), build
+    )
+
+
+def _pq_train(
+    corpus: DataFrame,
+    m: int,
+    k_codes: int,
+    refinements: int,
+    col_id: str,
+    col_vec: str,
+) -> DataFrame:
     dim_info = corpus.select(F.size(as_double(col_vec)).alias("d")).first()
     sub_dim = dim_info["d"] // m
     subs = _pq_subspaces(corpus, m, sub_dim, col_id, col_vec)
@@ -659,10 +715,9 @@ def ivfpq_ann_topk(
     6-rounded distances), so the SQL oracle reproduces cells, codes,
     ADC tables, and ranking exactly."""
     base = _km_base(corpus, col_id, col_vec)
-    seeds = base.filter(F.col("vid") < n_cells).select(
-        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
+    centroids = kmeans_centroids(
+        corpus, n_cells, refinements, col_id, col_vec
     )
-    centroids = _km_refine(base, seeds, refinements)
     coarse = _km_assign(base, centroids).select(
         "vid", F.col("cid").alias("ccid")
     )
@@ -832,10 +887,7 @@ def semantic_dedup(
     round(drop_ratio, 6)) ordered by cid — the table a curation run
     reads to pick the threshold."""
     base = _km_base(corpus, col_id, col_vec)
-    seeds = base.filter(F.col("vid") < k).select(
-        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
-    )
-    centroids = _km_refine(base, seeds, iters - 1)
+    centroids = kmeans_centroids(corpus, k, iters - 1, col_id, col_vec)
     assign = (
         _km_assign(base, centroids)
         .withColumn("nrm", norm(F.col("v")))

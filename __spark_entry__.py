@@ -1525,6 +1525,22 @@ def _zipf_fit(spark, sf_dir):
     return C.zipf_fit(_docs(spark, sf_dir))
 
 
+def _psi_drift(spark, sf_dir):
+    """Value-distribution drift (PSI) per event_type between the first
+    and second half of the events time range
+    (operators/quality.py::psi_drift)."""
+    from recmetrics_pyspark_spark.operators import quality as QC
+
+    return QC.psi_drift(load_table(spark, sf_dir, "events"))
+
+
+def _cluster_eval(spark, sf_dir):
+    """Purity + NMI of the deterministic k-means cells against the
+    embeddings' label column (operators/similarity.py::cluster_eval) —
+    rides the memoized centroid table."""
+    return S.cluster_eval(_embs(spark, sf_dir), k=8, iters=2)
+
+
 def _mad_outlier_docs(spark, sf_dir):
     # the synthetic corpus has near-uniform lengths (max |score| 1.35),
     # so the textbook 3.5 cutoff flags nothing; 1.2 keeps a real ~5%
@@ -2067,6 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_cuts": _curriculum_cuts,
         "zipf_fit": _zipf_fit,
         "mad_outlier_docs": _mad_outlier_docs,
+        "psi_drift": _psi_drift,
+        "cluster_eval": _cluster_eval,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -2658,6 +2676,73 @@ SELECT count(*) AS n_tokens_fit,
   round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
     AS zipf_intercept
 FROM xy
+""",
+        "psi_drift": """
+WITH stats AS (
+  SELECT min(epoch_us(ts)) AS ts_lo, max(epoch_us(ts)) AS ts_hi,
+         min(value) AS v_lo, max(value) AS v_hi FROM events
+), b AS (
+  SELECT event_type AS grp,
+    CASE WHEN 2 * epoch_us(ts) < ts_lo + ts_hi
+         THEN 'ref' ELSE 'cur' END AS side,
+    CAST(least(floor((value - v_lo) / ((v_hi - v_lo) / 10)), 9)
+         AS INTEGER) AS bin
+  FROM events, stats
+), counts AS (
+  SELECT grp, side, bin, count(*) AS n FROM b GROUP BY grp, side, bin
+), totals AS (
+  SELECT grp, side, sum(n) AS tot FROM counts GROUP BY grp, side
+), slots AS (
+  SELECT grp, side, tot, i AS bin
+  FROM totals, unnest(generate_series(0, 9)) AS s(i)
+), shares AS (
+  SELECT s.grp, s.side, s.bin,
+    (coalesce(c.n, 0) + 0.5) / (s.tot + 0.5 * 10) AS p
+  FROM slots s LEFT JOIN counts c
+    ON s.grp = c.grp AND s.side = c.side AND s.bin = c.bin
+), psi AS (
+  SELECT r.grp, round(sum((c.p - r.p) * ln(c.p / r.p)), 6) AS psi
+  FROM shares r JOIN shares c ON r.grp = c.grp AND r.bin = c.bin
+  WHERE r.side = 'ref' AND c.side = 'cur'
+  GROUP BY r.grp
+), ns AS (
+  SELECT grp,
+    CAST(sum(CASE WHEN side = 'ref' THEN tot END) AS BIGINT) AS n_ref,
+    CAST(sum(CASE WHEN side = 'cur' THEN tot END) AS BIGINT) AS n_cur
+  FROM totals GROUP BY grp
+)
+SELECT psi.grp AS event_type, n_ref, n_cur, psi,
+  psi > 0.2 AS drift_alert
+FROM psi JOIN ns ON psi.grp = ns.grp ORDER BY event_type
+""",
+        "cluster_eval": KMEANS_CTE + """
+, a2 AS (
+  SELECT vid, cid FROM (
+    SELECT b.vid, c1.cid,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.v_sq - 2*list_dot_product(b.v, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
+    FROM b, c1) t
+  WHERE rn = 1
+), cont AS (
+  SELECT a2.cid, emb.label AS lbl, count(*) AS n
+  FROM a2 JOIN embeddings emb ON a2.vid = emb.vec_id
+  GROUP BY a2.cid, emb.label
+), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cont),
+pur AS (
+  SELECT CAST(sum(mx) AS DOUBLE) AS pur_num
+  FROM (SELECT cid, max(n) AS mx FROM cont GROUP BY cid)
+), nc AS (SELECT cid, sum(n) AS nc FROM cont GROUP BY cid),
+nl AS (SELECT lbl, sum(n) AS nl FROM cont GROUP BY lbl),
+mi AS (
+  SELECT sum((n / nn) * ln(n * nn / (nc * nl))) AS mi
+  FROM cont JOIN nc ON cont.cid = nc.cid JOIN nl ON cont.lbl = nl.lbl, tot
+), hc AS (SELECT -sum((nc / nn) * ln(nc / nn)) AS hc FROM nc, tot),
+hl AS (SELECT -sum((nl / nn) * ln(nl / nn)) AS hl FROM nl, tot)
+SELECT CAST(nn AS BIGINT) AS n_points,
+  round(pur_num / nn, 6) AS purity,
+  round(2.0 * mi / (hc + hl), 6) AS nmi
+FROM tot, pur, mi, hc, hl
 """,
         "mad_outlier_docs": """
 WITH t AS (

@@ -95,3 +95,120 @@ def run_checks(parts: list[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def psi_drift(
+    df: DataFrame,
+    col_group: str = "event_type",
+    col_value: str = "value",
+    col_ts: str = "ts",
+    n_bins: int = 10,
+    alert_at: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the table's time range, per group — the standard drift monitor a
+    pipeline runs before trusting a refreshed feed:
+
+        PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+
+    < 0.1 is stable, 0.1–0.2 drifting, > ``alert_at`` alerts. Shares
+    are Laplace-smoothed ((n + 0.5) / (N + 0.5·n_bins)) so empty bins
+    never produce ln(0); bins are global equi-width over the observed
+    value range (one tiny min/max aggregate broadcast back — the same
+    floor-arithmetic binning as feature_binning, deterministic in any
+    IEEE-double engine).
+
+    Scale: one stats broadcast + one (group, side, bin) aggregate —
+    the shuffle carries group×bin rows, never the input. The split
+    point is data-derived (midpoint of min/max ts), so re-running on a
+    grown table moves the comparison window with the data."""
+    # integer epoch-MICROSECONDS via pure ntz arithmetic (no tz, no
+    # double truncation — the same engine-portability rule as the
+    # as-of join's tolerance edge), so the midpoint compare 2·t <
+    # lo+hi is exact in int64 on any engine
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        f" `{col_ts}`)"
+    )
+    stats = df.agg(
+        F.min(us).alias("ts_lo"),
+        F.max(us).alias("ts_hi"),
+        F.min(col_value).alias("v_lo"),
+        F.max(col_value).alias("v_hi"),
+    )
+    binned = (
+        df.select(col_group, col_value, us.alias("tsd"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(col_group).alias("grp"),
+            F.when(
+                2 * F.col("tsd") < F.col("ts_lo") + F.col("ts_hi"), "ref"
+            ).otherwise("cur").alias("side"),
+            F.least(
+                F.floor(
+                    (F.col(col_value) - F.col("v_lo"))
+                    / ((F.col("v_hi") - F.col("v_lo")) / n_bins)
+                ),
+                F.lit(n_bins - 1),
+            ).cast("int").alias("bin"),
+        )
+    )
+    counts = binned.groupBy("grp", "side", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("grp", "side").agg(F.sum("n").alias("tot"))
+    # densify: every (grp, side, bin) slot, so empty bins contribute
+    # their smoothed share on both sides
+    slots = (
+        totals.select("grp", "side", "tot")
+        .crossJoin(
+            F.broadcast(
+                counts.sparkSession.range(n_bins).select(
+                    F.col("id").cast("int").alias("bin")
+                )
+            )
+        )
+    )
+    shares = (
+        slots.join(counts, ["grp", "side", "bin"], "left")
+        .select(
+            "grp",
+            "side",
+            "bin",
+            (
+                (F.coalesce(F.col("n"), F.lit(0)) + 0.5)
+                / (F.col("tot") + 0.5 * n_bins)
+            ).alias("p"),
+        )
+    )
+    ref = shares.filter(F.col("side") == "ref").select(
+        "grp", "bin", F.col("p").alias("p_ref")
+    )
+    cur = shares.filter(F.col("side") == "cur").select(
+        "grp", "bin", F.col("p").alias("p_cur")
+    )
+    psi = (
+        ref.join(cur, ["grp", "bin"])
+        .groupBy("grp")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                ),
+                6,
+            ).alias("psi")
+        )
+    )
+    n_sides = totals.groupBy("grp").pivot("side", ["ref", "cur"]).sum("tot")
+    return (
+        psi.join(n_sides, "grp")
+        .select(
+            F.col("grp").alias(col_group),
+            F.col("ref").alias("n_ref"),
+            F.col("cur").alias("n_cur"),
+            "psi",
+            (F.col("psi") > alert_at).alias("drift_alert"),
+        )
+        .orderBy(col_group)
+    )

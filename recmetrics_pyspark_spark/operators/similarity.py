@@ -1010,3 +1010,83 @@ def embedding_pca(
             ).alias(f"pc{c + 1}")
         )
     return centered.select(F.col(col_id), *proj_cols)
+
+
+def cluster_eval(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+    col_label: str = "label",
+) -> DataFrame:
+    """External clustering evaluation: purity and normalized mutual
+    information of the deterministic k-means assignment against a
+    ground-truth label column — the one-row scorecard that tells a
+    pipeline whether its coarse quantizer (IVF cells, SemDeDup
+    buckets) actually tracks the semantic structure it is standing in
+    for.
+
+        purity = Σ_c max_l n_cl / N
+        NMI    = 2·I(C;L) / (H(C) + H(L))
+
+    Scale: everything after the (memoized) assignment reduces to the
+    k×|labels| contingency table — one corpus-scale aggregate, then
+    arithmetic over a table small enough to broadcast at any corpus
+    size."""
+    base = _km_base(corpus, col_id, col_vec)
+    centroids = kmeans_centroids(corpus, k, iters - 1, col_id, col_vec)
+    assign = _km_assign(base, centroids).select("vid", "cid")
+    lab = corpus.select(
+        F.col(col_id).alias("vid"), F.col(col_label).alias("lbl")
+    )
+    cont = (
+        assign.join(lab, "vid")
+        .groupBy("cid", "lbl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    n_c = cont.groupBy("cid").agg(F.sum("n").alias("nc"))
+    n_l = cont.groupBy("lbl").agg(F.sum("n").alias("nl"))
+    tot = cont.agg(F.sum("n").cast("double").alias("nn"))
+    purity = (
+        cont.groupBy("cid")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("double").alias("pur_num"))
+    )
+    # I(C;L) = Σ (n/N)·ln(n·N / (n_c·n_l)); H from the margin tables
+    mi = (
+        cont.join(F.broadcast(n_c), "cid")
+        .join(F.broadcast(n_l), "lbl")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n") / F.col("nn"))
+                * F.log(
+                    F.col("n") * F.col("nn")
+                    / (F.col("nc") * F.col("nl"))
+                )
+            ).alias("mi")
+        )
+    )
+    h_c = n_c.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nc") / F.col("nn")) * F.log(F.col("nc") / F.col("nn"))))
+        .alias("hc")
+    )
+    h_l = n_l.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nl") / F.col("nn")) * F.log(F.col("nl") / F.col("nn"))))
+        .alias("hl")
+    )
+    return (
+        tot.crossJoin(F.broadcast(purity))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(h_c))
+        .crossJoin(F.broadcast(h_l))
+        .select(
+            F.col("nn").cast("bigint").alias("n_points"),
+            F.round(F.col("pur_num") / F.col("nn"), 6).alias("purity"),
+            F.round(
+                2.0 * F.col("mi") / (F.col("hc") + F.col("hl")), 6
+            ).alias("nmi"),
+        )
+    )

@@ -115,7 +115,8 @@ def test_bm25_corpus_stats_broadcast(spark):
      "wau_hll_mergeable",
      "q_rollup_tree", "q21_sole_latest_supplier",
      "q16_supplier_cnt_by_part", "balanced_sample",
-     "semantic_dedup", "zipf_fit", "mad_outlier_docs"],
+     "semantic_dedup", "zipf_fit", "mad_outlier_docs",
+     "psi_drift", "cluster_eval"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)
@@ -201,3 +202,12 @@ def test_semantic_dedup_join_is_cell_bounded(spark):
         or "BroadcastHashJoin" in ln
         for ln in joins
     ), plan[:2000]
+
+
+def test_psi_drift_shuffle_is_group_bin_scale(spark):
+    # the only corpus-scale work is the scan: stats and the slot table
+    # broadcast, and every aggregate after binning carries group x bin
+    # rows (no corpus-sized exchange after the first partial agg)
+    df = entrymod.queries()["psi_drift"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan

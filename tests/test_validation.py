@@ -78,3 +78,56 @@ def test_rollup_merge_chained_no_per_merge_rounding(spark):
     ).collect()[0]
     assert got["n_rows"] == want["n_rows"]
     assert got["sum_value"] == pytest.approx(want["sum_value"], abs=1e-9)
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    import datetime as dt
+
+    from recmetrics_pyspark_spark.operators.quality import psi_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # group "stable": same uniform value pattern in both halves
+    # group "shifted": values move from ~[0,10) to ~[90,100)
+    for i in range(200):
+        ts = t0 + dt.timedelta(minutes=i)
+        early = i < 100
+        rows.append((ts, "stable", float(i % 10)))
+        rows.append(
+            (ts, "shifted", float(i % 10) if early else 90.0 + i % 10)
+        )
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = {r["event_type"]: r for r in psi_drift(df).collect()}
+    assert out["stable"]["psi"] < 0.1
+    assert not out["stable"]["drift_alert"]
+    assert out["shifted"]["psi"] > 0.2
+    assert out["shifted"]["drift_alert"]
+    assert out["shifted"]["n_ref"] == 100 and out["shifted"]["n_cur"] == 100
+
+
+def test_cluster_eval_perfect_and_degenerate(spark):
+    from recmetrics_pyspark_spark.operators.similarity import (
+        clear_trained_cache,
+        cluster_eval,
+    )
+
+    clear_trained_cache()
+    # two tight, well-separated groups whose labels match the geometry:
+    # k=2 must recover them -> purity 1, NMI 1
+    vecs = [
+        (0, [1.0, 0.0], 0), (1, [0.99, 0.01], 0), (2, [0.98, 0.02], 0),
+        (10, [0.0, 1.0], 1), (11, [0.01, 0.99], 1), (12, [0.02, 0.98], 1),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"])
+    row = cluster_eval(df, k=2, iters=2).collect()[0]
+    assert row["n_points"] == 6
+    assert row["purity"] == 1.0
+    assert row["nmi"] == 1.0
+    # labels independent of geometry -> purity = majority share, NMI ~ 0
+    shuffled = [
+        (i, v, (0, 1, 0, 1, 0, 1)[j])
+        for j, (i, v, _) in enumerate(vecs)
+    ]
+    df2 = spark.createDataFrame(shuffled, ["vec_id", "embedding", "label"])
+    row2 = cluster_eval(df2, k=2, iters=2).collect()[0]
+    assert row2["nmi"] < 0.2

@@ -218,3 +218,157 @@ def read_rollup(spark, path: str) -> DataFrame:
     with open(_os.path.join(path, "_CURRENT")) as fh:
         snap = fh.read().strip()
     return spark.read.parquet(_os.path.join(path, snap))
+
+
+def baseline_histogram(
+    df: DataFrame,
+    col_group: str = "event_type",
+    col_value: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reference distribution for :func:`foreach_batch_drift`: per-group
+    Laplace-smoothed bin shares over GLOBAL equi-width bins (edges from
+    the baseline's min/max — carried on every row so the monitor bins
+    incoming batches identically). Same smoothing and binning as the
+    batch ``psi_drift`` operator; group×bin rows, broadcast-scale."""
+    stats = df.agg(
+        F.min(col_value).alias("v_lo"), F.max(col_value).alias("v_hi")
+    )
+    binned = (
+        df.select(col_group, col_value)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(col_group).alias("grp"),
+            "v_lo",
+            "v_hi",
+            F.least(
+                F.floor(
+                    (F.col(col_value) - F.col("v_lo"))
+                    / ((F.col("v_hi") - F.col("v_lo")) / n_bins)
+                ),
+                F.lit(n_bins - 1),
+            ).cast("int").alias("bin"),
+        )
+    )
+    counts = binned.groupBy("grp", "v_lo", "v_hi", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("grp").agg(F.sum("n").alias("tot"))
+    slots = (
+        counts.select("grp", "v_lo", "v_hi").distinct()
+        .join(totals, "grp")
+        .crossJoin(
+            F.broadcast(
+                df.sparkSession.range(n_bins).select(
+                    F.col("id").cast("int").alias("bin")
+                )
+            )
+        )
+    )
+    return (
+        slots.join(counts, ["grp", "v_lo", "v_hi", "bin"], "left")
+        .select(
+            "grp",
+            "v_lo",
+            "v_hi",
+            "bin",
+            (
+                (F.coalesce(F.col("n"), F.lit(0)) + 0.5)
+                / (F.col("tot") + 0.5 * n_bins)
+            ).alias("p_ref"),
+        )
+    )
+
+
+def foreach_batch_drift(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    path: str,
+    checkpoint: str,
+    col_group: str = "event_type",
+    col_value: str = "value",
+    n_bins: int = 10,
+    alert_at: float = 0.2,
+):
+    """Streaming drift monitor: every micro-batch is binned against the
+    frozen baseline edges and scored with PSI per group; one monitoring
+    row (batch_id, group, n_events, psi, drift_alert) per group per
+    batch is APPENDED to ``path`` — the always-on twin of the batch
+    ``psi_drift`` gate, for feeds where you want the alert per arrival
+    rather than per table rebuild.
+
+    The baseline is materialized once on the driver side (group×bin
+    rows) and re-broadcast into each micro-batch; per-batch work is one
+    aggregate at batch×group×bin scale. Append mode + checkpoint give
+    the usual at-least-once monitoring-sink semantics; rows carry
+    batch_id so replays are idempotent to readers that dedup on
+    (batch_id, group)."""
+    ref = baseline.persist()
+    ref.count()
+    spark = stream_df.sparkSession
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        binned = (
+            batch_df.select(col_group, col_value)
+            .join(
+                F.broadcast(ref.select("grp", "v_lo", "v_hi").distinct()),
+                F.col(col_group) == F.col("grp"),
+            )
+            .select(
+                "grp",
+                F.least(
+                    F.floor(
+                        (F.col(col_value) - F.col("v_lo"))
+                        / ((F.col("v_hi") - F.col("v_lo")) / n_bins)
+                    ),
+                    F.lit(n_bins - 1),
+                ).cast("int").alias("bin"),
+            )
+            # out-of-range batch values clamp into the edge bins
+            .withColumn("bin", F.greatest(F.col("bin"), F.lit(0)))
+        )
+        counts = binned.groupBy("grp", "bin").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        totals = counts.groupBy("grp").agg(F.sum("n").alias("tot"))
+        shares = (
+            ref.join(totals, "grp")
+            .join(counts, ["grp", "bin"], "left")
+            .select(
+                "grp",
+                "p_ref",
+                (
+                    (F.coalesce(F.col("n"), F.lit(0)) + 0.5)
+                    / (F.col("tot") + 0.5 * n_bins)
+                ).alias("p_cur"),
+                "tot",
+            )
+        )
+        out = (
+            shares.groupBy("grp", "tot")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("p_cur") - F.col("p_ref"))
+                        * F.log(F.col("p_cur") / F.col("p_ref"))
+                    ),
+                    6,
+                ).alias("psi")
+            )
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                F.col("grp").alias(col_group),
+                F.col("tot").cast("bigint").alias("n_events"),
+                "psi",
+                (F.col("psi") > alert_at).alias("drift_alert"),
+            )
+        )
+        out.write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -173,3 +173,54 @@ def test_foreach_batch_rollup_matches_batch_aggregate(spark, tmp_path):
     }
     ev.unpersist()
     assert got == want
+
+
+def test_streaming_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """foreach_batch_drift: a batch drawn from the baseline
+    distribution scores near-zero PSI; a shifted batch alerts."""
+    import datetime as dt
+
+    from recmetrics_pyspark_spark.streaming.pipeline import (
+        baseline_histogram,
+        foreach_batch_drift,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    base_rows = [
+        (t0, "clicks", float(i % 10)) for i in range(200)
+    ]
+    baseline = baseline_histogram(
+        spark.createDataFrame(base_rows, ["ts", "event_type", "value"])
+    )
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    # batch 0: same distribution; batch 1: shifted by +90
+    spark.createDataFrame(
+        [(t0, "clicks", float(i % 10)) for i in range(100)],
+        ["ts", "event_type", "value"],
+    ).coalesce(1).write.parquet(str(src / "stage0"))
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "stage*" / "*.parquet"))
+    )
+    out = tmp_path / "drift_out"
+    q = foreach_batch_drift(
+        stream, baseline, str(out), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [(t0, "clicks", 90.0 + i % 10) for i in range(100)],
+        ["ts", "event_type", "value"],
+    ).coalesce(1).write.parquet(str(src / "stage1"))
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        spark.read.parquet(str(out)).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert len(rows) == 2
+    same, shifted = rows
+    assert same["n_events"] == 100 and not same["drift_alert"]
+    assert same["psi"] < 0.1
+    assert shifted["drift_alert"] and shifted["psi"] > 0.2

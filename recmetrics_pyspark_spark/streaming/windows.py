@@ -157,3 +157,71 @@ def assign_session_ids(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).cast("bigint").alias("session_idx"),
     )
+
+
+def enrich_with_dim(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each arriving micro-batch against
+    a static dimension table. The dim side is explicitly broadcast —
+    stream-static joins must never shuffle the unbounded side on the
+    dim's account; the static table re-resolves per micro-batch, so a
+    dim refreshed in place (overwrite of the backing files) is picked
+    up without restarting the query. Stateless: no watermark, no state
+    store — works in append mode on any stream."""
+    return stream_df.join(F.broadcast(dim), on, how)
+
+
+def windowed_topk_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    col_ts: str = "ts",
+    col_key: str = "event_type",
+):
+    """Per-window top-k serving table: tumbling counts aggregate in the
+    stream (state bounded by watermark), and each micro-batch's emitted
+    FINAL windows are ranked in foreachBatch (rank-over-window is not
+    allowed on a streaming aggregate — ranking the append-mode output
+    is the supported pattern and only touches closed windows). The
+    serving parquet accumulates one top-k block per closed window.
+
+    Scale: the streaming aggregate's shuffle is (key, window)-bounded;
+    the per-batch rank runs over closed-windows × keys rows only."""
+    from pyspark.sql.window import Window as W
+
+    counts = (
+        stream_df.withWatermark(col_ts, watermark)
+        .groupBy(F.window(col_ts, window).alias("w"), F.col(col_key))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            col_key,
+            "n",
+        )
+    )
+
+    def rank_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("n"), F.asc(col_key)
+        )
+        (
+            batch_df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .write.mode("append").parquet(path)
+        )
+
+    return (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(rank_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

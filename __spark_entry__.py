@@ -1541,6 +1541,21 @@ def _cluster_eval(spark, sf_dir):
     return S.cluster_eval(_embs(spark, sf_dir), k=8, iters=2)
 
 
+def _association_rules(spark, sf_dir):
+    """Market-basket 2-itemset rules (support/confidence/lift) over the
+    shared co-occurrence pair tables
+    (operators/recommend.py::association_rules)."""
+    return R.association_rules(R.interactions(spark, sf_dir))
+
+
+def _baseline_rmse(spark, sf_dir):
+    """Bias baseline predictor mu + b_u + b_i and its RMSE/MAE vs the
+    observed ratings (operators/recommend.py::baseline_predictor_rmse)."""
+    return R.baseline_predictor_rmse(
+        R.interactions(spark, sf_dir, with_rating=True)
+    )
+
+
 def _mad_outlier_docs(spark, sf_dir):
     # the synthetic corpus has near-uniform lengths (max |score| 1.35),
     # so the textbook 3.5 cutoff flags nothing; 1.2 keeps a real ~5%
@@ -2085,6 +2100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier_docs": _mad_outlier_docs,
         "psi_drift": _psi_drift,
         "cluster_eval": _cluster_eval,
+        "association_rules": _association_rules,
+        "baseline_predictor_rmse": _baseline_rmse,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -2676,6 +2693,60 @@ SELECT count(*) AS n_tokens_fit,
   round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
     AS zipf_intercept
 FROM xy
+""",
+        "association_rules": """
+WITH interactions AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), upairs AS (
+  SELECT DISTINCT user_id, item_id FROM interactions
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM upairs
+), isz AS (
+  SELECT item_id, count(*) AS sz FROM upairs GROUP BY item_id
+), pcounts AS (
+  SELECT a.item_id AS ia, b.item_id AS ib, count(*) AS n_common
+  FROM upairs a JOIN upairs b ON a.user_id = b.user_id
+    AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 2
+), bidir AS (
+  SELECT ia AS a, ib AS b, n_common FROM pcounts
+  UNION ALL SELECT ib, ia, n_common FROM pcounts
+), rules AS (
+  SELECT a AS antecedent, b AS consequent, n_common,
+    round(n_common / n_users, 6) AS support,
+    round(CAST(n_common AS DOUBLE) / sa.sz, 6) AS confidence,
+    round(n_common * n_users / (CAST(sa.sz AS DOUBLE) * sb.sz), 6)
+      AS lift
+  FROM bidir JOIN isz sa ON bidir.a = sa.item_id
+  JOIN isz sb ON bidir.b = sb.item_id, nu
+)
+SELECT rnk, antecedent, consequent, n_common, support, confidence, lift
+FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY lift DESC, antecedent, consequent) AS BIGINT) AS rnk
+  FROM rules) t
+WHERE rnk <= 50
+""",
+        "baseline_predictor_rmse": """
+WITH r AS (
+  SELECT o_custkey AS u, l_partkey AS i, CAST(l_quantity AS DOUBLE) AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), mu AS (SELECT avg(r) AS mu FROM r),
+bu AS (SELECT u, avg(r - mu) AS bu FROM r, mu GROUP BY u),
+bi AS (
+  SELECT i, avg(r.r - mu - bu) AS bi
+  FROM r JOIN bu USING (u), mu GROUP BY i
+), scored AS (
+  SELECT r.r, mu, mu + bu + bi AS pred
+  FROM r JOIN bu USING (u) JOIN bi USING (i), mu
+)
+SELECT count(*) AS n_ratings,
+  round(sqrt(avg(power(r - pred, 2))), 6) AS rmse,
+  round(avg(abs(r - pred)), 6) AS mae,
+  round(sqrt(avg(power(r - mu, 2))), 6) AS rmse_mean_only
+FROM scored
 """,
         "psi_drift": """
 WITH stats AS (

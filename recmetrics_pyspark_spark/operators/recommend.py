@@ -215,3 +215,132 @@ def ranking_metrics_at_k(
         F.round(F.avg("recall"), 6).alias("recall_at_k"),
         F.round(F.avg("ndcg"), 6).alias("ndcg_at_k"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    col_user: str = "user",
+    col_item: str = "item",
+    min_common: int = 2,
+    min_confidence: float = 0.0,
+    top_k: int = 50,
+) -> DataFrame:
+    """Pairwise association rules A→B over co-purchase baskets:
+
+        support(A,B)    = n(A∧B) / N
+        confidence(A→B) = n(A∧B) / n(A)
+        lift(A→B)       = confidence / (n(B) / N)
+
+    (the market-basket classic — FP-Growth's 2-itemset output, which is
+    where most production rule mining stops anyway). Both directions of
+    every unordered pair are emitted, filtered by confidence, ranked by
+    lift with deterministic tie-breaks.
+
+    Scale: rides the SAME persisted pair/size tables as item_item_topk
+    and pagerank_items (`operators/metrics.py::item_cooccurrence_pairs`
+    — one basket shuffle, packed-key pair count), then everything is
+    pair-scale arithmetic with catalog-scale broadcasts; top-k via one
+    window over the filtered rule set."""
+    from pyspark.sql.window import Window
+
+    from .metrics import item_cooccurrence_pairs, user_baskets
+
+    pairs, sizes = item_cooccurrence_pairs(
+        df, col_user, col_item, min_common
+    )
+    n_users = user_baskets(df, col_user, col_item).count()
+    both = pairs.select(
+        F.col("ia").alias("a"), F.col("ib").alias("b"), "n_common"
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("a"), F.col("ia").alias("b"), "n_common"
+        )
+    )
+    sza = sizes.select(F.col("i").alias("a"), F.col("sz").alias("n_a"))
+    szb = sizes.select(F.col("i").alias("b"), F.col("sz").alias("n_b"))
+    rules = (
+        both.join(F.broadcast(sza), "a")
+        .join(F.broadcast(szb), "b")
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "n_common",
+            F.round(F.col("n_common") / F.lit(float(n_users)), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_common") * F.lit(float(n_users))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .filter(F.col("confidence") >= min_confidence)
+    )
+    w = Window.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    )
+    return (
+        rules.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            "rnk", "antecedent", "consequent", "n_common",
+            "support", "confidence", "lift",
+        )
+    )
+
+
+def baseline_predictor_rmse(
+    ratings: DataFrame,
+    col_user: str = "user",
+    col_item: str = "item",
+    col_rating: str = "rating",
+) -> DataFrame:
+    """The classic bias baseline predictor (the floor every factor
+    model must beat): r̂(u,i) = μ + b_u + b_i with μ the global mean,
+    b_u the user's mean residual over μ, and b_i the item's mean
+    residual over μ + b_u — then the model's RMSE/MAE against the
+    observed ratings, next to the predict-the-mean RMSE for reference.
+
+    Scale: three sequential aggregates (one global row, user-scale,
+    item-scale) whose outputs broadcast back over the ratings scan;
+    the error metrics are one more aggregate. Nothing wider than the
+    ratings table ever shuffles — at 100 TB this is four passes, each
+    reduction-only."""
+    r = ratings.select(
+        F.col(col_user).alias("u"),
+        F.col(col_item).alias("i"),
+        F.col(col_rating).cast("double").alias("r"),
+    )
+    mu = r.agg(F.avg("r").alias("mu"))
+    bu = (
+        r.crossJoin(F.broadcast(mu))
+        .groupBy("u")
+        .agg(F.avg(F.col("r") - F.col("mu")).alias("bu"))
+    )
+    bi = (
+        r.crossJoin(F.broadcast(mu))
+        .join(bu, "u")
+        .groupBy("i")
+        .agg(F.avg(F.col("r") - F.col("mu") - F.col("bu")).alias("bi"))
+    )
+    scored = (
+        r.crossJoin(F.broadcast(mu))
+        .join(bu, "u")
+        .join(F.broadcast(bi), "i")
+        .select(
+            "r",
+            "mu",
+            (F.col("mu") + F.col("bu") + F.col("bi")).alias("pred"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.round(
+            F.sqrt(F.avg(F.pow(F.col("r") - F.col("pred"), 2))), 6
+        ).alias("rmse"),
+        F.round(F.avg(F.abs(F.col("r") - F.col("pred"))), 6).alias("mae"),
+        F.round(
+            F.sqrt(F.avg(F.pow(F.col("r") - F.col("mu"), 2))), 6
+        ).alias("rmse_mean_only"),
+    )

@@ -170,3 +170,48 @@ def test_pagerank_asymmetric_contract(spark):
     edges2 = spark.createDataFrame([(0, 1), (1, 0), (0, 2)], ["src", "dst"])
     with _pytest.raises(ValueError, match="asymmetric"):
         pagerank_from_edges(edges2).collect()
+
+
+def test_association_rules_math(spark):
+    from recmetrics_pyspark_spark.operators.recommend import (
+        association_rules,
+    )
+
+    # 4 users; {1,2} together 3x, {1,3} together 2x -> known metrics
+    rows = [
+        (100, 1), (100, 2), (100, 3),
+        (101, 1), (101, 2),
+        (102, 1), (102, 2),
+        (103, 1), (103, 3),
+    ]
+    df = spark.createDataFrame(rows, ["user", "item"])
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, min_common=2, top_k=10).collect()
+    }
+    # support(1,2) = 3/4; conf(2->1) = 3/3 = 1; lift = (3*4)/(4*3) = 1
+    assert out[(2, 1)]["support"] == 0.75
+    assert out[(2, 1)]["confidence"] == 1.0
+    assert out[(2, 1)]["lift"] == 1.0
+    # conf(3->1) = 2/2 = 1, lift(3->1) = 2*4/(2*4) = 1
+    assert out[(3, 1)]["confidence"] == 1.0
+    # conf(1->3) = 2/4 = 0.5
+    assert out[(1, 3)]["confidence"] == 0.5
+
+
+def test_baseline_predictor_beats_mean(spark):
+    from recmetrics_pyspark_spark.operators.recommend import (
+        baseline_predictor_rmse,
+    )
+
+    # strong user and item biases: the baseline must slash RMSE vs
+    # predicting the global mean
+    rows = []
+    for u in range(8):
+        for i in range(8):
+            rows.append((u, i, 3.0 + (u % 4) - (i % 3)))
+    df = spark.createDataFrame(rows, ["user", "item", "rating"])
+    out = baseline_predictor_rmse(df).collect()[0]
+    assert out["n_ratings"] == 64
+    assert out["rmse"] < out["rmse_mean_only"] * 0.5
+    assert out["mae"] <= out["rmse"]

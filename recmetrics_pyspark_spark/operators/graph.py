@@ -154,3 +154,87 @@ def pagerank_from_edges(
             )
         pr = agg.localCheckpoint(eager=True)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def star_components(
+    edges: DataFrame,
+    col_src: str = "src",
+    col_dst: str = "dst",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the O(log n)-round algorithm for graphs
+    whose DIAMETER breaks per-hop propagation:
+    ``dedup.min_label_components`` moves the min label one hop per
+    round (diameter-many rounds on a chain; its docstring records that
+    naive pointer-jumping does NOT fix this on shuffled id layouts),
+    while star contraction provably halves component height per
+    alternation regardless of id layout.
+
+        large-star(u): link every neighbor v > u to min(Γ⁺(u))
+        small-star(u): link every neighbor v ≤ u to that min
+
+    Each phase is one edge-scale groupBy + join (shuffle on the pivot
+    node) + distinct; convergence = edge-set fixpoint, checked with a
+    count + order-free checksum at label scale. At a fixpoint the edge
+    set IS the component map: every surviving (a, b) has a = the
+    component's min id. Returns (node, label) for every node with ≥1
+    edge — same contract as min_label_components, verified equivalent
+    in tests (cliques, random graphs, and a 40-chain that converges
+    here in ~5 alternations vs 39 propagation hops)."""
+    e = (
+        edges.select(
+            F.least(F.col(col_src), F.col(col_dst)).alias("a"),
+            F.greatest(F.col(col_src), F.col(col_dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # ---- large-star: pivot on EVERY endpoint u; m = min(Γ⁺(u))
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: pivot on the LARGER endpoint b; link all its
+        # smaller neighbors (and b itself) to their min
+        grp = e.groupBy("b").agg(F.min("a").alias("m"))
+        joined = e.join(grp, "b")
+        e = (
+            joined.select(F.col("m").alias("a"), F.col("b").alias("b"))
+            .unionByName(
+                joined.filter(F.col("a") != F.col("m")).select(
+                    F.col("m").alias("a"), F.col("a").alias("b")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- fixpoint: count + order-free checksum of the edge set
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum(F.hash("a", "b").cast("bigint")),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    roots = e.select(F.col("a").alias("node"), F.col("a").alias("label"))
+    members = e.select(F.col("b").alias("node"), F.col("a").alias("label"))
+    return members.unionByName(roots).distinct()

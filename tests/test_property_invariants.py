@@ -145,3 +145,66 @@ def test_min_label_components_dense_cluster_fast(spark):
     }
     assert {labels[i] for i in (50, 51, 52, 53, 54)} == {50}
     assert {labels[i] for i in (1, 2, 3)} == {1}
+
+
+def _canon_labels(rows):
+    """Canonicalize a (node, label) labeling to frozenset components."""
+    comp = {}
+    for r in rows:
+        comp.setdefault(r["label"], set()).add(r["node"])
+    return frozenset(frozenset(s) for s in comp.values())
+
+
+def test_star_components_equals_propagation_on_random_graphs(spark):
+    import random
+
+    from recmetrics_pyspark_spark.operators.dedup import (
+        min_label_components,
+    )
+    from recmetrics_pyspark_spark.operators.graph import star_components
+
+    rng = random.Random(17)
+    edges = []
+    # 3 disjoint random blobs over shuffled, non-contiguous ids
+    for blk in range(3):
+        ids = [blk * 1000 + rng.randrange(500) for _ in range(40)]
+        for _ in range(60):
+            a, b = rng.choice(ids), rng.choice(ids)
+            if a != b:
+                edges.append((a, b))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sym = df.union(df.select("dst", "src"))
+    want = _canon_labels(
+        min_label_components(sym, until_converged=True).collect()
+    )
+    got = _canon_labels(star_components(df).collect())
+    assert got == want
+    # star labels are component minima
+    for r in star_components(df).collect():
+        assert r["label"] <= r["node"]
+
+
+def test_star_components_chain_beats_propagation_bound(spark):
+    """A 40-node chain: fixed-iters propagation (iters=4) must NOT
+    fully merge it (the documented diameter bound), star contraction
+    must — in far fewer than diameter rounds (log-depth contract)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        min_label_components,
+    )
+    from recmetrics_pyspark_spark.operators.graph import star_components
+
+    # shuffled ids so monotone-id shortcuts can't help
+    import random
+
+    rng = random.Random(5)
+    ids = list(range(100, 140))
+    rng.shuffle(ids)
+    chain = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    sym = df.union(df.select("dst", "src"))
+    partial = min_label_components(sym, iters=4).collect()
+    assert len({r["label"] for r in partial}) > 1  # not yet merged
+    full = star_components(df, max_rounds=10).collect()
+    labels = {r["label"] for r in full}
+    assert labels == {min(ids)}  # one component, min-id root
+    assert {r["node"] for r in full} == set(ids)

@@ -1928,6 +1928,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     constructions CHANGED this round (balanced_sample, simhash family,
     neardup_components) plus a few stable canaries occupy the window;
     everything driver-green in r1/r2 and unchanged since sits after.
+
+    ROUND-4 ROTATION NOTE: the operators added after this round's
+    window was frozen (semantic_dedup, zipf_fit, mad_outlier_docs,
+    psi_drift, cluster_eval, association_rules,
+    baseline_predictor_rmse — all judge-checkable today via
+    `scripts/driver_check.py <names>`) have no driver row yet; move
+    them into the first-50 window next round, keeping a few canaries.
     """
     return {
         # --- round-2 operators rotated in for driver witnessing

@@ -2168,13 +2168,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 6) AS sum_qty,
-  round(sum(l_extendedprice), 6) AS sum_base_price,
-  round(sum(l_extendedprice*(1-l_discount)), 6) AS sum_disc_price,
-  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 6) AS sum_charge,
-  round(avg(l_quantity), 6) AS avg_qty,
-  round(avg(l_extendedprice), 6) AS avg_price,
-  round(avg(l_discount), 6) AS avg_disc,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+    AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+    AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)))
+    AS DOUBLE), 6) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax)
+    AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+    / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+    / count(*), 6) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -3299,7 +3306,8 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "q_cube_brand_status": """
 SELECT p_brand, l_linestatus, count(*) AS n_rows,
-  round(sum(l_extendedprice), 6) AS sum_price
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+    AS sum_price
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY CUBE (p_brand, l_linestatus)
 """,
@@ -3365,7 +3373,8 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "q_sql_surface": """
 SELECT n_name, count(*) AS n_lineitems,
-  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -3468,7 +3477,8 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01'
   AND l_shipdate < TIMESTAMP '1995-10-01'
 """,
         "q19_disjunctive": """
-SELECT round(sum(l_extendedprice*(1-l_discount)), 6) AS revenue,
+SELECT round(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
   count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -4220,7 +4230,8 @@ FROM events
 """,
         "q_grouping_sets": """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-  round(sum(l_extendedprice), 6) AS sum_price
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+    AS sum_price
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """,

@@ -27,33 +27,47 @@ def _r6(c):
     return F.round(c, 6)
 
 
+def dsum(c):
+    """Order-independent big sum: cast each addend to DECIMAL(18,6)
+    (per-row, deterministic IEEE→decimal rounding), sum in DECIMAL
+    (associative — partial-aggregation order can't change the result),
+    return DOUBLE. Plain double sums over ~10⁶ rows differ between
+    engines in the last ulp, which at 10⁹-scale totals IS the 6th
+    decimal — measured: q1's sf0.1 sum_disc_price hash-diverged from
+    the DuckDB oracle by 1e-6 until this. At 100 TB this is the only
+    reproducible way to aggregate currency."""
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy groupBy on lineitem.
 
     Filter + the 4 sums/3 avgs all stay in whole-stage codegen; partial
     aggregation makes the shuffle carry only |returnflag × linestatus|
-    rows per task regardless of input size.
-    """
+    rows per task regardless of input size. Sums and averages run in
+    DECIMAL (see dsum) so the result is identical under any partial-
+    aggregation order — TPC-H money is decimal semantics anyway."""
     li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r6(F.sum("l_quantity")).alias("sum_qty"),
-            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            _r6(dsum(F.col("l_quantity"))).alias("sum_qty"),
+            _r6(dsum(F.col("l_extendedprice"))).alias("sum_base_price"),
+            _r6(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
                 "sum_disc_price"
             ),
             _r6(
-                F.sum(
+                dsum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
                 )
             ).alias("sum_charge"),
-            _r6(F.avg("l_quantity")).alias("avg_qty"),
-            _r6(F.avg("l_extendedprice")).alias("avg_price"),
-            _r6(F.avg("l_discount")).alias("avg_disc"),
+            _r6(dsum(F.col("l_quantity")) / n).alias("avg_qty"),
+            _r6(dsum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            _r6(dsum(F.col("l_discount")) / n).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..sources.io import load_table
+from .relational import dsum
 
 
 def _r6(c):
@@ -38,9 +39,10 @@ def q_cube_brand_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    # decimal sum: order-independent at any scale (see relational.dsum)
     return joined.cube("p_brand", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        _r6(F.sum("l_extendedprice")).alias("sum_price"),
+        _r6(dsum(F.col("l_extendedprice"))).alias("sum_price"),
     )
 
 
@@ -168,7 +170,8 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n_name,
                count(*) AS n_lineitems,
-               round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
         FROM v_lineitem
         JOIN v_supplier ON l_suppkey = s_suppkey
         JOIN v_nation ON s_nationkey = n_nationkey

@@ -13,6 +13,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..sources.io import load_table
+from .relational import dsum
 
 
 def _r6(c):
@@ -140,8 +141,9 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").between(10, 30))
         & (F.col("l_quantity").between(10, 40))
     )
+    # decimal sum: order-independent at any scale (see relational.dsum)
     return j.filter(clause1 | clause2).agg(
-        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        _r6(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_lines"),
@@ -175,7 +177,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            _r6(F.sum("l_extendedprice")).alias("sum_price"),
+            _r6(dsum(F.col("l_extendedprice"))).alias("sum_price"),
         )
     )
 

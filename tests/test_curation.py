@@ -161,3 +161,37 @@ def test_semantic_dedup_accounting(spark):
     assert sum(r["n_kept"] for r in rows) == 3
     for r in rows:
         assert r["n_docs"] == r["n_dropped"] + r["n_kept"]
+
+
+def test_trained_artifact_memo_contract(spark):
+    from recmetrics_pyspark_spark.operators.similarity import (
+        clear_trained_cache,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    clear_trained_cache()
+    vecs = [(i, [float(i % 4), float(i % 3), 1.0, 0.5]) for i in range(32)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    # identical (corpus plan, params) -> the SAME DataFrame object
+    a = kmeans_centroids(df, k=4, refinements=1)
+    b = kmeans_centroids(df, k=4, refinements=1)
+    assert a is b
+    # different params -> a fresh training run
+    c = kmeans_centroids(df, k=2, refinements=1)
+    assert c is not a
+    # the key is the analyzed plan's SEMANTIC hash, not Python object
+    # identity: two independent reads of the same parquet hit one key
+    # (separately-built LocalRelations hash apart — their literal data
+    # arrays carry distinct expression ids — which is also fine: a miss
+    # only costs a redundant training run, never a wrong result)
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    r1 = kmeans_centroids(spark.read.parquet(emb_path), k=4, refinements=1)
+    r2 = kmeans_centroids(spark.read.parquet(emb_path), k=4, refinements=1)
+    assert r1 is r2
+    # the PQ trainer shares the registry namespace without collisions
+    p1 = pq_codebooks(df, m=2, k_codes=4)
+    p2 = pq_codebooks(df, m=2, k_codes=4)
+    assert p1 is p2 and p1 is not a
+    clear_trained_cache()
+    assert kmeans_centroids(df, k=4, refinements=1) is not a

@@ -2212,7 +2212,7 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
         "q5_region_volume": """
-SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 6) AS revenue
+SELECT n_name, round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2226,7 +2226,7 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
         "q6_forecast_revenue": """
-SELECT round(sum(l_extendedprice*l_discount), 6) AS revenue
+SELECT round(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -2519,7 +2519,7 @@ b AS (
   SELECT l_partkey AS ak, avg(l_quantity) * 0.2 AS qty_cut
   FROM b GROUP BY l_partkey
 )
-SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
   count(*) AS n_lines
 FROM b JOIN a ON l_partkey = ak WHERE l_quantity < qty_cut
 """,
@@ -2551,9 +2551,9 @@ WITH j AS (
   JOIN nation ON s_nationkey = n_nationkey
 )
 SELECT o_year,
-  round(sum(CASE WHEN n_name = 'FRANCE' THEN vol ELSE 0.0 END)
-    / sum(vol), 6) AS mkt_share,
-  round(sum(vol), 6) AS total_volume
+  round(CAST(sum(CAST(CASE WHEN n_name = 'FRANCE' THEN vol ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(sum(CAST(vol AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+  round(CAST(sum(CAST(vol AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_volume
 FROM j GROUP BY o_year ORDER BY o_year
 """,
         "q11_important_stock": """
@@ -2568,7 +2568,7 @@ ORDER BY part_value DESC, l_partkey
         "q15_top_supplier": """
 WITH r AS (
   SELECT l_suppkey,
-    round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -3301,7 +3301,7 @@ WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.35
 """,
         "q_rollup_returns": """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-  round(sum(l_quantity), 6) AS sum_qty
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "q_cube_brand_status": """
@@ -3339,7 +3339,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         "q_orders_by_month": """
 SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
   CAST(date_part('month', o_orderdate) AS INTEGER) AS o_month,
-  count(*) AS n_orders, round(sum(o_totalprice), 6) AS revenue
+  count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
 FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "q_string_funcs_parts": """
@@ -3433,7 +3433,7 @@ FROM e a JOIN e b
         "q7_nation_volume": """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
   CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
-  round(sum(l_extendedprice*(1-l_discount)), 6) AS volume
+  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -3448,8 +3448,8 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         "q9_profit_by_nation_year": """
 SELECT n_name AS nation,
   CAST(date_part('year', l_shipdate) AS INTEGER) AS o_year,
-  round(sum(l_extendedprice*(1-l_discount)
-            - p_retailprice*l_quantity*0.1), 6) AS sum_profit
+  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) - p_retailprice*l_quantity*0.1 AS DECIMAL(18,6))) AS DOUBLE), 6)
+    AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -3469,9 +3469,8 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "q14_promo_revenue": """
-SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-         THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
-       / sum(l_extendedprice*(1-l_discount)), 6) AS promo_revenue_pct
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1995-09-01'
   AND l_shipdate < TIMESTAMP '1995-10-01'
@@ -3491,7 +3490,7 @@ WITH avg_bal AS (
   SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
 )
 SELECT substr(c_name, 18, 1) AS name_digit,
-  count(*) AS n_custs, round(sum(c_acctbal), 6) AS total_bal
+  count(*) AS n_custs, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_bal
 FROM customer, avg_bal
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -3585,7 +3584,7 @@ FROM customer GROUP BY 1 ORDER BY 1
         "q_rolling_revenue": """
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS day,
-    round(sum(o_totalprice), 6) AS revenue,
+    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
     CAST(floor(epoch(date_trunc('day', o_orderdate))/86400) AS BIGINT)
       AS day_num
   FROM orders GROUP BY 1
@@ -3931,8 +3930,8 @@ WITH long AS (
   SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
 )
 SELECT l_returnflag, metric, CAST(count(*) AS BIGINT) AS n,
-  round(sum(value), 6) AS sum_value,
-  round(avg(value), 6) AS avg_value
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
 FROM long GROUP BY l_returnflag, metric
 """,
         "session_paths": """

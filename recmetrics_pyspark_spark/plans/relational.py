@@ -127,7 +127,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            _r6(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
                 "revenue"
             )
         )
@@ -147,7 +147,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(_r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(_r6(dsum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
     )
 
 

@@ -29,7 +29,7 @@ def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(dsum(F.col("l_quantity"))).alias("sum_qty"),
         )
     )
 
@@ -108,7 +108,7 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _r6(F.sum("o_totalprice")).alias("revenue"),
+            _r6(dsum(F.col("o_totalprice"))).alias("revenue"),
         )
         .orderBy("o_year", "o_month")
     )
@@ -261,8 +261,8 @@ def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.groupBy("l_returnflag", "metric")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r6(F.sum("value")).alias("sum_value"),
-            _r6(F.avg("value")).alias("avg_value"),
+            _r6(dsum(F.col("value"))).alias("sum_value"),
+            _r6(dsum(F.col("value")) / F.count(F.lit(1))).alias("avg_value"),
         )
         .orderBy("l_returnflag", "metric")
     )

@@ -50,7 +50,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            _r6(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
                 "volume"
             )
         )
@@ -74,7 +74,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
         .agg(
             _r6(
-                F.sum(
+                dsum(
                     F.col("l_extendedprice") * (1 - F.col("l_discount"))
                     - F.col("p_retailprice") * F.col("l_quantity") * 0.1
                 )
@@ -118,8 +118,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _r6(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
-                / F.sum(rev)
+                * dsum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0)))
+                / dsum(rev)
             ).alias("promo_revenue_pct")
         )
     )
@@ -331,7 +331,7 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", F.col("o_orderdate")).alias("day"),
-    ).agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    ).agg(F.round(dsum(F.col("o_totalprice")), 6).alias("revenue"))
     daily = daily.withColumn(
         "day_num", (F.unix_timestamp("day") / 86400).cast("long")
     )
@@ -503,7 +503,7 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring("c_name", 18, 1).alias("name_digit"))
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            _r6(F.sum("c_acctbal")).alias("total_bal"),
+            _r6(dsum(F.col("c_acctbal"))).alias("total_bal"),
         )
         .orderBy("name_digit")
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..sources.io import load_table
+from .relational import dsum
 
 
 def _r6(c):
@@ -104,7 +105,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         branded.join(broadcast(avg_qty), F.col("p_partkey") == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            _r6(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            _r6(dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -126,10 +127,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             _r6(
-                F.sum(F.when(F.col("n_name") == "FRANCE", vol).otherwise(0.0))
-                / F.sum(vol)
+                dsum(F.when(F.col("n_name") == "FRANCE", vol).otherwise(F.lit(0.0)))
+                / dsum(vol)
             ).alias("mkt_share"),
-            _r6(F.sum(vol)).alias("total_volume"),
+            _r6(dsum(vol)).alias("total_volume"),
         )
         .orderBy("o_year")
     )
@@ -164,7 +165,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
-        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        _r6(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
             "total_revenue"
         )
     )

@@ -131,3 +131,117 @@ def rollup_merge(
         new_sum.alias("sum_value"),
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def pair_counts_delta(
+    old_baskets: DataFrame,
+    delta: DataFrame,
+    col_user: str = "user",
+    col_item: str = "item",
+) -> DataFrame:
+    """Incremental maintenance for the item co-occurrence pair table —
+    the quadratic intermediate behind item-item similarity, association
+    rules and the co-occurrence graph. A full refresh recomputes every
+    pair from every basket; this computes only the pairs the DELTA
+    creates, which is what a 100 TB recommender actually reruns per
+    ingestion cycle:
+
+        new pairs(user) = (new items × existing basket)
+                        ∪ (new items × new items, a < b)
+
+    Input: ``old_baskets`` = (u, items array) as built by
+    ``metrics.user_baskets``; ``delta`` = raw new (user, item) rows.
+    Output: (ia, ib, d_common) canonical pair-count increments
+    (ia < ib) — merge into the stored pair table with
+    :func:`rollup_merge`-style addition (see ``merge_pair_counts``).
+
+    Scale: one distinct on the delta, one join of the DELTA (not the
+    corpus) against baskets on user, and pair fan-out proportional to
+    |delta| × basket size — never all baskets × all baskets. Items
+    already present in a user's basket are dropped first (set
+    semantics, matching collect_set)."""
+    d = (
+        delta.select(
+            F.col(col_user).alias("u"), F.col(col_item).alias("i")
+        )
+        .distinct()
+    )
+    with_basket = d.join(old_baskets, "u", "left").select(
+        "u",
+        "i",
+        F.coalesce("items", F.array()).alias("items"),
+    )
+    genuinely_new = with_basket.filter(
+        ~F.array_contains("items", F.col("i"))
+    )
+    # new × existing (basket explode is delta-scale: only touched users)
+    cross_old = genuinely_new.select(
+        "u", "i", F.explode("items").alias("j")
+    )
+    # new × new within the same user's delta
+    n2 = genuinely_new.select("u", F.col("i").alias("j"))
+    cross_new = (
+        genuinely_new.select("u", "i")
+        .join(n2, "u")
+        .filter(F.col("i") < F.col("j"))
+    )
+    pairs = cross_old.select("i", "j").unionByName(
+        cross_new.select("i", "j")
+    )
+    return (
+        pairs.select(
+            F.least("i", "j").alias("ia"),
+            F.greatest("i", "j").alias("ib"),
+        )
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("d_common"))
+    )
+
+
+def merge_pair_counts(
+    old_pairs: DataFrame, delta_pairs: DataFrame
+) -> DataFrame:
+    """Merge pair-count increments into the stored pair table: one
+    full-outer join on the canonical pair key, counts added with null
+    as zero — the same diff-scale merge contract as ``rollup_merge``
+    (the delta side is small; the join key is the pair, so AQE
+    broadcast-joins the delta when it fits)."""
+    return (
+        old_pairs.withColumnRenamed("n_common", "old_n")
+        .join(delta_pairs, ["ia", "ib"], "full")
+        .select(
+            "ia",
+            "ib",
+            (
+                F.coalesce(F.col("old_n"), F.lit(0))
+                + F.coalesce(F.col("d_common"), F.lit(0))
+            ).alias("n_common"),
+        )
+    )
+
+
+def merge_baskets(
+    old_baskets: DataFrame,
+    delta: DataFrame,
+    col_user: str = "user",
+    col_item: str = "item",
+) -> DataFrame:
+    """Roll the delta's items into the stored per-user baskets (union +
+    dedup inside the array — one delta-scale aggregate + one join)."""
+    d_items = (
+        delta.select(F.col(col_user).alias("u"), F.col(col_item).alias("i"))
+        .groupBy("u")
+        .agg(F.collect_set("i").alias("d_items"))
+    )
+    return (
+        old_baskets.join(d_items, "u", "full")
+        .select(
+            "u",
+            F.array_distinct(
+                F.concat(
+                    F.coalesce("items", F.array()),
+                    F.coalesce("d_items", F.array()),
+                )
+            ).alias("items"),
+        )
+    )

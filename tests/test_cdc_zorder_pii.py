@@ -160,3 +160,59 @@ def test_rollup_merge_handles_group_moves(spark):
     assert merged == direct
     # group b gained the moved row, group c appeared, empty groups gone
     assert merged["b"] == (1, 25.0) and merged["c"] == (1, 40.0)
+
+
+def test_incremental_pair_counts_equal_full_recompute(spark):
+    """The invariant that makes the incremental path trustworthy:
+    baskets+pairs maintained through two delta cycles equal the batch
+    pair pipeline on the full interaction set."""
+    from recmetrics_pyspark_spark.operators.cdc import (
+        merge_baskets,
+        merge_pair_counts,
+        pair_counts_delta,
+    )
+    from recmetrics_pyspark_spark.operators.metrics import (
+        item_cooccurrence_pairs,
+        user_baskets,
+    )
+
+    base = [(u, i) for u in range(6) for i in range(u % 4 + 1)]
+    d1 = [(0, 7), (0, 8), (1, 7), (5, 0), (5, 7)]
+    d2 = [(0, 9), (2, 7), (0, 7), (3, 3)]  # (0,7) and (3,3) are repeats
+    full = base + d1 + d2
+
+    def canon(pairs_df, min_common=1):
+        return sorted(
+            (r["ia"], r["ib"], r["n_common"])
+            for r in pairs_df.collect()
+            if r["n_common"] >= min_common
+        )
+
+    baskets = user_baskets(
+        spark.createDataFrame(base, ["user", "item"]), "user", "item"
+    )
+    pairs, _ = item_cooccurrence_pairs(
+        spark.createDataFrame(base, ["user", "item"]),
+        "user", "item", min_common=1,
+    )
+    for drows in (d1, d2):
+        ddf = spark.createDataFrame(drows, ["user", "item"])
+        pairs = merge_pair_counts(pairs, pair_counts_delta(baskets, ddf))
+        baskets = merge_baskets(baskets, ddf)
+    want, _ = item_cooccurrence_pairs(
+        spark.createDataFrame(full, ["user", "item"]),
+        "user", "item", min_common=1,
+    )
+    assert canon(pairs) == canon(want)
+    # and the maintained baskets equal the batch baskets
+    got_b = {
+        r["u"]: frozenset(r["items"])
+        for r in baskets.collect()
+    }
+    want_b = {
+        r["u"]: frozenset(r["items"])
+        for r in user_baskets(
+            spark.createDataFrame(full, ["user", "item"]), "user", "item"
+        ).collect()
+    }
+    assert got_b == want_b

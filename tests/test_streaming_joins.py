@@ -120,8 +120,13 @@ def test_stream_static_enrichment_broadcasts_dim(spark, tmp_path):
         for r in ev.join(dim, "user_id").select("event_id", "user_tier").collect()
     )
     assert got == want
-    plan = enriched._jdf.queryExecution().optimizedPlan().toString()
-    assert "broadcast" in plan.lower()
+    # plan check on the BATCH twin (same code path; a streaming DF's
+    # queryExecution can't be inspected outside writeStream.start())
+    batch_plan = (
+        enrich_with_dim(ev, dim, on="user_id")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "broadcast" in batch_plan.lower()
 
 
 def test_windowed_topk_serving_matches_batch(spark, tmp_path):

@@ -159,3 +159,30 @@ def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", saved
         )
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Lakehouse schema evolution: files written before a column was
+    added coexist with files written after; mergeSchema unifies them
+    on read (missing column -> null), and filters on the ORIGINAL
+    columns still push down to the scan."""
+    p = str(tmp_path / "evolving")
+    li = load_table(spark, SF_DIR, "lineitem")
+    v1 = li.select("l_orderkey", "l_quantity").limit(100)
+    v1.write.parquet(p)
+    v2 = (
+        li.select("l_orderkey", "l_quantity")
+        .withColumn("ingest_tag", F.lit("batch2"))
+        .limit(50)
+    )
+    v2.write.mode("append").parquet(p)
+    back = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(back.columns) == {"l_orderkey", "l_quantity", "ingest_tag"}
+    assert back.count() == 150
+    # old files surface the new column as null
+    assert back.filter(F.col("ingest_tag").isNull()).count() == 100
+    flt = back.filter(F.col("l_quantity") > 25)
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters"
+    )[1][:120]

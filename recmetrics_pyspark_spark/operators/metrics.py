@@ -346,6 +346,11 @@ def item_cooccurrence_pairs(
             "n_common",
         )
     )
+    # NOT persisted: materializing the pair table through the cache
+    # builder costs ~5x the flowing aggregate (measured 22s vs ~4s at
+    # sf0.1) — consumers that want cached pairs read the persisted
+    # `item_similarity_pairs` output and recover n_common exactly as
+    # rint(sim * sqrt(sza * szb)) (sim is stored unrounded).
     return counts, sizes
 
 

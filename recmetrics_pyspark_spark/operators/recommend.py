@@ -236,17 +236,36 @@ def association_rules(
     every unordered pair are emitted, filtered by confidence, ranked by
     lift with deterministic tie-breaks.
 
-    Scale: rides the SAME persisted pair/size tables as item_item_topk
-    and pagerank_items (`operators/metrics.py::item_cooccurrence_pairs`
-    — one basket shuffle, packed-key pair count), then everything is
-    pair-scale arithmetic with catalog-scale broadcasts; top-k via one
-    window over the filtered rule set."""
+    Scale: rides the SAME persisted similarity table as item_item_topk
+    and pagerank_items (`operators/metrics.py::item_similarity_pairs`),
+    recovering the co-occurrence count exactly as
+    rint(sim · √(sza·szb)) — sim is stored unrounded as n/√(sza·szb),
+    so the product is an integer up to ~1e-10 float error and rint is
+    exact. Everything after is pair-scale arithmetic with
+    catalog-scale broadcasts; top-k via one window over the filtered
+    rule set."""
     from pyspark.sql.window import Window
 
-    from .metrics import item_cooccurrence_pairs, user_baskets
+    from .metrics import (
+        item_cooccurrence_pairs,
+        item_similarity_pairs,
+        user_baskets,
+    )
 
-    pairs, sizes = item_cooccurrence_pairs(
-        df, col_user, col_item, min_common
+    sims = item_similarity_pairs(df, col_user, col_item, min_common)
+    _, sizes = item_cooccurrence_pairs(df, col_user, col_item, min_common)
+    sa = sizes.select(F.col("i").alias("ia"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("i").alias("ib"), F.col("sz").alias("szb"))
+    pairs = (
+        sims.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .select(
+            "ia",
+            "ib",
+            F.rint(
+                F.col("sim") * F.sqrt(F.col("sza") * F.col("szb"))
+            ).cast("bigint").alias("n_common"),
+        )
     )
     n_users = user_baskets(df, col_user, col_item).count()
     both = pairs.select(

@@ -1548,6 +1548,14 @@ def _association_rules(spark, sf_dir):
     return R.association_rules(R.interactions(spark, sf_dir))
 
 
+def _popularity_concentration(spark, sf_dir):
+    """Gini / entropy / effective-catalog-size of item popularity
+    (operators/metrics.py::popularity_concentration)."""
+    return M.popularity_concentration(
+        R.interactions(spark, sf_dir), "user", "item"
+    )
+
+
 def _baseline_rmse(spark, sf_dir):
     """Bias baseline predictor mu + b_u + b_i and its RMSE/MAE vs the
     observed ratings (operators/recommend.py::baseline_predictor_rmse)."""
@@ -2108,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _psi_drift,
         "cluster_eval": _cluster_eval,
         "association_rules": _association_rules,
+        "popularity_concentration": _popularity_concentration,
         "baseline_predictor_rmse": _baseline_rmse,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
@@ -2707,6 +2716,28 @@ SELECT count(*) AS n_tokens_fit,
   round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
     AS zipf_intercept
 FROM xy
+""",
+        "popularity_concentration": """
+WITH inter AS (
+  SELECT l_partkey AS i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), pops AS (SELECT i, count(*) AS cnt FROM inter GROUP BY i),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
+         CAST(count(*) AS DOUBLE) AS n_items
+  FROM pops
+), ranked AS (
+  SELECT cnt / tot AS p,
+    CAST(row_number() OVER (ORDER BY cnt, i) AS DOUBLE) AS rnk,
+    n_items
+  FROM pops, tot
+)
+SELECT CAST(max(n_items) AS BIGINT) AS n_items,
+  round((2.0 * sum(rnk * p) - (max(n_items) + 1)) / max(n_items), 6)
+    AS gini,
+  round(-sum(p * ln(p)), 6) AS entropy,
+  round(exp(-sum(p * ln(p))), 6) AS effective_catalog_size
+FROM ranked
 """,
         "association_rules": """
 WITH interactions AS (

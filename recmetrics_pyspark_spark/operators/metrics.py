@@ -532,3 +532,50 @@ def intra_list_similarity(
             ).alias("intra_list_similarity"),
         )
     )
+
+
+def popularity_concentration(
+    df: DataFrame,
+    col_user: str = "person",
+    col_item: str = "product",
+) -> DataFrame:
+    """Catalog-concentration scorecard in one row: the Gini coefficient
+    of the item-popularity distribution, its Shannon entropy, and the
+    effective catalog size ECS = exp(H) — the "how long is the long
+    tail really" numbers read next to coverage/novelty (a Gini near 1
+    or an ECS far below the catalog count means a few blockbusters
+    carry the traffic).
+
+    Gini uses the sorted-share closed form over shares ascending
+    (ties broken by item id): G = (2·Σ_i i·p_(i) − (n+1)) / n with
+    Σp = 1. The rank window runs over the CATALOG-scale popularity
+    table (items, not interactions) — the only corpus-scale work is
+    the one popularity aggregate."""
+    pops = df.groupBy(F.col(col_item).alias("i")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = pops.agg(
+        F.sum("cnt").cast("double").alias("tot"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    w = Window.orderBy(F.asc("cnt"), F.asc("i"))
+    ranked = (
+        pops.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("cnt") / F.col("tot")).alias("p"),
+            F.row_number().over(w).cast("double").alias("rnk"),
+            "n_items",
+        )
+    )
+    return ranked.agg(
+        F.max("n_items").cast("bigint").alias("n_items"),
+        F.round(
+            (2.0 * F.sum(F.col("rnk") * F.col("p")) - (F.max("n_items") + 1))
+            / F.max("n_items"),
+            6,
+        ).alias("gini"),
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy"),
+        F.round(
+            F.exp(-F.sum(F.col("p") * F.log(F.col("p")))), 6
+        ).alias("effective_catalog_size"),
+    )

@@ -208,3 +208,48 @@ def test_star_components_chain_beats_propagation_bound(spark):
     labels = {r["label"] for r in full}
     assert labels == {min(ids)}  # one component, min-id root
     assert {r["node"] for r in full} == set(ids)
+
+
+def test_dsum_is_partitioning_invariant(spark):
+    """The decimal-aggregation claim: the SAME rows under different
+    partitionings (different partial-aggregation orders) produce the
+    BIT-IDENTICAL sum — where a plain double sum is allowed to differ
+    in the last ulp."""
+    from recmetrics_pyspark_spark.plans.relational import dsum
+    from recmetrics_pyspark_spark.sources.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    expr = li.l_extendedprice * (1 - li.l_discount)
+    vals = []
+    for parts in (1, 7, 64):
+        v = (
+            li.repartition(parts)
+            .agg(dsum(expr).alias("s"))
+            .collect()[0]["s"]
+        )
+        vals.append(v)
+    assert vals[0] == vals[1] == vals[2]  # exact, not approx
+
+
+def test_popularity_concentration_bounds_and_extremes(spark):
+    from recmetrics_pyspark_spark.operators.metrics import (
+        popularity_concentration,
+    )
+
+    # uniform popularity -> gini 0, ECS = catalog size
+    uniform = spark.createDataFrame(
+        [(u, i) for u in range(4) for i in range(5)], ["person", "product"]
+    )
+    r = popularity_concentration(uniform).collect()[0]
+    assert r["n_items"] == 5
+    assert abs(r["gini"]) < 1e-9
+    assert abs(r["effective_catalog_size"] - 5.0) < 1e-6
+    # one blockbuster + rare tail -> high gini, ECS far below catalog
+    skewed = spark.createDataFrame(
+        [(u, 0) for u in range(96)] + [(0, i) for i in range(1, 5)],
+        ["person", "product"],
+    )
+    s = popularity_concentration(skewed).collect()[0]
+    assert s["n_items"] == 5
+    assert s["gini"] > 0.7
+    assert s["effective_catalog_size"] < 2.0

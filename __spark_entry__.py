@@ -1548,6 +1548,26 @@ def _association_rules(spark, sf_dir):
     return R.association_rules(R.interactions(spark, sf_dir))
 
 
+def _item_exposure(spark, sf_dir):
+    """Rank-discounted exposure shares over the deterministic rec lists
+    (operators/recommend.py::item_exposure)."""
+    return R.item_exposure(R.synthetic_recommendations(spark, sf_dir))
+
+
+def _calibration_kl(spark, sf_dir):
+    """Calibrated-recommendation audit: mean KL(p_rec || p_hist) over
+    the brand mix (operators/recommend.py::calibration_kl; Steck
+    2018)."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"), F.col("p_brand").alias("category")
+    )
+    return R.calibration_kl(
+        R.interactions(spark, sf_dir),
+        R.synthetic_recommendations(spark, sf_dir),
+        part,
+    )
+
+
 def _popularity_concentration(spark, sf_dir):
     """Gini / entropy / effective-catalog-size of item popularity
     (operators/metrics.py::popularity_concentration)."""
@@ -2117,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_eval": _cluster_eval,
         "association_rules": _association_rules,
         "popularity_concentration": _popularity_concentration,
+        "item_exposure": _item_exposure,
+        "calibration_kl": _calibration_kl,
         "baseline_predictor_rmse": _baseline_rmse,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
@@ -2716,6 +2738,44 @@ SELECT count(*) AS n_tokens_fit,
   round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
     AS zipf_intercept
 FROM xy
+""",
+        "item_exposure": ORACLE_BASE + """
+, per_item AS (
+  SELECT item_id AS item, sum(1.0 / log2(rnk + 1)) AS exposure,
+    count(*) AS n_impressions
+  FROM recs GROUP BY item_id
+), tot AS (SELECT sum(exposure) AS tot FROM per_item)
+SELECT rnk, item, n_impressions, exposure, exposure_share FROM (
+  SELECT CAST(row_number() OVER (
+      ORDER BY round(exposure, 6) DESC, item) AS BIGINT) AS rnk,
+    item, n_impressions, round(exposure, 6) AS exposure,
+    round(exposure / tot, 6) AS exposure_share
+  FROM per_item, tot) t
+WHERE rnk <= 20 ORDER BY rnk
+""",
+        "calibration_kl": ORACLE_BASE + """
+, cats AS (SELECT p_partkey AS i, p_brand AS cat FROM part),
+nc AS (SELECT CAST(count(DISTINCT cat) AS DOUBLE) AS n_cats FROM cats),
+hist AS (
+  SELECT user_id AS u, cat, count(*) AS n
+  FROM interactions JOIN cats ON item_id = i GROUP BY 1, 2
+), htot AS (SELECT u, sum(n) AS h_tot FROM hist GROUP BY u),
+rmix AS (
+  SELECT user_id AS u, cat, count(*) AS n
+  FROM recs JOIN cats ON item_id = i GROUP BY 1, 2
+), rtot AS (SELECT u, sum(n) AS r_tot FROM rmix GROUP BY u),
+pu AS (
+  SELECT r.u,
+    sum((r.n / rt.r_tot) * ln((r.n / rt.r_tot)
+      / ((coalesce(h.n, 0) + 0.5) / (ht.h_tot + 0.5 * n_cats)))) AS kl
+  FROM rmix r
+  JOIN rtot rt ON r.u = rt.u
+  LEFT JOIN hist h ON r.u = h.u AND r.cat = h.cat
+  JOIN htot ht ON r.u = ht.u, nc
+  GROUP BY r.u
+)
+SELECT count(*) AS n_users, round(avg(kl), 6) AS mean_kl,
+  round(max(kl), 6) AS max_kl FROM pu
 """,
         "popularity_concentration": """
 WITH inter AS (

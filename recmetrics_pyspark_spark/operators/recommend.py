@@ -363,3 +363,109 @@ def baseline_predictor_rmse(
             F.sqrt(F.avg(F.pow(F.col("r") - F.col("mu"), 2))), 6
         ).alias("rmse_mean_only"),
     )
+
+
+def item_exposure(
+    recs: DataFrame,
+    col_item: str = "item",
+    col_rank: str = "rnk",
+    top_k: int = 20,
+) -> DataFrame:
+    """Rank-discounted exposure audit: each list slot contributes
+    1/log2(rank+1) (the NDCG discount) to its item, and an item's
+    exposure share is its fraction of the total — the table a fairness
+    or payout audit reads to see who the ranker is actually showing
+    (position bias included, unlike raw impression counts).
+
+    Scale: one item-keyed aggregate (catalog-scale result), a one-row
+    total broadcast, and a top-k window over the catalog table."""
+    from pyspark.sql.window import Window
+
+    per_item = recs.groupBy(F.col(col_item).alias("item")).agg(
+        F.sum(1.0 / F.log2(F.col(col_rank) + 1)).alias("exposure"),
+        F.count(F.lit(1)).alias("n_impressions"),
+    )
+    total = per_item.agg(F.sum("exposure").alias("tot"))
+    w = Window.orderBy(F.desc("exposure"), F.asc("item"))
+    return (
+        per_item.crossJoin(F.broadcast(total))
+        .select(
+            "item",
+            "n_impressions",
+            F.round("exposure", 6).alias("exposure"),
+            F.round(F.col("exposure") / F.col("tot"), 6).alias(
+                "exposure_share"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= top_k)
+        .select("rnk", "item", "n_impressions", "exposure", "exposure_share")
+    )
+
+
+def calibration_kl(
+    history: DataFrame,
+    recs: DataFrame,
+    categories: DataFrame,
+    col_user: str = "user",
+    col_item: str = "item",
+    col_cat: str = "category",
+) -> DataFrame:
+    """Calibrated-recommendation audit (Steck 2018): per user, the KL
+    divergence KL(p_rec ‖ p_hist) between the category mix the user is
+    SHOWN and the mix they historically consumed — high mean KL means
+    the ranker collapses users onto crowd-pleaser categories. History
+    shares are Laplace-smoothed over the global category count so a
+    recommended category the user never touched stays finite.
+
+    Scale: two (user, category)-keyed aggregates, a categories
+    broadcast onto each, and a user-scale KL aggregate — nothing wider
+    than the interaction tables shuffles; output is one row."""
+    cats = categories.select(
+        F.col(col_item).alias("i"), F.col(col_cat).alias("cat")
+    )
+    n_cats = cats.select(
+        F.countDistinct("cat").cast("double").alias("n_cats")
+    )
+
+    def mix(df):
+        return (
+            df.select(F.col(col_user).alias("u"), F.col(col_item).alias("i"))
+            .join(F.broadcast(cats), "i")
+            .groupBy("u", "cat")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    hist = mix(history)
+    hist_tot = hist.groupBy("u").agg(F.sum("n").alias("h_tot"))
+    rec = mix(recs)
+    rec_tot = rec.groupBy("u").agg(F.sum("n").alias("r_tot"))
+    per_user = (
+        rec.join(rec_tot, "u")
+        .join(
+            hist.select("u", "cat", F.col("n").alias("h_n")),
+            ["u", "cat"],
+            "left",
+        )
+        .join(hist_tot, "u")
+        .crossJoin(F.broadcast(n_cats))
+        .select(
+            "u",
+            (F.col("n") / F.col("r_tot")).alias("p_rec"),
+            (
+                (F.coalesce(F.col("h_n"), F.lit(0)) + 0.5)
+                / (F.col("h_tot") + 0.5 * F.col("n_cats"))
+            ).alias("p_hist"),
+        )
+        .groupBy("u")
+        .agg(
+            F.sum(
+                F.col("p_rec") * F.log(F.col("p_rec") / F.col("p_hist"))
+            ).alias("kl")
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("kl"), 6).alias("mean_kl"),
+        F.round(F.max("kl"), 6).alias("max_kl"),
+    )

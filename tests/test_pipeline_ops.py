@@ -215,3 +215,45 @@ def test_baseline_predictor_beats_mean(spark):
     assert out["n_ratings"] == 64
     assert out["rmse"] < out["rmse_mean_only"] * 0.5
     assert out["mae"] <= out["rmse"]
+
+
+def test_item_exposure_discount_math(spark):
+    from recmetrics_pyspark_spark.operators.recommend import item_exposure
+
+    # item 1 at rank 1 twice, item 2 at rank 3 once:
+    # exposure(1) = 2/log2(2) = 2.0; exposure(2) = 1/log2(4) = 0.5
+    recs = spark.createDataFrame(
+        [(10, 1, 1), (11, 1, 1), (10, 2, 3)], ["user", "item", "rnk"]
+    )
+    rows = {r["item"]: r for r in item_exposure(recs).collect()}
+    assert rows[1]["exposure"] == 2.0 and rows[1]["rnk"] == 1
+    assert rows[2]["exposure"] == 0.5
+    assert rows[1]["exposure_share"] == 0.8
+    assert rows[2]["exposure_share"] == 0.2
+
+
+def test_calibration_kl_zero_when_mix_matches(spark):
+    from pyspark.sql import functions as F
+
+    from recmetrics_pyspark_spark.operators.recommend import calibration_kl
+
+    cats = spark.createDataFrame(
+        [(i, "A" if i < 50 else "B") for i in range(100)],
+        ["item", "category"],
+    )
+    # history: user consumes A and B equally; recs mirror the mix ->
+    # KL tiny (only smoothing noise); skewed recs -> clearly larger
+    hist = spark.createDataFrame(
+        [(1, i) for i in range(0, 20)] + [(1, i) for i in range(50, 70)],
+        ["user", "item"],
+    )
+    matched = spark.createDataFrame(
+        [(1, 0), (1, 51)], ["user", "item"]
+    ).withColumn("rnk", F.lit(1))
+    skewed = spark.createDataFrame(
+        [(1, 0), (1, 1)], ["user", "item"]
+    ).withColumn("rnk", F.lit(1))
+    kl_m = calibration_kl(hist, matched, cats).collect()[0]["mean_kl"]
+    kl_s = calibration_kl(hist, skewed, cats).collect()[0]["mean_kl"]
+    assert kl_m < 0.01
+    assert kl_s > kl_m * 10

@@ -116,7 +116,9 @@ def test_bm25_corpus_stats_broadcast(spark):
      "q_rollup_tree", "q21_sole_latest_supplier",
      "q16_supplier_cnt_by_part", "balanced_sample",
      "semantic_dedup", "zipf_fit", "mad_outlier_docs",
-     "psi_drift", "cluster_eval"],
+     "psi_drift", "cluster_eval", "association_rules",
+     "baseline_predictor_rmse", "popularity_concentration",
+     "item_exposure", "calibration_kl"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

@@ -1960,7 +1960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND-4 ROTATION NOTE: the operators added after this round's
     window was frozen (semantic_dedup, zipf_fit, mad_outlier_docs,
     psi_drift, cluster_eval, association_rules,
-    baseline_predictor_rmse — all judge-checkable today via
+    baseline_predictor_rmse, popularity_concentration, item_exposure,
+    calibration_kl — all judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
     """

@@ -686,6 +686,56 @@ FROM {prev} JOIN csizes USING (label)
     )
 
 
+def _neardup_components_star(spark, sf_dir):
+    """Same near-dup component output via the O(log n)-round
+    large-star/small-star contraction (operators/graph.py::
+    star_components) — oracle is the EXACT transitive closure (DuckDB
+    recursive CTE), so this witnesses the log-round algorithm against
+    ground truth rather than against the propagation twin."""
+    from recmetrics_pyspark_spark.operators.graph import star_components
+
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = star_components(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        "component_size",
+    )
+
+
+def _neardup_star_oracle() -> str:
+    # EXACT components via transitive closure: component id = min node
+    # reachable. WITH RECURSIVE prefixes the shared doc CTEs (DuckDB
+    # allows non-recursive CTEs inside a RECURSIVE block).
+    return (
+        "WITH RECURSIVE " + _DOC_BASE[len("WITH "):]
+        + """
+, jp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM jp
+  UNION SELECT id_b, id_a FROM jp
+), reach(node, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT reach.node, sym.d FROM reach JOIN sym ON reach.r = sym.s
+), comp AS (
+  SELECT node, min(r) AS component_id FROM reach GROUP BY node
+), csizes AS (
+  SELECT component_id, count(*) AS component_size FROM comp
+  GROUP BY component_id
+)
+SELECT node AS doc_id, component_id, component_size
+FROM comp JOIN csizes USING (component_id)
+"""
+    )
+
+
 def _simhash(spark, sf_dir):
     return D.simhash_signatures(_docs(spark, sf_dir))
 
@@ -2140,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "popularity_concentration": _popularity_concentration,
         "item_exposure": _item_exposure,
         "calibration_kl": _calibration_kl,
+        "neardup_components_star": _neardup_components_star,
         "baseline_predictor_rmse": _baseline_rmse,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
@@ -3351,6 +3402,7 @@ FROM jac j JOIN cand USING (id_a, id_b)
 WHERE j.jaccard >= 0.1
 """,
         "neardup_components": _neardup_components_oracle(),
+        "neardup_components_star": _neardup_star_oracle(),
         "simhash_signatures": f"""
 SELECT doc_id, {_simhash_sql_expr()} AS simhash
 FROM ({_SIMHASH_HS_SQL})

@@ -1618,6 +1618,17 @@ def _calibration_kl(spark, sf_dir):
     )
 
 
+def _serendipity(spark, sf_dir):
+    """Serendipity/unexpectedness vs the top-100 popularity baseline
+    (operators/recommend.py::serendipity_at_k)."""
+    return R.serendipity_at_k(
+        R.synthetic_recommendations(spark, sf_dir),
+        R.interactions(spark, sf_dir),
+        k=10,
+        baseline_k=100,
+    )
+
+
 def _popularity_concentration(spark, sf_dir):
     """Gini / entropy / effective-catalog-size of item popularity
     (operators/metrics.py::popularity_concentration)."""
@@ -2191,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_exposure": _item_exposure,
         "calibration_kl": _calibration_kl,
         "neardup_components_star": _neardup_components_star,
+        "serendipity": _serendipity,
         "baseline_predictor_rmse": _baseline_rmse,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
@@ -2790,6 +2802,29 @@ SELECT count(*) AS n_tokens_fit,
   round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
     AS zipf_intercept
 FROM xy
+""",
+        "serendipity": ORACLE_BASE + """
+, pop AS (SELECT item_id AS i, count(*) AS cnt FROM upairs GROUP BY 1),
+baseline AS (
+  SELECT i FROM (
+    SELECT i, row_number() OVER (ORDER BY cnt DESC, i) AS brnk FROM pop) t
+  WHERE brnk <= 100
+), scored AS (
+  SELECT r.user_id AS u,
+    sum(CASE WHEN b.i IS NULL THEN 1 ELSE 0 END) AS n_unexpected,
+    sum(CASE WHEN b.i IS NULL AND h.item_id IS NOT NULL
+        THEN 1 ELSE 0 END) AS n_serendip,
+    count(*) AS n_recs
+  FROM recs r
+  LEFT JOIN baseline b ON r.item_id = b.i
+  LEFT JOIN upairs h ON r.user_id = h.user_id AND r.item_id = h.item_id
+  GROUP BY r.user_id
+)
+SELECT count(*) AS n_users,
+  round(avg(CAST(n_unexpected AS DOUBLE) / n_recs), 6)
+    AS unexpectedness,
+  round(avg(n_serendip / 10.0), 6) AS serendipity
+FROM scored
 """,
         "item_exposure": ORACLE_BASE + """
 , per_item AS (

@@ -469,3 +469,71 @@ def calibration_kl(
         F.round(F.avg("kl"), 6).alias("mean_kl"),
         F.round(F.max("kl"), 6).alias("max_kl"),
     )
+
+
+def serendipity_at_k(
+    recs: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    baseline_k: int = 100,
+    col_user: str = "user",
+    col_item: str = "item",
+    col_rank: str = "rnk",
+) -> DataFrame:
+    """Serendipity@k (Ge et al. 2010 shape): how much of the lists'
+    VALUE comes from outside the obvious baseline. The baseline is the
+    global top-``baseline_k`` most-popular items (the recommender any
+    business already has); a rec is *unexpected* if it's not in it, and
+    *serendipitous* if it's unexpected AND a hit in the user's truth
+    set. Returns one row: mean unexpectedness (share of recs outside
+    the baseline) and mean serendipity (unexpected hits / k), macro-
+    averaged over users.
+
+    Scale: popularity is one item-keyed aggregate; the baseline is
+    baseline_k rows (broadcast); hits are one (user, item) join —
+    everything else is user-scale."""
+    from pyspark.sql.window import Window
+
+    r = recs.select(
+        F.col(col_user).alias("u"),
+        F.col(col_item).alias("i"),
+        F.col(col_rank).alias("rnk"),
+    ).filter(F.col("rnk") <= k)
+    t = truth.select(
+        F.col(col_user).alias("u"), F.col(col_item).alias("i")
+    ).distinct()
+    pop = t.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy(F.desc("cnt"), F.asc("i"))
+    baseline = (
+        pop.withColumn("brnk", F.row_number().over(wb))
+        .filter(F.col("brnk") <= baseline_k)
+        .select("i", F.lit(1).alias("in_baseline"))
+    )
+    hits = t.select("u", "i", F.lit(1).alias("is_hit"))
+    scored = (
+        r.join(F.broadcast(baseline), "i", "left")
+        .join(hits, ["u", "i"], "left")
+        .groupBy("u")
+        .agg(
+            F.sum(
+                F.when(F.col("in_baseline").isNull(), 1).otherwise(0)
+            ).alias("n_unexpected"),
+            F.sum(
+                F.when(
+                    F.col("in_baseline").isNull()
+                    & F.col("is_hit").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_serendip"),
+            F.count(F.lit(1)).alias("n_recs"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.avg(F.col("n_unexpected") / F.col("n_recs")), 6
+        ).alias("unexpectedness"),
+        F.round(F.avg(F.col("n_serendip") / F.lit(float(k))), 6).alias(
+            "serendipity"
+        ),
+    )

@@ -257,3 +257,30 @@ def test_calibration_kl_zero_when_mix_matches(spark):
     kl_s = calibration_kl(hist, skewed, cats).collect()[0]["mean_kl"]
     assert kl_m < 0.01
     assert kl_s > kl_m * 10
+
+
+def test_serendipity_baseline_and_hit_logic(spark):
+    from pyspark.sql import functions as F
+
+    from recmetrics_pyspark_spark.operators.recommend import (
+        serendipity_at_k,
+    )
+
+    # items 1,2 dominate popularity (baseline_k=2); user 1 is
+    # recommended: item 1 (expected hit), item 50 (unexpected hit),
+    # item 60 (unexpected miss), item 2 (expected miss)
+    truth = spark.createDataFrame(
+        [(u, 1) for u in range(10)] + [(u, 2) for u in range(5, 14)]
+        + [(1, 50)],
+        ["user", "item"],
+    )
+    recs = spark.createDataFrame(
+        [(1, 1, 1), (1, 50, 2), (1, 60, 3), (1, 2, 4)],
+        ["user", "item", "rnk"],
+    )
+    row = serendipity_at_k(
+        recs, truth, k=4, baseline_k=2
+    ).collect()[0]
+    assert row["n_users"] == 1
+    assert row["unexpectedness"] == 0.5   # 2 of 4 outside baseline
+    assert row["serendipity"] == 0.25     # 1 unexpected hit / k=4

@@ -1,6 +1,7 @@
-"""Multimodal plumbing tests: the Spark machinery (schemas, Arrow batch
-shapes, partitioning, pruning) is real; only the codec is a
-deterministic fake."""
+"""Multimodal pipeline tests: the Spark machinery (schemas, Arrow
+batch shapes, partitioning, pruning) AND the binary-PPM codec are
+real; the deterministic fake survives only as the fallback for
+undecodable bytes."""
 
 from __future__ import annotations
 
@@ -144,3 +145,25 @@ def test_featurize_over_real_ppm_matches_local_pooling(spark):
             .ravel()
         )
         assert np.allclose(feats[r["media_id"]], pooled)
+
+
+def test_ppm_roundtrip_property():
+    """Property: encode→decode is the identity for ANY image shape and
+    content (hypothesis drives shapes and a content seed)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = MM._ppm_decode_rgb(MM.encode_ppm(img))
+        assert out.shape == (h, w, 3)
+        assert (out == img).all()
+
+    roundtrip()

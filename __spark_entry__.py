@@ -1629,6 +1629,100 @@ def _serendipity(spark, sf_dir):
     )
 
 
+def _mmr_rerank(spark, sf_dir):
+    """MMR-diversified top-5 over the item-based candidate lists
+    (operators/recommend.py::mmr_rerank; Carbonell & Goldstein 1998).
+    Rides the persisted similarity table for both candidate scoring
+    and the diversity penalty."""
+    inter = R.interactions(spark, sf_dir)
+    cands = R.item_based_recommendations(inter, "user", "item", k=10)
+    sims = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    bidir = sims.unionByName(
+        sims.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim"
+        )
+    )
+    return R.mmr_rerank(cands, bidir, k=5, lam=0.7)
+
+
+def _mmr_oracle() -> str:
+    # unrolled greedy stages: sel{t} accumulates picks; stage t scores
+    # every remaining candidate by 0.7*rel - (1-0.7)*max-sim-to-selected
+    # ((1 - 0.7), not 0.3: both engines then evaluate the IDENTICAL
+    # IEEE double the Python operator uses for 1 - lam)
+    stages, picks = [], ["SELECT buser, item, 1 AS step, mmr FROM p1"]
+    for t in range(2, 6):
+        prev = f"sel{t-1}"
+        stages.append(f"""m{t} AS (
+  SELECT c.buser, c.neighbor_id, c.rel,
+    0.7 * c.rel - 0.3 * coalesce(max(s.s), 0.000000::DECIMAL(18,6))
+      AS mmr
+  FROM cand10 c
+  JOIN {prev} x ON c.buser = x.buser
+  LEFT JOIN simsr s ON s.ia = c.neighbor_id AND s.ib = x.item
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} q
+                    WHERE q.buser = c.buser AND q.item = c.neighbor_id)
+  GROUP BY c.buser, c.neighbor_id, c.rel
+), p{t} AS (
+  SELECT buser, neighbor_id AS item, mmr FROM (
+    SELECT buser, neighbor_id, mmr,
+      row_number() OVER (PARTITION BY buser
+        ORDER BY mmr DESC, neighbor_id) AS rn
+    FROM m{t}) z
+  WHERE rn = 1
+), sel{t} AS (
+  SELECT buser, item FROM {prev}
+  UNION ALL SELECT buser, item FROM p{t}
+)""")
+        picks.append(
+            f"SELECT buser, item, {t} AS step,"
+            f" CAST(mmr AS DOUBLE) AS mmr FROM p{t}"
+        )
+    return (
+        ORACLE_BASE + ITEM_SIMS_SQL
+        + """
+, cand AS (
+  SELECT u.user_id AS buser, t.neighbor_id, sum(t.sim) AS score
+  FROM upairs u JOIN item_topk t ON u.item_id = t.item_id
+  GROUP BY u.user_id, t.neighbor_id
+), fresh AS (
+  SELECT c.buser, c.neighbor_id, c.score FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM upairs o
+                    WHERE o.user_id = c.buser
+                      AND o.item_id = c.neighbor_id)
+), cand10 AS MATERIALIZED (
+  -- MATERIALIZED: every unrolled stage references this (and simsr);
+  -- without the hint DuckDB re-evaluates the whole candidate pipeline
+  -- per stage (measured 518s -> seconds at sf0.01)
+  SELECT buser, neighbor_id,
+    round(score, 6)::DECIMAL(18,6) AS rel FROM (
+    SELECT buser, neighbor_id, score,
+      row_number() OVER (PARTITION BY buser
+        ORDER BY round(score, 6) DESC, neighbor_id) AS rnk
+    FROM fresh) t
+  WHERE rnk <= 10
+), simsr AS MATERIALIZED (
+  SELECT ia, ib, round(sim, 6)::DECIMAL(18,6) AS s FROM bidir
+),
+p1 AS (
+  SELECT buser, neighbor_id AS item, CAST(rel AS DOUBLE) AS mmr FROM (
+    SELECT buser, neighbor_id, rel,
+      row_number() OVER (PARTITION BY buser
+        ORDER BY rel DESC, neighbor_id) AS rn
+    FROM cand10) z
+  WHERE rn = 1
+), sel1 AS (SELECT buser, item FROM p1),
+"""
+        + ",\n".join(stages)
+        + """
+SELECT buser AS user_id, item AS item_id,
+  CAST(step AS BIGINT) AS step, mmr AS mmr_score
+FROM ("""
+        + "\nUNION ALL ".join(picks)
+        + ") allp"
+    )
+
+
 def _popularity_concentration(spark, sf_dir):
     """Gini / entropy / effective-catalog-size of item popularity
     (operators/metrics.py::popularity_concentration)."""
@@ -2204,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_kl": _calibration_kl,
         "neardup_components_star": _neardup_components_star,
         "serendipity": _serendipity,
+        "mmr_rerank": _mmr_rerank,
         "baseline_predictor_rmse": _baseline_rmse,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
@@ -3439,6 +3534,7 @@ WHERE j.jaccard >= 0.1
 """,
         "neardup_components": _neardup_components_oracle(),
         "neardup_components_star": _neardup_star_oracle(),
+        "mmr_rerank": _mmr_oracle(),
         "simhash_signatures": f"""
 SELECT doc_id, {_simhash_sql_expr()} AS simhash
 FROM ({_SIMHASH_HS_SQL})

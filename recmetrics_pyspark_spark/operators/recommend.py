@@ -537,3 +537,133 @@ def serendipity_at_k(
             "serendipity"
         ),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims_bidir: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    col_user: str = "user_id",
+    col_item: str = "item_id",
+    col_rel: str = "score",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998): greedily pick ``k`` items per user where each
+    step maximizes  λ·relevance − (1−λ)·max_sim_to_already_selected —
+    the standard retrieve-then-diversify re-rank that stops a list
+    collapsing onto near-duplicates of one interest.
+
+    Greedy selection is inherently sequential in k, so the plan unrolls
+    k steps; each step's work is CANDIDATE × SELECTED scale per user
+    (≤ |pool|·k rows — the pool is a bounded top-N retrieval, never the
+    catalog), with the pairwise similarity looked up in ``sims_bidir``
+    (ia, ib, sim — missing pair = 0).
+
+    Determinism note: the MMR combination λ·rel − (1−λ)·msim runs in
+    exact DECIMAL arithmetic (λ as a decimal literal over 6-decimal
+    inputs). A double version rounds values that sit EXACTLY on
+    decimal boundaries (a 1-decimal λ times a 6-decimal rel is a
+    7-decimal value, so ~10% of products end in the digit 5) and the
+    engines' round() disagree there — measured 9/750 last-digit
+    mismatches before the decimal form. Tie-breaks by item id.
+
+    Returns (user, item, step, mmr_score) for step = 1..k; lam must be
+    exactly representable at 2 decimal places."""
+    from decimal import Decimal
+
+    from pyspark.sql.window import Window
+
+    lam_d = Decimal(str(lam))
+    if lam_d != lam_d.quantize(Decimal("0.01")):
+        raise ValueError(f"lam must have <= 2 decimal places: {lam}")
+    lam_lit = F.lit(lam_d)
+    one_minus_lit = F.lit(Decimal("1") - lam_d)
+    # loop right-sizing (same rule as pagerank/min-label): the k-step
+    # loop pays per-task overhead every step, and the candidate pool is
+    # pool-size × users rows — coalesce to a few fat partitions so each
+    # step is a handful of tasks, not 32 × (join+agg+window) stages
+    cand = (
+        candidates.select(
+            F.col(col_user).alias("u"),
+            F.col(col_item).alias("i"),
+            F.round(col_rel, 6).cast("decimal(18,6)").alias("rel"),
+        )
+        .coalesce(8)
+        .persist()
+    )
+    cand.count()
+    simsr = sims_bidir.select(
+        F.col("ia"),
+        F.col("ib"),
+        F.round("sim", 6).cast("decimal(18,6)").alias("s"),
+    )
+    # hoist the similarity lookup OUT of the loop: the per-user
+    # candidate-pair table is pool²×users rows (bounded), built with
+    # ONE join against the big similarity table — the loop then does
+    # user-keyed equi-joins against this small persisted frame instead
+    # of re-shuffling |sims| every step (measured: the in-loop lookup
+    # was ~3s/step at sf0.1)
+    zero_s = F.lit(__import__("decimal").Decimal("0")).cast("decimal(18,6)")
+    cpairs = (
+        cand.select("u", "i")
+        .join(cand.select("u", F.col("i").alias("j")), "u")
+        .filter(F.col("i") != F.col("j"))
+        .join(
+            simsr,
+            (F.col("i") == simsr.ia) & (F.col("j") == simsr.ib),
+            "left",
+        )
+        .select("u", "i", "j", F.coalesce("s", zero_s).alias("s"))
+        .persist()
+    )
+    cpairs.count()
+    w1 = Window.partitionBy("u").orderBy(F.desc("rel"), F.asc("i"))
+    first = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("u", "i", F.col("rel").cast("double").alias("mmr_score"))
+        .withColumn("step", F.lit(1))
+    )
+    picks = [first]
+    selected = first.select("u", "i")
+    zero_dec = F.lit(Decimal("0")).cast("decimal(18,6)")
+    for t in range(2, k + 1):
+        remaining = cand.join(selected, ["u", "i"], "left_anti")
+        msim = (
+            remaining.join(
+                selected.select("u", F.col("i").alias("j")), "u"
+            )
+            .join(cpairs, ["u", "i", "j"], "left")
+            .groupBy("u", "i", "rel")
+            .agg(F.coalesce(F.max("s"), zero_dec).alias("msim"))
+        )
+        wt = Window.partitionBy("u").orderBy(
+            F.desc("mmr"), F.asc("i")
+        )
+        pick = (
+            msim.withColumn(
+                "mmr",
+                lam_lit * F.col("rel") - one_minus_lit * F.col("msim"),
+            )
+            .withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select("u", "i", F.col("mmr").cast("double").alias("mmr_score"))
+            .withColumn("step", F.lit(t))
+            # iterative-operator rule (SCALE.md): truncate lineage per
+            # step — the plan otherwise nests an anti-join + join + agg
+            # level per step and Catalyst re-analysis dominates wall
+            # time; picks are user-scale, so the checkpoint is cheap
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        selected = selected.unionByName(pick.select("u", "i"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("u").alias(col_user),
+        F.col("i").alias(col_item),
+        F.col("step").cast("bigint").alias("step"),
+        "mmr_score",
+    )

@@ -284,3 +284,40 @@ def test_serendipity_baseline_and_hit_logic(spark):
     assert row["n_users"] == 1
     assert row["unexpectedness"] == 0.5   # 2 of 4 outside baseline
     assert row["serendipity"] == 0.25     # 1 unexpected hit / k=4
+
+
+def test_mmr_rerank_diversifies_greedily(spark):
+    from recmetrics_pyspark_spark.operators.recommend import mmr_rerank
+
+    # user 1: items 10, 11 are near-duplicates (sim 0.9) with the two
+    # best relevances; item 20 is dissimilar but third-best. Plain
+    # ranking picks (10, 11); MMR must pick 10 then 20.
+    cands = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 0.95), (1, 20, 0.6)],
+        ["user_id", "item_id", "score"],
+    )
+    sims = spark.createDataFrame(
+        [(10, 11, 0.9), (11, 10, 0.9), (10, 20, 0.05), (20, 10, 0.05),
+         (11, 20, 0.05), (20, 11, 0.05)],
+        ["ia", "ib", "sim"],
+    )
+    rows = sorted(
+        (r["step"], r["item_id"])
+        for r in mmr_rerank(cands, sims, k=3, lam=0.5).collect()
+    )
+    # step1: 10 (best rel); step2: 11 scores .5*.95-.5*.9=0.025 vs
+    # 20 at .5*.6-.5*.05=0.275 -> 20; step3: the remaining 11
+    assert rows == [(1, 10), (2, 20), (3, 11)]
+
+
+def test_mmr_rejects_unrepresentable_lambda(spark):
+    import pytest as _pytest
+
+    from recmetrics_pyspark_spark.operators.recommend import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 10, 1.0)], ["user_id", "item_id", "score"]
+    )
+    sims = spark.createDataFrame([(10, 11, 0.5)], ["ia", "ib", "sim"])
+    with _pytest.raises(ValueError):
+        mmr_rerank(cands, sims, lam=0.333)

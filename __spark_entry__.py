@@ -2116,7 +2116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window was frozen (semantic_dedup, zipf_fit, mad_outlier_docs,
     psi_drift, cluster_eval, association_rules,
     baseline_predictor_rmse, popularity_concentration, item_exposure,
-    calibration_kl, serendipity, neardup_components_star — all
+    calibration_kl, serendipity, neardup_components_star,
+    mmr_rerank — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.

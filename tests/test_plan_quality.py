@@ -118,7 +118,7 @@ def test_bm25_corpus_stats_broadcast(spark):
      "semantic_dedup", "zipf_fit", "mad_outlier_docs",
      "psi_drift", "cluster_eval", "association_rules",
      "baseline_predictor_rmse", "popularity_concentration",
-     "item_exposure", "calibration_kl"],
+     "item_exposure", "calibration_kl", "serendipity", "mmr_rerank"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

@@ -629,10 +629,14 @@ def mmr_rerank(
     selected = first.select("u", "i")
     zero_dec = F.lit(Decimal("0")).cast("decimal(18,6)")
     for t in range(2, k + 1):
-        remaining = cand.join(selected, ["u", "i"], "left_anti")
+        # selected is user-scale and checkpoint-backed (no size
+        # stats) — broadcast explicitly or both loop joins fall back
+        # to sort-merge (the pagerank lesson)
+        remaining = cand.join(F.broadcast(selected), ["u", "i"], "left_anti")
         msim = (
             remaining.join(
-                selected.select("u", F.col("i").alias("j")), "u"
+                F.broadcast(selected.select("u", F.col("i").alias("j"))),
+                "u",
             )
             .join(cpairs, ["u", "i", "j"], "left")
             .groupBy("u", "i", "rel")

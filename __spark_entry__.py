@@ -2103,6 +2103,55 @@ def _cross_lingual_contamination(spark, sf_dir):
     )
 
 
+def _hard_negatives(spark, sf_dir):
+    """Contrastive-training hard-negative miner (operators/
+    similarity.py::hard_negative_mining): exact cosine top-10 among
+    DIFFERENT-label vectors for each of the 5 probe queries."""
+    embs = _embs(spark, sf_dir)
+    return S.hard_negative_mining(
+        embs, embs.filter(F.col("vec_id") < 5), k=10
+    )
+
+
+def _negative_sampling(spark, sf_dir):
+    """BPR/sampled-softmax negative candidate generator (operators/
+    recommend.py::negative_sampling): 5 deterministic non-interacted
+    items per user over the interactions item domain."""
+    return R.negative_sampling(R.interactions(spark, sf_dir), k=5)
+
+
+def _record_linkage_parts(spark, sf_dir):
+    """Entity-resolution candidate pairs over the part catalog
+    (operators/dedup.py::record_linkage_pairs): blocked on
+    (p_brand, first name token), Levenshtein-verified."""
+    part = load_table(spark, sf_dir, "part")
+    return D.record_linkage_pairs(
+        part, "p_partkey", "p_name", ["p_brand"], max_dist=12
+    )
+
+
+def _incremental_dedup(spark, sf_dir):
+    """Batch-vs-history dedup (operators/dedup.py::incremental_dedup):
+    docs with doc_id % 5 == 0 arrive as the new batch; the rest are
+    the accumulated corpus whose content hashes are already known."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    seen = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5(F.col("text")).alias("content_hash")
+    )
+    return D.incremental_dedup(batch, seen)
+
+
+def _rolling_origin_cv(spark, sf_dir):
+    """Rolling-origin CV fold audit over orders (functions/
+    curation.py::rolling_origin_folds): 3 forward-chaining folds on
+    o_orderdate, row + revenue totals per (fold, split)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return C.rolling_origin_folds(
+        orders, "o_orderdate", n_folds=3, value_col="o_totalprice"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-3 rotation: the 30 round-2
@@ -2117,7 +2166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     psi_drift, cluster_eval, association_rules,
     baseline_predictor_rmse, popularity_concentration, item_exposure,
     calibration_kl, serendipity, neardup_components_star,
-    mmr_rerank — all
+    mmr_rerank, hard_negatives, negative_sampling,
+    record_linkage_parts, incremental_dedup, rolling_origin_cv — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2301,6 +2351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serendipity": _serendipity,
         "mmr_rerank": _mmr_rerank,
         "baseline_predictor_rmse": _baseline_rmse,
+        # --- round-3 late additions (rotate into the window in r4)
+        "hard_negatives": _hard_negatives,
+        "negative_sampling": _negative_sampling,
+        "record_linkage_parts": _record_linkage_parts,
+        "incremental_dedup": _incremental_dedup,
+        "rolling_origin_cv": _rolling_origin_cv,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4565,5 +4621,93 @@ SELECT user_id, min(ts) AS session_start,
   max(ts) + INTERVAL '10 minutes' AS session_end,
   count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM numbered GROUP BY user_id, sid
+""",
+        "hard_negatives": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+    {_COS_SQL.format(a='qv', b='e.v')} AS cos_sim
+  FROM q, e WHERE e.label <> qlabel)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+""",
+        "negative_sampling": ORACLE_BASE + """
+, nmax AS (SELECT max(item_id) AS n_max FROM upairs),
+users AS (SELECT DISTINCT user_id FROM upairs),
+cand AS (
+  SELECT user_id, j,
+    ((user_id*2654435761 + j*40503) % 1000003) % n_max + 1 AS neg_item
+  FROM users CROSS JOIN range(1, 16) t(j) CROSS JOIN nmax
+), nodup AS (
+  SELECT user_id, j, neg_item FROM (
+    SELECT user_id, j, neg_item,
+      row_number() OVER (PARTITION BY user_id, neg_item ORDER BY j) AS fd
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM upairs p
+                      WHERE p.user_id = c.user_id
+                        AND p.item_id = c.neg_item)
+  ) t WHERE fd = 1
+)
+SELECT user_id AS "user", neg_item, rnk FROM (
+  SELECT user_id, neg_item,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY j) AS BIGINT)
+      AS rnk
+  FROM nodup) t
+WHERE rnk <= 5
+""",
+        "record_linkage_parts": """
+WITH side AS (
+  SELECT p_partkey AS id, p_name AS name,
+    p_brand || '|' || string_split(p_name, ' ')[1] AS block
+  FROM part)
+SELECT a.id AS id_a, b.id AS id_b,
+  levenshtein(a.name, b.name) AS edit_dist
+FROM side a JOIN side b ON a.block = b.block AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 12
+""",
+        "incremental_dedup": """
+WITH batch AS (
+  SELECT doc_id, md5(text) AS content_hash
+  FROM documents WHERE doc_id % 5 = 0),
+seen AS (
+  SELECT DISTINCT md5(text) AS content_hash
+  FROM documents WHERE doc_id % 5 <> 0),
+firsts AS (
+  SELECT content_hash, min(doc_id) AS first_id
+  FROM batch GROUP BY content_hash)
+SELECT b.doc_id, b.content_hash,
+  CASE WHEN s.content_hash IS NOT NULL THEN 'dup_seen'
+       WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+       ELSE 'new' END AS status
+FROM batch b
+JOIN firsts f USING (content_hash)
+LEFT JOIN seen s USING (content_hash)
+""",
+        "rolling_origin_cv": """
+WITH bounds AS (
+  SELECT min(o_orderdate::DATE) AS t0, max(o_orderdate::DATE) AS t1
+  FROM orders),
+sliced AS (
+  SELECT least(3, CAST(floor(
+      date_diff('day', t0, o_orderdate::DATE) * 4
+      / (date_diff('day', t0, t1) + 1)) AS INTEGER)) AS slice,
+    o_totalprice
+  FROM orders CROSS JOIN bounds),
+folded AS (
+  SELECT CAST(j AS INTEGER) AS fold,
+    CASE WHEN j = slice THEN 'test'
+         WHEN j > slice THEN 'train' END AS split,
+    o_totalprice
+  FROM sliced CROSS JOIN range(1, 4) t(j))
+SELECT fold, split, count(*) AS n_rows,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+    AS total_value
+FROM folded WHERE split IS NOT NULL GROUP BY fold, split
 """,
     }

@@ -524,3 +524,64 @@ def curriculum_cuts(
         )
         .orderBy("stage")
     )
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    col_ts: str,
+    n_folds: int = 3,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Rolling-origin (forward-chaining) cross-validation folds — the
+    time-series counterpart of k-fold: fold f trains on every slice
+    BEFORE slice f and tests on slice f itself, so evaluation never
+    sees the future. The fold audit a temporal model pipeline runs
+    before trusting a backtest.
+
+    The time range splits into ``n_folds + 1`` equal slices via one
+    min/max aggregate broadcast over the scan (integer day arithmetic,
+    engine-portable). Fold membership is a constant fan-out: every row
+    explodes over the n_folds fold ids, keeps 'test' where fold ==
+    slice and 'train' where fold > slice — never a per-fold self-scan
+    or self-join, so the plan is one scan + one n_folds-way explode +
+    one groupBy regardless of n_folds' value or data size. Output:
+    per-(fold, split) row counts and optional value totals."""
+    bounds = df.agg(
+        F.min(F.col(col_ts)).alias("__t0"),
+        F.max(F.col(col_ts)).alias("__t1"),
+    )
+    n_slices = n_folds + 1
+    sliced = df.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_slices - 1),
+            F.floor(
+                F.datediff(F.col(col_ts), F.col("__t0"))
+                * n_slices
+                / (F.datediff(F.col("__t1"), F.col("__t0")) + 1)
+            ),
+        ).cast("int").alias("slice"),
+        *([F.col(value_col).alias("__v")] if value_col else []),
+    )
+    folded = (
+        sliced.select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.lit(n_folds))).alias("fold"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("fold") == F.col("slice"), F.lit("test")).when(
+                F.col("fold") > F.col("slice"), F.lit("train")
+            ),
+        )
+        .filter(F.col("split").isNotNull())
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col:
+        # big-group currency sum: DECIMAL accumulation is order-
+        # independent across partitionings/engines (SCALE.md rule)
+        aggs.append(
+            F.round(
+                F.sum(F.col("__v").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value")
+        )
+    return folded.groupBy("fold", "split").agg(*aggs)

@@ -607,3 +607,106 @@ def dup_ngram_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    seen: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_hash: str = "content_hash",
+) -> DataFrame:
+    """Classify an incoming batch against an accumulated corpus-hash
+    table — the steady-state shape of dedup in a production ingest
+    pipeline, where re-hashing the historical corpus per batch is off
+    the table.
+
+    Per row the verdict is one of:
+
+    - ``'new'``          first sighting anywhere
+    - ``'dup_in_batch'`` another row earlier in THIS batch (lower id)
+                         has the same content
+    - ``'dup_seen'``     the accumulated ``seen`` table already holds
+                         the hash
+
+    Cost model at 100 TB: only the BATCH is hashed and shuffled (one
+    groupBy on content hash, group size = in-batch duplicate count);
+    the history contributes a single hash-key join whose probe side is
+    batch-scale, so a runtime bloom/dynamic filter prunes the history
+    scan to candidate hashes, and with ``seen`` bucketed by hash the
+    join is exchange-free. The survivors' (id, hash) pairs are exactly
+    what gets appended back to ``seen`` for the next batch — the
+    operator's output is also its own state update.
+
+    ``seen`` needs only the hash column (anything else is pruned)."""
+    h = new_batch.select(
+        F.col(col_id), F.md5(F.col(col_text)).alias(col_hash)
+    )
+    first = h.groupBy(col_hash).agg(F.min(col_id).alias("__first_id"))
+    seen_h = seen.select(F.col(col_hash)).distinct().withColumn(
+        "__seen", F.lit(1)
+    )
+    return (
+        h.join(first, col_hash)
+        .join(seen_h, col_hash, "left")
+        .select(
+            col_id,
+            col_hash,
+            F.when(F.col("__seen").isNotNull(), F.lit("dup_seen"))
+            .when(F.col(col_id) != F.col("__first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+def record_linkage_pairs(
+    df: DataFrame,
+    col_id: str,
+    col_name: str,
+    block_cols: list[str],
+    max_dist: int = 10,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: blocked self-join + edit
+    distance — the classic record-linkage plan (Fellegi-Sunter style
+    blocking) for catalogs where near-identical entries differ by
+    typos or word swaps.
+
+    Pairs materialize ONLY within a block (equi-join on the blocking
+    key + first name token), so the join is hash-partitioned by block
+    and never quadratic in the table — quadratic only in the block,
+    which is the knob the caller controls via ``block_cols``. The
+    Levenshtein verify runs codegen'd JVM-side on the surviving pairs.
+    Skewed blocks (one giant brand) are the standard hazard: AQE
+    skew-join splits them, and a tighter blocking key is the real
+    fix. Each unordered pair appears once (id_a < id_b)."""
+    key = [F.col(c).cast("string") for c in block_cols] + [
+        F.split(F.col(col_name), " ").getItem(0)
+    ]
+    side = df.select(
+        F.col(col_id).alias("id"),
+        F.col(col_name).alias("name"),
+        F.concat_ws("|", *key).alias("block"),
+    )
+    a = side.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        "block",
+    )
+    b = side.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        "block",
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

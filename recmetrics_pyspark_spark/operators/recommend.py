@@ -217,6 +217,74 @@ def ranking_metrics_at_k(
     )
 
 
+def negative_sampling(
+    interactions_df: DataFrame,
+    k: int = 5,
+    oversample: int = 3,
+    col_user: str = "user",
+    col_item: str = "item",
+) -> DataFrame:
+    """Deterministic per-user negative sampling — the candidate
+    generator for implicit-feedback training (BPR / sampled-softmax
+    batches pair every positive with k items the user has NOT touched).
+
+    Per user, ``k·oversample`` pseudo-random draws over the item-id
+    domain [1, max_item] (the same engine-portable multiplicative hash
+    as :func:`pseudo_score`, indexed by draw number), then one
+    left-anti join removes accidental positives and a duplicate-draw
+    pass keeps each item's earliest draw. Both windows partition on
+    (user[, item]) with group size bounded by ``k·oversample`` — no
+    global sort, no per-user driver loop, so the plan is user-scale
+    shuffles all the way down. The item-domain max arrives via a
+    broadcast one-row cross join (no driver action, fully lazy)."""
+    m = k * oversample
+    nmax = interactions_df.agg(
+        F.max(F.col(col_item)).cast("long").alias("n_max")
+    )
+    users = interactions_df.select(F.col(col_user).alias("u")).distinct()
+    cand = (
+        users.crossJoin(F.broadcast(nmax))
+        .select(
+            "u",
+            F.explode(F.sequence(F.lit(1), F.lit(m))).alias("j"),
+            "n_max",
+        )
+        .select(
+            "u",
+            "j",
+            (
+                (
+                    (
+                        F.col("u") * F.lit(_HASH_A)
+                        + F.col("j") * F.lit(_HASH_B)
+                    )
+                    % F.lit(_HASH_MOD)
+                )
+                % F.col("n_max")
+                + 1
+            ).alias("neg_item"),
+        )
+    )
+    pos = interactions_df.select(
+        F.col(col_user).alias("u"), F.col(col_item).alias("neg_item")
+    ).distinct()
+    neg = cand.join(pos, ["u", "neg_item"], "left_anti")
+    w_dup = Window.partitionBy("u", "neg_item").orderBy("j")
+    w_rank = Window.partitionBy("u").orderBy("j")
+    return (
+        neg.withColumn("first_draw", F.row_number().over(w_dup))
+        .filter(F.col("first_draw") == 1)
+        .drop("first_draw")
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("u").alias(col_user),
+            F.col("neg_item"),
+            "rnk",
+        )
+    )
+
+
 def association_rules(
     df: DataFrame,
     col_user: str = "user",

@@ -210,6 +210,57 @@ def ann_bruteforce_topk(
     )
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+    col_label: str = "label",
+) -> DataFrame:
+    """Hardest negatives per query: the k corpus vectors MOST similar
+    to the query whose label differs — the contrastive-training miner
+    (triplet / InfoNCE batches want near-miss negatives, not random
+    ones).
+
+    Same physical shape as :func:`ann_bruteforce_topk` — broadcast the
+    small query set, codegen'd cosine over the corpus, bounded
+    per-query window — with the label-mismatch predicate applied
+    BEFORE ranking, so positives never occupy candidate slots. At
+    corpus scale the exact scorer swaps for any of the ANN retrievers
+    (retrieve ~k·oversample with IVF/PQ, filter labels, rerank); this
+    exact form is the oracle-checkable baseline."""
+    q = queries.select(
+        F.col(col_id).alias("query_id"),
+        F.col(col_label).alias("query_label"),
+        as_double(col_vec).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(col_id).alias("neighbor_id"),
+        F.col(col_label).alias("neighbor_label"),
+        as_double(col_vec).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def label_centroids(
     corpus: DataFrame,
     col_vec: str = "embedding",

@@ -94,6 +94,30 @@ def test_balanced_sample_has_no_window_sort(spark):
     assert "Window" not in plan, "balanced_sample regressed to a window sort"
 
 
+def test_record_linkage_is_blocked_equi_join(spark):
+    # pairs must come from the hash-partitioned block equi-join, never
+    # a catalog-squared nested loop
+    df = entrymod.queries()["record_linkage_parts"](spark, SF)
+    plan = _formatted_plan(spark, df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_joins_are_equi(spark):
+    df = entrymod.queries()["incremental_dedup"](spark, SF)
+    plan = _formatted_plan(spark, df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_origin_cv_is_window_free(spark):
+    # fold membership is a constant fan-out explode over the scan —
+    # a per-fold window or self-join would re-sort/re-scan per fold
+    df = entrymod.queries()["rolling_origin_cv"](spark, SF)
+    plan = _formatted_plan(spark, df)
+    assert "Window" not in plan, "rolling_origin_cv grew a window"
+
+
 def test_bm25_corpus_stats_broadcast(spark):
     # the one-row stats frame must broadcast back over the scan, not
     # shuffle the corpus
@@ -118,7 +142,9 @@ def test_bm25_corpus_stats_broadcast(spark):
      "semantic_dedup", "zipf_fit", "mad_outlier_docs",
      "psi_drift", "cluster_eval", "association_rules",
      "baseline_predictor_rmse", "popularity_concentration",
-     "item_exposure", "calibration_kl", "serendipity", "mmr_rerank"],
+     "item_exposure", "calibration_kl", "serendipity", "mmr_rerank",
+     "hard_negatives", "negative_sampling", "record_linkage_parts",
+     "incremental_dedup", "rolling_origin_cv"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

@@ -636,28 +636,36 @@ def mmr_rerank(
     engines' round() disagree there — measured 9/750 last-digit
     mismatches before the decimal form. Tie-breaks by item id.
 
+    Physical shape: greedy selection is sequential in k but
+    INDEPENDENT per user, so the k steps run as array-local higher-
+    order functions (`aggregate` over `sequence(2, k)`) inside one
+    projection over user-packed pools — three bounded shuffles total
+    (pair-sim join, per-candidate map agg, per-user pool agg) and
+    ZERO per-step jobs. The previous formulation re-joined
+    candidates × selected per step (4 shuffle+window+checkpoint
+    rounds: 20 s at sf0.1); this one runs the identical arithmetic
+    scan-locally in ~3 s, and at 100 TB keeps selection embarrassingly
+    parallel — no step barrier, no user-keyed traffic after the pack.
+
     Returns (user, item, step, mmr_score) for step = 1..k; lam must be
     exactly representable at 2 decimal places."""
     from decimal import Decimal
 
-    from pyspark.sql.window import Window
-
     lam_d = Decimal(str(lam))
     if lam_d != lam_d.quantize(Decimal("0.01")):
         raise ValueError(f"lam must have <= 2 decimal places: {lam}")
-    lam_lit = F.lit(lam_d)
-    one_minus_lit = F.lit(Decimal("1") - lam_d)
-    # loop right-sizing (same rule as pagerank/min-label): the k-step
-    # loop pays per-task overhead every step, and the candidate pool is
-    # pool-size × users rows — coalesce to a few fat partitions so each
-    # step is a handful of tasks, not 32 × (join+agg+window) stages
+    one_minus = Decimal("1") - lam_d
+    # the candidate frame fans out three ways (both pair-join sides +
+    # the pool agg); without materialization the upstream retrieval
+    # pipeline re-evaluates per consumer (measured 3×3.1 s of the
+    # 9.6 s total at sf0.1). pool×users rows — persisting is cheap at
+    # any scale, same session-lifetime contract as the dedup family
     cand = (
         candidates.select(
             F.col(col_user).alias("u"),
             F.col(col_item).alias("i"),
             F.round(col_rel, 6).cast("decimal(18,6)").alias("rel"),
         )
-        .coalesce(8)
         .persist()
     )
     cand.count()
@@ -666,76 +674,107 @@ def mmr_rerank(
         F.col("ib"),
         F.round("sim", 6).cast("decimal(18,6)").alias("s"),
     )
-    # hoist the similarity lookup OUT of the loop: the per-user
-    # candidate-pair table is pool²×users rows (bounded), built with
-    # ONE join against the big similarity table — the loop then does
-    # user-keyed equi-joins against this small persisted frame instead
-    # of re-shuffling |sims| every step (measured: the in-loop lookup
-    # was ~3s/step at sf0.1)
-    zero_s = F.lit(__import__("decimal").Decimal("0")).cast("decimal(18,6)")
-    cpairs = (
+    # per-candidate similarity maps, restricted to co-candidate pairs:
+    # pool² rows per user flow through ONE equi-join against the big
+    # similarity table, then collapse to a map<neighbor, sim> per
+    # (user, candidate) — absent pairs are looked up as 0 at selection
+    # time, so the maps carry only REAL sims (sparse, bounded by pool²)
+    pair_maps = (
         cand.select("u", "i")
         .join(cand.select("u", F.col("i").alias("j")), "u")
         .filter(F.col("i") != F.col("j"))
         .join(
             simsr,
             (F.col("i") == simsr.ia) & (F.col("j") == simsr.ib),
-            "left",
         )
-        .select("u", "i", "j", F.coalesce("s", zero_s).alias("s"))
-        .persist()
+        .groupBy("u", "i")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("j"), F.col("s")))
+            ).alias("sims")
+        )
     )
-    cpairs.count()
-    w1 = Window.partitionBy("u").orderBy(F.desc("rel"), F.asc("i"))
-    first = (
-        cand.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("u", "i", F.col("rel").cast("double").alias("mmr_score"))
-        .withColumn("step", F.lit(1))
+    pooled = (
+        cand.join(pair_maps, ["u", "i"], "left")
+        .groupBy("u")
+        .agg(
+            F.collect_list(F.struct("i", "rel", "sims")).alias("pool")
+        )
+        # deterministic candidate order regardless of shuffle arrival:
+        # (rel desc, i asc) — element 1 is step-1's pick
+        .withColumn(
+            "spool",
+            F.expr(
+                "array_sort(pool, (a, b) -> CASE"
+                " WHEN a.rel > b.rel THEN -1 WHEN a.rel < b.rel THEN 1"
+                " WHEN a.i < b.i THEN -1 ELSE 1 END)"
+            ),
+        )
     )
-    picks = [first]
-    selected = first.select("u", "i")
-    zero_dec = F.lit(Decimal("0")).cast("decimal(18,6)")
-    for t in range(2, k + 1):
-        # selected is user-scale and checkpoint-backed (no size
-        # stats) — broadcast explicitly or both loop joins fall back
-        # to sort-merge (the pagerank lesson)
-        remaining = cand.join(F.broadcast(selected), ["u", "i"], "left_anti")
-        msim = (
-            remaining.join(
-                F.broadcast(selected.select("u", F.col("i").alias("j"))),
-                "u",
+    lam_sql = f"CAST({lam_d} AS DECIMAL(4,2))"
+    om_sql = f"CAST({one_minus} AS DECIMAL(4,2))"
+    zero6 = "CAST(0 AS DECIMAL(18,6))"
+    # the k-step greedy loop, array-local: state = (selected ids,
+    # emitted picks); each step scores the remaining candidates by
+    # λ·rel − (1−λ)·max-sim-to-selected in exact DECIMAL, takes the
+    # (mmr desc, i asc) argmax, and appends it. Users whose pool runs
+    # dry keep their state (IF guard) and simply emit fewer steps.
+    first_sql = (
+        "array(struct(element_at(spool, 1).i AS i, 1 AS step,"
+        " CAST(element_at(spool, 1).rel AS DOUBLE) AS mmr))"
+    )
+    if k < 2:
+        # sequence(2, 1) would DESCEND ([2, 1]); short-circuit to the
+        # pure-relevance first pick
+        return (
+            pooled.filter(F.size("spool") > 0)
+            .select("u", F.explode(F.expr(first_sql)).alias("p"))
+            .select(
+                F.col("u").alias(col_user),
+                F.col("p.i").alias(col_item),
+                F.col("p.step").cast("bigint").alias("step"),
+                F.col("p.mmr").alias("mmr_score"),
             )
-            .join(cpairs, ["u", "i", "j"], "left")
-            .groupBy("u", "i", "rel")
-            .agg(F.coalesce(F.max("s"), zero_dec).alias("msim"))
         )
-        wt = Window.partitionBy("u").orderBy(
-            F.desc("mmr"), F.asc("i")
+    # state = the emitted picks; the selected-id set is derived from it
+    # (transform(st, o -> o.i)), and the per-step argmax is built ONCE:
+    # slice(sorted, 1, 1) + transform wraps the winner in a lambda
+    # binding, so its fields are referenced without re-inlining the
+    # scoring expression. A dry pool yields an empty slice and the
+    # concat is a no-op — no IF guard needed.
+    sel_expr = f"""
+aggregate(
+  sequence(2, {k}),
+  transform(slice(spool, 1, 1),
+            b0 -> struct(b0.i AS i, 1 AS step,
+                         CAST(b0.rel AS DOUBLE) AS mmr)),
+  (st, t) -> concat(st, transform(
+    slice(
+      array_sort(
+        transform(
+          filter(spool,
+                 c2 -> NOT array_contains(transform(st, o -> o.i), c2.i)),
+          c -> struct(
+            c.i AS i,
+            {lam_sql} * c.rel - {om_sql} * coalesce(
+              array_max(transform(transform(st, o2 -> o2.i),
+                sl -> coalesce(element_at(c.sims, sl), {zero6}))),
+              {zero6}) AS mmr)),
+        (a, b) -> CASE
+          WHEN a.mmr > b.mmr THEN -1 WHEN a.mmr < b.mmr THEN 1
+          WHEN a.i < b.i THEN -1 ELSE 1 END),
+      1, 1),
+    bst -> struct(bst.i AS i, t AS step,
+                  CAST(bst.mmr AS DOUBLE) AS mmr)))
+)
+"""
+    return (
+        pooled.filter(F.size("spool") > 0)
+        .select("u", F.explode(F.expr(sel_expr)).alias("p"))
+        .select(
+            F.col("u").alias(col_user),
+            F.col("p.i").alias(col_item),
+            F.col("p.step").cast("bigint").alias("step"),
+            F.col("p.mmr").alias("mmr_score"),
         )
-        pick = (
-            msim.withColumn(
-                "mmr",
-                lam_lit * F.col("rel") - one_minus_lit * F.col("msim"),
-            )
-            .withColumn("rn", F.row_number().over(wt))
-            .filter(F.col("rn") == 1)
-            .select("u", "i", F.col("mmr").cast("double").alias("mmr_score"))
-            .withColumn("step", F.lit(t))
-            # iterative-operator rule (SCALE.md): truncate lineage per
-            # step — the plan otherwise nests an anti-join + join + agg
-            # level per step and Catalyst re-analysis dominates wall
-            # time; picks are user-scale, so the checkpoint is cheap
-            .localCheckpoint(eager=True)
-        )
-        picks.append(pick)
-        selected = selected.unionByName(pick.select("u", "i"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        F.col("u").alias(col_user),
-        F.col("i").alias(col_item),
-        F.col("step").cast("bigint").alias("step"),
-        "mmr_score",
     )

@@ -2142,6 +2142,28 @@ def _incremental_dedup(spark, sf_dir):
     return D.incremental_dedup(batch, seen)
 
 
+def _ab_test_events(spark, sf_dir):
+    """Deterministic A/B readout over events (operators/
+    experiment.py::ab_test_analysis): md5-salted arm assignment on
+    user_id, per-user value sums, Welch t between arms."""
+    from recmetrics_pyspark_spark.operators.experiment import (
+        ab_test_analysis,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_test_analysis(ev, "user_id", "value", salt="exp1")
+
+
+def _km_retention(spark, sf_dir):
+    """Kaplan-Meier churn curve over event activity lifetimes
+    (operators/experiment.py::km_survival): right-censored at a
+    14-day horizon before the corpus' last timestamp."""
+    from recmetrics_pyspark_spark.operators.experiment import km_survival
+
+    ev = load_table(spark, sf_dir, "events")
+    return km_survival(ev, "user_id", "ts", censor_horizon_days=14)
+
+
 def _rolling_origin_cv(spark, sf_dir):
     """Rolling-origin CV fold audit over orders (functions/
     curation.py::rolling_origin_folds): 3 forward-chaining folds on
@@ -2167,7 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     baseline_predictor_rmse, popularity_concentration, item_exposure,
     calibration_kl, serendipity, neardup_components_star,
     mmr_rerank, hard_negatives, negative_sampling,
-    record_linkage_parts, incremental_dedup, rolling_origin_cv — all
+    record_linkage_parts, incremental_dedup, rolling_origin_cv,
+    ab_test_events, km_retention — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2357,6 +2380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage_parts": _record_linkage_parts,
         "incremental_dedup": _incremental_dedup,
         "rolling_origin_cv": _rolling_origin_cv,
+        "ab_test_events": _ab_test_events,
+        "km_retention": _km_retention,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4709,5 +4734,63 @@ SELECT fold, split, count(*) AS n_rows,
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
     AS total_value
 FROM folded WHERE split IS NOT NULL GROUP BY fold, split
+""",
+        "ab_test_events": """
+WITH unit AS (
+  SELECT user_id,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT ('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)),
+                         1, 8))::BIGINT % 2 AS arm, v
+  FROM unit),
+per_arm AS (
+  SELECT arm, count(*)::BIGINT AS n,
+    CAST(sum(v) AS DECIMAL(38,12)) AS sv,
+    CAST(sum(CAST(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS svv
+  FROM armed GROUP BY arm)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+  round((mean_b - mean_a)
+        / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+  abs((mean_b - mean_a)
+      / sqrt(var_a / n_a + var_b / n_b)) > 1.96 AS significant_95
+FROM (
+  SELECT a.n AS n_a, b.n AS n_b,
+    CAST(a.sv AS DOUBLE) / a.n AS mean_a,
+    CAST(b.sv AS DOUBLE) / b.n AS mean_b,
+    (CAST(a.svv AS DOUBLE)
+     - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / a.n) / (a.n - 1)
+      AS var_a,
+    (CAST(b.svv AS DOUBLE)
+     - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n) / (b.n - 1)
+      AS var_b
+  FROM (SELECT * FROM per_arm WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM per_arm WHERE arm = 1) b) t
+""",
+        "km_retention": """
+WITH bounds AS (SELECT max(ts) AS tmax FROM events),
+life AS (
+  SELECT date_diff('day', min(ts)::DATE, max(ts)::DATE) AS lifetime,
+    date_diff('day', max(ts)::DATE,
+              (SELECT tmax FROM bounds)::DATE) < 14 AS censored
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT lifetime,
+    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+    count(*)::BIGINT AS ends
+  FROM life GROUP BY lifetime),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM life),
+risk AS (
+  SELECT lifetime, d, ends,
+    n_total - coalesce(sum(ends) OVER (ORDER BY lifetime
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM d CROSS JOIN tot)
+SELECT lifetime AS t_days, n_risk, d AS n_events,
+  round(exp(sum(CASE WHEN d >= n_risk THEN '-infinity'::DOUBLE
+                ELSE ln(1 - d / CAST(n_risk AS DOUBLE)) END)
+    OVER (ORDER BY lifetime
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+FROM risk WHERE d > 0
 """,
     }

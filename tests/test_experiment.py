@@ -1,0 +1,92 @@
+"""Contract tests for the experimentation operators (A/B readout and
+Kaplan-Meier survival): assignment stability, censoring, and curve
+shape on handcrafted frames. Values are pinned against DuckDB by the
+oracle-parity suite."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from recmetrics_pyspark_spark.operators.experiment import (
+    ab_test_analysis,
+    km_survival,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts date, value double")
+
+
+def test_ab_assignment_is_deterministic_and_salted(spark):
+    rows = [(u, datetime.date(2024, 1, 1), float(u % 7)) for u in range(200)]
+    df = _events(spark, rows)
+    r1 = ab_test_analysis(df, "user_id", "value", salt="exp1").collect()[0]
+    r2 = ab_test_analysis(df, "user_id", "value", salt="exp1").collect()[0]
+    assert r1 == r2  # same salt, same split, same stats
+    r3 = ab_test_analysis(df, "user_id", "value", salt="exp2").collect()[0]
+    assert (r3.n_a, r3.n_b) != (r1.n_a, r1.n_b) or r3.mean_a != r1.mean_a
+    assert r1.n_a + r1.n_b == 200  # every unit lands in exactly one arm
+
+
+def test_ab_detects_planted_effect(spark):
+    # arm assignment is hash-based, so plant the effect AFTER assignment
+    # by deriving value from the same hash the operator uses
+    base = spark.range(2000).select(F.col("id").alias("user_id"))
+    armed = base.select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("exp1"),
+                                      F.col("user_id").cast("string"))),
+                    1, 8), 16, 10
+            ).cast("bigint") % 2
+        ).alias("arm"),
+    )
+    df = armed.select(
+        "user_id",
+        F.lit(datetime.date(2024, 1, 1)).alias("ts"),
+        (10.0 + F.col("arm") * 5.0 + (F.col("user_id") % 3)).alias("value"),
+    )
+    out = ab_test_analysis(df, "user_id", "value", salt="exp1").collect()[0]
+    assert out.mean_b - out.mean_a > 4.0
+    assert out.significant_95
+    assert out.t_stat > 10
+
+
+def test_km_survival_monotone_and_censored(spark):
+    # 3 users die at day 2, one at day 5; two are active at the end
+    # (censored: last event within 14 days of tmax = 2024-03-01)
+    rows = []
+    for u in range(3):
+        rows += [(u, datetime.date(2024, 1, 1)), (u, datetime.date(2024, 1, 3))]
+    rows += [(3, datetime.date(2024, 1, 1)), (3, datetime.date(2024, 1, 6))]
+    rows += [(4, datetime.date(2024, 1, 1)), (4, datetime.date(2024, 3, 1))]
+    rows += [(5, datetime.date(2024, 1, 1)), (5, datetime.date(2024, 2, 25))]
+    df = spark.createDataFrame(rows, "user_id long, ts date")
+    out = {r.t_days: r for r in
+           km_survival(df, "user_id", "ts").collect()}
+    assert set(out) == {2, 5}  # censored lifetimes are not event times
+    assert out[2].n_risk == 6 and out[2].n_events == 3
+    assert out[5].n_risk == 3 and out[5].n_events == 1
+    s2, s5 = out[2].survival, out[5].survival
+    assert abs(s2 - 0.5) < 1e-9  # 1 - 3/6
+    assert s5 < s2  # curve never increases
+    assert abs(s5 - 0.5 * (1 - 1 / 3)) < 1e-6
+
+
+def test_km_all_die_hits_zero(spark):
+    # users 0-3: lifetime 4, uncensored (end Jan 5, tmax Mar 1);
+    # sentinel 99 owns tmax with a single event → lifetime 0, censored,
+    # and leaves the risk set at t=0 — so the day-4 death wipes out the
+    # whole remaining at-risk set and survival hits exactly 0
+    rows = [(u, datetime.date(2024, 1, 1)) for u in range(4)]
+    rows += [(u, datetime.date(2024, 1, 5)) for u in range(4)]
+    rows += [(99, datetime.date(2024, 3, 1))]
+    df = spark.createDataFrame(rows, "user_id long, ts date")
+    out = {r.t_days: r for r in km_survival(df, "user_id", "ts").collect()}
+    assert set(out) == {4}
+    assert out[4].n_risk == 4 and out[4].n_events == 4
+    assert out[4].survival == 0.0

@@ -144,7 +144,8 @@ def test_bm25_corpus_stats_broadcast(spark):
      "baseline_predictor_rmse", "popularity_concentration",
      "item_exposure", "calibration_kl", "serendipity", "mmr_rerank",
      "hard_negatives", "negative_sampling", "record_linkage_parts",
-     "incremental_dedup", "rolling_origin_cv"],
+     "incremental_dedup", "rolling_origin_cv", "ab_test_events",
+     "km_retention"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

@@ -2164,6 +2164,18 @@ def _km_retention(spark, sf_dir):
     return km_survival(ev, "user_id", "ts", censor_horizon_days=14)
 
 
+def _holt_forecast_events(spark, sf_dir):
+    """Holt linear-trend smoothing of daily event value per type
+    (operators/timeseries.py::holt_forecast): the recurrence folds
+    array-locally per key — sequential in time, parallel in keys."""
+    from recmetrics_pyspark_spark.operators.timeseries import holt_forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_forecast(
+        ev, "event_type", "ts", "value", alpha=0.5, beta=0.3, horizon=3
+    )
+
+
 def _rolling_origin_cv(spark, sf_dir):
     """Rolling-origin CV fold audit over orders (functions/
     curation.py::rolling_origin_folds): 3 forward-chaining folds on
@@ -2190,7 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     calibration_kl, serendipity, neardup_components_star,
     mmr_rerank, hard_negatives, negative_sampling,
     record_linkage_parts, incremental_dedup, rolling_origin_cv,
-    ab_test_events, km_retention — all
+    ab_test_events, km_retention, holt_forecast_events — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2382,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_origin_cv": _rolling_origin_cv,
         "ab_test_events": _ab_test_events,
         "km_retention": _km_retention,
+        "holt_forecast_events": _holt_forecast_events,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4792,5 +4805,33 @@ SELECT lifetime AS t_days, n_risk, d AS n_events,
     OVER (ORDER BY lifetime
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
 FROM risk WHERE d > 0
+""",
+        "holt_forecast_events": """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, ts::DATE),
+series AS (
+  SELECT event_type, count(*)::BIGINT AS n_days, max(day) AS last_day,
+    list(v ORDER BY day) AS vs
+  FROM daily GROUP BY event_type),
+folded AS (
+  -- state as a 2-list, NOT a struct: duckdb 1.0's list_reduce
+  -- updates accumulator struct fields in declaration order, so a
+  -- struct state's second field would see the NEW first field
+  SELECT event_type, n_days, last_day,
+    list_reduce(
+      list_transform(vs, v0 -> [v0, 0.0::DOUBLE]),
+      (acc, x) -> [
+        0.5::DOUBLE * x[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+        0.3::DOUBLE * ((0.5::DOUBLE * x[1]
+                        + 0.5::DOUBLE * (acc[1] + acc[2]))
+                       - acc[1]) + 0.7::DOUBLE * acc[2]]) AS st
+  FROM series)
+SELECT event_type, n_days,
+  CAST(last_day AS VARCHAR) AS last_day,
+  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+  round(st[1] + 3.0::DOUBLE * st[2], 6) AS forecast_3
+FROM folded
 """,
     }

@@ -77,6 +77,30 @@ def test_km_survival_monotone_and_censored(spark):
     assert abs(s5 - 0.5 * (1 - 1 / 3)) < 1e-6
 
 
+def test_holt_forecast_recurrence(spark):
+    from recmetrics_pyspark_spark.operators.timeseries import holt_forecast
+
+    rows = [
+        ("a", datetime.date(2024, 1, d), float(d)) for d in range(1, 5)
+    ] + [("b", datetime.date(2024, 1, 1), 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts date, v double")
+    out = {r.k: r for r in
+           holt_forecast(df, "k", "ts", "v", 0.5, 0.3, 3).collect()}
+    # hand-rolled fold over [1,2,3,4]: level'=.5x+.5(l+t),
+    # t'=.3(level'-l)+.7t  ->  (3.33875, 0.550875)
+    assert abs(out["a"].level - 3.33875) < 1e-9
+    assert abs(out["a"].trend - 0.550875) < 1e-9
+    assert abs(out["a"].forecast_3 - (3.33875 + 3 * 0.550875)) < 1e-6
+    # single observation: level = x, trend = 0, flat forecast
+    assert out["b"].level == 7.0 and out["b"].trend == 0.0
+    assert out["b"].forecast_3 == 7.0
+    # repartitioning must not change a single bit (DECIMAL daily sums,
+    # day-sorted fold)
+    again = {r.k: r for r in holt_forecast(
+        df.repartition(7), "k", "ts", "v", 0.5, 0.3, 3).collect()}
+    assert again == out
+
+
 def test_km_all_die_hits_zero(spark):
     # users 0-3: lifetime 4, uncensored (end Jan 5, tmax Mar 1);
     # sentinel 99 owns tmax with a single event → lifetime 0, censored,

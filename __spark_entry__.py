@@ -2176,6 +2176,30 @@ def _holt_forecast_events(spark, sf_dir):
     )
 
 
+def _cusum_changepoint_events(spark, sf_dir):
+    """CUSUM level-shift locator per event type (operators/
+    timeseries.py::cusum_changepoint): peak |cumulative deviation
+    from the mean| over the daily value series."""
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "event_type", "ts", "value")
+
+
+def _seasonal_profile_events(spark, sf_dir):
+    """ISO-weekday seasonality profile per event type (operators/
+    timeseries.py::seasonal_profile): mean daily value and weekly
+    share per dow."""
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_profile(ev, "event_type", "ts", "value")
+
+
 def _rolling_origin_cv(spark, sf_dir):
     """Rolling-origin CV fold audit over orders (functions/
     curation.py::rolling_origin_folds): 3 forward-chaining folds on
@@ -2202,7 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     calibration_kl, serendipity, neardup_components_star,
     mmr_rerank, hard_negatives, negative_sampling,
     record_linkage_parts, incremental_dedup, rolling_origin_cv,
-    ab_test_events, km_retention, holt_forecast_events — all
+    ab_test_events, km_retention, holt_forecast_events,
+    cusum_changepoint_events, seasonal_profile_events — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2395,6 +2420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_events": _ab_test_events,
         "km_retention": _km_retention,
         "holt_forecast_events": _holt_forecast_events,
+        "cusum_changepoint_events": _cusum_changepoint_events,
+        "seasonal_profile_events": _seasonal_profile_events,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4833,5 +4860,49 @@ SELECT event_type, n_days,
   round(st[1], 6) AS level, round(st[2], 6) AS trend,
   round(st[1] + 3.0::DOUBLE * st[2], 6) AS forecast_3
 FROM folded
+""",
+        "cusum_changepoint_events": """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, ts::DATE),
+stats AS (
+  SELECT event_type,
+    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v
+  FROM daily GROUP BY event_type),
+run AS (
+  SELECT d.event_type, d.day, s.mean_v,
+    abs(sum(d.v - s.mean_v) OVER (PARTITION BY d.event_type
+      ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      AS abs_cusum
+  FROM daily d JOIN stats s USING (event_type))
+SELECT event_type, CAST(day AS VARCHAR) AS changepoint_day,
+  round(abs_cusum, 6) AS max_abs_cusum, round(mean_v, 6) AS mean_daily
+FROM (
+  SELECT event_type, day, abs_cusum, mean_v,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY abs_cusum DESC, day) AS rn
+  FROM run) t
+WHERE rn = 1
+""",
+        "seasonal_profile_events": """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, ts::DATE),
+dow AS (
+  SELECT event_type, isodow(day)::INTEGER AS iso_dow,
+    count(*)::BIGINT AS n_days,
+    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v
+  FROM daily GROUP BY event_type, isodow(day)),
+tot AS (
+  SELECT event_type,
+    list_reduce(list(mean_v ORDER BY iso_dow),
+                (a, b) -> a + b) AS tot_v
+  FROM dow GROUP BY event_type)
+SELECT d.event_type, d.iso_dow, d.n_days,
+  round(d.mean_v, 6) AS mean_daily_value,
+  round(d.mean_v / t.tot_v, 6) AS dow_share
+FROM dow d JOIN tot t USING (event_type)
 """,
     }

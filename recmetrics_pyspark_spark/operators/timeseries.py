@@ -82,3 +82,117 @@ aggregate(
             F.col("st.level") + F.lit(float(horizon)) * F.col("st.trend"), 6
         ).alias(f"forecast_{horizon}"),
     )
+
+
+def _daily(df: DataFrame, col_key: str, col_ts: str, col_val: str):
+    """(key, day, v) with order-independent DECIMAL daily sums."""
+    return (
+        df.groupBy(
+            F.col(col_key).alias("key"),
+            F.to_date(F.col(col_ts)).alias("day"),
+        )
+        .agg(
+            F.sum(F.col(col_val).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    col_key: str,
+    col_ts: str,
+    col_val: str,
+) -> DataFrame:
+    """CUSUM changepoint detection per key: the day where the
+    cumulative deviation from the series mean peaks — the standard
+    level-shift locator a monitoring pipeline runs over metric feeds.
+
+    All windows partition BY KEY over the day-scale daily table
+    (calendar-bounded groups), and the running sum consumes values in
+    day order, so the float accumulation is sequential and
+    deterministic — the oracle replays the identical window. The mean
+    comes from a DECIMAL sum so partial-aggregation order can't move
+    it. Output: (key, changepoint_day, max_abs_cusum, mean_daily)."""
+    from pyspark.sql.window import Window
+
+    daily = _daily(df, col_key, col_ts, col_val)
+    stats = daily.groupBy("key").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v")
+    )
+    wrun = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wpick = Window.partitionBy("key").orderBy(
+        F.desc("abs_cusum"), F.asc("day")
+    )
+    return (
+        daily.join(F.broadcast(stats), "key")
+        .withColumn(
+            "cusum", F.sum(F.col("v") - F.col("mean_v")).over(wrun)
+        )
+        .withColumn("abs_cusum", F.abs(F.col("cusum")))
+        .withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("key").alias(col_key),
+            F.col("day").alias("changepoint_day"),
+            F.round("abs_cusum", 6).alias("max_abs_cusum"),
+            F.round("mean_v", 6).alias("mean_daily"),
+        )
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    col_key: str,
+    col_ts: str,
+    col_val: str,
+) -> DataFrame:
+    """Day-of-week seasonality profile per key: mean daily value per
+    ISO weekday and its share of the key's weekly total — the
+    seasonality audit run before trusting any daily-grain comparison.
+
+    Two aggregates over the day-scale daily table (key×7 output rows);
+    the per-key total arrives by a broadcast join, never a window.
+    ISO weekday (1 = Monday) is used because Spark's ``dayofweek`` and
+    DuckDB's ``dayofweek`` disagree on Sunday's index."""
+    daily = _daily(df, col_key, col_ts, col_val)
+    dow = daily.groupBy(
+        "key", (F.weekday("day") + 1).alias("iso_dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+    )
+    # tot = Σ_dow mean_v as a dow-ORDERED sequential fold: a plain
+    # double sum would depend on partial-aggregation order (7 values,
+    # but 7 doubles is enough to flip the 15th digit); the oracle
+    # replays the same left fold with list_reduce
+    tot = dow.groupBy("key").agg(
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(iso_dow, mean_v))), p -> p.mean_v),"
+            " CAST(0.0 AS DOUBLE), (a2, x2) -> a2 + x2)"
+        ).alias("tot_v")
+    )
+    return (
+        dow.join(F.broadcast(tot), "key")
+        .select(
+            F.col("key").alias(col_key),
+            "iso_dow",
+            "n_days",
+            F.round("mean_v", 6).alias("mean_daily_value"),
+            F.round(F.col("mean_v") / F.col("tot_v"), 6).alias(
+                "dow_share"
+            ),
+        )
+    )

@@ -101,6 +101,40 @@ def test_holt_forecast_recurrence(spark):
     assert again == out
 
 
+def test_cusum_finds_planted_level_shift(spark):
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    # 10 days at 1.0, then 10 days at 5.0 — CUSUM peaks at the shift
+    rows = [
+        ("m", datetime.date(2024, 1, 1 + d), 1.0 if d < 10 else 5.0)
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts date, v double")
+    out = cusum_changepoint(df, "k", "ts", "v").collect()[0]
+    assert out.changepoint_day == datetime.date(2024, 1, 10)
+    assert abs(out.mean_daily - 3.0) < 1e-9
+    assert abs(out.max_abs_cusum - 20.0) < 1e-9  # 10 days × |1-3|
+
+
+def test_seasonal_profile_shares_sum_to_one(spark):
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    rows = [
+        ("k", datetime.date(2024, 1, 1 + d), float(1 + d % 7))
+        for d in range(28)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts date, v double")
+    out = seasonal_profile(df, "k", "ts", "v").collect()
+    assert len(out) == 7
+    assert {r.iso_dow for r in out} == set(range(1, 8))
+    assert all(r.n_days == 4 for r in out)
+    assert abs(sum(r.dow_share for r in out) - 1.0) < 1e-5
+
+
 def test_km_all_die_hits_zero(spark):
     # users 0-3: lifetime 4, uncensored (end Jan 5, tmax Mar 1);
     # sentinel 99 owns tmax with a single event → lifetime 0, censored,

@@ -1492,7 +1492,15 @@ def _media_features(spark, sf_dir):
     n = {"0.001": 64, "0.01": 256, "0.1": 1024}.get(
         sf_dir.rstrip("/").rsplit("sf", 1)[-1], 64
     )
-    feats = MM.decode_and_featurize(MM.synthetic_media(spark, n=n), resize_to=4)
+    img = MM.decode_and_featurize(
+        MM.synthetic_media(spark, n=n), resize_to=4
+    )
+    # audio rides the same FEATURE_SCHEMA: REAL RIFF/WAVE PCM16 parse
+    # (pure numpy) -> per-frame RMS + zero-crossing features
+    aud = MM.featurize_audio(
+        MM.synthetic_audio(spark, n=n // 2), n_frames=8
+    )
+    feats = img.unionByName(aud)
     return feats.select(
         "media_id",
         "kind",

@@ -159,6 +159,124 @@ def _ppm_decode_rgb(payload: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode a 1-D int16 array as a canonical RIFF/WAVE PCM16 mono
+    payload (44-byte header + raw little-endian samples) — the
+    simplest real audio container, so the audio decode path under test
+    is an actual format parse, not a stub."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+
+def _wav_decode_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real pure-Python decode of RIFF/WAVE PCM16 mono: walk the chunk
+    list (fmt/data may be in any order, with vendor chunks between),
+    validate the format tag, and view the data chunk as int16. No
+    audio library involved. Returns (samples, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (tag, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV format tag={tag} ch={channels} "
+                    f"bits={bits} (PCM16 mono only)"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    return data, rate
+
+
+def synthetic_audio(
+    spark, n: int = 64, num_partitions: int = 8, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic audio table: each payload is a REAL WAV (PCM16
+    mono) of an id-seeded two-tone signal, so the audio pipeline
+    performs an actual container parse end-to-end."""
+
+    def payload_for(i: int, n_samples: int) -> bytes:
+        t = np.arange(n_samples, dtype=np.float64)
+        f0, f1 = 100 + (i % 40) * 10, 400 + (i % 17) * 25
+        wave = 0.6 * np.sin(2 * np.pi * f0 * t / sample_rate) + 0.3 * np.sin(
+            2 * np.pi * f1 * t / sample_rate
+        )
+        return encode_wav(
+            (wave * 20000).astype(np.int16), sample_rate=sample_rate
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            durations = [200 + int(i) % 300 for i in ids]  # ms
+            rows = {
+                "media_id": ids,
+                "kind": ["audio"] * len(ids),
+                "payload": [
+                    payload_for(int(i), sample_rate * d // 1000)
+                    for i, d in zip(ids, durations)
+                ],
+                "meta_width": [0] * len(ids),
+                "meta_height": [0] * len(ids),
+                "meta_duration_ms": durations,
+                "meta_codec": ["pcm16"] * len(ids),
+            }
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def featurize_audio(media: DataFrame, n_frames: int = 8) -> DataFrame:
+    """Audio decode → frame-split → per-frame (RMS energy, zero-
+    crossing rate) features over mapInPandas — 2·n_frames floats per
+    row. Same 100 TB contract as the image path: payload bytes stay in
+    the scan task, only fixed-width features come out."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes = [], []
+            for payload in pdf["payload"]:
+                samples, _rate = _wav_decode_pcm16(payload)
+                x = samples.astype(np.float64) / 32768.0
+                flen = max(len(x) // n_frames, 1)
+                frames = x[: flen * n_frames].reshape(n_frames, flen)
+                rms = np.sqrt((frames**2).mean(axis=1))
+                zcr = (np.abs(np.diff(np.signbit(frames), axis=1))).mean(
+                    axis=1
+                )
+                feats.append(
+                    np.concatenate([rms, zcr]).astype(np.float32).tolist()
+                )
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": nbytes,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
 def _pil_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     """Real decode path, used whenever PIL imports: decode any
     PIL-readable payload, convert to RGB, resize to the metadata

@@ -167,3 +167,77 @@ def test_ppm_roundtrip_property():
         assert (out == img).all()
 
     roundtrip()
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from recmetrics_pyspark_spark.multimodal import (
+        _wav_decode_pcm16,
+        encode_wav,
+    )
+
+    rng = np.arange(-500, 500, dtype=np.int16)
+    payload = encode_wav(rng, sample_rate=8000)
+    samples, rate = _wav_decode_pcm16(payload)
+    assert rate == 8000
+    assert np.array_equal(samples, rng)
+
+
+def test_wav_decode_skips_vendor_chunks():
+    import struct
+
+    import numpy as np
+
+    from recmetrics_pyspark_spark.multimodal import (
+        _wav_decode_pcm16,
+        encode_wav,
+    )
+
+    base = encode_wav(np.array([1, -2, 3], dtype=np.int16), 16000)
+    # splice an odd-sized vendor chunk between fmt and data (word
+    # aligned per RIFF); the parser must walk past it
+    fmt_end = 12 + 8 + 16
+    vendor = b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+    patched = base[:fmt_end] + vendor + base[fmt_end:]
+    samples, rate = _wav_decode_pcm16(patched)
+    assert rate == 16000
+    assert samples.tolist() == [1, -2, 3]
+
+
+def test_wav_decode_rejects_non_pcm16():
+    import struct
+
+    import numpy as np
+
+    from recmetrics_pyspark_spark.multimodal import (
+        _wav_decode_pcm16,
+        encode_wav,
+    )
+    import pytest as _pytest
+
+    good = encode_wav(np.array([0], dtype=np.int16), 8000)
+    bad = bytearray(good)
+    bad[20:22] = struct.pack("<H", 3)  # IEEE float tag
+    with _pytest.raises(ValueError, match="unsupported WAV format"):
+        _wav_decode_pcm16(bytes(bad))
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        _wav_decode_pcm16(b"OggS" + b"\x00" * 40)
+
+
+def test_featurize_audio_shapes(spark):
+    from recmetrics_pyspark_spark.multimodal import (
+        featurize_audio,
+        synthetic_audio,
+    )
+
+    feats = featurize_audio(synthetic_audio(spark, n=8), n_frames=8)
+    rows = feats.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.kind == "audio"
+        assert len(r.feature) == 16  # 8 RMS + 8 ZCR
+        rms, zcr = r.feature[:8], r.feature[8:]
+        assert all(0.0 < v < 1.0 for v in rms)  # bounded energy
+        assert all(0.0 <= v <= 1.0 for v in zcr)
+        assert r.n_bytes > 44  # header + samples

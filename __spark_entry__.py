@@ -2208,6 +2208,18 @@ def _seasonal_profile_events(spark, sf_dir):
     return seasonal_profile(ev, "event_type", "ts", "value")
 
 
+def _item_triangles(spark, sf_dir):
+    """Per-item triangle count + local clustering coefficient over the
+    co-occurrence graph (operators/graph.py::triangle_stats): degree-
+    ordered orientation bounds the wedge join at O(m^1.5). Rides the
+    persisted similarity pair table."""
+    from recmetrics_pyspark_spark.operators.graph import triangle_stats
+
+    inter = R.interactions(spark, sf_dir)
+    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    return triangle_stats(pairs, "ia", "ib")
+
+
 def _rolling_origin_cv(spark, sf_dir):
     """Rolling-origin CV fold audit over orders (functions/
     curation.py::rolling_origin_folds): 3 forward-chaining folds on
@@ -2235,7 +2247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mmr_rerank, hard_negatives, negative_sampling,
     record_linkage_parts, incremental_dedup, rolling_origin_cv,
     ab_test_events, km_retention, holt_forecast_events,
-    cusum_changepoint_events, seasonal_profile_events — all
+    cusum_changepoint_events, seasonal_profile_events,
+    item_triangles — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2430,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast_events": _holt_forecast_events,
         "cusum_changepoint_events": _cusum_changepoint_events,
         "seasonal_profile_events": _seasonal_profile_events,
+        "item_triangles": _item_triangles,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4912,5 +4926,42 @@ SELECT d.event_type, d.iso_dow, d.n_days,
   round(d.mean_v, 6) AS mean_daily_value,
   round(d.mean_v / t.tot_v, 6) AS dow_share
 FROM dow d JOIN tot t USING (event_type)
+""",
+        "item_triangles": ORACLE_BASE + """
+, e AS (
+  SELECT a.item_id AS ea, b.item_id AS eb
+  FROM upairs a JOIN upairs b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id HAVING count(*) >= 2),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT ea AS node FROM e UNION ALL SELECT eb AS node FROM e) t
+  GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND ea < eb)
+              THEN ea ELSE eb END AS u,
+         CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND ea < eb)
+              THEN eb ELSE ea END AS v
+  FROM e JOIN deg da ON ea = da.node JOIN deg db ON eb = db.node),
+wedges AS (
+  SELECT w1.u AS c, w1.v AS x, w2.v AS y
+  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.v < w2.v),
+tri AS (
+  SELECT c, x, y FROM wedges JOIN e ON x = ea AND y = eb),
+per_node AS (
+  SELECT node, count(*)::BIGINT AS n_triangles FROM (
+    SELECT c AS node FROM tri
+    UNION ALL SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri) t
+  GROUP BY node)
+SELECT d.node, d.degree,
+  coalesce(p.n_triangles, 0)::BIGINT AS n_triangles,
+  CASE WHEN d.degree >= 2
+       THEN round(2.0 * coalesce(p.n_triangles, 0)
+                  / (d.degree * (d.degree - 1)), 6)
+       ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN per_node p ON d.node = p.node
 """,
     }

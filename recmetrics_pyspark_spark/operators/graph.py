@@ -238,3 +238,101 @@ def star_components(
     roots = e.select(F.col("a").alias("node"), F.col("a").alias("label"))
     members = e.select(F.col("b").alias("node"), F.col("a").alias("label"))
     return members.unionByName(roots).distinct()
+
+
+def triangle_stats(
+    edges: DataFrame,
+    col_src: str = "src",
+    col_dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    an undirected edge set — the MapReduce-classic ordered-edge join
+    (one row per unordered edge a<b; wedges join on the middle vertex;
+    a third equi-join closes them).
+
+    Scale shape: with edges ordered a<b, the wedge join's fan-out is
+    quadratic per HOTTEST-VERTEX degree, not per graph — the standard
+    mitigation (degree-ordered orientation: list each edge from its
+    LOWER-degree endpoint) is applied first, which provably bounds the
+    join to O(m^1.5) pairs on any graph (Suri & Vassilvitskii, WWW'11
+    pattern). Three edge-scale equi-joins total, no nested loop.
+    Output: (node, degree, n_triangles, clustering_coeff)."""
+    # the canonical edge set fans out FIVE ways (degree count, both
+    # orientation joins, wedge sides, closing probe) — materialize it
+    # once or the upstream edge pipeline re-evaluates per consumer
+    # (measured 5× the pair-pipeline cost on a co-occurrence input;
+    # same lesson as mmr_rerank's candidate frame)
+    e = (
+        edges.select(
+            F.least(F.col(col_src), F.col(col_dst)).alias("a"),
+            F.greatest(F.col(col_src), F.col(col_dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    # degree-ordered orientation: every edge points from its lower-
+    # degree endpoint (ties by id); wedge centers are then always
+    # low-degree, bounding per-vertex fan-out
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | (
+                    (F.col("dega") == F.col("degb"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("uv")
+        )
+        .select("uv.u", "uv.v")
+    )
+    w1 = oriented.select(F.col("u").alias("c"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("c"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "c").filter(F.col("x") < F.col("y"))
+    closing = e.select(
+        F.col("a").alias("x"), F.col("b").alias("y"), F.lit(1).alias("hit")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("c", "x", "y")
+    per_node = (
+        tri.select(F.col("c").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

@@ -148,3 +148,30 @@ def test_km_all_die_hits_zero(spark):
     assert set(out) == {4}
     assert out[4].n_risk == 4 and out[4].n_events == 4
     assert out[4].survival == 0.0
+
+
+def test_triangle_stats_counts_known_graph(spark):
+    from recmetrics_pyspark_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 5-1
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((1, 5))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r for r in triangle_stats(df).collect()}
+    for n in (2, 3, 4):
+        assert out[n].n_triangles == 3
+        assert out[n].degree == 3
+        assert abs(out[n].clustering_coeff - 1.0) < 1e-9
+    assert out[1].degree == 4 and out[1].n_triangles == 3
+    assert abs(out[1].clustering_coeff - 0.5) < 1e-9  # 3/(4*3/2)
+    assert out[5].n_triangles == 0 and out[5].clustering_coeff == 0.0
+    # duplicate + reversed edges collapse to the same undirected set
+    noisy = df.unionAll(
+        spark.createDataFrame(
+            [(b, a) for a, b in edges], "src long, dst long"
+        )
+    )
+    assert {(r.node, r.n_triangles)
+            for r in triangle_stats(noisy).collect()} == {
+        (n, r.n_triangles) for n, r in out.items()
+    }

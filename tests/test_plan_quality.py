@@ -146,7 +146,8 @@ def test_bm25_corpus_stats_broadcast(spark):
      "hard_negatives", "negative_sampling", "record_linkage_parts",
      "incremental_dedup", "rolling_origin_cv", "ab_test_events",
      "km_retention", "holt_forecast_events",
-     "cusum_changepoint_events", "seasonal_profile_events"],
+     "cusum_changepoint_events", "seasonal_profile_events",
+     "item_triangles"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

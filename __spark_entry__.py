@@ -2220,6 +2220,81 @@ def _item_triangles(spark, sf_dir):
     return triangle_stats(pairs, "ia", "ib")
 
 
+def _bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training over documents (functions/
+    bpe.py::bpe_train): 8 merge rounds, each one vocabulary-scale
+    pair aggregate + one-row argmax broadcast + scan-local greedy
+    merge application."""
+    from recmetrics_pyspark_spark.functions.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), "text", n_merges=8)
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    # mirror bpe_train round by round: pair counts → deterministic
+    # argmax → greedy merge application (three chained CTEs per round:
+    # match mask, run-parity selection, emit)
+    parts = [
+        """WITH words AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE length(w) > 0 GROUP BY w),
+s0 AS (
+  SELECT list_transform(range(1, length(w) + 1),
+                        i -> substring(w, i, 1)) AS syms, cnt
+  FROM words)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r-1}"
+        parts.append(
+            f""", pr{r} AS (
+  SELECT a, b, sum(cnt)::BIGINT AS pair_count FROM (
+    SELECT
+      unnest(list_transform(range(0, len(syms) - 1),
+                            i -> syms[i + 1])) AS a,
+      unnest(list_transform(range(0, len(syms) - 1),
+                            i -> syms[i + 2])) AS b,
+      cnt
+    FROM {prev} WHERE len(syms) >= 2) t
+  GROUP BY a, b),
+b{r} AS (
+  SELECT a AS pa, b AS pb, pair_count
+  FROM pr{r} ORDER BY pair_count DESC, a, b LIMIT 1),
+s{r}m AS (
+  SELECT syms, cnt, pa, pb,
+    CASE WHEN len(syms) < 2 THEN [] ELSE
+      list_transform(range(0, len(syms) - 1), i ->
+        syms[i + 1] = pa AND syms[i + 2] = pb) END AS m
+  FROM {prev} CROSS JOIN b{r}),
+s{r}s AS (
+  SELECT syms, cnt, pa, pb, m,
+    CASE WHEN len(syms) < 2 THEN [] ELSE
+      list_transform(range(0, len(syms) - 1), i ->
+        m[i + 1] AND
+        ((i - (CASE WHEN i = 0 THEN -1 ELSE
+           coalesce(list_max(list_filter(range(0, i),
+             j -> NOT m[j + 1])), -1) END)) % 2 = 1)) END AS sel
+  FROM s{r}m),
+s{r} AS (
+  SELECT
+    CASE WHEN len(syms) < 2 THEN syms ELSE
+      flatten(list_transform(range(0, len(syms)), i ->
+        CASE
+          WHEN i <= len(syms) - 2 AND sel[i + 1] THEN [pa || pb]
+          WHEN i >= 1 AND sel[i] THEN []
+          ELSE [syms[i + 1]]
+        END))
+    END AS syms, cnt
+  FROM s{r}s)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r}::INTEGER AS round, pa AS pair_a, pb AS pair_b,"
+        f" pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + unions
+
+
 def _rolling_origin_cv(spark, sf_dir):
     """Rolling-origin CV fold audit over orders (functions/
     curation.py::rolling_origin_folds): 3 forward-chaining folds on
@@ -2248,7 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     record_linkage_parts, incremental_dedup, rolling_origin_cv,
     ab_test_events, km_retention, holt_forecast_events,
     cusum_changepoint_events, seasonal_profile_events,
-    item_triangles — all
+    item_triangles, bpe_merges — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2444,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint_events": _cusum_changepoint_events,
         "seasonal_profile_events": _seasonal_profile_events,
         "item_triangles": _item_triangles,
+        "bpe_merges": _bpe_merges,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4927,6 +5003,7 @@ SELECT d.event_type, d.iso_dow, d.n_days,
   round(d.mean_v / t.tot_v, 6) AS dow_share
 FROM dow d JOIN tot t USING (event_type)
 """,
+        "bpe_merges": _bpe_oracle(8),
         "item_triangles": ORACLE_BASE + """
 , e AS (
   SELECT a.item_id AS ea, b.item_id AS eb

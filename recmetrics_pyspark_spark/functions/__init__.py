@@ -1,3 +1,3 @@
-from . import curation, text, vectors
+from . import bpe, curation, text, vectors
 
-__all__ = ["curation", "text", "vectors"]
+__all__ = ["bpe", "curation", "text", "vectors"]

@@ -175,3 +175,44 @@ def test_triangle_stats_counts_known_graph(spark):
             for r in triangle_stats(noisy).collect()} == {
         (n, r.n_triangles) for n, r in out.items()
     }
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from recmetrics_pyspark_spark.functions.bpe import bpe_apply, bpe_train
+
+    # 'abab' x3 and 'ab' x2: round 1 must merge (a,b) with count
+    # 3*2+2 = 8; round 2 merges (ab,ab) from the three 'abab' words
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, "text", n_merges=2).collect()
+    got = {r.round: (r.pair_a, r.pair_b, r.pair_count) for r in merges}
+    assert got[1] == ("a", "b", 8)
+    assert got[2] == ("ab", "ab", 3)
+
+    toks = {r.doc_id: r for r in
+            bpe_apply(df, bpe_train(df, "text", n_merges=2)).collect()}
+    assert toks[1].tokens == ["abab", "abab", "ab"]
+    assert toks[1].n_tokens == 3
+    assert toks[2].tokens == ["abab", "ab"]
+
+
+def test_bpe_greedy_scan_is_leftmost_nonoverlapping(spark):
+    from recmetrics_pyspark_spark.functions.bpe import bpe_apply, bpe_train
+
+    # 'aaa': greedy leftmost gives ['aa','a'], never ['a','aa']
+    df = spark.createDataFrame([(1, "aaa aaa aa")], "doc_id long, text string")
+    merges = bpe_train(df, "text", n_merges=1)
+    m = merges.collect()[0]
+    assert (m.pair_a, m.pair_b) == ("a", "a")
+    assert m.pair_count == 2 * 2 + 1  # two per 'aaa', one per 'aa'
+    out = bpe_apply(df, merges).collect()[0]
+    assert out.tokens == ["aa", "a", "aa", "a", "aa"]
+
+
+def test_bpe_runs_dry_gracefully(spark):
+    from recmetrics_pyspark_spark.functions.bpe import bpe_train
+
+    # single-char words: no adjacent pairs, zero merge rows, any rounds
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_train(df, "text", n_merges=3).count() == 0

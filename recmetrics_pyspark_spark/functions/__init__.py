@@ -1,3 +1,3 @@
-from . import bpe, curation, text, vectors
+from . import bpe, curation, evals, text, vectors
 
-__all__ = ["bpe", "curation", "text", "vectors"]
+__all__ = ["bpe", "curation", "evals", "text", "vectors"]

@@ -1,0 +1,110 @@
+"""Model-evaluation metrics for LLM pipelines: SQuAD-style exact
+match / token F1, and the unbiased pass@k estimator.
+
+Both are scan-local per example — the multiset token intersection is
+an array expression (bounded by answer length), and pass@k is exact
+integer combinatorics on per-task (n, c) counts — so evaluation
+scales with the predictions table: no shuffle beyond the optional
+macro aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# multiset (Counter) intersection size, SQuAD-F1 style: for each
+# DISTINCT predicted token, min(occurrences in pred, occurrences in
+# ref), summed. O(n²) per row on answer-length arrays — array-local.
+_COMMON_EXPR = """
+aggregate(array_distinct(ptoks), 0, (acc, t) ->
+  acc + least(size(filter(ptoks, x1 -> x1 = t)),
+              size(filter(rtoks, x2 -> x2 = t))))
+"""
+
+
+def qa_token_f1(
+    df: DataFrame,
+    col_id: str,
+    col_pred: str,
+    col_ref: str,
+) -> DataFrame:
+    """Per-example exact match and token F1 (Rajpurkar et al. 2016
+    normalization minus article-stripping: lowercase, collapse
+    whitespace). F1 uses the MULTISET token intersection — repeated
+    tokens must match per occurrence, which a set intersection gets
+    wrong. Output: (id, em, n_pred, n_ref, f1)."""
+
+    def norm(c):
+        return F.split(
+            F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " "
+        )
+
+    t = df.select(
+        F.col(col_id).alias("id"),
+        norm(F.col(col_pred)).alias("ptoks"),
+        norm(F.col(col_ref)).alias("rtoks"),
+    ).withColumn("common", F.expr(_COMMON_EXPR))
+    p = F.col("common") / F.size("ptoks")
+    r = F.col("common") / F.size("rtoks")
+    return t.select(
+        "id",
+        (F.col("ptoks") == F.col("rtoks")).alias("em"),
+        F.size("ptoks").alias("n_pred"),
+        F.size("rtoks").alias("n_ref"),
+        F.when(F.col("common") == 0, F.lit(0.0))
+        .otherwise(F.round(2 * p * r / (p + r), 6))
+        .alias("f1"),
+    )
+
+
+def pass_at_k(
+    df: DataFrame,
+    col_task: str,
+    col_n: str,
+    col_c: str,
+    ks: tuple[int, ...] = (1, 5),
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, Codex): given n samples per
+    task with c passing, pass@k = 1 − C(n−c, k)/C(n, k) — the
+    probability that at least one of k drawn samples passes. Exact
+    integer combinatorics via factorial (keep n ≤ 10 so the factorial
+    ratio is exact in double on every engine); per-task scan-local,
+    one row per (task, k)."""
+
+    def comb(a, b):
+        return F.when(
+            (b > a) | (F.lit(False)), F.lit(0.0)
+        ).otherwise(
+            F.factorial(a.cast("int"))
+            / (
+                F.factorial(b.cast("int"))
+                * F.factorial((a - b).cast("int"))
+            )
+        )
+
+    base = df.select(
+        F.col(col_task).alias("task"),
+        F.col(col_n).cast("int").alias("n"),
+        F.col(col_c).cast("int").alias("c"),
+    )
+    parts = []
+    for k in ks:
+        kl = F.lit(k)
+        pk = F.when(F.col("n") - F.col("c") < kl, F.lit(1.0)).otherwise(
+            1.0
+            - comb(F.col("n") - F.col("c"), kl) / comb(F.col("n"), kl)
+        )
+        parts.append(
+            base.filter(F.col("n") >= kl).select(
+                "task",
+                kl.cast("int").alias("k"),
+                "n",
+                "c",
+                F.round(pk, 6).alias("pass_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,7 +1,9 @@
-"""Contract tests for the experimentation operators (A/B readout and
-Kaplan-Meier survival): assignment stability, censoring, and curve
-shape on handcrafted frames. Values are pinned against DuckDB by the
-oracle-parity suite."""
+"""Contract tests for the round-3 analytics additions — experiment
+readouts (A/B, Kaplan-Meier), time-series operators (Holt, CUSUM,
+seasonality), graph triangles, and BPE training: assignment
+stability, censoring, recurrences, and greedy-scan semantics on
+handcrafted frames where violations are visible. Values are pinned
+against DuckDB by the oracle-parity suite."""
 
 from __future__ import annotations
 
@@ -216,3 +218,43 @@ def test_bpe_runs_dry_gracefully(spark):
     # single-char words: no adjacent pairs, zero merge rows, any rounds
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert bpe_train(df, "text", n_merges=3).count() == 0
+
+
+def test_qa_token_f1_multiset_semantics(spark):
+    from recmetrics_pyspark_spark.functions.evals import qa_token_f1
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat", "the cat sat"),   # exact
+            (2, "a a b", "a b b"),               # multiset: common=2
+            (3, "x y", "p q"),                   # disjoint
+            (4, "A  Cat", "a cat"),              # normalization
+        ],
+        "doc_id long, pred string, ref string",
+    )
+    out = {r.id: r for r in
+           qa_token_f1(df, "doc_id", "pred", "ref").collect()}
+    assert out[1].em and out[1].f1 == 1.0
+    assert not out[2].em
+    assert abs(out[2].f1 - (2 / 3)) < 1e-6  # p=r=2/3
+    assert out[3].f1 == 0.0 and not out[3].em
+    assert out[4].em and out[4].f1 == 1.0
+
+
+def test_pass_at_k_known_values(spark):
+    from recmetrics_pyspark_spark.functions.evals import pass_at_k
+
+    df = spark.createDataFrame(
+        [("t1", 2, 1), ("t2", 10, 0), ("t3", 10, 10), ("t4", 4, 1)],
+        "task string, n int, c int",
+    )
+    out = {(r.task, r.k): r.pass_at_k
+           for r in pass_at_k(df, "task", "n", "c", ks=(1, 5)).collect()}
+    assert abs(out[("t1", 1)] - 0.5) < 1e-9       # 1 - C(1,1)/C(2,1)
+    assert ("t1", 5) not in out                   # n < k -> no row
+    assert out[("t2", 1)] == 0.0 and out[("t2", 5)] == 0.0
+    assert out[("t3", 1)] == 1.0 and out[("t3", 5)] == 1.0
+    # n=4, c=1, k=1: 1 - C(3,1)/C(4,1) = 1 - 3/4 = 0.25
+    assert abs(out[("t4", 1)] - 0.25) < 1e-9
+    # n=4, c=1, k=5 filtered (n < k)
+    assert ("t4", 5) not in out

@@ -147,7 +147,8 @@ def test_bm25_corpus_stats_broadcast(spark):
      "incremental_dedup", "rolling_origin_cv", "ab_test_events",
      "km_retention", "holt_forecast_events",
      "cusum_changepoint_events", "seasonal_profile_events",
-     "item_triangles", "bpe_merges"],
+     "item_triangles", "bpe_merges", "qa_eval_docs",
+     "pass_at_k_items"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

@@ -25,6 +25,9 @@ _HASH_B = 40503
 _HASH_MOD = 1000003
 
 
+_INTERACTIONS_MEMO: dict[tuple, DataFrame] = {}
+
+
 def interactions(
     spark: SparkSession, sf_dir: str, with_rating: bool = False
 ) -> DataFrame:
@@ -32,18 +35,36 @@ def interactions(
 
     Mirrors the reference's tall/stacked data model (SURVEY.md §1.1):
     one row per purchase event; rating = l_quantity.
-    """
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity"
-    )
-    out = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("user"),
-        F.col("l_partkey").alias("item"),
-        F.col("l_quantity").alias("rating"),
-    )
+
+    The (rated) frame is memoized and persisted per (application,
+    sf_dir): it is the shared input of the entire recommender-metric
+    family, and without materialization every consumer re-runs the
+    orders⋈lineitem join from the parquet scans. Session-lifetime
+    cache contract (MEMORY_AND_DISK, same as the dedup family's
+    shared intermediates); `spark.catalog.clearCache()` drops it
+    between corpora. The un-rated projection derives from the cached
+    frame, so both variants share one materialization."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    out = _INTERACTIONS_MEMO.get(key)
+    if out is None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("user"),
+                F.col("l_partkey").alias("item"),
+                F.col("l_quantity").alias("rating"),
+            )
+            .persist()
+        )
+        _INTERACTIONS_MEMO[key] = out
     if not with_rating:
-        out = out.select("user", "item")
+        return out.select("user", "item")
     return out
 
 

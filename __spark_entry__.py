@@ -1042,6 +1042,44 @@ def _session_paths(spark, sf_dir):
     )
 
 
+def _source_overlap(spark, sf_dir):
+    """Cross-source duplication-leakage matrix over the documents
+    corpus (operators/dedup.py::source_overlap): shared word-3-gram
+    shingles, overlap coefficient and Jaccard per source pair — rides
+    the shared persisted shingle table; the self-join runs on the
+    (source, shingle) DISTINCT projection so fan-out per shingle is
+    capped at n_sources, never doc-quadratic."""
+    return D.source_overlap(_docs(spark, sf_dir)).orderBy(
+        "source_a", "source_b"
+    )
+
+
+def _next_item_examples(spark, sf_dir):
+    """Sequential-recommendation training examples
+    (operators/recommend.py::sequence_examples): per-customer
+    purchase history ordered by (o_orderdate, o_orderkey, l_partkey),
+    emitting (context-of-≤8-prior-items, next-item label) pairs via
+    ONE bounded-frame user window — the SASRec/GRU4Rec data-prep
+    shape, no global sort, no self-join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    timed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("user"),
+            F.col("o_orderdate").alias("dt"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    return R.sequence_examples(timed)
+
+
 def _q_data_quality(spark, sf_dir):
     """Promotion gate over the orders table: null/range/set column
     checks compiled into ONE scan, key uniqueness, and an orders→
@@ -2359,7 +2397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     record_linkage_parts, incremental_dedup, rolling_origin_cv,
     ab_test_events, km_retention, holt_forecast_events,
     cusum_changepoint_events, seasonal_profile_events,
-    item_triangles, bpe_merges, qa_eval_docs, pass_at_k_items — all
+    item_triangles, bpe_merges, qa_eval_docs, pass_at_k_items,
+    source_overlap, next_item_examples — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2558,6 +2597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "qa_eval_docs": _qa_eval_docs,
         "pass_at_k_items": _pass_at_k_items,
+        "source_overlap": _source_overlap,
+        "next_item_examples": _next_item_examples,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4550,6 +4591,43 @@ SELECT sh.doc_id,
     / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
 FROM sh JOIN dfreq f ON sh.s = f.s
 GROUP BY sh.doc_id
+""",
+        "source_overlap": """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+    array_to_string(list_slice(toks, i, i+2), ' ') AS s
+  FROM d, unnest(generate_series(1, greatest(len(toks)-2, 1))) AS u(i)
+), sz AS (
+  SELECT source, count(*) AS n FROM sh GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS n_shared,
+  round(count(*) / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS overlap,
+  round(count(*) / CAST(sa.n + sb.n - count(*) AS DOUBLE), 6) AS jaccard
+FROM sh a
+JOIN sh b ON a.s = b.s AND a.source < b.source
+JOIN sz sa ON a.source = sa.source
+JOIN sz sb ON b.source = sb.source
+GROUP BY a.source, b.source, sa.n, sb.n
+ORDER BY source_a, source_b
+""",
+        "next_item_examples": """
+WITH t AS (
+  SELECT DISTINCT o_custkey AS u, o_orderdate AS dt,
+    o_orderkey AS ok, l_partkey AS it
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT u AS user_id,
+  CAST(row_number() OVER (
+    PARTITION BY u ORDER BY dt, ok, it) AS BIGINT) AS pos,
+  array_to_string(list(CAST(it AS VARCHAR)) OVER (
+    PARTITION BY u ORDER BY dt, ok, it
+    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), '>') AS context,
+  CAST(it AS BIGINT) AS label
+FROM t
+QUALIFY pos >= 2
 """,
         "ranking_metrics": ORACLE_BASE
         + """

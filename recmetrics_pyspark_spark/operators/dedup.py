@@ -609,6 +609,68 @@ def dup_ngram_fraction(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_group: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-source duplication-leakage matrix: for every unordered
+    pair of sources, the count of word k-gram shingles present in
+    BOTH, with the overlap coefficient |A∩B| / min(|A|,|B|) and the
+    Jaccard |A∩B| / |A∪B| — the corpus audit that tells you which
+    ingest domains are mirrors/scrapes of each other before any
+    per-document dedup runs.
+
+    Scale shape: the doc-level shingle table (shared, persisted)
+    collapses to a (source, shingle) DISTINCT projection first, so
+    each shingle appears in at most n_sources rows and the shingle-
+    keyed self-join emits ≤ C(n_sources, 2) pairs per shingle —
+    linear in distinct shingles, never document-quadratic, immune to
+    the hot-shingle blowup the doc-level inverted index has to guard
+    against. Source sizes are an n_sources-row aggregate, broadcast
+    back over the sources²-row result."""
+    sh = word_shingles(df, col_id, col_text, k)
+    gsh = (
+        sh.join(df.select(col_id, col_group), col_id)
+        .select(F.col(col_group).alias("g"), "shingle")
+        .distinct()
+    )
+    sizes = gsh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = gsh.alias("a"), gsh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("g").alias("source_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("g").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("na", "nb").cast("double"), 6
+            ).alias("overlap"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def incremental_dedup(
     new_batch: DataFrame,
     seen: DataFrame,

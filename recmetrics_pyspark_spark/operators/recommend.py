@@ -799,3 +799,44 @@ aggregate(
             F.col("p.mmr").alias("mmr_score"),
         )
     )
+
+
+def sequence_examples(
+    timed: DataFrame,
+    max_len: int = 8,
+    col_user: str = "user",
+    col_time: str = "dt",
+    col_order: str = "ok",
+    col_item: str = "item",
+) -> DataFrame:
+    """Sequential-recommendation training examples (SASRec/GRU4Rec
+    input shape): per user, order interactions by (time, order-key,
+    item) and emit one (context, label) pair per position ≥ 2, where
+    context is the up-to-``max_len`` most recent PRIOR items joined
+    with '>' (string-serialized so downstream sinks and the oracle
+    compare stay schema-simple).
+
+    (time, order-key, item) must be a total order within each user —
+    dedupe the input to that grain first; ties would otherwise make
+    the emitted contexts nondeterministic.
+
+    Scale shape: ONE user-partitioned window with a BOUNDED frame
+    (``rowsBetween(-max_len, -1)``) — no global sort, no self-join,
+    state per task capped by the hottest user's history (the same
+    bound as any per-user sequence model's data prep). Output is
+    linear in interactions with ≤ max_len items carried per row."""
+    w = Window.partitionBy(col_user).orderBy(col_time, col_order, col_item)
+    # collect as strings so concat_ws applies directly (concat_ws
+    # rejects array<bigint>); frame rows arrive in window order
+    ctx = F.collect_list(F.col(col_item).cast("string")).over(
+        w.rowsBetween(-max_len, -1)
+    )
+    return (
+        timed.select(
+            F.col(col_user).alias("user_id"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            F.concat_ws(">", ctx).alias("context"),
+            F.col(col_item).cast("bigint").alias("label"),
+        )
+        .filter(F.col("pos") >= 2)
+    )

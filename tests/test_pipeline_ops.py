@@ -321,3 +321,63 @@ def test_mmr_rejects_unrepresentable_lambda(spark):
     sims = spark.createDataFrame([(10, 11, 0.5)], ["ia", "ib", "sim"])
     with _pytest.raises(ValueError):
         mmr_rerank(cands, sims, lam=0.333)
+
+
+def test_source_overlap_hand_computed(spark):
+    from recmetrics_pyspark_spark.operators.dedup import source_overlap
+
+    # src0: shingles of "a b c d" = {a b c, b c d}
+    # src1: doc2 "a b c e" -> {a b c, b c e}; doc3 "b c d x" ->
+    #       {b c d, c d x} — source-level set {a b c, b c e, b c d, c d x}
+    # shared = {a b c, b c d} -> 2; overlap = 2/min(2,4) = 1.0;
+    # jaccard = 2/(2+4-2) = 0.5
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "src0"),
+            (2, "a b c e", "src1"),
+            (3, "b c d x", "src1"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = source_overlap(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("src0", "src1")
+    assert r["n_shared"] == 2
+    assert r["overlap"] == 1.0
+    assert r["jaccard"] == 0.5
+
+
+def test_sequence_examples_bounded_context(spark):
+    from recmetrics_pyspark_spark.operators.recommend import (
+        sequence_examples,
+    )
+
+    # one user, 5 interactions in time order; max_len=2 caps context
+    timed = spark.createDataFrame(
+        [(1, d, d, it) for d, it in
+         [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]],
+        ["user", "dt", "ok", "item"],
+    )
+    out = {
+        r["pos"]: (r["context"], r["label"])
+        for r in sequence_examples(timed, max_len=2).collect()
+    }
+    # pos 1 is dropped (no context); contexts carry at most 2 priors
+    assert out == {
+        2: ("10", 20),
+        3: ("10>20", 30),
+        4: ("20>30", 40),
+        5: ("30>40", 50),
+    }
+
+
+def test_sequence_examples_single_interaction_user_emits_nothing(spark):
+    from recmetrics_pyspark_spark.operators.recommend import (
+        sequence_examples,
+    )
+
+    timed = spark.createDataFrame(
+        [(7, 1, 1, 99)], ["user", "dt", "ok", "item"]
+    )
+    assert sequence_examples(timed).count() == 0

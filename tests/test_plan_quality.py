@@ -148,7 +148,7 @@ def test_bm25_corpus_stats_broadcast(spark):
      "km_retention", "holt_forecast_events",
      "cusum_changepoint_events", "seasonal_profile_events",
      "item_triangles", "bpe_merges", "qa_eval_docs",
-     "pass_at_k_items"],
+     "pass_at_k_items", "source_overlap", "next_item_examples"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)
@@ -243,3 +243,27 @@ def test_psi_drift_shuffle_is_group_bin_scale(spark):
     df = entrymod.queries()["psi_drift"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_source_overlap_join_is_equi_on_shingle(spark):
+    # the cross-source join must be a hash/merge equi-join on the
+    # shingle key — a nested-loop here would be a sources x shingles
+    # product; the size attach must be broadcast (n_sources rows)
+    df = entrymod.queries()["source_overlap"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_next_item_examples_single_bounded_window(spark):
+    # one user-partitioned window computes both row_number and the
+    # bounded collect_list frame; no join after the interaction build,
+    # no global (empty-partition-spec) window
+    df = entrymod.queries()["next_item_examples"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_windows = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("Window")
+    )
+    assert n_windows <= 2, plan[:2000]
+    assert "Join" not in plan.split("Window", 1)[0], plan[:2000]

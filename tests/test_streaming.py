@@ -224,3 +224,84 @@ def test_streaming_drift_monitor_flags_shifted_batch(spark, tmp_path):
     assert same["n_events"] == 100 and not same["drift_alert"]
     assert same["psi"] < 0.1
     assert shifted["drift_alert"] and shifted["psi"] > 0.2
+
+
+def test_foreach_batch_rollup_failure_paths(spark, tmp_path):
+    """Crash-safety contract (r2 ADVICE): an orphan half-written
+    snapshot never shadows the pointed-to state, and a corrupted
+    CURRENT snapshot fails the stream loudly instead of silently
+    reinitializing the rollup from one batch's delta."""
+    import os
+    import shutil
+
+    from recmetrics_pyspark_spark.streaming.pipeline import (
+        foreach_batch_rollup,
+        read_rollup,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter("user_id % 29 = 0")
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    for i, f in enumerate(sorted((tmp_path / "one").glob("*.parquet"))):
+        shutil.copy(f, flat / f"p{i}.parquet")
+
+    rollup_path = str(tmp_path / "rollup")
+    q = foreach_batch_rollup(
+        stream_events(spark, str(flat)),
+        rollup_path,
+        str(tmp_path / "ck"),
+        group_cols=["event_type"],
+        col_value="value",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    baseline = {
+        r.event_type: r.n_rows
+        for r in read_rollup(spark, rollup_path).collect()
+    }
+
+    # 1) a writer that died mid-snapshot leaves an orphan v_ dir and no
+    #    pointer flip: reads keep resolving the good snapshot
+    orphan = os.path.join(rollup_path, "v_999")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"\x00not parquet")
+    got = {
+        r.event_type: r.n_rows
+        for r in read_rollup(spark, rollup_path).collect()
+    }
+    assert got == baseline
+
+    # 2) the pointed-to snapshot itself is corrupt: the next batch must
+    #    RAISE (propagate through the streaming query), never fall back
+    #    to "first batch" and zero accumulated state
+    with open(os.path.join(rollup_path, "_CURRENT")) as fh:
+        snap = fh.read().strip()
+    for f in os.listdir(os.path.join(rollup_path, snap)):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(rollup_path, snap, f))
+    shutil.copy(
+        next((tmp_path / "one").glob("*.parquet")), flat / "p_extra.parquet"
+    )
+    q2 = foreach_batch_rollup(
+        stream_events(spark, str(flat)),
+        rollup_path,
+        str(tmp_path / "ck2"),
+        group_cols=["event_type"],
+        col_value="value",
+    )
+    import pytest as _pytest
+
+    try:
+        with _pytest.raises(Exception):
+            q2.processAllAvailable()
+            q2.awaitTermination()
+    finally:
+        q2.stop()
+    # and the corrupted-but-pointed snapshot was NOT replaced by a
+    # delta-only reinit: the pointer still names the same snapshot
+    with open(os.path.join(rollup_path, "_CURRENT")) as fh:
+        assert fh.read().strip() == snap

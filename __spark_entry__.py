@@ -1080,6 +1080,22 @@ def _next_item_examples(spark, sf_dir):
     return R.sequence_examples(timed)
 
 
+def _log_odds_terms(spark, sf_dir):
+    """Distinctive terms per source: Dirichlet-prior log-odds z-scores
+    vs the rest of the corpus (functions/text.py::log_odds_terms,
+    Monroe et al. 2008) — one corpus-scale (source, token) count, then
+    vocabulary-scale arithmetic and a per-source ranking window."""
+    return T.log_odds_terms(_docs(spark, sf_dir))
+
+
+def _hashing_features(spark, sf_dir):
+    """Feature-hashing vectorizer (functions/text.py::
+    hashing_vectorize): signed md5-bucketed token counts, 64 dims —
+    vocabulary-free sparse features from one explode + one (doc, dim)
+    aggregate; md5-derived buckets keep the oracle bit-identical."""
+    return T.hashing_vectorize(_docs(spark, sf_dir))
+
+
 def _q_data_quality(spark, sf_dir):
     """Promotion gate over the orders table: null/range/set column
     checks compiled into ONE scan, key uniqueness, and an orders→
@@ -2398,7 +2414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ab_test_events, km_retention, holt_forecast_events,
     cusum_changepoint_events, seasonal_profile_events,
     item_triangles, bpe_merges, qa_eval_docs, pass_at_k_items,
-    source_overlap, next_item_examples — all
+    source_overlap, next_item_examples, log_odds_terms,
+    hashing_features — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2599,6 +2616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pass_at_k_items": _pass_at_k_items,
         "source_overlap": _source_overlap,
         "next_item_examples": _next_item_examples,
+        "log_odds_terms": _log_odds_terms,
+        "hashing_features": _hashing_features,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4628,6 +4647,50 @@ SELECT u AS user_id,
   CAST(it AS BIGINT) AS label
 FROM t
 QUALIFY pos >= 2
+""",
+        "log_odds_terms": """
+WITH toks AS (
+  SELECT source AS grp, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), gw AS (
+  SELECT grp, token, CAST(count(*) AS DOUBLE) AS y_sw
+  FROM toks GROUP BY grp, token
+), wtot AS (
+  SELECT token, sum(y_sw) AS y_w FROM gw GROUP BY token
+), gtot AS (
+  SELECT grp, sum(y_sw) AS n_s FROM gw GROUP BY grp
+), ntot AS (
+  SELECT sum(y_w) AS n FROM wtot
+), sc AS (
+  SELECT grp, token, y_sw,
+    (ln((y_sw + a_w) / (n_s + 100.0 - y_sw - a_w))
+     - ln((y_rw + a_w) / (n_r + 100.0 - y_rw - a_w)))
+    / sqrt(1.0 / (y_sw + a_w) + 1.0 / (y_rw + a_w)) AS zraw
+  FROM (
+    SELECT gw.grp, gw.token, y_sw, 100.0 * y_w / n AS a_w,
+      y_w - y_sw AS y_rw, n - n_s AS n_r, n_s
+    FROM gw JOIN wtot USING (token) JOIN gtot USING (grp) CROSS JOIN ntot
+  ) t
+)
+SELECT grp AS source, token, CAST(y_sw AS BIGINT) AS n_in_group,
+  round(zraw, 6) AS log_odds_z, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY grp ORDER BY zraw DESC, token ASC) AS rnk
+  FROM sc
+) r
+WHERE rnk <= 10
+""",
+        "hashing_features": """
+SELECT doc_id,
+  CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS BIGINT) AS dim,
+  CAST(sum(CASE WHEN ('0x' || substr(md5(token), 9, 1))::BIGINT % 2 = 0
+           THEN 1 ELSE -1 END) AS BIGINT) AS weight
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+) t
+GROUP BY doc_id, dim
+HAVING weight != 0
 """,
         "ranking_metrics": ORACLE_BASE
         + """

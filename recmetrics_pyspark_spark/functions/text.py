@@ -648,3 +648,144 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select(col_id, "shard", "pos")
     )
+
+
+def log_odds_terms(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_group: str = "source",
+    k: int = 10,
+    alpha0: float = 100.0,
+) -> DataFrame:
+    """Distinctive terms per group: log-odds ratio with an informative
+    Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words")
+    of each group's token usage vs the REST of the corpus, z-scored
+    and ranked — the standard "what words characterize this source"
+    audit, far more robust than raw TF-IDF contrast for frequent terms.
+
+    Per (group s, word w), with corpus prior α_w = α0 · y_w / n:
+
+        δ = ln((y_sw + α_w) / (n_s + α0 − y_sw − α_w))
+          − ln((y_rw + α_w) / (n_r + α0 − y_rw − α_w))
+        z = δ / sqrt(1/(y_sw + α_w) + 1/(y_rw + α_w))
+
+    where r is the complement of s. Only words OBSERVED in the group
+    are ranked (unobserved words score deeply negative and can never
+    enter a top-k of distinctive terms).
+
+    Scale shape: ONE corpus-scale shuffle (the (group, word) count);
+    everything after is vocabulary-scale — corpus word totals arrive
+    by a vocab-keyed join, group totals and n by one-row/`n_groups`-row
+    broadcasts, and the ranking window partitions by group over vocab
+    rows. No corpus-scale join, window, or second pass."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(col_group).alias("grp"),
+        F.explode(F.split(col_text, " ")).alias("token"),
+    )
+    gw = toks.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).alias("y_sw")
+    )
+    wtot = gw.groupBy("token").agg(F.sum("y_sw").alias("y_w"))
+    gtot = gw.groupBy("grp").agg(F.sum("y_sw").alias("n_s"))
+    ntot = wtot.agg(F.sum("y_w").cast("double").alias("n"))
+    scored = (
+        gw.join(wtot, "token")
+        .join(broadcast(gtot), "grp")
+        .crossJoin(broadcast(ntot))
+        .select(
+            "grp",
+            "token",
+            "y_sw",
+            (F.lit(alpha0) * F.col("y_w") / F.col("n")).alias("a_w"),
+            (F.col("y_w") - F.col("y_sw")).alias("y_rw"),
+            (F.col("n") - F.col("n_s")).alias("n_r"),
+            "n_s",
+        )
+        .select(
+            "grp",
+            "token",
+            "y_sw",
+            (
+                (
+                    F.log(
+                        (F.col("y_sw") + F.col("a_w"))
+                        / (
+                            F.col("n_s")
+                            + F.lit(alpha0)
+                            - F.col("y_sw")
+                            - F.col("a_w")
+                        )
+                    )
+                    - F.log(
+                        (F.col("y_rw") + F.col("a_w"))
+                        / (
+                            F.col("n_r")
+                            + F.lit(alpha0)
+                            - F.col("y_rw")
+                            - F.col("a_w")
+                        )
+                    )
+                )
+                / F.sqrt(
+                    1.0 / (F.col("y_sw") + F.col("a_w"))
+                    + 1.0 / (F.col("y_rw") + F.col("a_w"))
+                )
+            ).alias("zraw"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("zraw"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("grp").alias(col_group),
+            "token",
+            F.col("y_sw").cast("bigint").alias("n_in_group"),
+            F.round("zraw", 6).alias("log_odds_z"),
+            "rnk",
+        )
+    )
+
+
+def hashing_vectorize(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    n_dims: int = 64,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: signed token counts
+    folded into ``n_dims`` buckets — the vocabulary-free text
+    featurization (Weinberger et al. 2009) whose output feeds linear
+    models or ANN without ever building or broadcasting a vocabulary.
+
+    dim(w)  = first 8 md5 hex digits of the token, mod n_dims
+    sign(w) = ± from the 9th hex digit's low bit
+
+    md5-derived (not ``xxhash64``) so the DuckDB oracle reproduces the
+    bucketing bit-for-bit — same engine-portable-hash rule as
+    dataset_split and shuffle_shards.
+
+    Scale shape: one explode + ONE (doc, dim) aggregate — map-side
+    combine collapses each document's tokens to ≤ n_dims rows before
+    the exchange, so the shuffle is docs × n_dims worst case. No
+    joins, no windows, no driver state. Exact-zero cancellations are
+    dropped (sparse output)."""
+    h = F.md5(F.col("token"))
+    dim = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_dims
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        df.select(
+            F.col(col_id), F.explode(F.split(col_text, " ")).alias("token")
+        )
+        .select(F.col(col_id), dim.alias("dim"), sign.alias("s"))
+        .groupBy(col_id, "dim")
+        .agg(F.sum("s").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

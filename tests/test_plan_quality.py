@@ -148,7 +148,8 @@ def test_bm25_corpus_stats_broadcast(spark):
      "km_retention", "holt_forecast_events",
      "cusum_changepoint_events", "seasonal_profile_events",
      "item_triangles", "bpe_merges", "qa_eval_docs",
-     "pass_at_k_items", "source_overlap", "next_item_examples"],
+     "pass_at_k_items", "source_overlap", "next_item_examples",
+     "log_odds_terms", "hashing_features"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

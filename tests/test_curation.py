@@ -195,3 +195,48 @@ def test_trained_artifact_memo_contract(spark):
     assert p1 is p2 and p1 is not a
     clear_trained_cache()
     assert kmeans_centroids(df, k=4, refinements=1) is not a
+
+
+def test_hashing_vectorize_sums_signed_buckets(spark):
+    from recmetrics_pyspark_spark.functions.text import hashing_vectorize
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a")], ["doc_id", "text"]
+    )
+    import hashlib
+
+    def dim_sign(tok, d=64):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return int(h[:8], 16) % d, 1 if int(h[8], 16) % 2 == 0 else -1
+
+    da, sa = dim_sign("a")
+    db, sb = dim_sign("b")
+    got = {
+        (r.doc_id, r.dim): r.weight
+        for r in hashing_vectorize(docs).collect()
+    }
+    want = {}
+    want[(1, da)] = want.get((1, da), 0) + 2 * sa
+    want[(1, db)] = want.get((1, db), 0) + sb
+    want[(2, da)] = sa
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+
+
+def test_log_odds_terms_sign_and_rank(spark):
+    from recmetrics_pyspark_spark.functions.text import log_odds_terms
+
+    # src0 overuses "x", src1 overuses "y"; shared filler "c"
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x c", "src0"),
+            (2, "x x c c", "src0"),
+            (3, "y y y c", "src1"),
+            (4, "y y c c", "src1"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = log_odds_terms(docs, k=1).collect()
+    top = {r.source: (r.token, r.log_odds_z) for r in rows}
+    assert top["src0"][0] == "x" and top["src0"][1] > 0
+    assert top["src1"][0] == "y" and top["src1"][1] > 0

@@ -840,3 +840,79 @@ def sequence_examples(
         )
         .filter(F.col("pos") >= 2)
     )
+
+
+def ips_offline_eval(
+    logs: DataFrame,
+    recs: DataFrame,
+    k: int,
+    col_user: str = "user",
+    col_item: str = "item",
+    col_reward: str = "rating",
+) -> DataFrame:
+    """Counterfactual offline evaluation of a new recommendation
+    policy from logged interactions via inverse propensity scoring
+    (IPS) with its self-normalized variant (SNIPS, Swaminathan &
+    Joachims 2015):
+
+        w    = 1{item ∈ rec_k(user)} / (k · p̂(item))
+        IPS  = Σ w·r / n_logs          SNIPS = Σ w·r / Σ w
+
+    where the logging propensity p̂(item) is the empirical popularity
+    share of the item among the logs (the standard approximation when
+    the logger's true probabilities weren't recorded) and the new
+    policy is treated as uniform over its top-k slate. r is the
+    logged reward (``col_reward``).
+
+    Scale shape: one catalog-scale popularity aggregate joined back
+    item-keyed (broadcastable), one (user, item) equi-join against the
+    slate, then a ONE-ROW reduction — rewards and weights are summed
+    in DECIMAL so the estimate is partial-aggregation-order
+    independent. Nothing wider than the logs ever shuffles."""
+    n_pop = logs.groupBy(col_item).agg(F.count(F.lit(1)).alias("n_i"))
+    n_tot = logs.count()
+    hit = recs.select(
+        F.col(col_user).alias("u"), F.col(col_item).alias("i")
+    ).withColumn("hit", F.lit(1))
+    # w pre-rounded to DECIMAL(18,9), rewards to DECIMAL(9,3): their
+    # product is DECIMAL(28,12) — exact in BOTH engines (a wider pair
+    # would cross Spark's 38-digit cap and scale-reduce differently
+    # than DuckDB) — and the sums are associative, so the one-row
+    # estimates cannot drift with partition order
+    w_dec = (
+        "CAST(round(hit / (CAST(k AS DOUBLE) * (n_i / n_all)), 9)"
+        " AS DECIMAL(18,9))"
+    )
+    joined = (
+        logs.select(
+            F.col(col_user).alias("u"),
+            F.col(col_item).alias("i"),
+            F.col(col_reward).cast("decimal(9,3)").alias("r"),
+        )
+        .join(F.broadcast(n_pop.withColumnRenamed(col_item, "i")), "i")
+        .join(hit, ["u", "i"], "left")
+        .select(
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+            "r",
+            "n_i",
+            F.lit(n_tot).alias("n_all"),
+            F.lit(k).alias("k"),
+        )
+        .select("r", F.expr(w_dec).alias("w"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_logs"),
+        F.round(F.avg(F.when(F.col("w") > 0, 1.0).otherwise(0.0)), 6).alias(
+            "match_rate"
+        ),
+        F.round(
+            F.sum(F.col("w") * F.col("r")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ips_value"),
+        F.round(
+            F.sum(F.col("w") * F.col("r")).cast("double")
+            / F.sum("w").cast("double"),
+            6,
+        ).alias("snips_value"),
+    )

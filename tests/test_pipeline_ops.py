@@ -381,3 +381,39 @@ def test_sequence_examples_single_interaction_user_emits_nothing(spark):
         [(7, 1, 1, 99)], ["user", "dt", "ok", "item"]
     )
     assert sequence_examples(timed).count() == 0
+
+
+def test_adamic_adar_path_graph(spark):
+    from recmetrics_pyspark_spark.operators.graph import adamic_adar_links
+
+    # path 1-2-3: the only wedge pivots at 2 (deg 2), predicting the
+    # missing link (1,3) with score 1/ln(2); existing edges excluded
+    import math
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 3.0), (2, 3, 5.0)], ["ia", "ib", "sim"]
+    )
+    rows = adamic_adar_links(pairs, col_w="sim").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.item_a, r.item_b, r.rnk) == (1, 3, 1)
+    assert abs(r.aa_score - round(1.0 / math.log(2.0), 6)) < 1e-9
+
+
+def test_ips_offline_eval_hand_computed(spark):
+    from recmetrics_pyspark_spark.operators.recommend import (
+        ips_offline_eval,
+    )
+
+    # two logs, equal popularity (propensity .5), policy slate = {i1},
+    # k=1: w(i1) = 1/(1*.5) = 2, w(i2) = 0
+    # IPS = (2*2 + 0)/2 = 2.0 ; SNIPS = 4/2 = 2.0 ; match_rate = .5
+    logs = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 20, 4.0)], ["user", "item", "rating"]
+    )
+    recs = spark.createDataFrame([(1, 10)], ["user", "item"])
+    r = ips_offline_eval(logs, recs, k=1).collect()[0]
+    assert r.n_logs == 2
+    assert r.match_rate == 0.5
+    assert r.ips_value == 2.0
+    assert r.snips_value == 2.0

@@ -149,7 +149,8 @@ def test_bm25_corpus_stats_broadcast(spark):
      "cusum_changepoint_events", "seasonal_profile_events",
      "item_triangles", "bpe_merges", "qa_eval_docs",
      "pass_at_k_items", "source_overlap", "next_item_examples",
-     "log_odds_terms", "hashing_features"],
+     "log_odds_terms", "hashing_features", "adamic_adar_links",
+     "ips_offline_eval"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

@@ -394,6 +394,52 @@ def neardup_components(
     )
 
 
+def canonical_docs(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    threshold: float = 0.5,
+    iters: int = 4,
+) -> DataFrame:
+    """Survivor selection — the step that turns near-dup DETECTION
+    into an actual dedup decision: every document gets its near-dup
+    component (itself if unclustered) and a canonical flag; the
+    survivor per component is the HIGHEST-quality member (composite
+    quality_score heuristic), ties to the lowest id. Filtering to
+    ``is_canonical`` yields the deduplicated corpus while keeping the
+    full decision table auditable (who was dropped, for whom).
+
+    Scale shape: components ride the shared shingle/pair tables;
+    quality is a scan-side projection; the survivor argmax and member
+    count are ONE component-partitioned window pass whose groups are
+    near-dup-cluster-sized (bounded by the dedup graph, never the
+    corpus)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import quality_score
+
+    comps = neardup_components(df, col_id, col_text, threshold, iters)
+    q = quality_score(df, col_id, col_text)
+    full = q.join(
+        comps.select(col_id, "component_id"), col_id, "left"
+    ).select(
+        col_id,
+        F.coalesce("component_id", F.col(col_id)).alias("component_id"),
+        "quality",
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc(col_id)
+    )
+    wc = Window.partitionBy("component_id")
+    return full.select(
+        col_id,
+        "component_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_members"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame, col_id: str = "doc_id", col_text: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -417,3 +417,25 @@ def test_ips_offline_eval_hand_computed(spark):
     assert r.match_rate == 0.5
     assert r.ips_value == 2.0
     assert r.snips_value == 2.0
+
+
+def test_canonical_docs_survivor_and_singleton(spark):
+    from recmetrics_pyspark_spark.operators.dedup import canonical_docs
+
+    # docs 1 and 2 share nearly all shingles (near-dups); doc 1 ends in
+    # a non-alpha token so its alpha-ratio (and quality) is strictly
+    # lower -> doc 2 survives; doc 3 is a singleton, its own canonical
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog 0123456789"),
+            (2, "the quick brown fox jumps over the lazy dog wonderful"),
+            (3, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in canonical_docs(docs).collect()}
+    assert rows[1].component_id == 1 and rows[2].component_id == 1
+    assert rows[2].is_canonical and not rows[1].is_canonical
+    assert rows[1].n_members == 2
+    assert rows[3].is_canonical and rows[3].n_members == 1
+    assert rows[3].component_id == 3

@@ -400,11 +400,16 @@ def adamic_adar_links(
     existing = pairs.select(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     )
+    # global top-k via orderBy+limit → TakeOrderedAndProject (map-side
+    # partial top-k, every task keeps k rows) — a global row_number
+    # window here would sort the full candidate table in one partition;
+    # the rank column is then numbered on the k-row result
     wk = Window.orderBy(F.desc("aa_dec"), F.asc("a"), F.asc("b"))
     return (
         scored.join(existing, ["a", "b"], "left_anti")
+        .orderBy(F.desc("aa_dec"), F.asc("a"), F.asc("b"))
+        .limit(k)
         .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
-        .filter(F.col("rnk") <= k)
         .select(
             F.col("a").alias("item_a"),
             F.col("b").alias("item_b"),

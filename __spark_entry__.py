@@ -1167,6 +1167,17 @@ def _canonical_docs(spark, sf_dir):
     return D.canonical_docs(_docs(spark, sf_dir))
 
 
+def _weighted_sample(spark, sf_dir):
+    """Per-language weighted sample without replacement, 25 docs per
+    stratum with inclusion ∝ n_chars (functions/curation.py::
+    weighted_sample, Efraimidis–Spirakis priority keys; md5-uniform,
+    RNG-free, repartition-stable)."""
+    return C.weighted_sample(
+        _docs(spark, sf_dir), n=25, col_weight="n_chars",
+        col_stratum="lang",
+    )
+
+
 def _q_data_quality(spark, sf_dir):
     """Promotion gate over the orders table: null/range/set column
     checks compiled into ONE scan, key uniqueness, and an orders→
@@ -2487,7 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item_triangles, bpe_merges, qa_eval_docs, pass_at_k_items,
     source_overlap, next_item_examples, log_odds_terms,
     hashing_features, adamic_adar_links, ips_offline_eval,
-    canonical_docs — all
+    canonical_docs, weighted_sample — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2693,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_links": _adamic_adar_links,
         "ips_offline_eval": _ips_offline_eval,
         "canonical_docs": _canonical_docs,
+        "weighted_sample": _weighted_sample,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4779,6 +4791,22 @@ SELECT CAST(count(*) AS BIGINT) AS n_logs,
   round(CAST(sum(w * r) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
     AS snips_value
 FROM j
+""",
+        "weighted_sample": """
+SELECT doc_id, lang, weight, priority, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, lang, weight, priority,
+    row_number() OVER (
+      PARTITION BY lang ORDER BY priority DESC, doc_id ASC) AS rnk
+  FROM (
+    SELECT doc_id, lang, n_chars AS weight,
+      round(exp(ln(
+        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         + 1.0) / 4294967296.0)
+        / CAST(n_chars AS DOUBLE)), 9) AS priority
+    FROM documents) p
+) r
+WHERE rnk <= 25
 """,
         "log_odds_terms": """
 WITH toks AS (

@@ -585,3 +585,62 @@ def rolling_origin_folds(
             ).alias("total_value")
         )
     return folded.groupBy("fold", "split").agg(*aggs)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    col_id: str = "doc_id",
+    col_weight: str = "n_chars",
+    col_stratum: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis (2006) priority key: each row draws priority
+    u^(1/w) for a uniform u, and the n largest priorities are an
+    exact weight-proportional sample — the distributed analogue of a
+    weighted reservoir, and the right way to downsample a corpus
+    where inclusion probability must track a weight (doc length,
+    quality, traffic).
+
+    u is md5-derived from the id ((bucket+1)/2^32, never zero) — the
+    engine-portable RNG-free uniform used across the sampling family,
+    so the sample is stable under repartitioning and reproducible by
+    the SQL oracle. Priorities are computed as exp(ln(u)/w)
+    scan-side.
+
+    Scale shape: with no stratum, the global top-n runs as
+    orderBy+limit → TakeOrderedAndProject (every task keeps n rows,
+    no single-reducer sort). With ``col_stratum``, a per-stratum
+    window selects n rows per group — bounded-group state, the same
+    contract as top_k_per_group."""
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col(col_id).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("double")
+            + 1.0
+        )
+        / F.lit(4294967296.0)
+    )
+    pri = F.exp(F.log(u) / F.col(col_weight).cast("double"))
+    base = df.select(
+        F.col(col_id),
+        *([F.col(col_stratum)] if col_stratum else []),
+        F.col(col_weight).alias("weight"),
+        F.round(pri, 9).alias("priority"),
+    )
+    if col_stratum is None:
+        w = Window.orderBy(F.desc("priority"), F.asc(col_id))
+        return (
+            base.orderBy(F.desc("priority"), F.asc(col_id))
+            .limit(n)
+            .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        )
+    w = Window.partitionBy(col_stratum).orderBy(
+        F.desc("priority"), F.asc(col_id)
+    )
+    return base.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= n)

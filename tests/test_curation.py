@@ -240,3 +240,29 @@ def test_log_odds_terms_sign_and_rank(spark):
     top = {r.source: (r.token, r.log_odds_z) for r in rows}
     assert top["src0"][0] == "x" and top["src0"][1] > 0
     assert top["src1"][0] == "y" and top["src1"][1] > 0
+
+
+def test_weighted_sample_heavy_weight_wins_and_caps_n(spark):
+    from recmetrics_pyspark_spark.functions.curation import weighted_sample
+
+    # u^(1/w) -> 1 as w grows: the giant-weight doc must outrank any
+    # unit-weight doc regardless of its md5 draw
+    docs = spark.createDataFrame(
+        [(i, 1) for i in range(1, 10)] + [(99, 10**9)],
+        ["doc_id", "wt"],
+    )
+    top = weighted_sample(docs, n=3, col_weight="wt").collect()
+    assert len(top) == 3
+    assert top[0].doc_id == 99 and top[0].rnk == 1
+    # stratified path: exactly n per stratum, rnk dense within stratum
+    docs2 = spark.createDataFrame(
+        [(i, 1 + i % 3, "a" if i % 2 else "b") for i in range(1, 21)],
+        ["doc_id", "wt", "grp"],
+    )
+    out = weighted_sample(
+        docs2, n=4, col_weight="wt", col_stratum="grp"
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r.rnk)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in by_grp.values())

@@ -1178,6 +1178,13 @@ def _weighted_sample(spark, sf_dir):
     )
 
 
+def _langid_confusion(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix with per-true-
+    language recall (functions/text.py::langid_confusion) — the
+    detector audit run before trusting language routing."""
+    return T.langid_confusion(_docs(spark, sf_dir))
+
+
 def _q_data_quality(spark, sf_dir):
     """Promotion gate over the orders table: null/range/set column
     checks compiled into ONE scan, key uniqueness, and an orders→
@@ -2498,7 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item_triangles, bpe_merges, qa_eval_docs, pass_at_k_items,
     source_overlap, next_item_examples, log_odds_terms,
     hashing_features, adamic_adar_links, ips_offline_eval,
-    canonical_docs, weighted_sample — all
+    canonical_docs, weighted_sample, langid_confusion — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2705,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ips_offline_eval": _ips_offline_eval,
         "canonical_docs": _canonical_docs,
         "weighted_sample": _weighted_sample,
+        "langid_confusion": _langid_confusion,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4791,6 +4799,29 @@ SELECT CAST(count(*) AS BIGINT) AS n_logs,
   round(CAST(sum(w * r) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
     AS snips_value
 FROM j
+""",
+        "langid_confusion": f"""
+WITH pred AS (
+  SELECT doc_id,
+    CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+         WHEN s_es >= s_de THEN 'es'
+         ELSE 'de' END AS lang_pred
+  FROM (
+    SELECT doc_id,
+      len(list_filter(toks, x -> x IN {_sqlset(T.LEX_EN)})) AS s_en,
+      len(list_filter(toks, x -> x IN {_sqlset(T.LEX_ES)})) AS s_es,
+      len(list_filter(toks, x -> x IN {_sqlset(T.LEX_DE)})) AS s_de
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+), cells AS (
+  SELECT d.lang AS lang_true, p.lang_pred,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY d.lang, p.lang_pred
+)
+SELECT lang_true, lang_pred, n_docs,
+  round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang_true)
+    AS DOUBLE), 6) AS recall
+FROM cells
 """,
         "weighted_sample": """
 SELECT doc_id, lang, weight, priority, CAST(rnk AS BIGINT) AS rnk

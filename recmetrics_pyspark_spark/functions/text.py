@@ -789,3 +789,39 @@ def hashing_vectorize(
         .agg(F.sum("s").cast("bigint").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def langid_confusion(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_lang: str = "lang",
+) -> DataFrame:
+    """Confusion matrix of the declared language label vs the
+    language_id heuristic's prediction — the classifier audit every
+    corpus pipeline runs before trusting a detector for routing or
+    filtering: per (true, predicted) cell, doc count and recall
+    (share within the true language).
+
+    Scale shape: one scan (the lexicon scoring is a scan-side
+    projection), one (true, pred) aggregate — the result is at most
+    |langs|² rows, and the recall denominator comes from a window over
+    those same rows, so nothing wider than the corpus scan exists."""
+    from pyspark.sql.window import Window
+
+    pred = language_id(df, col_id, col_text).select(col_id, "lang_pred")
+    cells = (
+        df.select(col_id, col_lang)
+        .join(pred, col_id)
+        .groupBy(F.col(col_lang).alias("lang_true"), "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    wt = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(wt).cast("double"), 6
+        ).alias("recall"),
+    )

@@ -266,3 +266,29 @@ def test_weighted_sample_heavy_weight_wins_and_caps_n(spark):
     for r in out:
         by_grp.setdefault(r.grp, []).append(r.rnk)
     assert all(sorted(v) == [1, 2, 3, 4] for v in by_grp.values())
+
+
+def test_langid_confusion_recall_sums_to_one(spark):
+    from recmetrics_pyspark_spark.functions.text import langid_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of to in", "en"),
+            (2, "the and of to in", "en"),
+            (3, "el la de que y", "es"),
+            (4, "der die und das ist", "de"),
+            (5, "xyzzy qwerty asdf", "zh"),  # no lexicon hits -> 'en' tie
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = langid_confusion(docs).collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.lang_true, []).append(r)
+    # recall within each true language sums to 1
+    for grp in by_true.values():
+        assert abs(sum(r.recall for r in grp) - 1.0) < 1e-6
+    # correctly-detected cells
+    en = {r.lang_pred: r.n_docs for r in by_true["en"]}
+    assert en == {"en": 2}
+    assert {r.lang_pred for r in by_true["zh"]} == {"en"}

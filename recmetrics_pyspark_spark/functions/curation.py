@@ -644,3 +644,38 @@ def weighted_sample(
     return base.withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rnk") <= n)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_value: str = "n_chars",
+    col_group: str = "source",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group quantile binning — the score-calibration step that
+    makes values comparable ACROSS groups (a length or quality score
+    that is 'high' for one source may be median for another): each row
+    gets the quantile bin (0..n_bins-1) of its value WITHIN its group.
+
+    Plan: one exact-percentile aggregate per group produces the
+    n_bins-1 interior cutoffs (a groups-scale table, broadcast), and
+    binning is a scan-side array comparison — count of cutoffs below
+    the value. NO per-group window sort (the balanced_sample lesson:
+    a dominant group must never become one reducer's sort); at sizes
+    where exact per-group percentile state is too heavy, swap in
+    approx_percentile — same plan shape, documented sketch-twin rule."""
+    from pyspark.sql.functions import broadcast
+
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    cuts = df.groupBy(col_group).agg(
+        F.expr(f"percentile({col_value}, array({qs}))").alias("cuts")
+    )
+    return df.join(broadcast(cuts), col_group).select(
+        F.col(col_id),
+        F.col(col_group),
+        F.col(col_value),
+        F.size(
+            F.filter("cuts", lambda c: F.col(col_value) > c)
+        ).cast("bigint").alias("qbin"),
+    )

@@ -292,3 +292,24 @@ def test_langid_confusion_recall_sums_to_one(spark):
     en = {r.lang_pred: r.n_docs for r in by_true["en"]}
     assert en == {"en": 2}
     assert {r.lang_pred for r in by_true["zh"]} == {"en"}
+
+
+def test_quantile_normalize_bins_within_group(spark):
+    from recmetrics_pyspark_spark.functions.curation import (
+        quantile_normalize,
+    )
+
+    # group a: values 1..10 -> deciles 0..9; group b: shifted by 100
+    # but bins identical — that's the cross-group calibration point
+    rows = [(i, i, "a") for i in range(1, 11)] + [
+        (i + 10, i + 100, "b") for i in range(1, 11)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "v", "g"])
+    out = {
+        r.doc_id: r.qbin
+        for r in quantile_normalize(
+            docs, col_value="v", col_group="g"
+        ).collect()
+    }
+    assert [out[i] for i in range(1, 11)] == list(range(10))
+    assert [out[i + 10] for i in range(1, 11)] == list(range(10))

@@ -1193,6 +1193,68 @@ def _quantile_normalize(spark, sf_dir):
     return C.quantile_normalize(_docs(spark, sf_dir))
 
 
+def _incremental_neardup(spark, sf_dir):
+    """NEAR-dup classification of an incoming batch (doc_id % 5 = 0)
+    against the accumulated LSH index of the rest
+    (operators/dedup.py::incremental_neardup) — the fuzzy twin of
+    incremental_dedup: only the batch is shingled, the index
+    contributes one bucket join, verification reads signatures only."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter("doc_id % 5 = 0")
+    seen = docs.filter("doc_id % 5 != 0")
+    return D.incremental_neardup(batch, D.lsh_index(seen))
+
+
+def _incr_neardup_oracle() -> str:
+    mins = ",\n    ".join(
+        f"min(md5('{i}|' || s)) AS mh{i}" for i in range(8)
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx,"
+        f" md5(mh{2 * b} || mh{2 * b + 1}) AS band_sig FROM sig"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN bs.mh{i} = ss.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    return (
+        _DOC_BASE
+        + f"""
+, sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {bands}
+), bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+ib AS (SELECT * FROM bands WHERE doc_id % 5 != 0),
+cand AS (
+  SELECT DISTINCT bb.doc_id AS bid, ib.doc_id AS sid
+  FROM bb JOIN ib
+    ON bb.band_idx = ib.band_idx AND bb.band_sig = ib.band_sig
+), est AS (
+  SELECT c.bid, c.sid, ({agree}) / 8.0 AS est_jaccard
+  FROM cand c
+  JOIN sig bs ON c.bid = bs.doc_id
+  JOIN sig ss ON c.sid = ss.doc_id
+  WHERE ({agree}) / 8.0 >= 0.5
+), best AS (
+  SELECT bid, sid, est_jaccard FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY bid ORDER BY est_jaccard DESC, sid ASC) AS r
+    FROM est) t
+  WHERE r = 1
+)
+SELECT d.doc_id,
+  CASE WHEN b.sid IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+  b.sid AS match_id, round(b.est_jaccard, 6) AS est_jaccard
+FROM documents d LEFT JOIN best b ON d.doc_id = b.bid
+WHERE d.doc_id % 5 = 0
+"""
+    )
+
+
 def _q_data_quality(spark, sf_dir):
     """Promotion gate over the orders table: null/range/set column
     checks compiled into ONE scan, key uniqueness, and an orders→
@@ -2514,7 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     source_overlap, next_item_examples, log_odds_terms,
     hashing_features, adamic_adar_links, ips_offline_eval,
     canonical_docs, weighted_sample, langid_confusion,
-    quantile_normalize — all
+    quantile_normalize, incremental_neardup — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2723,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "langid_confusion": _langid_confusion,
         "quantile_normalize": _quantile_normalize,
+        "incremental_neardup": _incremental_neardup,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -3957,6 +4020,7 @@ WHERE j.jaccard >= 0.1
 """,
         "neardup_components": _neardup_components_oracle(),
         "canonical_docs": _canonical_docs_oracle(),
+        "incremental_neardup": _incr_neardup_oracle(),
         "neardup_components_star": _neardup_star_oracle(),
         "mmr_rerank": _mmr_oracle(),
         "simhash_signatures": f"""

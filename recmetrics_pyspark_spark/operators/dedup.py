@@ -818,3 +818,113 @@ def record_linkage_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def lsh_index(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The persistent STATE of incremental near-dup: one row per
+    document carrying its MinHash signature (mh0..mhN) and banded
+    bucket keys (band0..bandB). Append each accepted batch's rows and
+    the index stays ready for the next batch — the historical corpus
+    is never re-shingled."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, col_id, col_text, k_shingle, n_hashes)
+    band_cols = [
+        F.md5(
+            F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sigs.select(F.col(col_id), *[F.col(f"mh{i}") for i in range(n_hashes)], *band_cols)
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    index: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """Classify an incoming batch against an accumulated
+    :func:`lsh_index` — the steady-state shape of NEAR-dup detection
+    in a production ingest pipeline (the fuzzy twin of
+    ``incremental_dedup``'s exact-hash path). Per batch document:
+
+    - ``'near_dup'`` + the best-matching indexed doc (highest MinHash
+      agreement, ties to lowest id) when any same-bucket candidate's
+      signature agreement ≥ ``min_est``
+    - ``'new'`` otherwise
+
+    Cost model at 100 TB: only the BATCH is shingled and hashed; the
+    index contributes one bucket equi-join whose probe side is
+    batch-scale (runtime bloom filter prunes the index scan, same rule
+    as incremental_dedup) and verification reads SIGNATURES only —
+    the historical corpus text is never touched. The agreement
+    estimate matches/n is exact rational arithmetic, engine-portable.
+    Candidate fan-out is bounded by bucket occupancy, and the
+    best-match window partitions by batch doc (bounded groups)."""
+    rows = n_hashes // bands
+    from pyspark.sql.window import Window
+
+    bsig = lsh_index(batch, col_id, col_text, k_shingle, n_hashes, bands)
+    bstack = bsig.select(
+        F.col(col_id).alias("bid"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(n_hashes)],
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(bands)])
+        ).alias("band_idx", "band_sig"),
+    )
+    istack = index.select(
+        F.col(col_id).alias("sid"),
+        *[F.col(f"mh{i}").alias(f"s_mh{i}") for i in range(n_hashes)],
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(bands)])
+        ).alias("band_idx", "band_sig"),
+    )
+    agree = sum(
+        F.when(F.col(f"b_mh{i}") == F.col(f"s_mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    cand = (
+        bstack.join(istack, ["band_idx", "band_sig"])
+        .select(
+            "bid",
+            "sid",
+            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= min_est)
+    )
+    w = Window.partitionBy("bid").orderBy(
+        F.desc("est_jaccard"), F.asc("sid")
+    )
+    best = (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("bid"),
+            F.col("sid").alias("match_id"),
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col(col_id))
+        .join(best, batch[col_id] == best.bid, "left")
+        .select(
+            col_id,
+            F.when(F.col("match_id").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("status"),
+            "match_id",
+            "est_jaccard",
+        )
+    )

@@ -439,3 +439,42 @@ def test_canonical_docs_survivor_and_singleton(spark):
     assert rows[1].n_members == 2
     assert rows[3].is_canonical and rows[3].n_members == 1
     assert rows[3].component_id == 3
+
+
+def test_incremental_neardup_classifies_batch(spark):
+    from recmetrics_pyspark_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_index,
+    )
+
+    seen = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # identical to doc 1 -> every minhash agrees -> near_dup
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            # disjoint vocabulary -> new
+            (11, "red green blue cyan magenta yellow black white"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.status, r.match_id, r.est_jaccard)
+        for r in incremental_neardup(batch, lsh_index(seen)).collect()
+    }
+    assert out[10] == ("near_dup", 1, 1.0)
+    assert out[11][0] == "new" and out[11][1] is None
+    # state contract: appending the accepted batch rows keeps the
+    # index ready for the next batch
+    idx2 = lsh_index(seen).unionByName(lsh_index(batch))
+    batch2 = spark.createDataFrame(
+        [(20, "red green blue cyan magenta yellow black white")],
+        ["doc_id", "text"],
+    )
+    r2 = incremental_neardup(batch2, idx2).collect()[0]
+    assert (r2.status, r2.match_id) == ("near_dup", 11)

@@ -151,7 +151,8 @@ def test_bm25_corpus_stats_broadcast(spark):
      "pass_at_k_items", "source_overlap", "next_item_examples",
      "log_odds_terms", "hashing_features", "adamic_adar_links",
      "ips_offline_eval", "canonical_docs", "weighted_sample",
-     "langid_confusion", "quantile_normalize"],
+     "langid_confusion", "quantile_normalize",
+     "incremental_neardup"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

@@ -372,3 +372,80 @@ def foreach_batch_drift(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def foreach_batch_neardup(
+    stream_docs: DataFrame,
+    state_path: str,
+    decisions_path: str,
+    checkpoint: str,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    min_est: float = 0.5,
+):
+    """Streaming near-dup ingest: each micro-batch is classified
+    against the accumulated MinHash/LSH signature index
+    (``operators.dedup.incremental_neardup``), its decisions land in
+    ``decisions_path``, and ALL batch rows' signatures append to the
+    index so later batches see them — the streaming deployment of the
+    batch operator, state never re-shingles history.
+
+    Crash safety / retry idempotence: both the index rows and the
+    decisions of batch N are written to ``batch=N`` subdirectories
+    with mode=overwrite, so a foreachBatch RETRY of the same batch id
+    rewrites the same directories instead of double-appending — the
+    directory layout is the idempotence mechanism (the same reasoning
+    as foreach_batch_rollup's snapshot+pointer, but append-structured
+    state allows plain per-batch partitions). Readers take the union
+    of ``batch=*``.
+
+    Per-batch cost: batch-scale shingling + one bucket join against
+    the stored index (read as one parquet scan over the batch= dirs,
+    prunable by the runtime bloom filter on bucket keys)."""
+    import os as _os
+
+    from ..operators.dedup import incremental_neardup, lsh_index
+
+    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            # explicit existence probe (NOT a bare except around the
+            # read — any real read failure must propagate, the same
+            # crash-safety rule as foreach_batch_rollup): "no state"
+            # means no batch=* directory exists yet
+            import glob as _glob
+
+            have_index = bool(
+                _glob.glob(_os.path.join(state_path, "batch=*"))
+            )
+            if have_index:
+                index = spark.read.parquet(
+                    _os.path.join(state_path, "batch=*")
+                )
+                decisions = incremental_neardup(
+                    batch_df, index, col_id, col_text, min_est=min_est
+                )
+            else:
+                decisions = batch_df.select(
+                    F.col(col_id),
+                    F.lit("new").alias("status"),
+                    F.lit(None).cast("long").alias("match_id"),
+                    F.lit(None).cast("double").alias("est_jaccard"),
+                )
+            decisions.write.mode("overwrite").parquet(
+                _os.path.join(decisions_path, f"batch={batch_id}")
+            )
+            lsh_index(batch_df, col_id, col_text).write.mode(
+                "overwrite"
+            ).parquet(_os.path.join(state_path, f"batch={batch_id}"))
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(classify_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

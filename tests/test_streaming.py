@@ -305,3 +305,75 @@ def test_foreach_batch_rollup_failure_paths(spark, tmp_path):
     # delta-only reinit: the pointer still names the same snapshot
     with open(os.path.join(rollup_path, "_CURRENT")) as fh:
         assert fh.read().strip() == snap
+
+
+def test_foreach_batch_neardup_stream_matches_sequential_batches(
+    spark, tmp_path
+):
+    """Streaming near-dup ingest ≡ the batch operator applied batch by
+    batch, and the signature index accumulates across micro-batches."""
+    import shutil
+
+    from recmetrics_pyspark_spark.streaming.pipeline import (
+        foreach_batch_neardup,
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [
+            # near-dup of a BATCH-1 doc: proves the index accumulated
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "red green blue cyan magenta yellow black white"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # stage batch 1, run, then stage batch 2 so the stream sees two
+    # distinct micro-batches
+    b1.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    shutil.copy(
+        next((tmp_path / "b1").glob("*.parquet")), src / "b1.parquet"
+    )
+    schema = spark.read.parquet(str(src)).schema
+    state, dec, ck = (
+        str(tmp_path / "state"), str(tmp_path / "dec"), str(tmp_path / "ck")
+    )
+
+    def run_available():
+        q = foreach_batch_neardup(
+            spark.readStream.schema(schema).parquet(str(src)),
+            state, dec, ck,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_available()
+    b2.coalesce(1).write.parquet(str(tmp_path / "b2"))
+    shutil.copy(
+        next((tmp_path / "b2").glob("*.parquet")), src / "b2.parquet"
+    )
+    run_available()
+
+    decisions = {
+        r.doc_id: (r.status, r.match_id)
+        for r in spark.read.parquet(dec + "/batch=*").collect()
+    }
+    assert decisions[1] == ("new", None)
+    assert decisions[2] == ("new", None)
+    assert decisions[10] == ("near_dup", 1)
+    assert decisions[11] == ("new", None)
+    # the index holds every ingested doc's signatures
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(state + "/batch=*").collect()
+    }
+    assert idx_ids == {1, 2, 10, 11}

@@ -1255,6 +1255,14 @@ WHERE d.doc_id % 5 = 0
     )
 
 
+def _duplicated_spans(spark, sf_dir):
+    """Maximal duplicated token spans per document
+    (operators/dedup.py::duplicated_spans) — the span-level signal an
+    exact-substring dedup rewriter consumes; gaps-and-islands run
+    assembly inside document-bounded windows."""
+    return D.duplicated_spans(_docs(spark, sf_dir))
+
+
 def _q_data_quality(spark, sf_dir):
     """Promotion gate over the orders table: null/range/set column
     checks compiled into ONE scan, key uniqueness, and an orders→
@@ -2576,7 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     source_overlap, next_item_examples, log_odds_terms,
     hashing_features, adamic_adar_links, ips_offline_eval,
     canonical_docs, weighted_sample, langid_confusion,
-    quantile_normalize, incremental_neardup — all
+    quantile_normalize, incremental_neardup, duplicated_spans — all
     judge-checkable today via
     `scripts/driver_check.py <names>`) have no driver row yet; move
     them into the first-50 window next round, keeping a few canaries.
@@ -2786,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": _langid_confusion,
         "quantile_normalize": _quantile_normalize,
         "incremental_neardup": _incremental_neardup,
+        "duplicated_spans": _duplicated_spans,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
@@ -4021,6 +4030,32 @@ WHERE j.jaccard >= 0.1
         "neardup_components": _neardup_components_oracle(),
         "canonical_docs": _canonical_docs_oracle(),
         "incremental_neardup": _incr_neardup_oracle(),
+        "duplicated_spans": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), shp AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(list_slice(toks, i, i+2), ' ') AS s
+  FROM d, unnest(generate_series(1, greatest(len(toks)-2, 1))) AS u(i)
+), dfreq AS (
+  SELECT s, count(DISTINCT doc_id) AS n_docs_with FROM shp GROUP BY s
+), dup_pos AS (
+  SELECT shp.doc_id, shp.pos
+  FROM shp JOIN dfreq f ON shp.s = f.s
+  WHERE f.n_docs_with >= 2
+), runs AS (
+  SELECT doc_id,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+    pos
+  FROM dup_pos
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+  CAST(max(pos) + 2 AS BIGINT) AS end_tok,
+  CAST(count(*) AS BIGINT) AS n_dup_shingles
+FROM runs
+GROUP BY doc_id, grp
+HAVING count(*) >= 2
+""",
         "neardup_components_star": _neardup_star_oracle(),
         "mmr_rerank": _mmr_oracle(),
         "simhash_signatures": f"""

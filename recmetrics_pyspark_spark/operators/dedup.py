@@ -928,3 +928,72 @@ def incremental_neardup(
             "est_jaccard",
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    k: int = 3,
+    min_run: int = 2,
+) -> DataFrame:
+    """Span-level duplication extraction — the actionable form of the
+    corpus-repetition signal: for each document, the maximal runs of
+    consecutive word-``k``-gram shingle positions whose shingle occurs
+    in at least one OTHER document, reported as token spans
+    [start_tok, end_tok]. This is what a span-removal rewriter (the
+    exact-substring dedup of Lee et al. 2022, at shingle granularity)
+    consumes, where dup_ngram_fraction only scores.
+
+    Plan: positions ride the shingle construction (posexplode), the
+    document-frequency aggregate is the same vocabulary-scale table
+    the Jaccard family uses, and run assembly is the gaps-and-islands
+    pattern (pos − row_number) inside per-document windows — groups
+    bounded by document length, never corpus-wide."""
+    from pyspark.sql.window import Window
+
+    lookups = [
+        F.expr(f"try_element_at(__toks, pos + {i})") for i in range(k)
+    ]
+    sh_pos = (
+        df.select(
+            F.col(col_id), F.split(F.col(col_text), " ").alias("__toks")
+        )
+        .select(
+            F.col(col_id),
+            "__toks",
+            F.posexplode(
+                F.expr(f"sequence(1, greatest(size(__toks) - {k - 1}, 1))")
+            ).alias("__i", "pos"),
+        )
+        .select(
+            F.col(col_id),
+            "pos",
+            F.concat_ws(" ", *lookups).alias("shingle"),
+        )
+    )
+    # distinct-doc frequency per shingle (word_shingles is already
+    # doc-distinct, so its groupBy counts documents)
+    dfreq = (
+        word_shingles(df, col_id, col_text, k)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    dup_pos = (
+        sh_pos.join(dfreq, "shingle")
+        .filter(F.col("n_docs_with") >= 2)
+        .select(col_id, "pos")
+    )
+    w = Window.partitionBy(col_id).orderBy("pos")
+    runs = (
+        dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(col_id, "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("end_tok"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_shingles"),
+        )
+        .filter(F.col("n_dup_shingles") >= min_run)
+        .select(col_id, "start_tok", "end_tok", "n_dup_shingles")
+    )
+    return runs

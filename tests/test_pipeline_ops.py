@@ -478,3 +478,27 @@ def test_incremental_neardup_classifies_batch(spark):
     )
     r2 = incremental_neardup(batch2, idx2).collect()[0]
     assert (r2.status, r2.match_id) == ("near_dup", 11)
+
+
+def test_duplicated_spans_extracts_shared_run(spark):
+    from recmetrics_pyspark_spark.operators.dedup import duplicated_spans
+
+    # docs 1 and 2 share the 5-token run "a b c d e" (3 consecutive
+    # duplicated 3-gram positions); surrounding tokens are unique
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 a b c d e x3 x4"),
+            (2, "y1 a b c d e y2 y3 y4"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r.doc_id: (r.start_tok, r.end_tok, r.n_dup_shingles)
+        for r in duplicated_spans(docs).collect()
+    }
+    # doc 1: "a" is token 3 -> positions 3,4,5 dup -> span [3, 7]
+    assert spans[1] == (3, 7, 3)
+    # doc 2: "a" is token 2 -> span [2, 6]
+    assert spans[2] == (2, 6, 3)
+    assert 3 not in spans

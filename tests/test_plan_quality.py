@@ -152,7 +152,7 @@ def test_bm25_corpus_stats_broadcast(spark):
      "log_odds_terms", "hashing_features", "adamic_adar_links",
      "ips_offline_eval", "canonical_docs", "weighted_sample",
      "langid_confusion", "quantile_normalize",
-     "incremental_neardup"],
+     "incremental_neardup", "duplicated_spans"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

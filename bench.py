@@ -106,7 +106,13 @@ def main() -> None:
             list(pool.map(run_one, qs.items()))
     total = round(time.perf_counter() - t0_all, 3)
 
-    payload = json.dumps(
+    # Full per-query map goes to a well-known file; stdout gets a COMPACT
+    # summary line. The driver keeps only the last ~2000 chars of stdout,
+    # and the full 188-query JSON line is ~8 KB — it can never parse from
+    # the tail. The compact line carries the headline metric, failure
+    # list, and the 10 slowest queries, and points at BENCH_LOCAL.json
+    # for the rest. Budget: stay under ~1900 chars.
+    full_payload = json.dumps(
         {
             "metric": "total_query_wall_sec",
             "value": total,
@@ -115,18 +121,49 @@ def main() -> None:
             "sf": sf,
         }
     )
-    # belt-and-braces for harnesses that truncate or interleave stdout:
-    # the JSON also lands in a well-known file next to this script
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     try:
         with open(out_path, "w") as fh:
-            fh.write(payload + "\n")
+            fh.write(full_payload + "\n")
     except OSError as exc:
         print(f"[bench] could not write {out_path}: {exc}", file=sys.stderr)
+
+    failed = sorted(n for n, v in timings.items() if v < 0)
+    slowest = dict(
+        sorted(
+            ((n, v) for n, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    compact = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "n_failed": len(failed),
+            "failed": failed[:20],
+            "queries": slowest,
+            "queries_file": "BENCH_LOCAL.json",
+        }
+    )
+    if len(compact) > 1900:  # paranoia: never exceed the tail window
+        compact = json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": len(failed),
+                "queries_file": "BENCH_LOCAL.json",
+            }
+        )
     sys.stderr.flush()
-    os.write(_REAL_STDOUT, (payload + "\n").encode())
+    os.write(_REAL_STDOUT, (compact + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -2564,32 +2564,26 @@ def _rolling_origin_cv(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
-    evaluates the FIRST 50 entries. Round-3 rotation: the 30 round-2
-    operators that never had a driver row (redact_pii..wau_sliding),
-    the two upgraded self-checking sketches, and the queries whose
-    constructions CHANGED this round (balanced_sample, simhash family,
-    neardup_components) plus a few stable canaries occupy the window;
-    everything driver-green in r1/r2 and unchanged since sits after.
+    evaluates the FIRST 50 entries. Round-4 rotation (`_ROUND4_WINDOW`
+    below): 45 of the 60 queries that have never had a driver row —
+    led by the heavyweights (mmr_rerank, adamic_adar_links,
+    item_triangles, bpe_merges, the PQ/IVF-PQ ANN trio, semantic_dedup,
+    incremental_neardup/dedup, the nine relational4 TPC-H shapes) —
+    plus 5 stable canaries (coverage, personalization,
+    minhash_lsh_pairs, novelty, event_sessionize) occupy the window;
+    everything driver-green in r1-r3 and unchanged since sits after.
 
-    ROUND-4 ROTATION NOTE: the operators added after this round's
-    window was frozen (semantic_dedup, zipf_fit, mad_outlier_docs,
-    psi_drift, cluster_eval, association_rules,
-    baseline_predictor_rmse, popularity_concentration, item_exposure,
-    calibration_kl, serendipity, neardup_components_star,
-    mmr_rerank, hard_negatives, negative_sampling,
-    record_linkage_parts, incremental_dedup, rolling_origin_cv,
-    ab_test_events, km_retention, holt_forecast_events,
-    cusum_changepoint_events, seasonal_profile_events,
-    item_triangles, bpe_merges, qa_eval_docs, pass_at_k_items,
-    source_overlap, next_item_examples, log_odds_terms,
-    hashing_features, adamic_adar_links, ips_offline_eval,
-    canonical_docs, weighted_sample, langid_confusion,
-    quantile_normalize, incremental_neardup, duplicated_spans — all
-    judge-checkable today via
-    `scripts/driver_check.py <names>`) have no driver row yet; move
-    them into the first-50 window next round, keeping a few canaries.
+    ROUND-5 ROTATION NOTE: 15 queries remain without a driver row
+    after this round's window (zipf_fit, mad_outlier_docs, psi_drift,
+    calibration_kl, popularity_concentration, item_exposure,
+    serendipity, baseline_predictor_rmse, pass_at_k_items,
+    qa_eval_docs, source_overlap, log_odds_terms, hashing_features,
+    langid_confusion, quantile_normalize — all judge-checkable today
+    via `scripts/driver_check.py <names>`), plus any operators added
+    in round 4 after the window froze; move them into the first-50
+    window next round, keeping a few canaries.
     """
-    return {
+    base = {
         # --- round-2 operators rotated in for driver witnessing
         "redact_pii": _redact_pii,
         "snapshot_diff_orders": _snapshot_diff_orders,
@@ -2798,6 +2792,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
     }
+    ordered = {k: base[k] for k in _ROUND4_WINDOW}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered
+
+
+# The first-50 driver witness window for round 4 (see queries()
+# docstring). 45 never-witnessed queries, heavyweights first, then 5
+# canaries that have been green every round they ran.
+_ROUND4_WINDOW = [
+    "mmr_rerank",
+    "adamic_adar_links",
+    "item_triangles",
+    "bpe_merges",
+    "pq_ann_topk",
+    "pq_rerank_topk",
+    "ivfpq_ann_topk",
+    "semantic_dedup",
+    "incremental_neardup",
+    "incremental_dedup",
+    "canonical_docs",
+    "duplicated_spans",
+    "neardup_components_star",
+    "hard_negatives",
+    "cluster_eval",
+    "record_linkage_parts",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt_by_part",
+    "q17_small_quantity_revenue",
+    "q20_candidate_suppliers",
+    "q21_sole_latest_supplier",
+    "q_rollup_tree",
+    "wau_hll_mergeable",
+    "freq_sketch_events",
+    "curation_pipeline",
+    "events_asof_next_purchase",
+    "grouped_split",
+    "attribution_linear",
+    "feature_binning",
+    "curriculum_cuts",
+    "association_rules",
+    "negative_sampling",
+    "rolling_origin_cv",
+    "ab_test_events",
+    "km_retention",
+    "holt_forecast_events",
+    "cusum_changepoint_events",
+    "seasonal_profile_events",
+    "next_item_examples",
+    "ips_offline_eval",
+    "weighted_sample",
+    # --- canaries (driver-green r1-r3, unchanged)
+    "coverage",
+    "personalization",
+    "minhash_lsh_pairs",
+    "novelty",
+    "event_sessionize",
+]
 
 
 # DuckDB CTE prologue for document ops: tokenized docs + distinct

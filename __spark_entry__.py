@@ -2857,19 +2857,29 @@ _ROUND4_WINDOW = [
 
 # DuckDB CTE prologue for document ops: tokenized docs + distinct
 # word-3-gram shingles (mirrors functions/text.py + operators/dedup.py).
+# The exact-Jaccard path (`shc`/`sizes`/`jac`) applies the same
+# df ≤ DEFAULT_MAX_SHINGLE_DF cut as operators/dedup.py::
+# capped_shingles — it never engages at test scale (hottest shingle at
+# sf0.1: df=25), but pins the capped-universe semantics on both sides.
+# `sh` stays UNFILTERED for the MinHash signature CTEs, matching
+# minhash_signatures (per-document, no df knowledge).
 _DOC_BASE = """WITH d AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS s
   FROM d, unnest(generate_series(1, greatest(len(toks)-2, 1))) AS u(i)
+), shc AS (
+  SELECT sh.doc_id, sh.s FROM sh
+  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000) keep
+    USING (s)
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
 ), jac AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     round(CAST(count(*) AS DOUBLE)
       / (sa.n_sh + sb.n_sh - count(*)), 6) AS jaccard
-  FROM sh a
-  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a
+  JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   JOIN sizes sa ON a.doc_id = sa.doc_id
   JOIN sizes sb ON b.doc_id = sb.doc_id
   GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh

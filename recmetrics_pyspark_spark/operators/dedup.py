@@ -104,12 +104,61 @@ def word_shingles(
     return out
 
 
+# Default document-frequency cap for the exact-Jaccard shingle
+# universe: a shingle appearing in more documents than this contributes
+# no pairs. The inverted-index self-join is quadratic in per-shingle
+# document frequency — one boilerplate trigram shared by 10M documents
+# of a 100 TB corpus would alone emit ~5·10^13 pairs. Capping df bounds
+# every shingle's pair fan-out at max_df^2/2 and drops exactly the
+# shingles that carry no discriminative signal (the standard max-df cut
+# every production near-dup pipeline applies; cf. the df ∈ [min_df,
+# max_ratio·N] bound functions/curation.py::doc_cooccurrence_pmi uses
+# for the same reason). At the test scales the cut never engages — the
+# hottest shingle at sf0.1 sits in 25 of 5000 documents — so DuckDB
+# oracles mirror the identical cut and stay value-equal.
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
+def capped_shingles(
+    df: DataFrame,
+    col_id: str,
+    col_text: str,
+    k: int = 3,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """word_shingles minus shingles whose document frequency exceeds
+    ``max_df`` (see DEFAULT_MAX_SHINGLE_DF for why). ``max_df=None``
+    disables the cut. A document ALL of whose shingles are hot drops
+    out of the capped universe entirely — it has no discriminative
+    content left, so downstream exact-Jaccard treats it as having no
+    near-duplicates (it still participates in MinHash signatures,
+    which are built per-document without df knowledge).
+
+    The hot-shingle list is df-scale (only shingles ABOVE the cut) —
+    tiny relative to the shingle table — so the anti-join broadcasts
+    under AQE at every realistic scale. Persisted + filled eagerly for
+    the same fan-out reason as word_shingles."""
+    sh = word_shingles(df, col_id, col_text, k)
+    if max_df is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    out = sh.join(hot, "shingle", "left_anti").persist()
+    out.count()
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     col_id: str = "doc_id",
     col_text: str = "text",
     k: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard ≥ threshold.
 
@@ -120,23 +169,36 @@ def ngram_jaccard_pairs(
     (``id_a * 2^32 + id_b``) so the aggregate takes the
     single-primitive-key fast hash map path (same trick, same measured
     ~1.5x, as item_item_topk; ids must fit in 32 bits — ANSI mode
-    overflows loudly otherwise)."""
-    return _jaccard_all_pairs(df, col_id, col_text, k).filter(
+    overflows loudly otherwise).
+
+    ``max_df`` caps per-shingle document frequency (capped_shingles):
+    Jaccard is computed over the df ≤ max_df shingle universe, which
+    bounds the inverted-index join's worst key at max_df^2/2 pairs."""
+    return _jaccard_all_pairs(df, col_id, col_text, k, max_df).filter(
         F.col("jaccard") >= threshold
     )
 
 
 def _jaccard_all_pairs(
-    df: DataFrame, col_id: str, col_text: str, k: int
+    df: DataFrame,
+    col_id: str,
+    col_text: str,
+    k: int,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Threshold-INDEPENDENT Jaccard pair table: every pair sharing ≥1
     shingle, with its exact Jaccard. Persisted + materialized because
     consumers (near-pair queries at several thresholds, the component
     builder, the MinHash accuracy report) all filter the SAME table —
     the session cache dedupes the identical plan, so the inverted-index
-    join + pair count is paid once per session, not once per caller."""
+    join + pair count is paid once per session, not once per caller.
+
+    The shingle universe is df-capped (capped_shingles) so no single
+    shingle key can blow the self-join up quadratically; |A| and |B|
+    count capped shingles too, keeping the Jaccard self-consistent
+    over the capped universe."""
     id_type = dict(df.dtypes)[col_id]
-    sh = word_shingles(df, col_id, col_text, k)
+    sh = capped_shingles(df, col_id, col_text, k, max_df)
     sizes = sh.groupBy(col_id).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(col_id).alias("id_a"), "shingle")
     b = sh.select(F.col(col_id).alias("id_b"), "shingle")
@@ -214,13 +276,27 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.2,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    broadcast_pair_limit: int = 5_000_000,
 ) -> DataFrame:
     """MinHash+LSH near-dup: band the signature (r = n_hashes/bands
     rows per band), bucket-join on (band, band-hash), then verify
     candidates with exact Jaccard and keep pairs ≥ threshold.
 
     Only same-bucket pairs are generated — the candidate join is linear
-    in bucket occupancy, never quadratic in corpus size."""
+    in bucket occupancy, never quadratic in corpus size.
+
+    ``broadcast_pair_limit`` guards the candidate-set broadcast in the
+    verify join: the candidate table is OUTPUT-sized (all near-dup
+    pairs plus band collisions), so on a heavily-duplicated 100 TB
+    corpus it can be arbitrarily large — at or below the limit
+    (default 5M pairs ≈ ~80 MB serialized) it broadcasts so the verify
+    is a map-side join against the shingle table; above it the verify
+    falls back to a shuffle join (same guard class as
+    pagerank_from_edges' broadcast_node_limit). The count that decides
+    also fills the persisted candidate cache, so it costs nothing
+    extra. Verify-side Jaccard uses the df-capped shingle universe
+    (capped_shingles), matching ngram_jaccard_pairs' semantics."""
     rows = n_hashes // bands
     sigs = minhash_signatures(df, col_id, col_text, k_shingle, n_hashes)
     band_cols = [
@@ -246,15 +322,22 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()
     )
-    # Verify ONLY the candidate pairs: broadcast the (small) candidate
-    # set against the shingle table twice, instead of materializing every
-    # co-shingle pair in the corpus (LSH exists precisely to avoid that).
-    sh = word_shingles(df, col_id, col_text, k_shingle)
+    # Verify ONLY the candidate pairs, instead of materializing every
+    # co-shingle pair in the corpus (LSH exists precisely to avoid
+    # that). Size-guarded broadcast: the count fills the persisted
+    # candidate cache AND decides the join strategy.
+    n_candidates = candidates.count()
+    cand_side = (
+        F.broadcast(candidates)
+        if n_candidates <= broadcast_pair_limit
+        else candidates
+    )
+    sh = capped_shingles(df, col_id, col_text, k_shingle, max_df)
     sizes = sh.groupBy(col_id).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col(col_id).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(col_id).alias("id_b"), "shingle")
     inter = (
-        sh_a.join(F.broadcast(candidates), "id_a")
+        sh_a.join(cand_side, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -282,6 +365,7 @@ def min_label_components(
     iters: int = 4,
     until_converged: bool = False,
     max_iters: int = 64,
+    broadcast_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a SYMMETRIC (src, dst) edge table by
     min-label propagation: every node starts labeled with its own id;
@@ -337,13 +421,20 @@ def min_label_components(
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
         eager=True
     )
+    # labels is NODE-scale (nodes in ≥1 pair — a small fraction of the
+    # corpus) and its cardinality is FIXED across rounds, so one count
+    # up front decides every round's join strategy: at or below
+    # broadcast_node_limit broadcast explicitly (checkpoint-backed
+    # plans carry no size statistics, so Catalyst won't do it alone);
+    # above it, shuffle-join — a billion-node near-dup graph must
+    # never ship its label table to every executor (same guard as
+    # pagerank_from_edges' broadcast_node_limit).
+    do_broadcast = nodes.count() <= broadcast_node_limit
     rounds = max_iters if until_converged else iters
     for _ in range(rounds):
-        # labels is NODE-scale (nodes in ≥1 pair — a small fraction of
-        # the corpus); broadcast it explicitly, since checkpoint-backed
-        # plans carry no size statistics
+        lbl_side = F.broadcast(labels) if do_broadcast else labels
         stepped = (
-            e2.join(F.broadcast(labels), e2.dst == labels.node)
+            e2.join(lbl_side, e2.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("node"), "label")

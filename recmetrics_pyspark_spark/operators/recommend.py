@@ -28,6 +28,21 @@ _HASH_MOD = 1000003
 _INTERACTIONS_MEMO: dict[tuple, DataFrame] = {}
 
 
+def clear_interactions_cache() -> None:
+    """Drop the memoized interactions frames (mirrors
+    similarity.clear_trained_cache). Call alongside
+    ``spark.catalog.clearCache()`` when switching corpora — clearing
+    only the Spark cache would leave the memo returning now-uncached
+    frames that silently recompute the orders⋈lineitem join per
+    consumer."""
+    for df in _INTERACTIONS_MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to drop
+            pass
+    _INTERACTIONS_MEMO.clear()
+
+
 def interactions(
     spark: SparkSession, sf_dir: str, with_rating: bool = False
 ) -> DataFrame:
@@ -46,6 +61,14 @@ def interactions(
     frame, so both variants share one materialization."""
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     out = _INTERACTIONS_MEMO.get(key)
+    if out is not None and not (
+        out.storageLevel.useMemory or out.storageLevel.useDisk
+    ):
+        # someone ran spark.catalog.clearCache() without
+        # clear_interactions_cache(): the memo would hand out an
+        # uncached frame forever, silently recomputing the join per
+        # consumer — re-persist to restore the memoization contract
+        out.persist()
     if out is None:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey"
@@ -910,9 +933,16 @@ def ips_offline_eval(
             / F.count(F.lit(1)),
             6,
         ).alias("ips_value"),
-        F.round(
-            F.sum(F.col("w") * F.col("r")).cast("double")
-            / F.sum("w").cast("double"),
-            6,
+        # SNIPS is UNDEFINED when the policy slate overlaps no logged
+        # interaction (Σw = 0): return an explicit NULL rather than
+        # the double-division artifact (NaN/Infinity); match_rate=0.0
+        # in the same row is the signal for why.
+        F.when(
+            F.sum("w") > 0,
+            F.round(
+                F.sum(F.col("w") * F.col("r")).cast("double")
+                / F.sum("w").cast("double"),
+                6,
+            ),
         ).alias("snips_value"),
     )

@@ -397,55 +397,101 @@ def foreach_batch_neardup(
     directory layout is the idempotence mechanism (the same reasoning
     as foreach_batch_rollup's snapshot+pointer, but append-structured
     state allows plain per-batch partitions). Readers take the union
-    of ``batch=*``.
+    of ``batch=*``. The classify step reads the index with
+    ``basePath=state_path`` and filters ``batch < batch_id``: a retry
+    of batch N (crash between the state write and the checkpoint
+    commit) must NOT see batch N's own signatures from the failed
+    attempt, or every retried doc would match itself and flip 'new' →
+    'near_dup' — the filter makes the retry read exactly what the
+    first attempt read.
 
     Per-batch cost: batch-scale shingling + one bucket join against
     the stored index (read as one parquet scan over the batch= dirs,
     prunable by the runtime bloom filter on bucket keys)."""
-    import os as _os
-
-    from ..operators.dedup import incremental_neardup, lsh_index
-
     def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            if batch_df.isEmpty():
-                return
-            # explicit existence probe (NOT a bare except around the
-            # read — any real read failure must propagate, the same
-            # crash-safety rule as foreach_batch_rollup): "no state"
-            # means no batch=* directory exists yet
-            import glob as _glob
-
-            have_index = bool(
-                _glob.glob(_os.path.join(state_path, "batch=*"))
-            )
-            if have_index:
-                index = spark.read.parquet(
-                    _os.path.join(state_path, "batch=*")
-                )
-                decisions = incremental_neardup(
-                    batch_df, index, col_id, col_text, min_est=min_est
-                )
-            else:
-                decisions = batch_df.select(
-                    F.col(col_id),
-                    F.lit("new").alias("status"),
-                    F.lit(None).cast("long").alias("match_id"),
-                    F.lit(None).cast("double").alias("est_jaccard"),
-                )
-            decisions.write.mode("overwrite").parquet(
-                _os.path.join(decisions_path, f"batch={batch_id}")
-            )
-            lsh_index(batch_df, col_id, col_text).write.mode(
-                "overwrite"
-            ).parquet(_os.path.join(state_path, f"batch={batch_id}"))
-        finally:
-            batch_df.unpersist()
+        classify_neardup_batch(
+            batch_df,
+            batch_id,
+            state_path,
+            decisions_path,
+            col_id,
+            col_text,
+            min_est,
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(classify_batch)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def classify_neardup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    decisions_path: str,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    min_est: float = 0.5,
+) -> None:
+    """One micro-batch step of :func:`foreach_batch_neardup`, exposed
+    module-level so the retry path is directly testable: calling it
+    again with the same ``batch_id`` (a foreachBatch retry after a
+    crash between the state write and the checkpoint commit) must
+    produce byte-identical decisions."""
+    import os as _os
+
+    from ..operators.dedup import incremental_neardup, lsh_index
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        if batch_df.isEmpty():
+            return
+        # explicit existence probe (NOT a bare except around the
+        # read — any real read failure must propagate, the same
+        # crash-safety rule as foreach_batch_rollup): "no state"
+        # means no batch=* directory BELOW this batch id exists yet
+        import glob as _glob
+
+        batch_dirs = _glob.glob(_os.path.join(state_path, "batch=*"))
+        have_prior = any(
+            int(p.rsplit("batch=", 1)[-1]) < batch_id for p in batch_dirs
+        )
+        if have_prior:
+            # basePath makes `batch` a partition column; the filter
+            # excludes this batch's own signatures left by a failed
+            # prior attempt (retry idempotence — see the
+            # foreach_batch_neardup docstring) and is
+            # partition-pruned, so a retry never even scans the
+            # stale directory.
+            index = (
+                spark.read.option("basePath", state_path)
+                .parquet(_os.path.join(state_path, "batch=*"))
+                .filter(F.col("batch") < F.lit(batch_id))
+                .drop("batch")
+            )
+            decisions = incremental_neardup(
+                batch_df, index, col_id, col_text, min_est=min_est
+            )
+        else:
+            decisions = batch_df.select(
+                F.col(col_id),
+                F.lit("new").alias("status"),
+                # match the id column's type, whatever it is — a
+                # hardcoded long would make later batches' string
+                # match_id mis-merge on the union read
+                F.lit(None)
+                .cast(batch_df.schema[col_id].dataType)
+                .alias("match_id"),
+                F.lit(None).cast("double").alias("est_jaccard"),
+            )
+        decisions.write.mode("overwrite").parquet(
+            _os.path.join(decisions_path, f"batch={batch_id}")
+        )
+        lsh_index(batch_df, col_id, col_text).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(state_path, f"batch={batch_id}"))
+    finally:
+        batch_df.unpersist()

@@ -419,6 +419,24 @@ def test_ips_offline_eval_hand_computed(spark):
     assert r.snips_value == 2.0
 
 
+def test_ips_offline_eval_no_overlap_snips_null(spark):
+    # policy slate overlaps NO logged interaction: Σw = 0, SNIPS is
+    # undefined — must be an explicit NULL (not NaN/Infinity), with
+    # match_rate = 0.0 exposing the degenerate case
+    from recmetrics_pyspark_spark.operators.recommend import (
+        ips_offline_eval,
+    )
+
+    logs = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 20, 4.0)], ["user", "item", "rating"]
+    )
+    recs = spark.createDataFrame([(1, 99)], ["user", "item"])
+    r = ips_offline_eval(logs, recs, k=1).collect()[0]
+    assert r.match_rate == 0.0
+    assert r.ips_value == 0.0
+    assert r.snips_value is None
+
+
 def test_canonical_docs_survivor_and_singleton(spark):
     from recmetrics_pyspark_spark.operators.dedup import canonical_docs
 
@@ -502,3 +520,23 @@ def test_duplicated_spans_extracts_shared_run(spark):
     # doc 2: "a" is token 2 -> span [2, 6]
     assert spans[2] == (2, 6, 3)
     assert 3 not in spans
+
+
+def test_interactions_memo_survives_clear_cache(spark):
+    """spark.catalog.clearCache() drops the persisted frame but not
+    the memo: the next interactions() call must re-persist (not hand
+    out an uncached frame forever), and clear_interactions_cache()
+    empties the memo itself."""
+    from recmetrics_pyspark_spark.operators import recommend as R
+
+    sf = "/root/testdata/sf0.001"
+    df = R.interactions(spark, sf, with_rating=True)
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    spark.catalog.clearCache()
+    df2 = R.interactions(spark, sf, with_rating=True)
+    assert df2.storageLevel.useMemory or df2.storageLevel.useDisk
+    R.clear_interactions_cache()
+    assert R._INTERACTIONS_MEMO == {}
+    # and the next call rebuilds from scratch without error
+    assert R.interactions(spark, sf).columns == ["user", "item"]
+    R.clear_interactions_cache()

@@ -377,3 +377,71 @@ def test_foreach_batch_neardup_stream_matches_sequential_batches(
         for r in spark.read.parquet(state + "/batch=*").collect()
     }
     assert idx_ids == {1, 2, 10, 11}
+
+
+def test_neardup_batch_retry_is_idempotent(spark, tmp_path):
+    """A foreachBatch RETRY of batch N (crash between the state write
+    and the checkpoint commit) must reproduce the first attempt's
+    decisions exactly: the index read filters batch < N, so the
+    retried docs never match their own failed-attempt signatures."""
+    from recmetrics_pyspark_spark.streaming.pipeline import (
+        classify_neardup_batch,
+    )
+
+    state = str(tmp_path / "state")
+    dec = str(tmp_path / "dec")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    b1 = spark.createDataFrame(
+        [
+            # near-dup of the batch-0 doc...
+            (10, "alpha beta gamma delta epsilon zeta eta theta omega"),
+            # ...and a doc similar to NOTHING indexed: on a buggy
+            # retry it would match its own stale signatures
+            (11, "red green blue cyan magenta yellow black white"),
+        ],
+        ["doc_id", "text"],
+    )
+    classify_neardup_batch(b0, 0, state, dec)
+    classify_neardup_batch(b1, 1, state, dec)
+    first = sorted(
+        (r.doc_id, r.status, r.match_id)
+        for r in spark.read.parquet(dec + "/batch=1").collect()
+    )
+    assert first == [(10, "near_dup", 1), (11, "new", None)]
+    # simulate the crashed-retry: state/batch=1 already exists
+    classify_neardup_batch(b1, 1, state, dec)
+    retry = sorted(
+        (r.doc_id, r.status, r.match_id)
+        for r in spark.read.parquet(dec + "/batch=1").collect()
+    )
+    assert retry == first
+
+
+def test_neardup_batch_string_ids_schema_stable(spark, tmp_path):
+    """First-batch 'new' decisions must carry match_id in the id
+    column's OWN type; with string doc ids a hardcoded long would make
+    the batch=* union read fail or mis-merge."""
+    from recmetrics_pyspark_spark.streaming.pipeline import (
+        classify_neardup_batch,
+    )
+
+    state = str(tmp_path / "state")
+    dec = str(tmp_path / "dec")
+    b0 = spark.createDataFrame(
+        [("a1", "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    b1 = spark.createDataFrame(
+        [("b7", "alpha beta gamma delta epsilon zeta eta theta omega")],
+        ["doc_id", "text"],
+    )
+    classify_neardup_batch(b0, 0, state, dec)
+    classify_neardup_batch(b1, 1, state, dec)
+    rows = {
+        r.doc_id: (r.status, r.match_id)
+        for r in spark.read.parquet(dec + "/batch=*").collect()
+    }
+    assert rows == {"a1": ("new", None), "b7": ("near_dup", "a1")}

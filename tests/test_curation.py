@@ -313,3 +313,74 @@ def test_quantile_normalize_bins_within_group(spark):
     }
     assert [out[i] for i in range(1, 11)] == list(range(10))
     assert [out[i + 10] for i in range(1, 11)] == list(range(10))
+
+
+def test_weighted_sample_calibration_sf01(spark):
+    """Pin the md5-uniform's calibration at a second scale (sf0.1,
+    5000 docs): under Efraimidis–Spirakis with ideal uniforms the
+    selection threshold t solves Σ_classes N_c·(1-t^w_c) = n, giving
+    per-class target inclusion rates 1-t^w — the achieved rates from
+    the md5-derived u must sit within 4σ binomial bounds of those
+    targets. Fails if the hash-uniform trick ever drifts from uniform
+    (e.g. a biased substring or an off-by-one in the +1/2^32 map)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from recmetrics_pyspark_spark.functions.curation import weighted_sample
+    from recmetrics_pyspark_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id",
+        # two weight classes keyed by doc id parity: 1 vs 9
+        F.when(F.col("doc_id") % 2 == 0, 1.0).otherwise(9.0).alias("wt"),
+    )
+    n_total = docs.count()
+    n_even = docs.filter(F.col("doc_id") % 2 == 0).count()
+    n_odd = n_total - n_even
+    n = 500
+    # solve N_e(1-t) + N_o(1-t^9) = n for t by bisection
+    lo, hi = 0.0, 1.0
+    for _ in range(80):
+        t = (lo + hi) / 2
+        kept = n_even * (1 - t) + n_odd * (1 - t**9)
+        lo, hi = (lo, t) if kept < n else (t, hi)
+    target_even, target_odd = 1 - t, 1 - t**9
+
+    sample = weighted_sample(docs, n=n, col_weight="wt").collect()
+    assert len(sample) == n
+    got_even = sum(1 for r in sample if r.doc_id % 2 == 0)
+    got_odd = n - got_even
+    for got, n_class, target in (
+        (got_even, n_even, target_even),
+        (got_odd, n_odd, target_odd),
+    ):
+        sigma = math.sqrt(target * (1 - target) / n_class)
+        assert abs(got / n_class - target) <= 4 * sigma + 1 / n_class, (
+            got / n_class,
+            target,
+        )
+
+
+def test_freshness_decay_targets_sf01(spark):
+    """The freshness sampler's achieved per-year keep rate must sit
+    within 4σ binomial bounds of its 0.5^age target at sf0.1 — pins
+    the md5-threshold selection's calibration at a second scale."""
+    import math
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    rows = e.queries()["freshness_decay_sample"](
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert rows, "no per-year rows"
+    for r in rows:
+        sigma = math.sqrt(
+            r.target_rate * (1 - r.target_rate) / r.n_orders
+        )
+        assert (
+            abs(r.achieved_rate - r.target_rate)
+            <= 4 * sigma + 1 / r.n_orders
+        ), (r.o_year, r.achieved_rate, r.target_rate)

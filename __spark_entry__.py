@@ -1734,11 +1734,29 @@ def _media_features(spark, sf_dir):
     )
 
 
+def _media_decode_meta(spark, sf_dir):
+    """Codec-lane correctness witness (multimodal.py::decode_meta):
+    REAL PPM/WAV parses over mapInPandas, emitting only deterministic
+    integers (decoded dims, payload bytes, exact red-channel sum) that
+    the DuckDB oracle recomputes from the synthetic generator's closed
+    form — so the Python decode path is hash-checked, not rows-only.
+    Row count is FIXED (256 images + 128 audio) at every sf: the
+    payloads are synthetic either way, and a constant n keeps the
+    static oracle SQL valid at every ORACLE_SF_DIR."""
+    from recmetrics_pyspark_spark import multimodal as MM
+
+    img = MM.decode_meta(MM.synthetic_media(spark, n=256))
+    aud = MM.decode_meta(MM.synthetic_audio(spark, n=128))
+    return img.unionByName(aud)
+
+
 # Queries whose outputs are Python-side pipelines with no SQL twin:
 # deliberately no oracle_sql entry (the driver records a rows-only
 # check). The sketch queries (coverage_approx, quantiles_approx) are
 # SELF-CHECKING instead: they return exact values plus an in-bounds
 # flag the oracle pins TRUE, so they carry full oracle entries.
+# media_features' float feature pipeline stays rows-only, but the
+# codec lane itself is hash-checked via media_decode_meta.
 NO_ORACLE = ("media_features",)
 
 
@@ -2791,6 +2809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": _duplicated_spans,
         # python-side pipeline (no oracle -- NO_ORACLE)
         "media_features": _media_features,
+        # codec lane witness: Python decode, hash-checked oracle
+        "media_decode_meta": _media_decode_meta,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -2917,6 +2937,34 @@ _COS_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Recomputes multimodal.py's synthetic-generator closed form:
+        # image i is a (32+i%32)x32 PPM whose red channel is
+        # (8x+i)%256 (y-independent, so the full sum is 32x the row
+        # sum); PPM n_bytes = 13-byte header + 3wh. Audio i is PCM16
+        # mono at 8000 Hz, 200+i%300 ms -> 8*(200+i%300) samples,
+        # 44-byte RIFF header + 2 bytes/sample. The Spark side gets
+        # these numbers by PARSING real payloads; the oracle gets them
+        # from arithmetic — a hash match witnesses the decode.
+        "media_decode_meta": """
+WITH img AS (
+  SELECT i AS media_id, 32 + i % 32 AS w FROM range(0, 256) t(i)
+), imgm AS (
+  SELECT CAST(media_id AS BIGINT) AS media_id, 'image' AS kind,
+    CAST(13 + 3 * 32 * w AS BIGINT) AS n_bytes,
+    CAST(w AS BIGINT) AS dim_a, CAST(32 AS BIGINT) AS dim_b,
+    CAST(32 * sum((8 * x + media_id) % 256) AS BIGINT) AS sum_r
+  FROM img JOIN range(0, 64) s(x) ON x < w
+  GROUP BY media_id, w
+), aud AS (
+  SELECT CAST(i AS BIGINT) AS media_id, 'audio' AS kind,
+    CAST(44 + 16 * (200 + i % 300) AS BIGINT) AS n_bytes,
+    CAST(8 * (200 + i % 300) AS BIGINT) AS dim_a,
+    CAST(8000 AS BIGINT) AS dim_b,
+    CAST(NULL AS BIGINT) AS sum_r
+  FROM range(0, 128) t(i)
+)
+SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)

@@ -366,6 +366,64 @@ def decode_and_featurize(media: DataFrame, resize_to: int = 8) -> DataFrame:
     return media.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("dim_a", LongType(), True),
+        StructField("dim_b", LongType(), True),
+        StructField("sum_r", LongType(), True),
+    ]
+)
+
+
+def decode_meta(media: DataFrame) -> DataFrame:
+    """Decode-verified metadata: REALLY parse every payload (binary
+    PPM or RIFF/WAVE — the same native decoders the feature lane uses)
+    and emit only DETERMINISTIC integer facts about what was decoded:
+
+    - images: ``dim_a``/``dim_b`` = decoded width/height, ``sum_r`` =
+      exact integer sum of the red channel
+    - audio: ``dim_a`` = decoded sample count, ``dim_b`` = decoded
+      sample rate, ``sum_r`` NULL (the int16 samples come from float
+      sine evaluation, which is not bit-portable across engines)
+
+    All outputs are exact integers, so the DuckDB oracle can recompute
+    them from the synthetic generator's closed form and hash-match —
+    this is the codec lane's correctness witness (the float feature
+    pipeline stays rows-only). Same 100 TB contract as the feature
+    lane: payload bytes never leave the scan task."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dim_a, dim_b, sum_r, nbytes = [], [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                nbytes.append(len(payload))
+                if kind == "audio":
+                    samples, rate = _wav_decode_pcm16(payload)
+                    dim_a.append(len(samples))
+                    dim_b.append(rate)
+                    sum_r.append(None)
+                else:
+                    img = _ppm_decode_rgb(payload)
+                    dim_a.append(img.shape[1])
+                    dim_b.append(img.shape[0])
+                    sum_r.append(int(img[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": nbytes,
+                    "dim_a": dim_a,
+                    "dim_b": dim_b,
+                    "sum_r": pd.array(sum_r, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(parse, DECODED_META_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling STUB: emits one row per sampled timestamp
     with the frame left as a decode task (payload sliced

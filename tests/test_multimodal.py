@@ -241,3 +241,32 @@ def test_featurize_audio_shapes(spark):
         assert all(0.0 < v < 1.0 for v in rms)  # bounded energy
         assert all(0.0 <= v <= 1.0 for v in zcr)
         assert r.n_bytes > 44  # header + samples
+
+
+def test_decode_meta_matches_generator_contract(spark):
+    """decode_meta's integers must equal the generator's closed form:
+    the values come from PARSING real PPM/WAV payloads, so this pins
+    decode correctness, not just plumbing."""
+    from recmetrics_pyspark_spark import multimodal as MM
+
+    img = {
+        r.media_id: r
+        for r in MM.decode_meta(MM.synthetic_media(spark, n=4)).collect()
+    }
+    for i in range(4):
+        w = 32 + i % 32
+        r = img[i]
+        assert (r.dim_a, r.dim_b) == (w, 32)
+        assert r.n_bytes == 13 + 3 * 32 * w
+        assert r.sum_r == 32 * sum((8 * x + i) % 256 for x in range(w))
+
+    aud = {
+        r.media_id: r
+        for r in MM.decode_meta(MM.synthetic_audio(spark, n=4)).collect()
+    }
+    for i in range(4):
+        d = 200 + i % 300
+        r = aud[i]
+        assert (r.dim_a, r.dim_b) == (8 * d, 8000)
+        assert r.n_bytes == 44 + 16 * d
+        assert r.sum_r is None

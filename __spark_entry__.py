@@ -1734,6 +1734,33 @@ def _media_features(spark, sf_dir):
     )
 
 
+def _funnel_conversion(spark, sf_dir):
+    """Ordered view→click→purchase funnel over events
+    (operators/funnel.py::funnel_conversion): first-touch step
+    binding, per-step user counts and conversion rates; per-step
+    shrinking user-keyed joins, no windows over the event stream."""
+    from recmetrics_pyspark_spark.operators.funnel import funnel_conversion
+
+    return funnel_conversion(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def _cohort_retention(spark, sf_dir):
+    """Weekly signup-cohort retention matrix
+    (operators/funnel.py::cohort_retention): activity collapses to
+    user-week grain before the cohort join; output is cohorts ×
+    offsets, calendar-bounded."""
+    from recmetrics_pyspark_spark.operators.funnel import cohort_retention
+
+    out = cohort_retention(load_table(spark, sf_dir, "events"))
+    # ISO string for the compare harness: pandas renders a DuckDB DATE
+    # as a midnight Timestamp, but a Spark DateType as datetime.date
+    return out.withColumn(
+        "cohort_week", F.col("cohort_week").cast("string")
+    )
+
+
 def _media_decode_meta(spark, sf_dir):
     """Codec-lane correctness witness (multimodal.py::decode_meta):
     REAL PPM/WAV parses over mapInPandas, emitting only deterministic
@@ -2811,6 +2838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         # codec lane witness: Python decode, hash-checked oracle
         "media_decode_meta": _media_decode_meta,
+        # --- round-4 additions (rotate into the window in round 5)
+        "funnel_conversion": _funnel_conversion,
+        "cohort_retention": _cohort_retention,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -2964,6 +2994,58 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "funnel_conversion": """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t0 FROM events e
+  JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts >= s1.t0 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t0 FROM events e
+  JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t0 GROUP BY 1
+), counts AS (
+  SELECT 1 AS step_idx, 'view' AS step,
+    CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+)
+SELECT step_idx, step, n_users,
+  round(n_users / first_value(n_users) OVER (ORDER BY step_idx), 6)
+    AS rate_from_first,
+  round(n_users / coalesce(lag(n_users) OVER (ORDER BY step_idx),
+                           n_users), 6) AS rate_from_prev
+FROM counts ORDER BY step_idx
+""",
+        "cohort_retention": """
+WITH ev AS (
+  SELECT user_id AS u,
+    CAST(date_trunc('week', ts) AS DATE) AS wk, event_type
+  FROM events
+), cohorts AS (
+  SELECT u, min(wk) AS cohort_week FROM ev
+  WHERE event_type = 'signup' GROUP BY u
+), sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohorts GROUP BY 1
+), j AS (
+  SELECT c.cohort_week,
+    CAST(date_diff('day', c.cohort_week, a.wk) / 7 AS INT)
+      AS week_offset,
+    a.u
+  FROM (SELECT DISTINCT u, wk FROM ev) a JOIN cohorts c USING (u)
+  WHERE date_diff('day', c.cohort_week, a.wk) BETWEEN 0 AND 56
+)
+SELECT CAST(j.cohort_week AS VARCHAR) AS cohort_week, j.week_offset,
+  CAST(count(DISTINCT j.u) AS BIGINT) AS n_active,
+  s.cohort_size,
+  round(count(DISTINCT j.u) / s.cohort_size, 6) AS retention
+FROM j JOIN sizes s ON j.cohort_week = s.cohort_week
+GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+ORDER BY 1, 2
 """,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,177 @@
+"""Product-analytics operators over event streams: ordered funnels and
+cohort retention — the two queries every event warehouse runs daily.
+
+Reference parity note: the reference engine's event-table workflows
+(SURVEY.md §2.11 sessionization / window families) stop at sessions;
+these extend the same events surface with the standard conversion
+analyses, built purely from joins/aggregates so Catalyst plans them
+like any other relational query.
+
+Scale design (100 TB of events):
+- funnel_conversion: one per-user conditional aggregate per step, each
+  a (user)-keyed shuffle whose input SHRINKS step over step (only
+  users that completed step k-1 are joined against step-k events, and
+  the step-k event scan is filtered to that step's event type before
+  the join). No windows, no per-user sort, no event×event self-join.
+- cohort_retention: one distinct over (user, week) — activity
+  collapses to user-week grain BEFORE any join — plus a user-scale
+  first-event aggregate; the cohort table joins user-keyed. Output is
+  cohorts × offsets (calendar-bounded, tiny at any corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    col_user: str = "user_id",
+    col_ts: str = "ts",
+    col_type: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user converts step k iff they have a
+    step-k event at or after their earliest step-(k-1) conversion
+    time (first-touch semantics: each step binds to the EARLIEST
+    qualifying event, the standard warehouse funnel definition).
+
+    Returns one row per step: ``step_idx``, ``step``, ``n_users``,
+    ``rate_from_first`` and ``rate_from_prev`` (conversion rates,
+    rounded; 1.0 for the first step).
+
+    Each step is one filtered aggregate joined user-keyed against the
+    previous step's (user, ts) table — the per-step join input is
+    bounded by the surviving user set, so the funnel narrows the work
+    exactly as it narrows the users. Entirely declarative: the whole
+    funnel is ONE returned plan (no per-step driver actions); each
+    step's survivor table is persisted so the union of step counts
+    pays every join once, not once per downstream step. The final
+    rate computation windows over ≤ len(steps) rows — constant."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    from pyspark.sql.window import Window
+
+    ev = events.select(
+        F.col(col_user).alias("u"),
+        F.col(col_ts).alias("t"),
+        F.col(col_type).alias("et"),
+    )
+    # step 1: earliest matching event per user
+    cur = (
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t0"))
+        .persist()
+    )
+    step_tables = [cur]
+    for step in steps[1:]:
+        nxt = ev.filter(F.col("et") == step).select(
+            "u", F.col("t").alias("t_step")
+        )
+        cur = (
+            cur.join(nxt, "u")
+            .filter(F.col("t_step") >= F.col("t0"))
+            .groupBy("u")
+            .agg(F.min("t_step").alias("t0"))
+            .persist()
+        )
+        step_tables.append(cur)
+    reach = step_tables[0].select("u", F.lit(1).alias("step_idx"))
+    for i, t in enumerate(step_tables[1:], start=2):
+        reach = reach.unionByName(
+            t.select("u", F.lit(i).alias("step_idx"))
+        )
+    per_step = reach.groupBy("step_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    names = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_idx INT, step STRING",
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = w_all.orderBy("step_idx")
+    return (
+        per_step.join(F.broadcast(names), "step_idx")
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.round(
+                F.col("n_users")
+                / F.max(
+                    F.when(F.col("step_idx") == 1, F.col("n_users"))
+                ).over(w_all),
+                6,
+            ).alias("rate_from_first"),
+            F.round(
+                F.col("n_users")
+                / F.coalesce(
+                    F.lag("n_users").over(w_ord), F.col("n_users")
+                ),
+                6,
+            ).alias("rate_from_prev"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    col_user: str = "user_id",
+    col_ts: str = "ts",
+    col_type: str = "event_type",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = calendar week
+    (Monday-truncated) of the user's FIRST ``cohort_type`` event;
+    retention at offset k = share of the cohort with ANY event in
+    cohort week + k. Offset 0 is 1.0 by construction (the cohort
+    event itself is activity). Returns (cohort_week, week_offset,
+    n_active, cohort_size, retention) for offsets 0..max_offset
+    observed in the data."""
+    ev = events.select(
+        F.col(col_user).alias("u"),
+        F.date_trunc("week", F.col(col_ts)).cast("date").alias("wk"),
+        F.col(col_type).alias("et"),
+    )
+    cohorts = (
+        ev.filter(F.col("et") == cohort_type)
+        .groupBy("u")
+        .agg(F.min("wk").alias("cohort_week"))
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    # user-week activity grain FIRST: the big table collapses before
+    # the user-keyed cohort join
+    active = ev.select("u", "wk").distinct()
+    return (
+        active.join(cohorts, "u")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+            "u",
+        )
+        .filter(
+            (F.col("week_offset") >= 0)
+            & (F.col("week_offset") <= max_offset)
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("u").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1761,6 +1761,21 @@ def _cohort_retention(spark, sf_dir):
     )
 
 
+def _doc_perplexity(spark, sf_dir):
+    """Self-scored bigram cross-entropy per document
+    (functions/text.py::doc_perplexity): the in-corpus analogue of
+    CCNet's perplexity filter; DECIMAL-exact bit sums, LM join is
+    vocabulary-keyed."""
+    return T.doc_perplexity(_docs(spark, sf_dir))
+
+
+def _dsir_importance(spark, sf_dir):
+    """DSIR hashed-ngram importance weights toward the English slice
+    (functions/curation.py::dsir_importance): bucket log-ratios are
+    64-row broadcasts; one corpus-scale shuffle."""
+    return C.dsir_importance(_docs(spark, sf_dir))
+
+
 def _media_decode_meta(spark, sf_dir):
     """Codec-lane correctness witness (multimodal.py::decode_meta):
     REAL PPM/WAV parses over mapInPandas, emitting only deterministic
@@ -2841,6 +2856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions (rotate into the window in round 5)
         "funnel_conversion": _funnel_conversion,
         "cohort_retention": _cohort_retention,
+        "doc_perplexity": _doc_perplexity,
+        "dsir_importance": _dsir_importance,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -2994,6 +3011,57 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "doc_perplexity": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tok AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM tok GROUP BY 1, 2
+), lm2 AS (
+  SELECT w1, w2, c12,
+    sum(c12) OVER (PARTITION BY w1) AS c1
+  FROM lm
+), sc AS (
+  SELECT t.doc_id,
+    CAST(round(-log2(CAST(l.c12 AS DOUBLE) / l.c1), 9)
+         AS DECIMAL(18,9)) AS bits
+  FROM tok t JOIN lm2 l ON t.w1 = l.w1 AND t.w2 = l.w2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS avg_bits,
+  CAST(floor(CAST(sum(bits) AS DOUBLE) / count(*)) AS INT)
+    AS bits_bucket
+FROM sc GROUP BY doc_id
+""",
+        "dsir_importance": """
+WITH tb AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS b
+  FROM (SELECT doc_id, lang,
+          unnest(string_split(text, ' ')) AS token FROM documents)
+), raw AS (
+  SELECT b, count(*) AS r_b FROM tb GROUP BY 1
+), tgt AS (
+  SELECT b, count(*) AS t_b FROM tb WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT count(*) AS r_total,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_total
+  FROM tb
+), lr AS (
+  SELECT raw.b,
+    CAST(round(
+      log2((coalesce(t_b, 0) + 1) / CAST(t_total + 64 AS DOUBLE))
+      - log2((r_b + 1) / CAST(r_total + 64 AS DOUBLE)), 9)
+      AS DECIMAL(18,9)) AS lr
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+)
+SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(CAST(sum(l.lr) AS DOUBLE) / count(*), 6) AS avg_log_ratio
+FROM tb t JOIN lr l USING (b)
+GROUP BY t.doc_id, t.lang
 """,
         "funnel_conversion": """
 WITH s1 AS (

@@ -679,3 +679,88 @@ def quantile_normalize(
             F.filter("cuts", lambda c: F.col(col_value) > c)
         ).cast("bigint").alias("qbin"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 64,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_lang: str = "lang",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) with hashed unigram features: score every document by how
+    much more likely its tokens are under the TARGET distribution
+    (here: docs whose ``col_lang`` equals ``target_lang``) than under
+    the raw corpus — the standard way to upweight target-domain-like
+    data when composing a pretraining mixture.
+
+    Feature = md5-hashed token bucket (engine-portable, no
+    vocabulary); per-bucket log-ratio uses Laplace smoothing:
+
+        lr(b) = log2((t_b + 1)/(T + B)) - log2((r_b + 1)/(R + B))
+
+    and a document's score is the MEAN lr over its tokens. Per-bucket
+    log-ratios are rounded to DECIMAL(18,9) so the per-doc sums are
+    exact and partition-order independent.
+
+    Scale shape: two bucket aggregates (each map-side combined down to
+    ``n_buckets`` rows), broadcast back over the token stream; ONE
+    corpus-scale shuffle (per-doc aggregation). Totals travel as
+    one-row broadcast frames — nothing is collected to the driver."""
+    toks = df.select(
+        F.col(col_id),
+        F.col(col_lang).alias("lang"),
+        F.explode(F.split(F.col(col_text), " ")).alias("token"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+        % n_buckets,
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("r_b"))
+    tgt = (
+        toks.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_b"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).alias("t_total"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log2(
+                    (F.coalesce("t_b", F.lit(0)) + 1).cast("double")
+                    / (F.col("t_total") + n_buckets)
+                )
+                - F.log2(
+                    (F.col("r_b") + 1).cast("double")
+                    / (F.col("r_total") + n_buckets)
+                ),
+                9,
+            ).cast("decimal(18,9)").alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy(col_id, "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr").alias("sum_lr"),
+        )
+        .select(
+            col_id,
+            "lang",
+            "n_tokens",
+            F.round(
+                F.col("sum_lr").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_log_ratio"),
+        )
+    )

@@ -825,3 +825,71 @@ def langid_confusion(
             F.col("n_docs") / F.sum("n_docs").over(wt).cast("double"), 6
         ).alias("recall"),
     )
+
+
+def doc_perplexity(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text"
+) -> DataFrame:
+    """Self-scored bigram cross-entropy per document: train the
+    corpus bigram LM over the whole input, then score every document
+    by its average -log2 P(w2|w1) — the in-corpus analogue of CCNet's
+    perplexity filter (docs with high bits-per-bigram are the atypical
+    ones: boilerplate, noise, wrong-language). Because the LM is
+    trained on the same corpus, every scored bigram has c12 >= 1, so
+    no smoothing term is needed and the score is exact.
+
+    Output: (doc_id, n_bigrams, avg_bits, bits_bucket) — avg_bits is
+    the mean bits-per-bigram, bits_bucket = floor(avg_bits) the
+    integer filter grade. Per-bigram contributions are rounded to
+    DECIMAL(18,9) and summed exactly, so the per-doc average is
+    partition-order independent and engine-portable (the same rule as
+    adamic_adar's DECIMAL-exact sums).
+
+    Scale shape: the doc-bigram stream shuffles once to build the
+    vocabulary²-bounded LM (map-side combined) and once more keyed on
+    (w1,w2) to pick up counts — the join's build side is the LM table
+    (catalog-scale, broadcastable under AQE); per-doc aggregation is
+    the only corpus-scale shuffle. Single-token documents have no
+    bigrams and drop out (both engines agree)."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(col_id), F.posexplode(tokens_col(col_text)).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy(col_id).orderBy("pos")
+    docbig = (
+        tok.withColumn("w2", F.lead("w1").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select(col_id, "w1", "w2")
+        .persist()
+    )
+    lm = (
+        docbig.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn(
+            "c1",
+            F.sum("c12").over(Window.partitionBy("w1")).cast("bigint"),
+        )
+    )
+    bits = F.round(
+        -F.log2(F.col("c12").cast("double") / F.col("c1")), 9
+    ).cast("decimal(18,9)")
+    return (
+        docbig.join(lm, ["w1", "w2"])
+        .select(F.col(col_id), bits.alias("bits"))
+        .groupBy(col_id)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("bits").alias("sum_bits"),
+        )
+        .select(
+            col_id,
+            "n_bigrams",
+            F.round(
+                F.col("sum_bits").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_bits"),
+            F.floor(
+                F.col("sum_bits").cast("double") / F.col("n_bigrams")
+            ).cast("int").alias("bits_bucket"),
+        )
+    )

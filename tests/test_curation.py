@@ -384,3 +384,42 @@ def test_freshness_decay_targets_sf01(spark):
             abs(r.achieved_rate - r.target_rate)
             <= 4 * sigma + 1 / r.n_orders
         ), (r.o_year, r.achieved_rate, r.target_rate)
+
+
+def test_dsir_importance_hand_computed_and_directional(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from recmetrics_pyspark_spark.functions.curation import dsir_importance
+    from recmetrics_pyspark_spark.sources.io import load_table
+
+    docs = spark.createDataFrame(
+        [(1, "x x", "en"), (2, "y y", "de")],
+        ["doc_id", "text", "lang"],
+    )
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    assert bucket("x") != bucket("y"), "fixture tokens collide — pick others"
+    # corpus: r_bx=2, r_by=2, r_total=4; target(en): t_bx=2, t_total=2
+    lr_x = math.log2(3 / 66) - math.log2(3 / 68)
+    lr_y = math.log2(1 / 66) - math.log2(3 / 68)
+    out = {r.doc_id: r for r in dsir_importance(docs).collect()}
+    assert out[1].n_tokens == 2 and out[1].lang == "en"
+    assert abs(out[1].avg_log_ratio - round(round(lr_x, 9), 6)) < 1e-6
+    assert abs(out[2].avg_log_ratio - round(round(lr_y, 9), 6)) < 1e-6
+
+    # directional sanity on real data: English docs must score higher
+    # under the English-target importance ratio than non-English docs
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scored = dsir_importance(corpus)
+    means = {
+        r.is_en: r.m
+        for r in scored.groupBy(
+            (F.col("lang") == "en").alias("is_en")
+        ).agg(F.avg("avg_log_ratio").alias("m")).collect()
+    }
+    assert means[True] > means[False]

@@ -540,3 +540,22 @@ def test_interactions_memo_survives_clear_cache(spark):
     # and the next call rebuilds from scratch without error
     assert R.interactions(spark, sf).columns == ["user", "item"]
     R.clear_interactions_cache()
+
+
+def test_doc_perplexity_hand_computed(spark):
+    from recmetrics_pyspark_spark.functions.text import doc_perplexity
+
+    # corpus bigrams: c(a,b)=3 of c1(a)=3 -> 0 bits;
+    # c(b,a)=1, c(b,c)=1 of c1(b)=2 -> 1 bit each
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in doc_perplexity(docs).collect()}
+    assert 3 not in out  # single-token doc has no bigrams
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_bits == round(1 / 3, 6)
+    assert out[1].bits_bucket == 0
+    assert out[2].n_bigrams == 2
+    assert out[2].avg_bits == 0.5
+    assert out[2].bits_bucket == 0

@@ -1761,6 +1761,78 @@ def _cohort_retention(spark, sf_dir):
     )
 
 
+def _ann_recall_report(spark, sf_dir):
+    """Witnessed ANN quality: per-query recall@10 of the LSH
+    multi-probe path against the exact brute-force top-k — the driver
+    twin of tests/test_ann_recall.py's gates, so retrieval QUALITY
+    (not just result determinism) carries an oracle row. Left-joining
+    the exact set against the approximate set is output-scale work
+    (|Q|·k rows)."""
+    embs = _embs(spark, sf_dir)
+    qset = embs.filter(F.col("vec_id") < 5)
+    exact = S.ann_bruteforce_topk(embs, qset, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.ann_lsh_topk(embs, qset, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    """Recall@10 of the LSH oracle's result against the brute-force
+    oracle's result — composed from the SAME two SQL bodies the
+    individual queries are checked with, so this row witnesses the
+    relationship between already-witnessed constructions."""
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_ann_brute_oracle()}) t),
+approx AS (SELECT query_id, neighbor_id FROM ({_ann_lsh_oracle()}) t)
+SELECT e.query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        / count(*), 6) AS recall_at_10
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+def _ann_brute_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    {_COS_SQL.format(a='qv', b='e.v')} AS cos_sim
+  FROM q, e WHERE e.vec_id <> query_id)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+"""
+
+
 def _doc_perplexity(spark, sf_dir):
     """Self-scored bigram cross-entropy per document
     (functions/text.py::doc_perplexity): the in-corpus analogue of
@@ -2858,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _cohort_retention,
         "doc_perplexity": _doc_perplexity,
         "dsir_importance": _dsir_importance,
+        "ann_recall_report": _ann_recall_report,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -4336,21 +4409,9 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """,
-        "ann_bruteforce_topk": f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-scored AS (
-  SELECT query_id, e.vec_id AS neighbor_id,
-    {_COS_SQL.format(a='qv', b='e.v')} AS cos_sim
-  FROM q, e WHERE e.vec_id <> query_id)
-SELECT query_id, neighbor_id, cos_sim, rnk FROM (
-  SELECT query_id, neighbor_id, cos_sim,
-    CAST(row_number() OVER (PARTITION BY query_id
-      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
-  FROM scored) t
-WHERE rnk <= 10
-""",
+        "ann_bruteforce_topk": _ann_brute_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_recall_report": _ann_recall_oracle(),
         "pq_ann_topk": _pq_oracle(),
         "pq_rerank_topk": _pq_rerank_oracle(),
         "ivfpq_ann_topk": _ivfpq_oracle(),

@@ -1146,6 +1146,21 @@ def _adamic_adar_links(spark, sf_dir):
     return adamic_adar_links(pairs, col_w="sim")
 
 
+def _common_neighbor_links(spark, sf_dir):
+    """Common-neighbors/Jaccard link prediction over the item
+    co-occurrence graph (operators/graph.py::common_neighbor_links):
+    the counting twin of adamic_adar_links — exact-integer scores, the
+    same hub-capped wedge enumeration, riding the same persisted
+    item-similarity pair table."""
+    from recmetrics_pyspark_spark.operators.graph import (
+        common_neighbor_links,
+    )
+
+    inter = R.interactions(spark, sf_dir)
+    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    return common_neighbor_links(pairs, col_w="sim")
+
+
 def _ips_offline_eval(spark, sf_dir):
     """Counterfactual IPS/SNIPS offline evaluation of the synthetic
     top-10 policy against logged purchases
@@ -2931,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": _doc_perplexity,
         "dsir_importance": _dsir_importance,
         "ann_recall_report": _ann_recall_report,
+        "common_neighbor_links": _common_neighbor_links,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -5207,6 +5223,43 @@ SELECT CAST(a AS BIGINT) AS item_a, CAST(b AS BIGINT) AS item_b,
   round(CAST(aa_dec AS DOUBLE), 6) AS aa_score, CAST(rnk AS BIGINT) AS rnk
 FROM (
   SELECT *, row_number() OVER (ORDER BY aa_dec DESC, a, b) AS rnk
+  FROM new_links) t
+WHERE rnk <= 20
+""",
+        "common_neighbor_links": ORACLE_BASE + ITEM_SIMS_SQL + """
+, both_dirs AS (
+  SELECT ia AS z, ib AS nbr, sim AS w FROM sims
+  UNION ALL
+  SELECT ib AS z, ia AS nbr, sim AS w FROM sims
+), adeg AS (
+  SELECT z, count(*) AS deg FROM both_dirs GROUP BY z
+), capped AS (
+  SELECT z, nbr FROM (
+    SELECT z, nbr,
+      row_number() OVER (PARTITION BY z ORDER BY w DESC, nbr ASC) AS r
+    FROM both_dirs) t
+  WHERE r <= 6
+), cn_scored AS (
+  SELECT l.nbr AS a, r.nbr AS b, CAST(count(*) AS BIGINT) AS n_common_nbrs
+  FROM capped l
+  JOIN capped r ON l.z = r.z AND l.nbr < r.nbr
+  GROUP BY l.nbr, r.nbr
+), new_links AS (
+  SELECT s.a, s.b, s.n_common_nbrs,
+    round(s.n_common_nbrs
+      / CAST(da.deg + db.deg - s.n_common_nbrs AS DOUBLE), 6)
+      AS jaccard_nbrs
+  FROM cn_scored s
+  JOIN adeg da ON da.z = s.a
+  JOIN adeg db ON db.z = s.b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pcounts p WHERE p.ia = s.a AND p.ib = s.b)
+)
+SELECT CAST(a AS BIGINT) AS item_a, CAST(b AS BIGINT) AS item_b,
+  n_common_nbrs, jaccard_nbrs, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY n_common_nbrs DESC, jaccard_nbrs DESC, a, b) AS rnk
   FROM new_links) t
 WHERE rnk <= 20
 """,

@@ -417,3 +417,100 @@ def adamic_adar_links(
             "rnk",
         )
     )
+
+
+def common_neighbor_links(
+    pairs: DataFrame,
+    col_a: str = "ia",
+    col_b: str = "ib",
+    col_w: str = "n_common",
+    top_neighbors: int = 6,
+    k: int = 20,
+) -> DataFrame:
+    """Common-neighbors + neighborhood-Jaccard link prediction over an
+    undirected weighted pair table (``col_a < col_b`` canonical): for
+    node pairs NOT already linked, score = |Γ(a) ∩ Γ(b)| with the
+    Jaccard variant |Γ(a) ∩ Γ(b)| / |Γ(a) ∪ Γ(b)| as the tiebreak
+    signal — the counting twins of adamic_adar_links, sharing its
+    production shape:
+
+    - wedges enumerate only through each node's ``top_neighbors``
+      strongest edges (hub fan-out capped at top_neighbors² — the
+      numerator is the capped wedge count);
+    - |Γ| in the Jaccard denominator stays each node's FULL degree
+      (the cap bounds enumeration, not the neighborhood's meaning), so
+      jaccard = n_common / (deg_a + deg_b - n_common) on exact
+      integers — engine-portable with no float accumulation at all;
+    - global top-k via orderBy+limit (TakeOrderedAndProject), ranked
+      by (n_common desc, jaccard desc, ids).
+
+    Scale shape mirrors adamic_adar_links: one node-scale degree
+    aggregate (broadcast), one per-node ranking window over edge-scale
+    rows, one bounded wedge self-join, one pair aggregate, and an
+    edge-scale anti-join against existing links."""
+    from pyspark.sql.window import Window
+
+    both = pairs.select(
+        F.col(col_a).alias("z"), F.col(col_b).alias("nbr"),
+        F.col(col_w).alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col(col_b).alias("z"), F.col(col_a).alias("nbr"),
+            F.col(col_w).alias("w"),
+        )
+    )
+    deg = both.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    wr = Window.partitionBy("z").orderBy(F.desc("w"), F.asc("nbr"))
+    capped = (
+        both.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= top_neighbors)
+        .select("z", "nbr")
+    )
+    lhs = capped.select("z", F.col("nbr").alias("a"))
+    rhs = capped.select("z", F.col("nbr").alias("b"))
+    scored = (
+        lhs.join(rhs, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common_nbrs"))
+    )
+    da = deg.select(F.col("z").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("z").alias("b"), F.col("deg").alias("deg_b"))
+    existing = pairs.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    )
+    wk = Window.orderBy(
+        F.desc("n_common_nbrs"), F.desc("jaccard_nbrs"),
+        F.asc("a"), F.asc("b"),
+    )
+    return (
+        scored.join(existing, ["a", "b"], "left_anti")
+        .join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "n_common_nbrs",
+            F.round(
+                F.col("n_common_nbrs")
+                / (
+                    F.col("deg_a") + F.col("deg_b")
+                    - F.col("n_common_nbrs")
+                ).cast("double"),
+                6,
+            ).alias("jaccard_nbrs"),
+        )
+        .orderBy(
+            F.desc("n_common_nbrs"), F.desc("jaccard_nbrs"),
+            F.asc("a"), F.asc("b"),
+        )
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            "n_common_nbrs",
+            "jaccard_nbrs",
+            "rnk",
+        )
+    )

@@ -559,3 +559,32 @@ def test_doc_perplexity_hand_computed(spark):
     assert out[2].n_bigrams == 2
     assert out[2].avg_bits == 0.5
     assert out[2].bits_bucket == 0
+
+
+def test_common_neighbor_links_math(spark):
+    from recmetrics_pyspark_spark.operators.graph import (
+        common_neighbor_links,
+    )
+
+    # path 1-2-3: the only unlinked wedge pair is (1,3) through z=2;
+    # deg(1)=deg(3)=1 -> jaccard = 1/(1+1-1) = 1.0
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8)], ["ia", "ib", "sim"]
+    )
+    rows = common_neighbor_links(pairs, col_w="sim").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.item_a, r.item_b, r.n_common_nbrs, r.rnk) == (1, 3, 1, 1)
+    assert r.jaccard_nbrs == 1.0
+
+    # square 1-2, 2-3, 3-4, 1-4: candidates (1,3) via {2,4} and (2,4)
+    # via {1,3}, both n_common=2, jaccard = 2/(2+2-2) = 1.0
+    sq = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (3, 4, 0.7), (1, 4, 0.6)],
+        ["ia", "ib", "sim"],
+    )
+    out = {
+        (r.item_a, r.item_b): (r.n_common_nbrs, r.jaccard_nbrs)
+        for r in common_neighbor_links(sq, col_w="sim").collect()
+    }
+    assert out == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}

@@ -1848,6 +1848,27 @@ WHERE rnk <= 10
 """
 
 
+def _conversion_latency(spark, sf_dir):
+    """View-to-purchase time-to-convert distribution
+    (operators/funnel.py::conversion_latency): one-row exact-percentile
+    summary over user-scale integer latencies; DECIMAL-exact mean."""
+    from recmetrics_pyspark_spark.operators.funnel import (
+        conversion_latency,
+    )
+
+    return conversion_latency(load_table(spark, sf_dir, "events"))
+
+
+def _rfm_segments(spark, sf_dir):
+    """RFM customer segmentation over orders
+    (operators/funnel.py::rfm_segments): quintile bins from one
+    broadcast percentile row, scan-side array binning, DECIMAL-exact
+    spend sums."""
+    from recmetrics_pyspark_spark.operators.funnel import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
 def _doc_perplexity(spark, sf_dir):
     """Self-scored bigram cross-entropy per document
     (functions/text.py::doc_perplexity): the in-corpus analogue of
@@ -2716,8 +2737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     led by the heavyweights (mmr_rerank, adamic_adar_links,
     item_triangles, bpe_merges, the PQ/IVF-PQ ANN trio, semantic_dedup,
     incremental_neardup/dedup, the nine relational4 TPC-H shapes) —
-    plus 5 stable canaries (coverage, personalization,
-    minhash_lsh_pairs, novelty, event_sessionize) occupy the window;
+    plus 5 stable canaries (coverage, personalization, item_item_topk,
+    minhash_lsh_pairs, event_sessionize — leading, so they own the
+    shared cache builds for comparable bench accounting) occupy the
+    window;
     everything driver-green in r1-r3 and unchanged since sits after.
 
     ROUND-5 ROTATION NOTE: 15 queries remain without a driver row
@@ -2947,6 +2970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": _dsir_importance,
         "ann_recall_report": _ann_recall_report,
         "common_neighbor_links": _common_neighbor_links,
+        "rfm_segments": _rfm_segments,
+        "conversion_latency": _conversion_latency,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -2954,9 +2979,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The first-50 driver witness window for round 4 (see queries()
-# docstring). 45 never-witnessed queries, heavyweights first, then 5
-# canaries that have been green every round they ran.
+# docstring). 5 canaries lead (green every round they ran) — order
+# within the window is bench-accounting, not correctness: the canaries
+# own the shared cache builds (interactions, shingle table, events
+# scan) exactly as they did in rounds 1-3, so the 45 never-witnessed
+# queries that follow show their MARGINAL cost, comparable round over
+# round.
 _ROUND4_WINDOW = [
+    "coverage",
+    "personalization",
+    "item_item_topk",
+    "minhash_lsh_pairs",
+    "event_sessionize",
     "mmr_rerank",
     "adamic_adar_links",
     "item_triangles",
@@ -3002,12 +3036,6 @@ _ROUND4_WINDOW = [
     "next_item_examples",
     "ips_offline_eval",
     "weighted_sample",
-    # --- canaries (driver-green r1-r3, unchanged)
-    "coverage",
-    "personalization",
-    "minhash_lsh_pairs",
-    "novelty",
-    "event_sessionize",
 ]
 
 
@@ -3100,6 +3128,57 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "conversion_latency": """
+WITH fa AS (
+  SELECT user_id AS u, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), lat AS (
+  SELECT date_diff('second', x.t0, min(e.ts)) AS latency_sec
+  FROM fa x JOIN events e ON e.user_id = x.u
+  WHERE e.event_type = 'purchase' AND e.ts >= x.t0
+  GROUP BY x.u, x.t0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+  round(quantile_cont(latency_sec, 0.25), 6) AS p25,
+  round(quantile_cont(latency_sec, 0.5), 6) AS p50,
+  round(quantile_cont(latency_sec, 0.75), 6) AS p75,
+  round(quantile_cont(latency_sec, 0.9), 6) AS p90,
+  round(CAST(sum(CAST(latency_sec AS DECIMAL(18,6))) AS DOUBLE)
+        / count(*), 6) AS mean_sec
+FROM lat
+""",
+        "rfm_segments": """
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+    CAST(count(*) AS BIGINT) AS frequency,
+    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS m_dec
+  FROM orders GROUP BY 1
+), mx AS (SELECT max(o_orderdate) AS max_date FROM orders),
+rfm AS (
+  SELECT date_diff('day', last_order, max_date) AS recency_days,
+    frequency, round(CAST(m_dec AS DOUBLE), 2) AS monetary, m_dec
+  FROM per CROSS JOIN mx
+), cuts AS (
+  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+  FROM rfm
+), binned AS (
+  SELECT
+    CAST(len(list_filter(c.rc, x -> r.recency_days > x)) AS INT)
+      AS r_bin,
+    CAST(len(list_filter(c.fc, x -> r.frequency > x)) AS INT)
+      AS f_bin,
+    CAST(len(list_filter(c.mc, x -> r.monetary > x)) AS INT)
+      AS m_bin,
+    r.m_dec
+  FROM rfm r CROSS JOIN cuts c
+)
+SELECT r_bin, f_bin, m_bin,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  round(CAST(sum(m_dec) AS DOUBLE) / count(*), 6) AS avg_monetary
+FROM binned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
         "doc_perplexity": """
 WITH d AS (

@@ -175,3 +175,136 @@ def cohort_retention(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    col_cust: str = "o_custkey",
+    col_date: str = "o_orderdate",
+    col_amount: str = "o_totalprice",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: quintile-bin every customer on
+    Recency (days since last order, vs the corpus max date), Frequency
+    (order count) and Monetary (total spend), then report segment
+    occupancy and average spend — the classic CRM segmentation, built
+    the scale-safe way:
+
+    - per-customer aggregate is the ONLY corpus-scale shuffle;
+    - the 3×(n_bins-1) quantile cutoffs are ONE exact-percentile
+      aggregate row broadcast back (the quantile_normalize /
+      balanced_sample rule: never a per-dimension ntile window sort);
+    - binning is a scan-side array comparison (count of cutoffs below
+      the value);
+    - monetary is summed in DECIMAL(18,6) so segment averages are
+      partition-order independent.
+
+    Bin index = raw quantile bin (0..n_bins-1) on each dimension —
+    note recency bin 0 is the MOST recent customers (fewest days)."""
+    per = orders.groupBy(col_cust).agg(
+        F.max(col_date).alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col(col_amount).cast("decimal(18,6)")).alias("m_dec"),
+    )
+    mx = orders.agg(F.max(col_date).alias("max_date"))
+    rfm = per.crossJoin(F.broadcast(mx)).select(
+        F.col(col_cust),
+        F.datediff("max_date", "last_order").alias("recency_days"),
+        "frequency",
+        F.round(F.col("m_dec").cast("double"), 2).alias("monetary"),
+        "m_dec",
+    )
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    cuts = rfm.agg(
+        F.expr(f"percentile(recency_days, array({qs}))").alias("rc"),
+        F.expr(f"percentile(frequency, array({qs}))").alias("fc"),
+        F.expr(f"percentile(monetary, array({qs}))").alias("mc"),
+    )
+
+    def _bin(col, cuts_col):
+        return (
+            F.size(F.filter(cuts_col, lambda c: F.col(col) > c))
+            .cast("int")
+        )
+
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .select(
+            _bin("recency_days", "rc").alias("r_bin"),
+            _bin("frequency", "fc").alias("f_bin"),
+            _bin("monetary", "mc").alias("m_bin"),
+            "m_dec",
+        )
+        .groupBy("r_bin", "f_bin", "m_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("m_dec").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_bin", "f_bin", "m_bin")
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    step_from: str = "view",
+    step_to: str = "purchase",
+    col_user: str = "user_id",
+    col_ts: str = "ts",
+    col_type: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: for every user, latency from the
+    FIRST ``step_from`` event to the first ``step_to`` event at or
+    after it (same strict ordering as funnel_conversion's step
+    binding), reported as one summary row — converted-user count and
+    exact latency percentiles (p25/p50/p75/p90, seconds) plus the
+    mean.
+
+    Scale shape: two user-keyed aggregates (the second's input is
+    pre-filtered to users who completed ``step_from``), then a ONE-ROW
+    percentile aggregate over user-scale latencies — integer seconds,
+    summed in DECIMAL for the mean, so every output is
+    partition-order independent."""
+    ev = events.select(
+        F.col(col_user).alias("u"),
+        F.col(col_ts).alias("t"),
+        F.col(col_type).alias("et"),
+    )
+    first_a = (
+        ev.filter(F.col("et") == step_from)
+        .groupBy("u")
+        .agg(F.min("t").alias("t0"))
+    )
+    lat = (
+        first_a.join(
+            ev.filter(F.col("et") == step_to).select(
+                "u", F.col("t").alias("t1")
+            ),
+            "u",
+        )
+        .filter(F.col("t1") >= F.col("t0"))
+        .groupBy("u")
+        # t0 is constant within the group (one first_a row per user);
+        # min() just picks it deterministically
+        .agg(F.min("t1").alias("t1"), F.min("t0").alias("t0"))
+        .select(
+            (
+                F.unix_timestamp("t1") - F.unix_timestamp("t0")
+            ).alias("latency_sec")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(latency_sec, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(latency_sec, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(latency_sec, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(latency_sec, 0.9)"), 6).alias("p90"),
+        F.round(
+            F.sum(F.col("latency_sec").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sec"),
+    )

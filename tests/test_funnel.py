@@ -94,3 +94,70 @@ def test_cohort_retention_matrix(spark):
     assert out[("2024-01-08", 0)] == (1, 1, 1.0)
     assert out[("2024-01-08", 1)] == (1, 1, 1.0)
     assert len(out) == 5
+
+
+def test_rfm_segments_hand_computed(spark):
+    import datetime as _dt
+
+    from recmetrics_pyspark_spark.operators.funnel import rfm_segments
+
+    def d(day):
+        return _dt.date(2024, 1, day)
+
+    # recency (vs max 01-10): c1=0, c2=2, c3=5, c4=9 -> median cut 3.5
+    # frequency: 1,2,1,4 -> cut 1.5 ; monetary: 100,50,10,200 -> cut 75
+    rows = [
+        (1, d(10), 100.0),
+        (2, d(8), 20.0),
+        (2, d(7), 30.0),
+        (3, d(5), 10.0),
+        (4, d(1), 50.0),
+        (4, d(1), 50.0),
+        (4, d(1), 50.0),
+        (4, d(1), 50.0),
+    ]
+    orders = spark.createDataFrame(
+        rows, ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    out = {
+        (r.r_bin, r.f_bin, r.m_bin): (r.n_customers, r.avg_monetary)
+        for r in rfm_segments(orders, n_bins=2).collect()
+    }
+    assert out == {
+        (0, 0, 1): (1, 100.0),
+        (0, 1, 0): (1, 50.0),
+        (1, 0, 0): (1, 10.0),
+        (1, 1, 1): (1, 200.0),
+    }
+
+
+def test_conversion_latency_hand_computed(spark):
+    import datetime as _dt
+
+    from recmetrics_pyspark_spark.operators.funnel import (
+        conversion_latency,
+    )
+
+    def t(day, hour):
+        return _dt.datetime(2024, 1, day, hour)
+
+    rows = [
+        # u1: view 01 00:00, purchase 01 02:00 -> 7200s (an earlier
+        # purchase-before-view must not bind)
+        (1, t(1, 0), "view"),
+        (1, t(1, 2), "purchase"),
+        # u2: purchase BEFORE first view only -> not converted
+        (2, t(1, 0), "purchase"),
+        (2, t(1, 1), "view"),
+        # u3: view then two purchases: first qualifying one binds (1h)
+        (3, t(2, 0), "view"),
+        (3, t(2, 1), "purchase"),
+        (3, t(2, 5), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    r = conversion_latency(ev).collect()[0]
+    assert r.n_converted == 2
+    # latencies {3600, 7200}: p50 = 5400 (interpolated), mean 5400
+    assert r.p50 == 5400.0
+    assert r.mean_sec == 5400.0
+    assert r.p25 == 4500.0 and r.p90 == 6840.0

@@ -1848,6 +1848,20 @@ WHERE rnk <= 10
 """
 
 
+def _user_erasure_audit(spark, sf_dir):
+    """GDPR erasure-cascade audit (operators/cdc.py::
+    user_erasure_audit): deterministic deletion set (c_custkey %% 97
+    == 0), cascade customer -> orders -> lineitem; the oracle pins the
+    computed residual_refs at zero."""
+    from recmetrics_pyspark_spark.operators.cdc import user_erasure_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erase = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    return user_erasure_audit(cust, orders, li, erase)
+
+
 def _conversion_latency(spark, sf_dir):
     """View-to-purchase time-to-convert distribution
     (operators/funnel.py::conversion_latency): one-row exact-percentile
@@ -2743,15 +2757,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window;
     everything driver-green in r1-r3 and unchanged since sits after.
 
-    ROUND-5 ROTATION NOTE: 15 queries remain without a driver row
-    after this round's window (zipf_fit, mad_outlier_docs, psi_drift,
-    calibration_kl, popularity_concentration, item_exposure,
-    serendipity, baseline_predictor_rmse, pass_at_k_items,
-    qa_eval_docs, source_overlap, log_odds_terms, hashing_features,
-    langid_confusion, quantile_normalize — all judge-checkable today
-    via `scripts/driver_check.py <names>`), plus any operators added
-    in round 4 after the window froze; move them into the first-50
-    window next round, keeping a few canaries.
+    ROUND-5 ROTATION NOTE: 24 queries remain without a driver row
+    after this round's window — 15 carried from round 3 (zipf_fit,
+    mad_outlier_docs, psi_drift, calibration_kl,
+    popularity_concentration, item_exposure, serendipity,
+    baseline_predictor_rmse, pass_at_k_items, qa_eval_docs,
+    source_overlap, log_odds_terms, hashing_features,
+    langid_confusion, quantile_normalize) plus the 9 round-4
+    additions (media_decode_meta, funnel_conversion, cohort_retention,
+    doc_perplexity, dsir_importance, ann_recall_report,
+    common_neighbor_links, rfm_segments, conversion_latency) — all
+    judge-checkable today via `scripts/driver_check.py <names>`; move
+    them into the first-50 window next round, keeping a few canaries.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -2972,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_neighbor_links": _common_neighbor_links,
         "rfm_segments": _rfm_segments,
         "conversion_latency": _conversion_latency,
+        "user_erasure_audit": _user_erasure_audit,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3128,6 +3146,38 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "user_erasure_audit": """
+WITH eids AS (
+  SELECT c_custkey AS eid FROM customer WHERE c_custkey % 97 = 0
+), delo AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT eid FROM eids)
+), c AS (
+  SELECT 'customer' AS table_name,
+    CAST(count(*) AS BIGINT) AS n_before,
+    CAST(sum(CASE WHEN c_custkey IN (SELECT eid FROM eids)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+  FROM customer
+), o AS (
+  SELECT 'orders',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN o_custkey IN (SELECT eid FROM eids)
+             THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+), l AS (
+  SELECT 'lineitem',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM delo)
+             THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+), u AS (
+  SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+)
+SELECT table_name, n_before, n_deleted,
+  n_before - n_deleted AS n_after,
+  CAST(0 AS BIGINT) AS residual_refs
+FROM u
 """,
         "conversion_latency": """
 WITH fa AS (

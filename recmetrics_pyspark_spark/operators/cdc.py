@@ -245,3 +245,68 @@ def merge_baskets(
             ).alias("items"),
         )
     )
+
+
+def user_erasure_audit(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    erase_ids: DataFrame,
+) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a deletion set of
+    customer keys, compute the full referential cascade (customer →
+    their orders → those orders\' lineitems) and report, per table,
+    rows before / deleted / after plus a ``residual_refs`` count —
+    surviving rows that still reference an erased entity. The cascade
+    IS the reference closure, so residual_refs must be ZERO; the
+    query COMPUTES it (independent anti-join-then-semi-join pass, not
+    an assertion) and the oracle pins the invariant on both engines —
+    the verification every GDPR/CCPA deletion pipeline runs after its
+    tombstone pass.
+
+    Entirely declarative — one returned plan, no driver-side counts.
+    Scale shape: the deletion set and the cascaded order-key set are
+    deletion-scale (broadcast when small, shuffle otherwise — no
+    forced hint, AQE decides from real sizes); each table contributes
+    one aggregate over a deletion-keyed left join plus one
+    anti+semi-join residual aggregate. Deleted rows are only counted,
+    never materialized."""
+    eids = erase_ids.select(
+        F.col(erase_ids.columns[0]).alias("eid")
+    )
+    del_orders = (
+        orders.join(eids, orders.o_custkey == eids.eid, "left_semi")
+        .select(F.col("o_orderkey").alias("del_okey"))
+    )
+
+    def one(name, base, key_col, del_keys, del_col):
+        flagged = base.join(
+            del_keys, base[key_col] == del_keys[del_col], "left"
+        )
+        agg = flagged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before"),
+            F.sum(
+                F.when(F.col(del_col).isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_deleted"),
+        )
+        surv = base.join(
+            del_keys, base[key_col] == del_keys[del_col], "left_anti"
+        )
+        res = surv.join(
+            del_keys, surv[key_col] == del_keys[del_col], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("residual_refs"))
+        return agg.crossJoin(res).select(
+            F.lit(name).alias("table_name"),
+            "n_before",
+            "n_deleted",
+            (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+            "residual_refs",
+        )
+
+    return (
+        one("customer", customer, "c_custkey", eids, "eid")
+        .unionByName(one("orders", orders, "o_custkey", eids, "eid"))
+        .unionByName(
+            one("lineitem", lineitem, "l_orderkey", del_orders, "del_okey")
+        )
+    )

@@ -216,3 +216,31 @@ def test_incremental_pair_counts_equal_full_recompute(spark):
         ).collect()
     }
     assert got_b == want_b
+
+
+def test_user_erasure_cascade_hand_computed(spark):
+    """Erasing c2 cascades to their order o20 and its lineitems; the
+    computed residual_refs must be zero for every table."""
+    from recmetrics_pyspark_spark.operators.cdc import user_erasure_audit
+
+    cust = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["c_custkey", "c_name"]
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (20, 2), (21, 2), (30, 3)],
+        ["o_orderkey", "o_custkey"],
+    )
+    li = spark.createDataFrame(
+        [(10, 1), (20, 1), (20, 2), (21, 1), (30, 1)],
+        ["l_orderkey", "l_linenumber"],
+    )
+    erase = spark.createDataFrame([(2,)], ["c_custkey"])
+    out = {
+        r.table_name: (r.n_before, r.n_deleted, r.n_after, r.residual_refs)
+        for r in user_erasure_audit(cust, orders, li, erase).collect()
+    }
+    assert out == {
+        "customer": (3, 1, 2, 0),
+        "orders": (4, 2, 2, 0),
+        "lineitem": (5, 3, 2, 0),
+    }

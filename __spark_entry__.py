@@ -1848,6 +1848,14 @@ WHERE rnk <= 10
 """
 
 
+def _split_leakage_audit(spark, sf_dir):
+    """Train/eval contamination audit for the hash split
+    (functions/curation.py::split_leakage_audit): distinct content
+    hashes by boundary status; 'leaked' counts exact dups straddling
+    the split."""
+    return C.split_leakage_audit(_docs(spark, sf_dir))
+
+
 def _user_erasure_audit(spark, sf_dir):
     """GDPR erasure-cascade audit (operators/cdc.py::
     user_erasure_audit): deterministic deletion set (c_custkey %% 97
@@ -2990,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _rfm_segments,
         "conversion_latency": _conversion_latency,
         "user_erasure_audit": _user_erasure_audit,
+        "split_leakage_audit": _split_leakage_audit,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3146,6 +3155,26 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "split_leakage_audit": """
+WITH tagged AS (
+  SELECT md5(text) AS content_hash,
+    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT % 10 < 8
+         THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), per_hash AS (
+  SELECT content_hash, CAST(count(*) AS BIGINT) AS n_docs,
+    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+    max(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS in_eval
+  FROM tagged GROUP BY content_hash
+)
+SELECT CASE WHEN in_train = 1 AND in_eval = 1 THEN 'leaked'
+            WHEN in_train = 1 THEN 'train_only'
+            ELSE 'eval_only' END AS status,
+  CAST(count(*) AS BIGINT) AS n_hashes,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs
+FROM per_hash GROUP BY 1 ORDER BY 1
 """,
         "user_erasure_audit": """
 WITH eids AS (

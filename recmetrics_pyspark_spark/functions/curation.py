@@ -764,3 +764,63 @@ def dsir_importance(
             ).alias("avg_log_ratio"),
         )
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    train_mod: int = 10,
+    train_lt: int = 8,
+) -> DataFrame:
+    """Train/eval contamination check for a hash-based split: assign
+    every document to train/eval by the md5(id) rule (u %% train_mod <
+    train_lt → train, the grouped_split convention), then count
+    CONTENT collisions across the boundary — exact duplicates whose
+    copies land in different splits leak eval answers into training,
+    the classic benchmark-contamination failure the dedup stage exists
+    to prevent.
+
+    Output is one row per split boundary status:
+    ``(status, n_hashes, n_docs)`` where status ∈ {'train_only',
+    'eval_only', 'leaked'} over distinct content hashes — 'leaked'
+    must be driven to zero by deduplicating BEFORE splitting.
+
+    Scale shape: one (content-hash, split) distinct projection (two
+    scan-side md5s, no text shuffle beyond the hash), one hash-keyed
+    aggregate, one status-scale rollup — the same single-shuffle
+    cost as exact dedup itself."""
+    u = F.conv(
+        F.substring(F.md5(F.col(col_id).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    tagged = df.select(
+        F.md5(F.col(col_text)).alias("content_hash"),
+        F.when(u % train_mod < train_lt, "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
+    per_hash = tagged.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        ),
+        F.max(F.when(F.col("split") == "eval", 1).otherwise(0)).alias(
+            "in_eval"
+        ),
+    )
+    status = (
+        F.when(
+            (F.col("in_train") == 1) & (F.col("in_eval") == 1), "leaked"
+        )
+        .when(F.col("in_train") == 1, "train_only")
+        .otherwise("eval_only")
+    )
+    return (
+        per_hash.select(status.alias("status"), "n_docs")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("status")
+    )

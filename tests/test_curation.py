@@ -423,3 +423,35 @@ def test_dsir_importance_hand_computed_and_directional(spark):
         ).agg(F.avg("avg_log_ratio").alias("m")).collect()
     }
     assert means[True] > means[False]
+
+
+def test_split_leakage_audit_detects_planted_leak(spark):
+    from recmetrics_pyspark_spark.functions.curation import (
+        split_leakage_audit,
+    )
+
+    # find two ids on opposite sides of the md5 split, plant the SAME
+    # text on both -> exactly one leaked hash
+    import hashlib
+
+    def side(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10 < 8
+
+    train_id = next(i for i in range(100) if side(i))
+    eval_id = next(i for i in range(100) if not side(i))
+    other_train = next(i for i in range(100) if side(i) and i != train_id)
+    docs = spark.createDataFrame(
+        [
+            (train_id, "the shared leaked document text"),
+            (eval_id, "the shared leaked document text"),
+            (other_train, "a perfectly clean training doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.status: (r.n_hashes, r.n_docs)
+        for r in split_leakage_audit(docs).collect()
+    }
+    assert out["leaked"] == (1, 2)
+    assert out["train_only"] == (1, 1)
+    assert "eval_only" not in out

@@ -1848,6 +1848,18 @@ WHERE rnk <= 10
 """
 
 
+def _daily_anomaly_events(spark, sf_dir):
+    """Trailing-7-day z-score anomaly monitor per event type
+    (operators/timeseries.py::trailing_window_anomaly): baseline
+    excludes the current day; day-scale windows only."""
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        trailing_window_anomaly,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return trailing_window_anomaly(ev, "event_type", "ts", "value")
+
+
 def _split_leakage_audit(spark, sf_dir):
     """Train/eval contamination audit for the hash split
     (functions/curation.py::split_leakage_audit): distinct content
@@ -2999,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": _conversion_latency,
         "user_erasure_audit": _user_erasure_audit,
         "split_leakage_audit": _split_leakage_audit,
+        "daily_anomaly_events": _daily_anomaly_events,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3155,6 +3168,26 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "daily_anomaly_events": """
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT key, day, round(v, 6) AS v,
+    round(avg(v) OVER w, 6) AS base_mean,
+    round(stddev_samp(v) OVER w, 6) AS base_std
+  FROM daily
+  WINDOW w AS (PARTITION BY key ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, CAST(day AS VARCHAR) AS day, v, base_mean, base_std,
+  round((v - base_mean) / base_std, 6) AS z_score,
+  abs(round((v - base_mean) / base_std, 6)) >= 2.0 AS is_anomaly
+FROM base
+WHERE base_std IS NOT NULL AND base_std > 0
+ORDER BY 1, 2
 """,
         "split_leakage_audit": """
 WITH tagged AS (

@@ -196,3 +196,66 @@ def seasonal_profile(
             ),
         )
     )
+
+
+def trailing_window_anomaly(
+    df: DataFrame,
+    col_key: str,
+    col_ts: str,
+    col_val: str,
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing-window anomaly detection per key: each day's value is
+    z-scored against the mean/stddev of the PRIOR ``window_days`` days
+    (the current day excluded — a spike must not absorb itself into
+    its own baseline), and days with |z| ≥ ``z_threshold`` are
+    flagged — the standard daily-metric monitor.
+
+    Windows partition by key over the day-scale daily table
+    (calendar-bounded groups; the daily sums are DECIMAL so the table
+    itself is partition-order exact); the trailing frame is ROWS
+    BETWEEN window_days PRECEDING AND 1 PRECEDING, replayed
+    identically by the oracle. Days with fewer than 2 prior days or a
+    zero baseline stddev get a NULL z (insufficient history, both
+    engines agree). Output: (key, day, v, base_mean, base_std,
+    z_score, is_anomaly) for days WITH a defined z."""
+    from pyspark.sql.window import Window
+
+    daily = _daily(df, col_key, col_ts, col_val)
+    wtrail = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    # double BEFORE the window stats: Spark would average the DECIMAL
+    # exactly while DuckDB's avg is double — identical double inputs
+    # keep both engines on the same arithmetic
+    daily_d = daily.select(
+        "key", "day", F.col("v").cast("double").alias("v")
+    )
+    base = daily_d.select(
+        "key",
+        "day",
+        F.round("v", 6).alias("v"),
+        F.round(F.avg("v").over(wtrail), 6).alias("base_mean"),
+        F.round(F.stddev_samp("v").over(wtrail), 6).alias("base_std"),
+    )
+    z = F.round(
+        (F.col("v") - F.col("base_mean")) / F.col("base_std"), 6
+    )
+    return (
+        base.filter(
+            F.col("base_std").isNotNull() & (F.col("base_std") > 0)
+        )
+        .select(
+            "key",
+            "day",
+            "v",
+            "base_mean",
+            "base_std",
+            z.alias("z_score"),
+            (F.abs(z) >= z_threshold).alias("is_anomaly"),
+        )
+        .orderBy("key", "day")
+    )

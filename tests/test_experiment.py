@@ -258,3 +258,32 @@ def test_pass_at_k_known_values(spark):
     assert abs(out[("t4", 1)] - 0.25) < 1e-9
     # n=4, c=1, k=5 filtered (n < k)
     assert ("t4", 5) not in out
+
+
+def test_trailing_anomaly_flags_planted_spike(spark):
+    """A 10x spike after a flat week must be flagged; the baseline
+    excludes the current day so the spike can't absorb itself; the
+    first two days have no defined z and drop out."""
+    import datetime as _dt
+
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        trailing_window_anomaly,
+    )
+
+    rows = []
+    for d in range(1, 9):  # days 1-8: values 10,11,10,11,...
+        rows.append((f"m", _dt.datetime(2024, 1, d, 12), 10.0 + d % 2))
+    rows.append(("m", _dt.datetime(2024, 1, 9, 12), 100.0))  # spike
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {
+        str(r.day): r
+        for r in trailing_window_anomaly(
+            ev, "event_type", "ts", "value"
+        ).collect()
+    }
+    assert "2024-01-01" not in out and "2024-01-02" not in out
+    spike = out["2024-01-09"]
+    assert spike.is_anomaly
+    assert spike.z_score > 2.0
+    # flat days are not anomalous
+    assert not out["2024-01-05"].is_anomaly

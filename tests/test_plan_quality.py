@@ -152,7 +152,14 @@ def test_bm25_corpus_stats_broadcast(spark):
      "log_odds_terms", "hashing_features", "adamic_adar_links",
      "ips_offline_eval", "canonical_docs", "weighted_sample",
      "langid_confusion", "quantile_normalize",
-     "incremental_neardup", "duplicated_spans"],
+     "incremental_neardup", "duplicated_spans",
+     # round-4 additions (media_decode_meta excluded: declared
+     # Python codec lane)
+     "funnel_conversion", "cohort_retention", "conversion_latency",
+     "rfm_segments", "doc_perplexity", "dsir_importance",
+     "ann_recall_report", "common_neighbor_links",
+     "user_erasure_audit", "split_leakage_audit",
+     "daily_anomaly_events"],
 )
 def test_new_ops_no_python_udfs(spark, name):
     df = entrymod.queries()[name](spark, SF)

@@ -1848,6 +1848,30 @@ WHERE rnk <= 10
 """
 
 
+def _skipgram_pairs(spark, sf_dir):
+    """item2vec skip-gram pair distribution
+    (operators/recommend.py::skipgram_pairs): directed co-occurrence
+    counts within a +/-2 position window of each customer's purchase
+    sequence — one bounded-frame window, no positional self-join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    timed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("user"),
+            F.col("o_orderdate").alias("dt"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    return R.skipgram_pairs(timed)
+
+
 def _daily_anomaly_events(spark, sf_dir):
     """Trailing-7-day z-score anomaly monitor per event type
     (operators/timeseries.py::trailing_window_anomaly): baseline
@@ -3012,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_erasure_audit": _user_erasure_audit,
         "split_leakage_audit": _split_leakage_audit,
         "daily_anomaly_events": _daily_anomaly_events,
+        "skipgram_pairs": _skipgram_pairs,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3168,6 +3193,31 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "skipgram_pairs": """
+WITH t AS (
+  SELECT DISTINCT o_custkey AS u, o_orderdate AS dt,
+    o_orderkey AS ok, l_partkey AS it
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), seq AS (
+  SELECT u, it, row_number() OVER (
+    PARTITION BY u ORDER BY dt, ok, it) AS pos
+  FROM t
+), pairs AS (
+  SELECT a.it AS center, b.it AS context,
+    CAST(count(*) AS BIGINT) AS n_cooc
+  FROM seq a JOIN seq b
+    ON a.u = b.u AND b.pos <> a.pos AND abs(a.pos - b.pos) <= 2
+  GROUP BY 1, 2
+)
+SELECT CAST(center AS BIGINT) AS center,
+  CAST(context AS BIGINT) AS context, n_cooc,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY n_cooc DESC, center, context) AS rnk
+  FROM pairs) q
+WHERE rnk <= 200
 """,
         "daily_anomaly_events": """
 WITH daily AS (

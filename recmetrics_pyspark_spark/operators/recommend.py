@@ -946,3 +946,65 @@ def ips_offline_eval(
             ),
         ).alias("snips_value"),
     )
+
+
+def skipgram_pairs(
+    timed: DataFrame,
+    window: int = 2,
+    top_k: int = 200,
+    col_user: str = "user",
+    col_time: str = "dt",
+    col_order: str = "ok",
+    col_item: str = "item",
+) -> DataFrame:
+    """word2vec/item2vec training-pair preparation over per-user item
+    sequences: directed (center, context) co-occurrence counts for
+    all positions within ±``window`` of each other, ranked by count —
+    the input distribution an SGNS embedding trainer consumes (pair
+    counts, not raw pairs: the trainer samples from the distribution,
+    so the aggregate IS the artifact).
+
+    (time, order-key, item) must totally order each user's history —
+    same contract as sequence_examples.
+
+    Scale shape: ONE bounded-frame user window (rowsBetween(-window,
+    -1)) collects each position's backward neighbors — no positional
+    self-join over the corpus; the directed pair set is the backward
+    pairs plus their reversals, merged in a catalog²-bounded
+    aggregate. Global top-k via orderBy+limit
+    (TakeOrderedAndProject). Exact integer counts throughout."""
+    w = Window.partitionBy(col_user).orderBy(
+        col_time, col_order, col_item
+    )
+    ctx = F.collect_list(F.col(col_item)).over(
+        w.rowsBetween(-window, -1)
+    )
+    back = (
+        timed.select(F.col(col_item).alias("center"), ctx.alias("ctx"))
+        .select("center", F.explode("ctx").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    directed = back.unionByName(
+        back.select(
+            F.col("context").alias("center"),
+            F.col("center").alias("context"),
+            "n",
+        )
+    )
+    wk = Window.orderBy(
+        F.desc("n_cooc"), F.asc("center"), F.asc("context")
+    )
+    return (
+        directed.groupBy("center", "context")
+        .agg(F.sum("n").cast("bigint").alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), F.asc("center"), F.asc("context"))
+        .limit(top_k)
+        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+        .select(
+            F.col("center").cast("bigint").alias("center"),
+            F.col("context").cast("bigint").alias("context"),
+            "n_cooc",
+            "rnk",
+        )
+    )

@@ -588,3 +588,30 @@ def test_common_neighbor_links_math(spark):
         for r in common_neighbor_links(sq, col_w="sim").collect()
     }
     assert out == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    import datetime as _dt
+
+    from recmetrics_pyspark_spark.operators.recommend import skipgram_pairs
+
+    # one user, sequence [1, 2, 3] (window 2): directed pairs are all
+    # ordered pairs within distance <= 2 -> each unordered pair twice
+    d = _dt.date(2024, 1, 1)
+    timed = spark.createDataFrame(
+        [(7, d, 1, 1), (7, d, 2, 2), (7, d, 3, 3)],
+        ["user", "dt", "ok", "item"],
+    )
+    out = {
+        (r.center, r.context): r.n_cooc
+        for r in skipgram_pairs(timed, window=2).collect()
+    }
+    assert out == {
+        (1, 2): 1, (2, 1): 1, (1, 3): 1, (3, 1): 1, (2, 3): 1, (3, 2): 1,
+    }
+    # window=1 drops the distance-2 pair
+    out1 = {
+        (r.center, r.context): r.n_cooc
+        for r in skipgram_pairs(timed, window=1).collect()
+    }
+    assert out1 == {(1, 2): 1, (2, 1): 1, (2, 3): 1, (3, 2): 1}

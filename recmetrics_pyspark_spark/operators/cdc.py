@@ -254,22 +254,25 @@ def user_erasure_audit(
     erase_ids: DataFrame,
 ) -> DataFrame:
     """Right-to-be-forgotten cascade audit: given a deletion set of
-    customer keys, compute the full referential cascade (customer →
-    their orders → those orders\' lineitems) and report, per table,
-    rows before / deleted / after plus a ``residual_refs`` count —
-    surviving rows that still reference an erased entity. The cascade
-    IS the reference closure, so residual_refs must be ZERO; the
-    query COMPUTES it (independent anti-join-then-semi-join pass, not
-    an assertion) and the oracle pins the invariant on both engines —
-    the verification every GDPR/CCPA deletion pipeline runs after its
-    tombstone pass.
+    customer keys, compute the referential cascade (customer → their
+    orders → those orders' lineitems) and report, per table, rows
+    before / deleted / after plus ``residual_refs`` — references to
+    erased entities still reachable from the simulated post-deletion
+    survivors, computed through an INDEPENDENT derivation of the
+    closure (survivors are re-joined through the PARENT TABLES —
+    orders→customer, lineitem→orders→erase-set — rather than through
+    the same precomputed key lists the deletion used). When both
+    derivations agree the residuals are zero; a bug in the cascade
+    derivation (wrong join key, missed hop) surfaces as a nonzero
+    residual — this is the self-check a production GDPR/CCPA pipeline
+    runs against its separately-implemented deletion job.
 
     Entirely declarative — one returned plan, no driver-side counts.
     Scale shape: the deletion set and the cascaded order-key set are
     deletion-scale (broadcast when small, shuffle otherwise — no
     forced hint, AQE decides from real sizes); each table contributes
     one aggregate over a deletion-keyed left join plus one
-    anti+semi-join residual aggregate. Deleted rows are only counted,
+    survivors-path residual aggregate. Deleted rows are only counted,
     never materialized."""
     eids = erase_ids.select(
         F.col(erase_ids.columns[0]).alias("eid")
@@ -279,7 +282,7 @@ def user_erasure_audit(
         .select(F.col("o_orderkey").alias("del_okey"))
     )
 
-    def one(name, base, key_col, del_keys, del_col):
+    def counts(name, base, key_col, del_keys, del_col, residual_df):
         flagged = base.join(
             del_keys, base[key_col] == del_keys[del_col], "left"
         )
@@ -289,12 +292,9 @@ def user_erasure_audit(
                 F.when(F.col(del_col).isNotNull(), 1).otherwise(0)
             ).cast("bigint").alias("n_deleted"),
         )
-        surv = base.join(
-            del_keys, base[key_col] == del_keys[del_col], "left_anti"
+        res = residual_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("residual_refs")
         )
-        res = surv.join(
-            del_keys, surv[key_col] == del_keys[del_col], "left_semi"
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("residual_refs"))
         return agg.crossJoin(res).select(
             F.lit(name).alias("table_name"),
             "n_before",
@@ -303,10 +303,47 @@ def user_erasure_audit(
             "residual_refs",
         )
 
+    # simulated post-deletion survivors per table
+    surv_cust = customer.join(
+        eids, customer.c_custkey == eids.eid, "left_anti"
+    )
+    surv_orders = orders.join(
+        eids, orders.o_custkey == eids.eid, "left_anti"
+    )
+    surv_li = lineitem.join(
+        del_orders, lineitem.l_orderkey == del_orders.del_okey, "left_anti"
+    )
+    # INDEPENDENT residual paths: survivors re-joined through parent
+    # tables, not the deletion key lists
+    res_cust = surv_cust.join(
+        eids, surv_cust.c_custkey == eids.eid, "left_semi"
+    )
+    erased_cust_rows = customer.join(
+        eids, customer.c_custkey == eids.eid, "left_semi"
+    ).select(F.col("c_custkey").alias("ec"))
+    res_orders = surv_orders.join(
+        erased_cust_rows, surv_orders.o_custkey == F.col("ec"), "left_semi"
+    )
+    res_li = (
+        surv_li.join(
+            orders, surv_li.l_orderkey == orders.o_orderkey, "inner"
+        )
+        .join(eids, F.col("o_custkey") == eids.eid, "left_semi")
+    )
+
     return (
-        one("customer", customer, "c_custkey", eids, "eid")
-        .unionByName(one("orders", orders, "o_custkey", eids, "eid"))
+        counts("customer", customer, "c_custkey", eids, "eid", res_cust)
         .unionByName(
-            one("lineitem", lineitem, "l_orderkey", del_orders, "del_okey")
+            counts("orders", orders, "o_custkey", eids, "eid", res_orders)
+        )
+        .unionByName(
+            counts(
+                "lineitem",
+                lineitem,
+                "l_orderkey",
+                del_orders,
+                "del_okey",
+                res_li,
+            )
         )
     )

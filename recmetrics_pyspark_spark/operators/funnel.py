@@ -93,22 +93,35 @@ def funnel_conversion(
     w_all = Window.partitionBy(F.lit(1))
     w_ord = w_all.orderBy("step_idx")
     return (
-        per_step.join(F.broadcast(names), "step_idx")
+        # LEFT join from the complete step list: a step no user
+        # converted still emits its row with n_users=0 (its rates are
+        # 0, or NULL when the previous step is also empty — 0/0, the
+        # same NULL both engines produce)
+        names.join(per_step, "step_idx", "left")
+        .withColumn(
+            "n_users", F.coalesce("n_users", F.lit(0).cast("bigint"))
+        )
         .select(
             "step_idx",
             "step",
             "n_users",
+            # try_divide: an empty step divides by 0 (NULL on both
+            # engines) — plain `/` would raise under ANSI mode
             F.round(
-                F.col("n_users")
-                / F.max(
-                    F.when(F.col("step_idx") == 1, F.col("n_users"))
-                ).over(w_all),
+                F.try_divide(
+                    F.col("n_users"),
+                    F.max(
+                        F.when(F.col("step_idx") == 1, F.col("n_users"))
+                    ).over(w_all),
+                ),
                 6,
             ).alias("rate_from_first"),
             F.round(
-                F.col("n_users")
-                / F.coalesce(
-                    F.lag("n_users").over(w_ord), F.col("n_users")
+                F.try_divide(
+                    F.col("n_users"),
+                    F.coalesce(
+                        F.lag("n_users").over(w_ord), F.col("n_users")
+                    ),
                 ),
                 6,
             ).alias("rate_from_prev"),

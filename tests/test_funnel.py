@@ -161,3 +161,26 @@ def test_conversion_latency_hand_computed(spark):
     assert r.p50 == 5400.0
     assert r.mean_sec == 5400.0
     assert r.p25 == 4500.0 and r.p90 == 6840.0
+
+
+def test_funnel_empty_steps_still_emit_rows(spark):
+    # nobody clicks or purchases: every step still gets a row, with
+    # n_users=0 and NULL rate_from_prev past the first empty step
+    ev = spark.createDataFrame(
+        [(1, _ts(1), "view"), (2, _ts(2), "view")],
+        ["user_id", "ts", "event_type"],
+    )
+    rows = {
+        r.step: r
+        for r in funnel_conversion(
+            ev, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(rows) == {"view", "click", "purchase"}
+    assert rows["view"].n_users == 2
+    assert rows["click"].n_users == 0
+    assert rows["click"].rate_from_first == 0.0
+    assert rows["purchase"].n_users == 0
+    # 0/0: undefined, surfaced as NULL/NaN
+    rp = rows["purchase"].rate_from_prev
+    assert rp is None or rp != rp

@@ -1848,6 +1848,15 @@ WHERE rnk <= 10
 """
 
 
+def _wow_trending(spark, sf_dir):
+    """Week-over-week trending users by purchase count
+    (operators/funnel.py::wow_trending): lag over the key-week
+    aggregate, exact integer deltas, global top-k."""
+    from recmetrics_pyspark_spark.operators.funnel import wow_trending
+
+    return wow_trending(load_table(spark, sf_dir, "events"))
+
+
 def _skipgram_pairs(spark, sf_dir):
     """item2vec skip-gram pair distribution
     (operators/recommend.py::skipgram_pairs): directed co-occurrence
@@ -2801,18 +2810,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window;
     everything driver-green in r1-r3 and unchanged since sits after.
 
-    ROUND-5 ROTATION NOTE: 28 queries remain without a driver row
+    ROUND-5 ROTATION NOTE: 29 queries remain without a driver row
     after this round's window — 15 carried from round 3 (zipf_fit,
     mad_outlier_docs, psi_drift, calibration_kl,
     popularity_concentration, item_exposure, serendipity,
     baseline_predictor_rmse, pass_at_k_items, qa_eval_docs,
     source_overlap, log_odds_terms, hashing_features,
-    langid_confusion, quantile_normalize) plus the 13 round-4
+    langid_confusion, quantile_normalize) plus the 14 round-4
     additions (media_decode_meta, funnel_conversion, cohort_retention,
     doc_perplexity, dsir_importance, ann_recall_report,
     common_neighbor_links, rfm_segments, conversion_latency,
     user_erasure_audit, split_leakage_audit, daily_anomaly_events,
-    skipgram_pairs) — all judge-checkable today via
+    skipgram_pairs, wow_trending) — all judge-checkable today via
     `scripts/driver_check.py <names>`; move them into the first-50
     window next round, keeping a few canaries.
     """
@@ -3039,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_audit": _split_leakage_audit,
         "daily_anomaly_events": _daily_anomaly_events,
         "skipgram_pairs": _skipgram_pairs,
+        "wow_trending": _wow_trending,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3195,6 +3205,26 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "wow_trending": """
+WITH weekly AS (
+  SELECT user_id AS key,
+    CAST(date_trunc('week', ts) AS DATE) AS wk,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), scored AS (
+  SELECT key, CAST(wk AS VARCHAR) AS week, n,
+    n - lag(n) OVER (PARTITION BY key ORDER BY wk) AS delta,
+    round(CAST(n AS DOUBLE)
+          / lag(n) OVER (PARTITION BY key ORDER BY wk), 6) AS ratio
+  FROM weekly
+)
+SELECT key, week, n, delta, ratio, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY abs(delta) DESC, key, week) AS rnk
+  FROM scored WHERE delta IS NOT NULL) t
+WHERE rnk <= 20
 """,
         "skipgram_pairs": """
 WITH t AS (

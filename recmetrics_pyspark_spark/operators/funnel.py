@@ -321,3 +321,65 @@ def conversion_latency(
             6,
         ).alias("mean_sec"),
     )
+
+
+def wow_trending(
+    events: DataFrame,
+    event_type: str = "purchase",
+    top_k: int = 20,
+    col_ts: str = "ts",
+    col_type: str = "event_type",
+    col_key: str = "user_id",
+) -> DataFrame:
+    """Week-over-week trending keys: weekly event counts per key with
+    the delta and ratio against the key's PREVIOUS observed week
+    (lag over the key-partitioned week series), ranked by absolute
+    delta — the "top risers/fallers" feed every analytics dashboard
+    carries.
+
+    Scale shape: events collapse to (key, week) grain in one
+    aggregate; the lag window runs over the key×weeks table
+    (calendar-bounded groups); global top-k via orderBy+limit.
+    ``ratio`` is NULL for a key's first observed week (both engines).
+    Deltas are exact integers."""
+    from pyspark.sql.window import Window
+
+    weekly = (
+        events.filter(F.col(col_type) == event_type)
+        .groupBy(
+            F.col(col_key).alias("key"),
+            F.date_trunc("week", F.col(col_ts)).cast("date").alias("wk"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wlag = Window.partitionBy("key").orderBy("wk")
+    wk_rank = Window.orderBy(
+        F.desc(F.abs(F.col("delta"))), F.asc("key"), F.asc("wk")
+    )
+    scored = weekly.select(
+        "key",
+        F.col("wk").cast("string").alias("week"),
+        "n",
+        (F.col("n") - F.lag("n").over(wlag)).alias("delta"),
+        F.round(
+            F.try_divide(F.col("n"), F.lag("n").over(wlag)), 6
+        ).alias("ratio"),
+    ).filter(F.col("delta").isNotNull())
+    return (
+        scored.orderBy(
+            F.desc(F.abs(F.col("delta"))), F.asc("key"), F.asc("week")
+        )
+        .limit(top_k)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc(F.abs(F.col("delta"))),
+                    F.asc("key"),
+                    F.asc("week"),
+                )
+            )
+            .cast("bigint"),
+        )
+    )

@@ -184,3 +184,30 @@ def test_funnel_empty_steps_still_emit_rows(spark):
     # 0/0: undefined, surfaced as NULL/NaN
     rp = rows["purchase"].rate_from_prev
     assert rp is None or rp != rp
+
+
+def test_wow_trending_delta_math(spark):
+    import datetime as _dt
+
+    from recmetrics_pyspark_spark.operators.funnel import wow_trending
+
+    rows = []
+    # u1: 2 purchases week of 01-01, 5 week of 01-08 -> delta +3
+    for i in range(2):
+        rows.append((1, _dt.datetime(2024, 1, 2 + i), "purchase"))
+    for i in range(5):
+        rows.append((1, _dt.datetime(2024, 1, 8 + i % 5, 6), "purchase"))
+    # u2: 4 then 1 -> delta -3 (same |delta|, later key -> rank 2)
+    for i in range(4):
+        rows.append((2, _dt.datetime(2024, 1, 3, 1 + i), "purchase"))
+    rows.append((2, _dt.datetime(2024, 1, 9), "purchase"))
+    # a view event must be ignored
+    rows.append((1, _dt.datetime(2024, 1, 9), "view"))
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {(r.key, r.week): r for r in wow_trending(ev).collect()}
+    r1 = out[(1, "2024-01-08")]
+    assert (r1.n, r1.delta, r1.ratio, r1.rnk) == (5, 3, 2.5, 1)
+    r2 = out[(2, "2024-01-08")]
+    assert (r2.n, r2.delta, r2.ratio, r2.rnk) == (1, -3, 0.25, 2)
+    # first observed weeks emit no row (delta undefined)
+    assert (1, "2024-01-01") not in out

@@ -1848,6 +1848,17 @@ WHERE rnk <= 10
 """
 
 
+def _churn_training_set(spark, sf_dir):
+    """Leakage-safe churn training set (operators/funnel.py::
+    churn_training_set): pre-cutoff features, post-cutoff label,
+    7-day horizon; exact integers only."""
+    from recmetrics_pyspark_spark.operators.funnel import (
+        churn_training_set,
+    )
+
+    return churn_training_set(load_table(spark, sf_dir, "events"))
+
+
 def _wow_trending(spark, sf_dir):
     """Week-over-week trending users by purchase count
     (operators/funnel.py::wow_trending): lag over the key-week
@@ -2810,18 +2821,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window;
     everything driver-green in r1-r3 and unchanged since sits after.
 
-    ROUND-5 ROTATION NOTE: 29 queries remain without a driver row
+    ROUND-5 ROTATION NOTE: 30 queries remain without a driver row
     after this round's window — 15 carried from round 3 (zipf_fit,
     mad_outlier_docs, psi_drift, calibration_kl,
     popularity_concentration, item_exposure, serendipity,
     baseline_predictor_rmse, pass_at_k_items, qa_eval_docs,
     source_overlap, log_odds_terms, hashing_features,
-    langid_confusion, quantile_normalize) plus the 14 round-4
+    langid_confusion, quantile_normalize) plus the 15 round-4
     additions (media_decode_meta, funnel_conversion, cohort_retention,
     doc_perplexity, dsir_importance, ann_recall_report,
     common_neighbor_links, rfm_segments, conversion_latency,
     user_erasure_audit, split_leakage_audit, daily_anomaly_events,
-    skipgram_pairs, wow_trending) — all judge-checkable today via
+    skipgram_pairs, wow_trending, churn_training_set) — all
+    judge-checkable today via
     `scripts/driver_check.py <names>`; move them into the first-50
     window next round, keeping a few canaries.
     """
@@ -3049,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomaly_events": _daily_anomaly_events,
         "skipgram_pairs": _skipgram_pairs,
         "wow_trending": _wow_trending,
+        "churn_training_set": _churn_training_set,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3205,6 +3218,30 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "churn_training_set": """
+WITH b AS (
+  SELECT max(ts) AS max_ts, max(ts) - INTERVAL 7 DAY AS cutoff
+  FROM events
+), feats AS (
+  SELECT e.user_id AS u,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_purchases,
+    CAST(count(DISTINCT CAST(e.ts AS DATE)) AS BIGINT)
+      AS n_active_days,
+    CAST(date_diff('day', CAST(max(e.ts) AS DATE),
+                   CAST(max(b.cutoff) AS DATE)) AS INT)
+      AS recency_days
+  FROM events e CROSS JOIN b
+  WHERE e.ts < b.cutoff GROUP BY 1
+), post AS (
+  SELECT DISTINCT e.user_id AS u FROM events e CROSS JOIN b
+  WHERE e.ts >= b.cutoff
+)
+SELECT f.u AS user_id, n_events, n_purchases, n_active_days,
+  recency_days, (p.u IS NULL) AS churned
+FROM feats f LEFT JOIN post p USING (u) ORDER BY 1
 """,
         "wow_trending": """
 WITH weekly AS (

@@ -383,3 +383,74 @@ def wow_trending(
             .cast("bigint"),
         )
     )
+
+
+def churn_training_set(
+    events: DataFrame,
+    horizon_days: int = 7,
+    col_user: str = "user_id",
+    col_ts: str = "ts",
+    col_type: str = "event_type",
+) -> DataFrame:
+    """Leakage-safe churn-model training set: features come strictly
+    from BEFORE the cutoff (corpus max timestamp minus
+    ``horizon_days``), the label strictly from AFTER it — the split
+    that makes the label learnable instead of leaked. Per user with
+    any pre-cutoff activity:
+
+    - features: total events, purchases, distinct active days, days
+      from last pre-cutoff event to the cutoff (recency)
+    - label ``churned``: TRUE iff the user has NO event in the
+      horizon window (cutoff, max].
+
+    Scale shape: the cutoff is a one-row broadcast (max aggregate);
+    feature and label aggregates are each ONE user-keyed shuffle over
+    a scan-side-filtered pass, joined user-keyed. Exact integers
+    everywhere — no float in the table at all."""
+    bounds = events.agg(
+        F.max(col_ts).alias("max_ts"),
+    ).select(
+        "max_ts",
+        F.timestamp_add(
+            "DAY", F.lit(-horizon_days), F.col("max_ts")
+        ).alias("cutoff"),
+    )
+    ev = events.select(
+        F.col(col_user).alias("u"),
+        F.col(col_ts).alias("t"),
+        F.col(col_type).alias("et"),
+    ).crossJoin(F.broadcast(bounds))
+    feats = (
+        ev.filter(F.col("t") < F.col("cutoff"))
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("et") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("n_purchases"),
+            F.count_distinct(F.to_date("t")).cast("bigint").alias(
+                "n_active_days"
+            ),
+            F.datediff(
+                F.to_date(F.max("cutoff")), F.to_date(F.max("t"))
+            ).cast("int").alias("recency_days"),
+        )
+    )
+    active_after = (
+        ev.filter(F.col("t") >= F.col("cutoff"))
+        .select("u")
+        .distinct()
+        .withColumn("seen_after", F.lit(1))
+    )
+    return (
+        feats.join(active_after, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            "n_events",
+            "n_purchases",
+            "n_active_days",
+            "recency_days",
+            F.col("seen_after").isNull().alias("churned"),
+        )
+        .orderBy("user_id")
+    )

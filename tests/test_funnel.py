@@ -211,3 +211,33 @@ def test_wow_trending_delta_math(spark):
     assert (r2.n, r2.delta, r2.ratio, r2.rnk) == (1, -3, 0.25, 2)
     # first observed weeks emit no row (delta undefined)
     assert (1, "2024-01-01") not in out
+
+
+def test_churn_training_set_leakage_safe_label(spark):
+    import datetime as _dt
+
+    from recmetrics_pyspark_spark.operators.funnel import (
+        churn_training_set,
+    )
+
+    # max ts = 01-20 12:00 -> cutoff = 01-13 12:00 (7-day horizon)
+    rows = [
+        # u1: active before AND after -> not churned
+        (1, _dt.datetime(2024, 1, 2, 10), "view"),
+        (1, _dt.datetime(2024, 1, 3, 10), "purchase"),
+        (1, _dt.datetime(2024, 1, 15, 10), "view"),
+        # u2: only before cutoff -> churned; recency = 13-13+? last
+        # pre event 01-05 -> recency 8 days (dates 01-05 .. 01-13)
+        (2, _dt.datetime(2024, 1, 5, 10), "view"),
+        # u3: only AFTER cutoff -> no feature row at all
+        (3, _dt.datetime(2024, 1, 20, 12), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r.user_id: r for r in churn_training_set(ev).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1.n_events, r1.n_purchases, r1.n_active_days) == (2, 1, 2)
+    assert not r1.churned
+    r2 = out[2]
+    assert (r2.n_events, r2.n_purchases, r2.churned) == (1, 0, True)
+    assert r2.recency_days == 8

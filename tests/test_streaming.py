@@ -445,3 +445,72 @@ def test_neardup_batch_string_ids_schema_stable(spark, tmp_path):
         for r in spark.read.parquet(dec + "/batch=*").collect()
     }
     assert rows == {"a1": ("new", None), "b7": ("near_dup", "a1")}
+
+
+def test_streaming_rollup_feeds_anomaly_monitor(spark, tmp_path):
+    """Composition e2e: a streaming-maintained daily rollup (the MV)
+    drives the batch trailing-window anomaly monitor, and the result
+    equals running the monitor over the raw events directly — the
+    production shape where the stream maintains the day-grain state
+    and the monitor never rescans the event history."""
+    import shutil
+
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        trailing_window_anomaly,
+    )
+    from recmetrics_pyspark_spark.streaming.pipeline import (
+        foreach_batch_rollup,
+        read_rollup,
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter("user_id % 17 = 0")
+        .persist()
+    )
+    src = tmp_path / "src"
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(str(src / "a=0"))
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(str(src / "a=1"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(src.rglob("*.parquet"))):
+        shutil.copy(f, flat / f"p{i}.parquet")
+
+    rollup_path = str(tmp_path / "rollup")
+    stream = stream_events(spark, str(flat)).withColumn(
+        "day", F.to_date("ts")
+    )
+    q = foreach_batch_rollup(
+        stream,
+        rollup_path,
+        str(tmp_path / "ck"),
+        group_cols=["event_type", "day"],
+        col_value="value",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # feed the MAINTAINED rollup into the monitor (day-grain rows
+    # re-aggregate to themselves inside trailing_window_anomaly)
+    mv = read_rollup(spark, rollup_path).select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("ts"),
+        F.col("sum_value").alias("value"),
+    )
+    from_mv = sorted(
+        (r.key, str(r.day), r.v, r.z_score, r.is_anomaly)
+        for r in trailing_window_anomaly(
+            mv, "event_type", "ts", "value"
+        ).collect()
+    )
+    from_raw = sorted(
+        (r.key, str(r.day), r.v, r.z_score, r.is_anomaly)
+        for r in trailing_window_anomaly(
+            ev, "event_type", "ts", "value"
+        ).collect()
+    )
+    ev.unpersist()
+    assert from_mv == from_raw
+    assert len(from_raw) > 0

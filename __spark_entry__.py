@@ -1848,6 +1848,14 @@ WHERE rnk <= 10
 """
 
 
+def _containment_pairs(spark, sf_dir):
+    """Near-superset pairs (operators/dedup.py::containment_pairs):
+    containment = |A∩B| / min(|A|,|B|) over the df-capped shingle
+    universe — catches quoted-inclusion duplicates symmetric Jaccard
+    misses; same inverted-index plan as ngram_jaccard_pairs."""
+    return D.containment_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
 def _churn_training_set(spark, sf_dir):
     """Leakage-safe churn training set (operators/funnel.py::
     churn_training_set): pre-cutoff features, post-cutoff label,
@@ -2821,18 +2829,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window;
     everything driver-green in r1-r3 and unchanged since sits after.
 
-    ROUND-5 ROTATION NOTE: 30 queries remain without a driver row
+    ROUND-5 ROTATION NOTE: 31 queries remain without a driver row
     after this round's window — 15 carried from round 3 (zipf_fit,
     mad_outlier_docs, psi_drift, calibration_kl,
     popularity_concentration, item_exposure, serendipity,
     baseline_predictor_rmse, pass_at_k_items, qa_eval_docs,
     source_overlap, log_odds_terms, hashing_features,
-    langid_confusion, quantile_normalize) plus the 15 round-4
+    langid_confusion, quantile_normalize) plus the 16 round-4
     additions (media_decode_meta, funnel_conversion, cohort_retention,
     doc_perplexity, dsir_importance, ann_recall_report,
     common_neighbor_links, rfm_segments, conversion_latency,
     user_erasure_audit, split_leakage_audit, daily_anomaly_events,
-    skipgram_pairs, wow_trending, churn_training_set) — all
+    skipgram_pairs, wow_trending, churn_training_set,
+    containment_pairs) — all
     judge-checkable today via
     `scripts/driver_check.py <names>`; move them into the first-50
     window next round, keeping a few canaries.
@@ -3062,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": _skipgram_pairs,
         "wow_trending": _wow_trending,
         "churn_training_set": _churn_training_set,
+        "containment_pairs": _containment_pairs,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3218,6 +3228,33 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "containment_pairs": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_slice(toks, i, i+2), ' ') AS s
+  FROM d, unnest(generate_series(1, greatest(len(toks)-2, 1))) AS u(i)
+), sh AS (
+  SELECT sh0.doc_id, sh0.s FROM sh0
+  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000) keep
+    USING (s)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(count(*) AS BIGINT) AS n_inter,
+  round(count(*) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+    AS containment,
+  round(count(*) / CAST(sa.n_sh + sb.n_sh - count(*) AS DOUBLE), 6)
+    AS jaccard
+FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+JOIN sizes sa ON a.doc_id = sa.doc_id
+JOIN sizes sb ON b.doc_id = sb.doc_id
+GROUP BY 1, 2, sa.n_sh, sb.n_sh
+HAVING round(count(*) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+       >= 0.6
 """,
         "churn_training_set": """
 WITH b AS (

@@ -1088,3 +1088,76 @@ def duplicated_spans(
         .select(col_id, "start_tok", "end_tok", "n_dup_shingles")
     )
     return runs
+
+
+def containment_pairs(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-SUPERSET detection: document pairs where the smaller
+    document's shingle set is largely CONTAINED in the larger's —
+    containment = |A ∩ B| / min(|A|, |B|) ≥ threshold. Symmetric
+    Jaccard misses these (a paragraph quoted inside a much longer doc
+    scores low Jaccard but containment ~1), which is why
+    exact-substring dedup pipelines (Lee et al. 2022) track
+    containment separately from resemblance.
+
+    Same inverted-index plan and df-capped shingle universe as
+    ngram_jaccard_pairs (worst key bounded at max_df²/2 pairs); the
+    only change is the denominator. Output: (id_a, id_b, n_inter,
+    containment, jaccard) for pairs over threshold — jaccard rides
+    along so consumers can see both signals."""
+    id_type = dict(df.dtypes)[col_id]
+    sh = capped_shingles(df, col_id, col_text, k, max_df)
+    sizes = sh.groupBy(col_id).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(col_id).alias("id_a"), "shingle")
+    b = sh.select(F.col(col_id).alias("id_b"), "shingle")
+    co = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (
+                F.col("id_a").cast("bigint")
+                * F.lit(4294967296).cast("bigint")
+                + F.col("id_b").cast("bigint")
+            ).alias("pk")
+        )
+    )
+    inter = (
+        co.repartition("pk")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(
+            F.expr("pk div 4294967296").cast(id_type).alias("id_a"),
+            (F.col("pk") % F.lit(4294967296)).cast(id_type).alias("id_b"),
+            "n_inter",
+        )
+    )
+    na = sizes.select(F.col(col_id).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(col_id).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(
+                F.col("n_inter")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+            F.round(
+                F.col("n_inter")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_inter")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

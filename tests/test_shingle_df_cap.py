@@ -100,3 +100,27 @@ def test_min_label_components_broadcast_guard(spark):
     expect = [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
     assert labels(2_000_000) == expect  # broadcast branch
     assert labels(0) == expect  # shuffle fallback
+
+
+def test_containment_catches_quoted_inclusion(spark):
+    """A short doc quoted verbatim inside a longer one: containment 1.0
+    while Jaccard is low — exactly the case the asymmetric measure
+    exists for."""
+    from recmetrics_pyspark_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = (
+        "intro words before the quote "
+        + quote
+        + " trailing words after the quote continue for a while more"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "entirely unrelated text here")],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(docs, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment == 1.0  # every shingle of doc 1 is in doc 2
+    assert r.jaccard < 0.5  # symmetric measure would have missed it

@@ -1848,6 +1848,25 @@ WHERE rnk <= 10
 """
 
 
+def _sequential_rules(spark, sf_dir):
+    """Directed A-then-B purchase rules
+    (operators/recommend.py::sequential_rules): first-adoption times
+    per (customer, part), strictly-later pairs, per-user sequence
+    capped at 20 earliest adoptions; integer-ratio confidence/lift."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    timed = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("user"),
+        F.col("o_orderdate").alias("dt"),
+        F.col("l_partkey").alias("item"),
+    )
+    return R.sequential_rules(timed)
+
+
 def _containment_pairs(spark, sf_dir):
     """Near-superset pairs (operators/dedup.py::containment_pairs):
     containment = |A∩B| / min(|A|,|B|) over the df-capped shingle
@@ -2829,19 +2848,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window;
     everything driver-green in r1-r3 and unchanged since sits after.
 
-    ROUND-5 ROTATION NOTE: 31 queries remain without a driver row
+    ROUND-5 ROTATION NOTE: 32 queries remain without a driver row
     after this round's window — 15 carried from round 3 (zipf_fit,
     mad_outlier_docs, psi_drift, calibration_kl,
     popularity_concentration, item_exposure, serendipity,
     baseline_predictor_rmse, pass_at_k_items, qa_eval_docs,
     source_overlap, log_odds_terms, hashing_features,
-    langid_confusion, quantile_normalize) plus the 16 round-4
+    langid_confusion, quantile_normalize) plus the 17 round-4
     additions (media_decode_meta, funnel_conversion, cohort_retention,
     doc_perplexity, dsir_importance, ann_recall_report,
     common_neighbor_links, rfm_segments, conversion_latency,
     user_erasure_audit, split_leakage_audit, daily_anomaly_events,
     skipgram_pairs, wow_trending, churn_training_set,
-    containment_pairs) — all
+    containment_pairs, sequential_rules) — all
     judge-checkable today via
     `scripts/driver_check.py <names>`; move them into the first-50
     window next round, keeping a few canaries.
@@ -3072,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wow_trending": _wow_trending,
         "churn_training_set": _churn_training_set,
         "containment_pairs": _containment_pairs,
+        "sequential_rules": _sequential_rules,
     }
     ordered = {k: base[k] for k in _ROUND4_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3228,6 +3248,42 @@ WITH img AS (
   FROM range(0, 128) t(i)
 )
 SELECT * FROM imgm UNION ALL SELECT * FROM aud
+""",
+        "sequential_rules": """
+WITH firsts AS (
+  SELECT o_custkey AS u, l_partkey AS it, min(o_orderdate) AS t
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), capped AS (
+  SELECT u, it, t FROM (
+    SELECT u, it, t,
+      row_number() OVER (PARTITION BY u ORDER BY t, it) AS r
+    FROM firsts) q
+  WHERE r <= 20
+), nu AS (SELECT count(DISTINCT u) AS n_users FROM capped),
+adopters AS (
+  SELECT it, CAST(count(*) AS BIGINT) AS n_adopt FROM capped GROUP BY 1
+), pairs AS (
+  SELECT a.it AS ant, b.it AS cons,
+    CAST(count(*) AS BIGINT) AS n_ab
+  FROM capped a JOIN capped b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT CAST(ant AS BIGINT) AS antecedent,
+  CAST(cons AS BIGINT) AS consequent, n_ab,
+  round(n_ab / CAST(na.n_adopt AS DOUBLE), 6) AS confidence,
+  round((n_ab * nu.n_users)
+        / CAST(na.n_adopt * nb.n_adopt AS DOUBLE), 6) AS lift,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY n_ab DESC, ant, cons) AS rnk
+  FROM pairs) p
+JOIN adopters na ON p.ant = na.it
+JOIN adopters nb ON p.cons = nb.it
+CROSS JOIN nu
+WHERE rnk <= 50
 """,
         "containment_pairs": """
 WITH d AS (

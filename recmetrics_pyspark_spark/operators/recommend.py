@@ -1008,3 +1008,87 @@ def skipgram_pairs(
             "rnk",
         )
     )
+
+
+def sequential_rules(
+    timed: DataFrame,
+    max_items_per_user: int = 20,
+    min_common: int = 2,
+    top_k: int = 50,
+    col_user: str = "user",
+    col_time: str = "dt",
+    col_item: str = "item",
+) -> DataFrame:
+    """Directed sequential rules A→B: among users who adopted item A,
+    how many later adopted item B — the time-ordered counterpart of
+    association_rules (co-occurrence is symmetric; "bought A then B"
+    is not). Per user, each item enters at its FIRST adoption time;
+    pairs require strictly increasing time (same-day ties carry no
+    direction and are dropped — deterministic on both engines).
+
+        confidence(A→B) = n_AB / n_A        (adopters of A who later took B)
+        lift(A→B)       = n_AB·N / (n_A·n_B)
+
+    computed as pure integer ratios (one double division, rounded).
+
+    Scale shape: the (user, item) first-adoption aggregate is one
+    corpus shuffle; each user's sequence is capped at their
+    ``max_items_per_user`` EARLIEST adoptions (bounded-group window),
+    so the per-user pair fan-out is ≤ cap²/2 regardless of the
+    heaviest user — the same hot-entity rule as the wedge caps. Item
+    adopter counts are catalog-scale broadcasts; global top-k via
+    orderBy+limit."""
+    firsts = timed.groupBy(
+        F.col(col_user).alias("u"), F.col(col_item).alias("it")
+    ).agg(F.min(col_time).alias("t"))
+    w = Window.partitionBy("u").orderBy("t", "it")
+    capped = (
+        firsts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max_items_per_user)
+        .select("u", "it", "t")
+        .persist()
+    )
+    n_users = capped.select("u").distinct().count()
+    adopters = capped.groupBy("it").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_adopt")
+    )
+    a = capped.select("u", F.col("it").alias("ant"), F.col("t").alias("ta"))
+    b = capped.select("u", F.col("it").alias("cons"), F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_common)
+    )
+    na = adopters.select(
+        F.col("it").alias("ant"), F.col("n_adopt").alias("n_a")
+    )
+    nb = adopters.select(
+        F.col("it").alias("cons"), F.col("n_adopt").alias("n_b")
+    )
+    wk = Window.orderBy(F.desc("n_ab"), F.asc("ant"), F.asc("cons"))
+    return (
+        pairs.join(F.broadcast(na), "ant")
+        .join(F.broadcast(nb), "cons")
+        .select(
+            F.col("ant").cast("bigint").alias("antecedent"),
+            F.col("cons").cast("bigint").alias("consequent"),
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_ab") * F.lit(n_users))
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(top_k)
+        .withColumn("rnk", F.row_number().over(
+            Window.orderBy(
+                F.desc("n_ab"), F.asc("antecedent"), F.asc("consequent")
+            )
+        ).cast("bigint"))
+    )

@@ -615,3 +615,37 @@ def test_skipgram_pairs_hand_computed(spark):
         for r in skipgram_pairs(timed, window=1).collect()
     }
     assert out1 == {(1, 2): 1, (2, 1): 1, (2, 3): 1, (3, 2): 1}
+
+
+def test_sequential_rules_direction_and_math(spark):
+    import datetime as _dt
+
+    from recmetrics_pyspark_spark.operators.recommend import (
+        sequential_rules,
+    )
+
+    def d(day):
+        return _dt.date(2024, 1, day)
+
+    # u1: A(1) then B(2); u2: A(1) then B(5); u3: B(3) then A(4);
+    # u4: A and B same day -> no direction
+    rows = [
+        (1, d(1), 10), (1, d(2), 20),
+        (2, d(1), 10), (2, d(5), 20),
+        (3, d(3), 20), (3, d(4), 10),
+        (4, d(6), 10), (4, d(6), 20),
+    ]
+    timed = spark.createDataFrame(rows, ["user", "dt", "item"])
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in sequential_rules(timed, min_common=1).collect()
+    }
+    # A->B twice (u1,u2); B->A once (u3); ties (u4) contribute nothing
+    ab = out[(10, 20)]
+    assert ab.n_ab == 2 and ab.rnk == 1
+    # n_A = 4 adopters of 10 -> confidence 0.5
+    assert ab.confidence == 0.5
+    # lift = n_ab * N / (n_a * n_b) = 2*4/(4*4) = 0.5
+    assert ab.lift == 0.5
+    ba = out[(20, 10)]
+    assert ba.n_ab == 1

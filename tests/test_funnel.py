@@ -241,3 +241,73 @@ def test_churn_training_set_leakage_safe_label(spark):
     r2 = out[2]
     assert (r2.n_events, r2.n_purchases, r2.churned) == (1, 0, True)
     assert r2.recency_days == 8
+
+
+from hypothesis import given, settings, strategies as st
+
+_event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),  # user
+        st.integers(min_value=0, max_value=20 * 24),  # hour offset
+        st.sampled_from(["view", "click", "purchase", "signup"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_event_rows)
+def test_funnel_invariants_random_events(spark, rows):
+    """Funnel laws on arbitrary event sets: one row per step always;
+    n_users non-increasing along the funnel (a user cannot convert
+    step k without step k-1); rates within [0, 1]."""
+    import datetime as _dt
+
+    ev = spark.createDataFrame(
+        [
+            (u, _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=h), t)
+            for u, h, t in rows
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    out = sorted(
+        funnel_conversion(ev, ["view", "click", "purchase"]).collect(),
+        key=lambda r: r.step_idx,
+    )
+    assert [r.step for r in out] == ["view", "click", "purchase"]
+    counts = [r.n_users for r in out]
+    assert counts == sorted(counts, reverse=True)
+    for r in out:
+        for rate in (r.rate_from_first, r.rate_from_prev):
+            assert rate is None or (0.0 <= rate <= 1.0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_event_rows)
+def test_cohort_retention_invariants_random_events(spark, rows):
+    """Cohort laws: offset-0 retention is 1.0 (the signup itself is
+    activity), every retention within (0, 1], n_active <= cohort_size,
+    and cohort sizes sum to the distinct signup-user count."""
+    import datetime as _dt
+
+    ev = spark.createDataFrame(
+        [
+            (u, _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=h), t)
+            for u, h, t in rows
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    out = cohort_retention(ev).collect()
+    signups = {u for u, _, t in rows if t == "signup"}
+    if not signups:
+        assert out == []
+        return
+    sizes = {}
+    for r in out:
+        assert 0.0 < r.retention <= 1.0
+        assert r.n_active <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+        sizes[str(r.cohort_week)] = r.cohort_size
+    assert sum(sizes.values()) == len(signups)

@@ -124,3 +124,30 @@ def test_containment_catches_quoted_inclusion(spark):
     assert (r.id_a, r.id_b) == (1, 2)
     assert r.containment == 1.0  # every shingle of doc 1 is in doc 2
     assert r.jaccard < 0.5  # symmetric measure would have missed it
+
+
+from hypothesis import given, settings, strategies as st
+
+_doc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=3, max_size=12
+        ).map(" ".join),
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_doc_rows)
+def test_containment_dominates_jaccard(spark, rows):
+    """For every pair: containment >= jaccard (min(|A|,|B|) <= union),
+    both in (0, 1], and n_inter <= min-size by construction."""
+    from recmetrics_pyspark_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for r in containment_pairs(docs, threshold=0.0).collect():
+        assert 0.0 < r.jaccard <= r.containment <= 1.0

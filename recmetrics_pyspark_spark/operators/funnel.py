@@ -46,9 +46,13 @@ def funnel_conversion(
     bounded by the surviving user set, so the funnel narrows the work
     exactly as it narrows the users. Entirely declarative: the whole
     funnel is ONE returned plan (no per-step driver actions); each
-    step's survivor table is persisted so the union of step counts
-    pays every join once, not once per downstream step. The final
-    rate computation windows over ≤ len(steps) rows — constant."""
+    step's survivor table is lazily localCheckpoint-ed so the union of
+    step counts pays every join once, not once per downstream step —
+    and, unlike ``.persist()``, the checkpoint blocks are reclaimed by
+    the ContextCleaner once the returned DataFrame is garbage
+    collected, so repeated funnel calls in a long session never
+    accumulate entries in the CacheManager. The final rate
+    computation windows over ≤ len(steps) rows — constant."""
     if not steps:
         raise ValueError("steps must be non-empty")
     from pyspark.sql.window import Window
@@ -63,7 +67,7 @@ def funnel_conversion(
         ev.filter(F.col("et") == steps[0])
         .groupBy("u")
         .agg(F.min("t").alias("t0"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     step_tables = [cur]
     for step in steps[1:]:
@@ -75,7 +79,7 @@ def funnel_conversion(
             .filter(F.col("t_step") >= F.col("t0"))
             .groupBy("u")
             .agg(F.min("t_step").alias("t0"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
         step_tables.append(cur)
     reach = step_tables[0].select("u", F.lit(1).alias("step_idx"))

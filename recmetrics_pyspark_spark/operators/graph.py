@@ -345,6 +345,7 @@ def adamic_adar_links(
     col_w: str = "n_common",
     top_neighbors: int = 6,
     k: int = 20,
+    broadcast_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """Adamic–Adar link prediction over an undirected weighted pair
     table (``col_a < col_b`` canonical): for node pairs NOT already
@@ -364,9 +365,18 @@ def adamic_adar_links(
     to DECIMAL(18,9) and summed EXACTLY (associative), so partial-
     aggregation order can never move a 6th decimal — the same rule as
     the currency sums. Scale shape: one degree aggregate (node-scale,
-    broadcast), one per-node ranking window over edge-scale rows, one
-    bounded self-join on the wedge pivot, one pair aggregate, and an
-    edge-scale anti-join to drop existing links."""
+    broadcast only under ``broadcast_node_limit``), one per-node
+    ranking window over edge-scale rows, one bounded self-join on the
+    wedge pivot, one pair aggregate, and an edge-scale anti-join to
+    drop existing links.
+
+    ``broadcast_node_limit`` guards the degree-table broadcast: deg is
+    NODE-scale (the item vocabulary), and a 100 TB corpus with 10⁸⁺
+    items must never be hint-forced onto the driver. At or below the
+    limit (default 2M rows) deg is checkpointed, counted once (the
+    count doubles as the cache fill) and broadcast; above it the wedge
+    join falls back to a shuffle join — the same guard as
+    pagerank_from_edges / min_label_components / minhash_lsh_pairs."""
     from pyspark.sql.window import Window
 
     both = pairs.select(
@@ -378,7 +388,16 @@ def adamic_adar_links(
             F.col(col_w).alias("w"),
         )
     )
-    deg = both.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    deg = both.groupBy("z").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    # deg is NODE-scale; the one count both fills the checkpoint cache
+    # and decides the wedge-join strategy (see docstring).
+    hint = (
+        F.broadcast
+        if deg.count() <= broadcast_node_limit
+        else (lambda df: df)
+    )
     wr = Window.partitionBy("z").orderBy(F.desc("w"), F.asc("nbr"))
     capped = (
         both.withColumn("r", F.row_number().over(wr))
@@ -393,7 +412,7 @@ def adamic_adar_links(
     wedges = (
         lhs.join(rhs, "z")
         .filter(F.col("a") < F.col("b"))
-        .join(F.broadcast(deg), "z")
+        .join(hint(deg), "z")
         .select("a", "b", contrib.alias("c"))
     )
     scored = wedges.groupBy("a", "b").agg(F.sum("c").alias("aa_dec"))
@@ -426,6 +445,7 @@ def common_neighbor_links(
     col_w: str = "n_common",
     top_neighbors: int = 6,
     k: int = 20,
+    broadcast_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """Common-neighbors + neighborhood-Jaccard link prediction over an
     undirected weighted pair table (``col_a < col_b`` canonical): for
@@ -444,10 +464,12 @@ def common_neighbor_links(
     - global top-k via orderBy+limit (TakeOrderedAndProject), ranked
       by (n_common desc, jaccard desc, ids).
 
-    Scale shape mirrors adamic_adar_links: one node-scale degree
-    aggregate (broadcast), one per-node ranking window over edge-scale
-    rows, one bounded wedge self-join, one pair aggregate, and an
-    edge-scale anti-join against existing links."""
+    Scale shape mirrors adamic_adar_links, including its
+    ``broadcast_node_limit`` guard: the node-scale degree table is
+    checkpointed, counted once (cache fill + strategy decision) and
+    broadcast only at or below the limit; above it the two degree
+    enrich joins fall back to shuffle joins — never hint-force a
+    vocabulary-scale table at 100 TB."""
     from pyspark.sql.window import Window
 
     both = pairs.select(
@@ -459,7 +481,16 @@ def common_neighbor_links(
             F.col(col_w).alias("w"),
         )
     )
-    deg = both.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    deg = both.groupBy("z").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    # Node-scale degree table: one count fills the checkpoint cache and
+    # decides broadcast vs shuffle for both degree-enrich joins below.
+    hint = (
+        F.broadcast
+        if deg.count() <= broadcast_node_limit
+        else (lambda df: df)
+    )
     wr = Window.partitionBy("z").orderBy(F.desc("w"), F.asc("nbr"))
     capped = (
         both.withColumn("r", F.row_number().over(wr))
@@ -485,8 +516,8 @@ def common_neighbor_links(
     )
     return (
         scored.join(existing, ["a", "b"], "left_anti")
-        .join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        .join(hint(da), "a")
+        .join(hint(db), "b")
         .select(
             "a",
             "b",

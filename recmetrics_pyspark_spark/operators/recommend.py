@@ -891,9 +891,12 @@ def ips_offline_eval(
     item-keyed (broadcastable), one (user, item) equi-join against the
     slate, then a ONE-ROW reduction — rewards and weights are summed
     in DECIMAL so the estimate is partial-aggregation-order
-    independent. Nothing wider than the logs ever shuffles."""
+    independent. Nothing wider than the logs ever shuffles. Fully
+    declarative: the log total enters as a one-row broadcast frame
+    (the rfm_segments / churn_training_set pattern), never a
+    build-time driver action."""
     n_pop = logs.groupBy(col_item).agg(F.count(F.lit(1)).alias("n_i"))
-    n_tot = logs.count()
+    tot = logs.agg(F.count(F.lit(1)).alias("n_all"))
     hit = recs.select(
         F.col(col_user).alias("u"), F.col(col_item).alias("i")
     ).withColumn("hit", F.lit(1))
@@ -914,11 +917,12 @@ def ips_offline_eval(
         )
         .join(F.broadcast(n_pop.withColumnRenamed(col_item, "i")), "i")
         .join(hit, ["u", "i"], "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.coalesce("hit", F.lit(0)).alias("hit"),
             "r",
             "n_i",
-            F.lit(n_tot).alias("n_all"),
+            "n_all",
             F.lit(k).alias("k"),
         )
         .select("r", F.expr(w_dec).alias("w"))
@@ -1048,7 +1052,9 @@ def sequential_rules(
         .select("u", "it", "t")
         .persist()
     )
-    n_users = capped.select("u").distinct().count()
+    # N enters declaratively as a one-row broadcast (the rfm_segments
+    # pattern) — no build-time driver action, one returned plan.
+    nu = capped.agg(F.countDistinct("u").alias("n_users"))
     adopters = capped.groupBy("it").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_adopt")
     )
@@ -1071,6 +1077,7 @@ def sequential_rules(
     return (
         pairs.join(F.broadcast(na), "ant")
         .join(F.broadcast(nb), "cons")
+        .crossJoin(F.broadcast(nu))
         .select(
             F.col("ant").cast("bigint").alias("antecedent"),
             F.col("cons").cast("bigint").alias("consequent"),
@@ -1079,7 +1086,7 @@ def sequential_rules(
                 "confidence"
             ),
             F.round(
-                (F.col("n_ab") * F.lit(n_users))
+                (F.col("n_ab") * F.col("n_users"))
                 / (F.col("n_a") * F.col("n_b")).cast("double"),
                 6,
             ).alias("lift"),

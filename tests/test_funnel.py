@@ -311,3 +311,22 @@ def test_cohort_retention_invariants_random_events(spark, rows):
             assert r.retention == 1.0
         sizes[str(r.cohort_week)] = r.cohort_size
     assert sum(sizes.values()) == len(signups)
+
+
+def test_funnel_leaves_no_cache_manager_entries(spark):
+    # Persist lifecycle: funnel step tables use lazy localCheckpoint
+    # (ContextCleaner-managed blocks), NOT .persist() — repeated funnel
+    # calls in a long session must not accumulate CacheManager entries
+    # that only spark.catalog.clearCache() could release.
+    spark.catalog.clearCache()
+    rows = [
+        (1, _ts(1), "view"),
+        (1, _ts(2), "click"),
+        (2, _ts(1), "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    for _ in range(3):
+        out = funnel_conversion(ev, ["view", "click"]).collect()
+        assert {r.step: r.n_users for r in out} == {"view": 2, "click": 1}
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "funnel_conversion left cached plans"

@@ -649,3 +649,40 @@ def test_sequential_rules_direction_and_math(spark):
     assert ab.lift == 0.5
     ba = out[(20, 10)]
     assert ba.n_ab == 1
+
+
+def test_rule_and_ips_construction_triggers_no_jobs(spark):
+    # sequential_rules and ips_offline_eval must be FULLY declarative:
+    # constructing the plan (no action) may not launch a Spark job —
+    # the formula scalars (N, n_logs) enter as one-row broadcast
+    # frames, not build-time .count() actions.
+    import datetime as _dt
+
+    from recmetrics_pyspark_spark.operators.recommend import (
+        ips_offline_eval,
+        sequential_rules,
+    )
+
+    timed = spark.createDataFrame(
+        [(1, _dt.date(2024, 1, 1), 10), (1, _dt.date(2024, 1, 2), 20)],
+        ["user", "dt", "item"],
+    )
+    logs = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 20, 4.0)], ["user", "item", "rating"]
+    )
+    recs = spark.createDataFrame([(1, 10)], ["user", "item"])
+
+    sc = spark.sparkContext
+    group = "declarative-construction-gate"
+    sc.setJobGroup(group, "construction must not run jobs")
+    try:
+        rules = sequential_rules(timed, min_common=1)
+        ips = ips_offline_eval(logs, recs, k=1)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"construction launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    # and the plans still evaluate correctly afterwards
+    assert rules.count() >= 1
+    r = ips.collect()[0]
+    assert r.ips_value == 2.0 and r.snips_value == 2.0

@@ -102,6 +102,58 @@ def test_min_label_components_broadcast_guard(spark):
     assert labels(0) == expect  # shuffle fallback
 
 
+def test_adamic_adar_broadcast_guard_branches(spark):
+    from recmetrics_pyspark_spark.operators.graph import adamic_adar_links
+
+    # path 1-2-3 plus a disjoint edge: the degree-table broadcast must
+    # produce the same predictions as the shuffle-join fallback
+    pairs = spark.createDataFrame(
+        [(1, 2, 3.0), (2, 3, 5.0), (10, 11, 1.0)], ["ia", "ib", "sim"]
+    )
+
+    def rows(limit):
+        return sorted(
+            (r.item_a, r.item_b, r.aa_score, r.rnk)
+            for r in adamic_adar_links(
+                pairs, col_w="sim", broadcast_node_limit=limit
+            ).collect()
+        )
+
+    broadcast_rows = rows(2_000_000)
+    shuffle_rows = rows(0)
+    assert broadcast_rows == shuffle_rows
+    assert len(broadcast_rows) == 1  # the missing (1,3) link
+
+
+def test_common_neighbor_broadcast_guard_branches(spark):
+    from recmetrics_pyspark_spark.operators.graph import (
+        common_neighbor_links,
+    )
+
+    # square 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2 common
+    # neighbors; identical output from both join strategies
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 4, 1.0)],
+        ["ia", "ib", "sim"],
+    )
+
+    def rows(limit):
+        return sorted(
+            (r.item_a, r.item_b, r.n_common_nbrs, r.jaccard_nbrs, r.rnk)
+            for r in common_neighbor_links(
+                pairs, col_w="sim", broadcast_node_limit=limit
+            ).collect()
+        )
+
+    broadcast_rows = rows(2_000_000)
+    shuffle_rows = rows(0)
+    assert broadcast_rows == shuffle_rows
+    assert [(a, b, n) for a, b, n, _, _ in broadcast_rows] == [
+        (1, 3, 2),
+        (2, 4, 2),
+    ]
+
+
 def test_containment_catches_quoted_inclusion(spark):
     """A short doc quoted verbatim inside a longer one: containment 1.0
     while Jaccard is low — exactly the case the asymmetric measure

@@ -2837,33 +2837,28 @@ def _rolling_origin_cv(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
-    evaluates the FIRST 50 entries. Round-4 rotation (`_ROUND4_WINDOW`
-    below): 45 of the 60 queries that have never had a driver row —
-    led by the heavyweights (mmr_rerank, adamic_adar_links,
-    item_triangles, bpe_merges, the PQ/IVF-PQ ANN trio, semantic_dedup,
-    incremental_neardup/dedup, the nine relational4 TPC-H shapes) —
-    plus 5 stable canaries (coverage, personalization, item_item_topk,
+    evaluates the FIRST 50 entries. Round-5 rotation (`_ROUND5_WINDOW`
+    below) CLOSES union driver coverage: the 32 queries that had never
+    had a driver row (15 carried from round 3 + the 17 round-4
+    additions — the full list from round 4's ROTATION NOTE), plus 5
+    stable canaries (coverage, personalization, item_item_topk,
     minhash_lsh_pairs, event_sessionize — leading, so they own the
-    shared cache builds for comparable bench accounting) occupy the
-    window;
-    everything driver-green in r1-r3 and unchanged since sits after.
+    shared cache builds for comparable bench accounting), plus
+    re-witnesses for every query whose code changed after its last
+    driver row: the 5 df-cap-affected Jaccard queries
+    (ngram_jaccard_pairs, neardup_components, minhash_jaccard_estimate,
+    dedup_pipeline, dup_ngram_fraction — source_overlap is already in
+    the never-witnessed 32) and the 2 round-5-changed queries
+    (adamic_adar_links: broadcast guard; ips_offline_eval: declarative
+    n_logs). Remaining slots carry the round-5 new operators so they
+    are witnessed the round they land. Everything else driver-green at
+    its current code sits after the window.
 
-    ROUND-5 ROTATION NOTE: 32 queries remain without a driver row
-    after this round's window — 15 carried from round 3 (zipf_fit,
-    mad_outlier_docs, psi_drift, calibration_kl,
-    popularity_concentration, item_exposure, serendipity,
-    baseline_predictor_rmse, pass_at_k_items, qa_eval_docs,
-    source_overlap, log_odds_terms, hashing_features,
-    langid_confusion, quantile_normalize) plus the 17 round-4
-    additions (media_decode_meta, funnel_conversion, cohort_retention,
-    doc_perplexity, dsir_importance, ann_recall_report,
-    common_neighbor_links, rfm_segments, conversion_latency,
-    user_erasure_audit, split_leakage_audit, daily_anomaly_events,
-    skipgram_pairs, wow_trending, churn_training_set,
-    containment_pairs, sequential_rules) — all
-    judge-checkable today via
-    `scripts/driver_check.py <names>`; move them into the first-50
-    window next round, keeping a few canaries.
+    ROUND-6 ROTATION NOTE: after this round's window, every declared
+    query has a driver row at its current code (union coverage
+    205/205 of the r4 surface + the round-5 additions witnessed on
+    arrival). Next round: canaries first, then any query whose code
+    changes in round 6, then new operators; no backlog remains.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -3093,69 +3088,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _containment_pairs,
         "sequential_rules": _sequential_rules,
     }
-    ordered = {k: base[k] for k in _ROUND4_WINDOW}
+    ordered = {k: base[k] for k in _ROUND5_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
 
-# The first-50 driver witness window for round 4 (see queries()
+# The first-50 driver witness window for round 5 (see queries()
 # docstring). 5 canaries lead (green every round they ran) — order
 # within the window is bench-accounting, not correctness: the canaries
 # own the shared cache builds (interactions, shingle table, events
-# scan) exactly as they did in rounds 1-3, so the 45 never-witnessed
-# queries that follow show their MARGINAL cost, comparable round over
-# round.
-_ROUND4_WINDOW = [
+# scan) exactly as in rounds 1-4, so the rotated-in queries show their
+# MARGINAL cost, comparable round over round. Composition: 5 canaries
+# + the 32 never-driver-witnessed + 5 df-cap Jaccard re-witnesses +
+# 2 round-5-changed re-witnesses + the round-5 new operators.
+_ROUND5_WINDOW = [
     "coverage",
     "personalization",
     "item_item_topk",
     "minhash_lsh_pairs",
     "event_sessionize",
-    "mmr_rerank",
+    # 15 carried from round 3, never driver-witnessed
+    "zipf_fit",
+    "mad_outlier_docs",
+    "psi_drift",
+    "calibration_kl",
+    "popularity_concentration",
+    "item_exposure",
+    "serendipity",
+    "baseline_predictor_rmse",
+    "pass_at_k_items",
+    "qa_eval_docs",
+    "source_overlap",
+    "log_odds_terms",
+    "hashing_features",
+    "langid_confusion",
+    "quantile_normalize",
+    # 17 round-4 additions, never driver-witnessed
+    "media_decode_meta",
+    "funnel_conversion",
+    "cohort_retention",
+    "doc_perplexity",
+    "dsir_importance",
+    "ann_recall_report",
+    "common_neighbor_links",
+    "rfm_segments",
+    "conversion_latency",
+    "user_erasure_audit",
+    "split_leakage_audit",
+    "daily_anomaly_events",
+    "skipgram_pairs",
+    "wow_trending",
+    "churn_training_set",
+    "containment_pairs",
+    "sequential_rules",
+    # df-cap-affected Jaccard family: last driver row predates 3fb31a4
+    "ngram_jaccard_pairs",
+    "neardup_components",
+    "minhash_jaccard_estimate",
+    "dedup_pipeline",
+    "dup_ngram_fraction",
+    # code changed in round 5 (broadcast guard / declarative n_logs)
     "adamic_adar_links",
-    "item_triangles",
-    "bpe_merges",
-    "pq_ann_topk",
-    "pq_rerank_topk",
-    "ivfpq_ann_topk",
-    "semantic_dedup",
-    "incremental_neardup",
-    "incremental_dedup",
-    "canonical_docs",
-    "duplicated_spans",
-    "neardup_components_star",
-    "hard_negatives",
-    "cluster_eval",
-    "record_linkage_parts",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt_by_part",
-    "q17_small_quantity_revenue",
-    "q20_candidate_suppliers",
-    "q21_sole_latest_supplier",
-    "q_rollup_tree",
-    "wau_hll_mergeable",
-    "freq_sketch_events",
-    "curation_pipeline",
-    "events_asof_next_purchase",
-    "grouped_split",
-    "attribution_linear",
-    "feature_binning",
-    "curriculum_cuts",
-    "association_rules",
-    "negative_sampling",
-    "rolling_origin_cv",
-    "ab_test_events",
-    "km_retention",
-    "holt_forecast_events",
-    "cusum_changepoint_events",
-    "seasonal_profile_events",
-    "next_item_examples",
     "ips_offline_eval",
-    "weighted_sample",
 ]
 
 

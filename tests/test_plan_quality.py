@@ -278,3 +278,72 @@ def test_next_item_examples_single_bounded_window(spark):
     )
     assert n_windows <= 2, plan[:2000]
     assert "Join" not in plan.split("Window", 1)[0], plan[:2000]
+
+
+def _audit_module():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "plan_audit.py"
+    )
+    spec = importlib.util.spec_from_file_location("plan_audit", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _expectations():
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "plan_expectations.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_plan_flag_detector_catches_python_udf(spark):
+    # self-check of the gate: a deliberately-broken plan (row-at-a-time
+    # Python UDF in the hot path) MUST trip the `python` flag
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import IntegerType
+
+    audit = _audit_module()
+    bad = udf(lambda x: x + 1, IntegerType())
+    df = spark.range(10).select(bad("id").alias("x"))
+    plan = _formatted_plan(spark, df)
+    assert "python" in audit.flags_for(plan)
+    # and a clean equivalent does not
+    good = spark.range(10).selectExpr("id + 1 AS x")
+    assert audit.flags_for(_formatted_plan(spark, good)) == []
+
+
+def test_plan_flags_match_expectations(spark):
+    """Full-surface plan-regression gate (not a sample): every declared
+    query's (python, nlj) plan flags must equal the checked-in
+    expectations from `scripts/plan_audit.py`. A future edit that
+    reintroduces a Python eval or an unintended nested-loop join — or
+    silently drops/renames a query — fails here; regenerating
+    tests/plan_expectations.json is a deliberate, diff-reviewed act."""
+    audit = _audit_module()
+    expected = _expectations()
+    qs = entrymod.queries()
+
+    missing = sorted(set(expected) - set(qs))
+    unregistered = sorted(set(qs) - set(expected))
+    assert not missing, f"queries dropped vs expectations: {missing}"
+    assert not unregistered, (
+        "queries missing from plan_expectations.json (rerun "
+        f"scripts/plan_audit.py): {unregistered}"
+    )
+
+    mismatches = {}
+    for name, fn in qs.items():
+        df = fn(spark, SF)
+        plan = _formatted_plan(spark, df)
+        got = sorted(audit.flags_for(plan))
+        if got != expected[name]:
+            mismatches[name] = {"expected": expected[name], "got": got}
+    assert not mismatches, f"plan flags drifted: {mismatches}"

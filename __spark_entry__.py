@@ -2835,6 +2835,81 @@ def _rolling_origin_cv(spark, sf_dir):
     )
 
 
+def _user_behavior_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the item distribution
+    (operators/metrics.py::user_behavior_entropy): top-20 most diverse
+    users over the shared interactions table; DECIMAL-exact
+    contribution sums rank-stable across engines."""
+    return M.user_behavior_entropy(R.interactions(spark, sf_dir))
+
+
+def _ucb_arm_stats(spark, sf_dir):
+    """Batch UCB1 bandit readout over events
+    (operators/experiment.py::ucb_arm_stats): 4 md5-salted arms,
+    pulls/mean reward/UCB1 index per arm; one arm-keyed aggregate,
+    N via an arm-scale window — zero driver actions."""
+    from recmetrics_pyspark_spark.operators.experiment import ucb_arm_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return ucb_arm_stats(ev, "user_id", "value", salt="bandit1", n_arms=4)
+
+
+def _item_trend_slope(spark, sf_dir):
+    """Top-20 steepest-rising parts by OLS slope of daily order-line
+    counts (operators/timeseries.py::trend_slope_topk): exact BIGINT
+    Σx/Σy/Σxy/Σx² per part, one closed-form division."""
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        trend_slope_topk,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    daily = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return trend_slope_topk(daily, "l_partkey", "o_orderdate")
+
+
+def _prefix_dedup(spark, sf_dir):
+    """Shared-prefix boilerplate groups over documents
+    (operators/dedup.py::prefix_dedup): first-4-token md5 groups with
+    ≥2 docs, keeper + distinct-source counts, one hash-keyed
+    aggregate."""
+    return D.prefix_dedup(_docs(spark, sf_dir), k_tokens=4)
+
+
+def _ngram_novelty_by_source(spark, sf_dir):
+    """Per-source first-seen 3-gram novelty
+    (operators/dedup.py::ngram_novelty_by_source): fraction of
+    shingles each doc introduces (min-doc-id credit), averaged per
+    source over the shared shingle table."""
+    return D.ngram_novelty_by_source(_docs(spark, sf_dir))
+
+
+def _repurchase_intervals(spark, sf_dir):
+    """Per-part repurchase cadence (operators/funnel.py::
+    repurchase_intervals): day gaps between a customer's consecutive
+    purchases of the same part; top-20 parts by repurchase volume
+    with exact mean and interpolated median gaps."""
+    from recmetrics_pyspark_spark.operators.funnel import (
+        repurchase_intervals,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    purchases = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return repurchase_intervals(
+        purchases, col_user="o_custkey", col_item="l_partkey",
+        col_date="o_orderdate",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-5 rotation (`_ROUND5_WINDOW`
@@ -3087,6 +3162,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_training_set": _churn_training_set,
         "containment_pairs": _containment_pairs,
         "sequential_rules": _sequential_rules,
+        # --- round-5 additions (witnessed on arrival via the window)
+        "user_behavior_entropy": _user_behavior_entropy,
+        "ucb_arm_stats": _ucb_arm_stats,
+        "item_trend_slope": _item_trend_slope,
+        "prefix_dedup": _prefix_dedup,
+        "ngram_novelty_by_source": _ngram_novelty_by_source,
+        "repurchase_intervals": _repurchase_intervals,
     }
     ordered = {k: base[k] for k in _ROUND5_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3150,6 +3232,13 @@ _ROUND5_WINDOW = [
     # code changed in round 5 (broadcast guard / declarative n_logs)
     "adamic_adar_links",
     "ips_offline_eval",
+    # round-5 new operators, witnessed the round they land
+    "user_behavior_entropy",
+    "ucb_arm_stats",
+    "item_trend_slope",
+    "prefix_dedup",
+    "ngram_novelty_by_source",
+    "repurchase_intervals",
 ]
 
 
@@ -6359,5 +6448,137 @@ SELECT d.node, d.degree,
                   / (d.degree * (d.degree - 1)), 6)
        ELSE 0.0 END AS clustering_coeff
 FROM deg d LEFT JOIN per_node p ON d.node = p.node
+""",
+        # --- round-5 additions
+        "user_behavior_entropy": ORACLE_BASE + """
+, ui AS (
+  SELECT user_id AS u, item_id AS i, CAST(count(*) AS BIGINT) AS n_ui
+  FROM interactions GROUP BY 1, 2
+), per AS (
+  SELECT u, n_ui, sum(n_ui) OVER (PARTITION BY u) AS n_u FROM ui
+), hd AS (
+  SELECT u, CAST(max(n_u) AS BIGINT) AS n_events,
+    CAST(count(*) AS BIGINT) AS n_items,
+    sum(CAST(round(-(n_ui / CAST(n_u AS DOUBLE))
+                   * log2(n_ui / CAST(n_u AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS h_dec
+  FROM per GROUP BY u
+)
+SELECT u AS "user", n_events, n_items,
+  round(CAST(h_dec AS DOUBLE), 6) AS entropy,
+  CASE WHEN n_items > 1
+       THEN round(CAST(h_dec AS DOUBLE)
+                  / log2(CAST(n_items AS DOUBLE)), 6)
+  END AS norm_entropy,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY h_dec DESC, u) AS rnk
+  FROM hd) t
+WHERE rnk <= 20
+""",
+        "ucb_arm_stats": """
+WITH armed AS (
+  SELECT ('0x' || substr(md5('bandit1|' || CAST(user_id AS VARCHAR)),
+                         1, 8))::BIGINT % 4 AS arm,
+    CAST(value AS DECIMAL(18,6)) AS r
+  FROM events
+), per_arm AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_pulls,
+    CAST(sum(r) AS DECIMAL(38,12)) AS sr
+  FROM armed GROUP BY arm
+), tot AS (
+  SELECT arm, n_pulls, CAST(sum(n_pulls) OVER () AS BIGINT) AS n_total,
+    round(CAST(sr AS DOUBLE) / n_pulls, 9) AS mean_r9
+  FROM per_arm
+)
+SELECT arm, n_pulls, n_total,
+  round(mean_r9, 6) AS mean_reward,
+  round(mean_r9 + sqrt(2.0 * ln(n_total) / n_pulls), 6) AS ucb1
+FROM tot ORDER BY arm
+""",
+        "item_trend_slope": """
+WITH daily AS (
+  SELECT l_partkey AS key, o_orderdate AS d,
+    CAST(count(*) AS BIGINT) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), d0 AS (SELECT min(d) AS d0 FROM daily),
+xy AS (
+  SELECT key, CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+  FROM daily CROSS JOIN d0
+), agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+  FROM xy GROUP BY key
+), sl AS (
+  SELECT key, n_days, CAST(sy AS BIGINT) AS n_events,
+    round(CAST(n_days*sxy - sx*sy AS DOUBLE)
+          / nullif(CAST(n_days*sxx - sx*sx AS DOUBLE), 0), 6) AS slope
+  FROM agg
+)
+SELECT key, n_days, n_events, slope, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY slope DESC, key) AS rnk
+  FROM sl WHERE slope IS NOT NULL) t
+WHERE rnk <= 20
+""",
+        "prefix_dedup": """
+WITH p AS (
+  SELECT doc_id, source,
+    md5(array_to_string(
+      list_slice(string_split(text, ' '), 1, 4), ' ')) AS prefix_hash
+  FROM documents
+), g AS (
+  SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+    min(doc_id) AS keeper,
+    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM p GROUP BY prefix_hash HAVING count(*) >= 2
+)
+SELECT prefix_hash, n_docs, keeper, n_sources, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n_docs DESC, keeper) AS rnk
+  FROM g) t
+WHERE rnk <= 50
+""",
+        "ngram_novelty_by_source": _DOC_BASE + """
+, fs AS (
+  SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+), pd AS (
+  SELECT sh.doc_id, count(*) AS n_sh,
+    sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_new
+  FROM sh JOIN fs USING (s) GROUP BY sh.doc_id
+), nov AS (
+  SELECT doc_id,
+    CAST(round(n_new / CAST(n_sh AS DOUBLE), 9) AS DECIMAL(18,9))
+      AS novelty_dec
+  FROM pd
+)
+SELECT dd.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(sum(novelty_dec) AS DOUBLE) / count(*), 6) AS avg_novelty
+FROM nov JOIN documents dd USING (doc_id)
+GROUP BY dd.source ORDER BY source
+""",
+        "repurchase_intervals": """
+WITH ud AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i, o_orderdate AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), g AS (
+  SELECT i, CAST(date_diff('day',
+    lag(d) OVER (PARTITION BY u, i ORDER BY d), d) AS BIGINT) AS gap
+  FROM ud
+), gg AS (SELECT i, gap FROM g WHERE gap IS NOT NULL),
+agg AS (
+  SELECT i AS item, CAST(count(*) AS BIGINT) AS n_repurchases,
+    round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS avg_gap_days,
+    quantile_cont(gap, 0.5) AS median_gap_days
+  FROM gg GROUP BY i
+)
+SELECT item, n_repurchases, avg_gap_days, median_gap_days,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY n_repurchases DESC, item) AS rnk
+  FROM agg) t
+WHERE rnk <= 20
 """,
     }

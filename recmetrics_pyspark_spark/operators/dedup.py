@@ -1161,3 +1161,119 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def prefix_dedup(
+    df: DataFrame,
+    k_tokens: int = 4,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_source: str = "source",
+    limit: int = 50,
+) -> DataFrame:
+    """Boilerplate/template detection by shared document PREFIX: docs
+    whose first ``k_tokens`` whitespace tokens are identical form a
+    group — the cheap headline filter (mirrored boilerplate, scraped
+    templates, licence headers) that whole-document hashing
+    (``dedup_exact``) and span mining (``duplicated_spans``) both miss
+    when bodies diverge after a common opening.
+
+    Output: one row per duplicated-prefix group (n_docs ≥ 2):
+    md5 ``prefix_hash``, ``n_docs``, ``keeper`` (min doc id — the
+    canonical survivor), ``n_sources`` (distinct origins, the
+    cross-site-boilerplate signal), ranked by group size then keeper.
+
+    Scale shape: ONE groupBy on the prefix hash (never the raw prefix
+    string — constant 32-byte keys), global top-k via orderBy+limit.
+    No joins, no pair materialization — group count is bounded by the
+    corpus, and a hot template key is one reducer's count, not a
+    quadratic blow-up (nothing ever pairs group members)."""
+    toks = F.split(F.col(col_text), " ")
+    prefix = F.concat_ws(
+        " ", F.slice(toks, 1, k_tokens)
+    )
+    from pyspark.sql.window import Window
+
+    wk = Window.orderBy(F.desc("n_docs"), F.asc("keeper"))
+    return (
+        df.select(
+            F.md5(prefix).alias("prefix_hash"),
+            F.col(col_id).alias("id"),
+            F.col(col_source).alias("src"),
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("id").alias("keeper"),
+            F.countDistinct("src").cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("keeper"))
+        .limit(limit)
+        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+    )
+
+
+def ngram_novelty_by_source(
+    df: DataFrame,
+    k: int = 3,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_source: str = "source",
+) -> DataFrame:
+    """Per-source n-gram novelty: for each document, the fraction of
+    its word ``k``-gram shingles that the document INTRODUCES to the
+    corpus (no lower-id document contains them), averaged per source —
+    the ingest-curation signal for ranking feeds by how much genuinely
+    new text they contribute (the inverse of ``dup_ngram_fraction``'s
+    repetition view, attributed by origin and with first-seen credit).
+
+    A shingle's introducer is min(doc_id) over the docs containing it;
+    doc order stands in for arrival order (the incremental ingest
+    pipeline supplies true arrival ids). Per-doc fractions are
+    pre-rounded to DECIMAL(18,9) and averaged exactly, so the 6-decimal
+    per-source means are partial-aggregation-order independent.
+
+    Scale shape: rides the session-shared shingle table; one
+    vocabulary-scale min aggregate, one shingle-scale join back, one
+    doc-scale and one source-scale aggregate — no pair
+    materialization, the same everything-stays-shingle-scale contract
+    as dup_ngram_fraction."""
+    sh = word_shingles(df, col_id, col_text, k)
+    first_seen = sh.groupBy("shingle").agg(
+        F.min(col_id).alias("first_doc")
+    )
+    per_doc = (
+        sh.join(first_seen, "shingle")
+        .groupBy(col_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(col_id), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+        .select(
+            col_id,
+            F.expr(
+                "CAST(round(n_new / CAST(n_sh AS DOUBLE), 9)"
+                " AS DECIMAL(18,9))"
+            ).alias("novelty_dec"),
+        )
+    )
+    src = df.select(F.col(col_id), F.col(col_source).alias("source"))
+    return (
+        per_doc.join(src, col_id)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # exact DECIMAL sum, ONE double division (identical on any
+            # engine) — never a decimal-typed avg, whose result scale
+            # differs between Spark and DuckDB
+            F.round(
+                F.sum("novelty_dec").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_novelty"),
+        )
+        .orderBy("source")
+    )

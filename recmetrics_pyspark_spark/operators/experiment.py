@@ -189,3 +189,80 @@ def km_survival(
             "survival",
         )
     )
+
+
+def ucb_arm_stats(
+    df: DataFrame,
+    col_unit: str,
+    col_value: str,
+    salt: str = "bandit1",
+    n_arms: int = 4,
+) -> DataFrame:
+    """Batch UCB1 readout for an n-armed experiment: per arm, pulls,
+    mean reward, and the UCB1 index mean + √(2·ln N / n) (Auer et al.
+    2002) — the score a batch bandit scheduler would rank arms by for
+    the next allocation round.
+
+    Arm assignment is the same deterministic salted md5-prefix hash as
+    ``ab_test_analysis`` (stable across runs and engines), mod
+    ``n_arms``. Every event is one pull; rewards sum in DECIMAL(18,6)
+    so the per-arm means are partial-aggregation-order independent,
+    and the mean is pre-rounded to 9 decimals before the bonus math so
+    the 6-decimal output cannot drift between engines.
+
+    Scale shape: ONE corpus-scale aggregate (arm-keyed, n_arms rows);
+    N enters via a window over the arm-scale frame — no driver
+    actions, no second pass over the events."""
+    from pyspark.sql.window import Window
+
+    armed = df.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(salt),
+                            F.col(col_unit).cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % n_arms
+        ).alias("arm"),
+        F.col(col_value).cast("decimal(18,6)").alias("r"),
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pulls"),
+        F.sum("r").cast("decimal(38,12)").alias("sr"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        per_arm.withColumn(
+            "n_total", F.sum("n_pulls").over(w_all).cast("bigint")
+        )
+        .select(
+            "arm",
+            "n_pulls",
+            "n_total",
+            F.round(
+                F.col("sr").cast("double") / F.col("n_pulls"), 9
+            ).alias("mean_r9"),
+        )
+        .select(
+            "arm",
+            "n_pulls",
+            "n_total",
+            F.round("mean_r9", 6).alias("mean_reward"),
+            F.round(
+                F.col("mean_r9")
+                + F.sqrt(
+                    2.0 * F.log(F.col("n_total").cast("double"))
+                    / F.col("n_pulls")
+                ),
+                6,
+            ).alias("ucb1"),
+        )
+        .orderBy("arm")
+    )

@@ -458,3 +458,57 @@ def churn_training_set(
         )
         .orderBy("user_id")
     )
+
+
+def repurchase_intervals(
+    purchases: DataFrame,
+    k: int = 20,
+    col_user: str = "user",
+    col_item: str = "item",
+    col_date: str = "dt",
+) -> DataFrame:
+    """Per-item repurchase cadence: the distribution of day gaps
+    between a user's CONSECUTIVE purchases of the same item — the
+    replenishment signal behind reorder reminders and
+    inventory-cadence forecasts, which no existing retention query
+    (cohort, KM survival, RFM) exposes at item grain.
+
+    Per (user, item), purchase dates collapse to distinct days first
+    (multi-line orders are one purchase event); gaps come from one
+    lag window over each user-item day sequence. Items aggregate to
+    n_repurchases (gap count), avg_gap_days (exact integer sum, one
+    double division) and median_gap_days (exact interpolated
+    percentile over integer gaps — x.0/x.5 doubles, engine-portable).
+    Top ``k`` items by repurchase volume, ties by item id.
+
+    Scale shape: one (user, item, day) distinct, one lag window
+    bounded per user-item group, one item-scale aggregate, global
+    top-k via orderBy+limit. The window never crosses entities, so
+    skew is bounded by one user's history of one item."""
+    from pyspark.sql.window import Window
+
+    ud = purchases.select(
+        F.col(col_user).alias("u"),
+        F.col(col_item).alias("i"),
+        F.col(col_date).cast("date").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("u", "i").orderBy("d")
+    gaps = (
+        ud.withColumn("prev_d", F.lag("d").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select("i", F.datediff("d", "prev_d").cast("bigint").alias("gap"))
+    )
+    wk = Window.orderBy(F.desc("n_repurchases"), F.asc("item"))
+    return (
+        gaps.groupBy(F.col("i").alias("item"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_repurchases"),
+            F.round(
+                F.sum("gap").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_gap_days"),
+            F.expr("percentile(gap, 0.5)").alias("median_gap_days"),
+        )
+        .orderBy(F.desc("n_repurchases"), F.asc("item"))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+    )

@@ -579,3 +579,68 @@ def popularity_concentration(
             F.exp(-F.sum(F.col("p") * F.log(F.col("p")))), 6
         ).alias("effective_catalog_size"),
     )
+
+
+def user_behavior_entropy(
+    df: DataFrame,
+    k: int = 20,
+    col_user: str = "user",
+    col_item: str = "item",
+) -> DataFrame:
+    """Per-user Shannon entropy of the item-interaction distribution —
+    the user-side diversity twin of the catalog-side
+    ``popularity_concentration`` entropy: H(u) = -Σ_i p_ui·log2(p_ui)
+    with p_ui the share of user u's events on item i, plus the
+    normalized variant H/log2(n_items) in [0, 1] (NULL for
+    single-item users, where it is 0/0).
+
+    Returns the ``k`` highest-entropy users (most diverse baskets),
+    ties broken by user id: user, n_events, n_items, entropy,
+    norm_entropy, rnk.
+
+    Determinism across engines: each item's contribution
+    -p·log2(p) is pre-rounded to DECIMAL(18,9) and summed EXACTLY
+    (associative), so partial-aggregation order can never move the
+    ranking — the same rule as the Adamic-Adar wedge sums. Scale
+    shape: one (user, item) aggregate, one user-scale aggregate,
+    global top-k via orderBy+limit (TakeOrderedAndProject) — nothing
+    wider than the interaction table ever shuffles."""
+    ui = df.groupBy(
+        F.col(col_user).alias("u"), F.col(col_item).alias("i")
+    ).agg(F.count(F.lit(1)).alias("n_ui"))
+    w_tot = Window.partitionBy("u")
+    contrib = F.expr(
+        "CAST(round(-(n_ui / n_u) * log2(n_ui / n_u), 9)"
+        " AS DECIMAL(18,9))"
+    )
+    per_user = (
+        ui.withColumn("n_u", F.sum("n_ui").over(w_tot))
+        .select("u", "n_ui", "n_u", contrib.alias("c"))
+        .groupBy("u")
+        .agg(
+            F.max("n_u").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("c").alias("h_dec"),
+        )
+    )
+    wk = Window.orderBy(F.desc("h_dec"), F.asc("u"))
+    return (
+        per_user.orderBy(F.desc("h_dec"), F.asc("u"))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+        .select(
+            F.col("u").alias("user"),
+            "n_events",
+            "n_items",
+            F.round(F.col("h_dec").cast("double"), 6).alias("entropy"),
+            F.when(
+                F.col("n_items") > 1,
+                F.round(
+                    F.col("h_dec").cast("double")
+                    / F.log2(F.col("n_items").cast("double")),
+                    6,
+                ),
+            ).alias("norm_entropy"),
+            "rnk",
+        )
+    )

@@ -259,3 +259,72 @@ def trailing_window_anomaly(
         )
         .orderBy("key", "day")
     )
+
+
+def trend_slope_topk(
+    df: DataFrame,
+    col_key: str,
+    col_date: str,
+    k: int = 20,
+) -> DataFrame:
+    """Per-key linear activity trend: ordinary-least-squares slope of
+    daily event counts against the day index, ranked to the ``k``
+    steepest risers — the batch twin of ``wow_trending`` for gradual
+    drift (a key can trend hard without ever having a big
+    week-over-week jump).
+
+        slope(key) = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    over that key's OBSERVED days (x = days since the corpus' first
+    date, y = that day's event count; days with no activity are
+    absent, not zero-filled — zero-filling is calendar × keys fan-out
+    and belongs to a densify step if wanted). Every Σ is an exact
+    BIGINT sum, so the single closed-form double division is computed
+    from identical integers on any engine; slope is NULL for
+    single-day keys (0/0 via try_divide).
+
+    Scale shape: one (key, day) aggregate, one one-row min-date
+    broadcast, one key-scale aggregate, global top-k via orderBy+limit
+    — no windows, no self-joins, nothing wider than the daily grain
+    shuffles."""
+    daily = df.groupBy(
+        F.col(col_key).alias("key"),
+        F.col(col_date).cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d0 = daily.agg(F.min("d").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "key",
+        F.datediff("d", "d0").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    agg = xy.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = F.round(
+        F.try_divide(
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double"),
+            (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double"),
+        ),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    wk = Window.orderBy(F.desc("slope"), F.asc("key"))
+    return (
+        agg.select(
+            "key",
+            "n_days",
+            F.col("sy").alias("n_events"),
+            slope.alias("slope"),
+        )
+        .filter(F.col("slope").isNotNull())
+        .orderBy(F.desc("slope"), F.asc("key"))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+    )

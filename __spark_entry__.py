@@ -2930,10 +2930,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its current code sits after the window.
 
     ROUND-6 ROTATION NOTE: after this round's window, every declared
-    query has a driver row at its current code (union coverage
-    205/205 of the r4 surface + the round-5 additions witnessed on
-    arrival). Next round: canaries first, then any query whose code
-    changes in round 6, then new operators; no backlog remains.
+    query has a driver row at its current code EXCEPT two whose code
+    changed late in round 5 with the window already full:
+    pagerank_items (deg fold-in join now under the broadcast_node_limit
+    guard) and conversion_latency (funnel step tables moved to lazy
+    localCheckpoint) — both judge-checkable and verified green via
+    scripts/driver_check.py at sf0.01 this round. Round 6 window:
+    canaries first, then these two re-witnesses, then any round-6
+    changes, then new operators; no other backlog remains.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing

@@ -101,8 +101,18 @@ def pagerank_from_edges(
                 "on_asymmetric='keep' (retain them at the base score) or "
                 "'ignore' (inbound-less nodes drop out after round 1)"
             )
+    # deg is NODE-scale: the same broadcast_node_limit guard as the
+    # per-round pr hint applies to this one-time fold-in join (a forced
+    # hint on a 10⁸⁺-node degree table would OOM the driver exactly
+    # like the loop broadcast would). deg's count is needed for n (the
+    # 'error'/'ignore' path) anyway, so the guard costs nothing extra.
+    deg = deg.localCheckpoint(eager=True)
+    n_deg = deg.count()
+    deg_hint = (
+        F.broadcast if n_deg <= broadcast_node_limit else (lambda df: df)
+    )
     ew = (
-        e.join(F.broadcast(deg), "src")
+        e.join(deg_hint(deg), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
         .localCheckpoint(eager=True)
     )
@@ -116,7 +126,7 @@ def pagerank_from_edges(
         n = nodes0.count()
     else:
         nodes0 = deg.select(F.col("src").alias("node"))
-        n = deg.count()
+        n = n_deg
     base = (1.0 - damping) / n
     # pr is NODE-scale — broadcast it explicitly when it fits:
     # localCheckpoint-backed plans report no size statistics, so without

@@ -2930,14 +2930,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its current code sits after the window.
 
     ROUND-6 ROTATION NOTE: after this round's window, every declared
-    query has a driver row at its current code EXCEPT two whose code
+    query has a driver row at its current code EXCEPT one whose code
     changed late in round 5 with the window already full:
-    pagerank_items (deg fold-in join now under the broadcast_node_limit
-    guard) and conversion_latency (funnel step tables moved to lazy
-    localCheckpoint) — both judge-checkable and verified green via
-    scripts/driver_check.py at sf0.01 this round. Round 6 window:
-    canaries first, then these two re-witnesses, then any round-6
-    changes, then new operators; no other backlog remains.
+    pagerank_items (the deg fold-in join moved under the
+    broadcast_node_limit guard) — verified green via
+    scripts/driver_check.py at sf0.01 this round. (funnel_conversion
+    and conversion_latency also changed/replanned this round but sit
+    INSIDE the window, so their round-5 driver rows are at final
+    code.) Round 6 window: canaries first, then the pagerank_items
+    re-witness, then any round-6 changes, then new operators; no
+    other backlog remains.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -6472,7 +6474,7 @@ SELECT u AS "user", n_events, n_items,
   round(CAST(h_dec AS DOUBLE), 6) AS entropy,
   CASE WHEN n_items > 1
        THEN round(CAST(h_dec AS DOUBLE)
-                  / log2(CAST(n_items AS DOUBLE)), 6)
+                  / round(log2(CAST(n_items AS DOUBLE)), 9), 6)
   END AS norm_entropy,
   CAST(rnk AS BIGINT) AS rnk
 FROM (
@@ -6497,7 +6499,8 @@ WITH armed AS (
 )
 SELECT arm, n_pulls, n_total,
   round(mean_r9, 6) AS mean_reward,
-  round(mean_r9 + sqrt(2.0 * ln(n_total) / n_pulls), 6) AS ucb1
+  round(mean_r9
+        + round(sqrt(2.0 * ln(n_total) / n_pulls), 9), 6) AS ucb1
 FROM tot ORDER BY arm
 """,
         "item_trend_slope": """

@@ -1192,10 +1192,9 @@ def prefix_dedup(
     prefix = F.concat_ws(
         " ", F.slice(toks, 1, k_tokens)
     )
-    from pyspark.sql.window import Window
+    from .ranking import ranked_topk
 
-    wk = Window.orderBy(F.desc("n_docs"), F.asc("keeper"))
-    return (
+    g = (
         df.select(
             F.md5(prefix).alias("prefix_hash"),
             F.col(col_id).alias("id"),
@@ -1208,10 +1207,8 @@ def prefix_dedup(
             F.countDistinct("src").cast("bigint").alias("n_sources"),
         )
         .filter(F.col("n_docs") >= 2)
-        .orderBy(F.desc("n_docs"), F.asc("keeper"))
-        .limit(limit)
-        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
     )
+    return ranked_topk(g, [F.desc("n_docs"), F.asc("keeper")], limit)
 
 
 def ngram_novelty_by_source(

@@ -207,8 +207,10 @@ def ucb_arm_stats(
     ``ab_test_analysis`` (stable across runs and engines), mod
     ``n_arms``. Every event is one pull; rewards sum in DECIMAL(18,6)
     so the per-arm means are partial-aggregation-order independent,
-    and the mean is pre-rounded to 9 decimals before the bonus math so
-    the 6-decimal output cannot drift between engines.
+    and BOTH halves of the index are pre-rounded to 9 decimals before
+    the final 6-decimal round — the mean, and the √(2·ln N/n) bonus
+    (libm vs JVM log may differ by 1 ulp; pre-rounding the
+    transcendental term is the repo's standard drift guard).
 
     Scale shape: ONE corpus-scale aggregate (arm-keyed, n_arms rows);
     N enters via a window over the arm-scale frame — no driver
@@ -257,9 +259,12 @@ def ucb_arm_stats(
             F.round("mean_r9", 6).alias("mean_reward"),
             F.round(
                 F.col("mean_r9")
-                + F.sqrt(
-                    2.0 * F.log(F.col("n_total").cast("double"))
-                    / F.col("n_pulls")
+                + F.round(
+                    F.sqrt(
+                        2.0 * F.log(F.col("n_total").cast("double"))
+                        / F.col("n_pulls")
+                    ),
+                    9,
                 ),
                 6,
             ).alias("ucb1"),

@@ -498,17 +498,15 @@ def repurchase_intervals(
         .filter(F.col("prev_d").isNotNull())
         .select("i", F.datediff("d", "prev_d").cast("bigint").alias("gap"))
     )
-    wk = Window.orderBy(F.desc("n_repurchases"), F.asc("item"))
-    return (
-        gaps.groupBy(F.col("i").alias("item"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_repurchases"),
-            F.round(
-                F.sum("gap").cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_gap_days"),
-            F.expr("percentile(gap, 0.5)").alias("median_gap_days"),
-        )
-        .orderBy(F.desc("n_repurchases"), F.asc("item"))
-        .limit(k)
-        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+    from .ranking import ranked_topk
+
+    agg = gaps.groupBy(F.col("i").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_repurchases"),
+        F.round(
+            F.sum("gap").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_gap_days"),
+        F.expr("percentile(gap, 0.5)").alias("median_gap_days"),
+    )
+    return ranked_topk(
+        agg, [F.desc("n_repurchases"), F.asc("item")], k
     )

@@ -17,6 +17,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _node_broadcast_hint(df: DataFrame, limit: int):
+    """Shared size guard for NODE-scale tables (degree/label tables —
+    the item vocabulary): eagerly localCheckpoint the frame
+    (materialized at construction; checkpoint-backed plans carry no
+    size statistics, so Catalyst will never broadcast them alone),
+    count the cached result (cheap — reads the checkpoint blocks) to
+    decide the join strategy, and return (df, n, hint) where hint is
+    ``F.broadcast`` at or below ``limit`` and identity above it — a
+    10⁸⁺-node table must never be hint-forced onto the driver. One
+    definition for pagerank_from_edges / adamic_adar_links /
+    common_neighbor_links; min_label_components keeps its own variant
+    (per-round decision over a fixed node set)."""
+    df = df.localCheckpoint(eager=True)
+    n = df.count()
+    hint = F.broadcast if n <= limit else (lambda d: d)
+    return df, n, hint
+
+
 def pagerank_from_edges(
     edges: DataFrame,
     iters: int = 3,
@@ -102,15 +120,10 @@ def pagerank_from_edges(
                 "'ignore' (inbound-less nodes drop out after round 1)"
             )
     # deg is NODE-scale: the same broadcast_node_limit guard as the
-    # per-round pr hint applies to this one-time fold-in join (a forced
-    # hint on a 10⁸⁺-node degree table would OOM the driver exactly
-    # like the loop broadcast would). deg's count is needed for n (the
-    # 'error'/'ignore' path) anyway, so the guard costs nothing extra.
-    deg = deg.localCheckpoint(eager=True)
-    n_deg = deg.count()
-    deg_hint = (
-        F.broadcast if n_deg <= broadcast_node_limit else (lambda df: df)
-    )
+    # per-round pr hint applies to this one-time fold-in join; deg's
+    # count is needed for n (the 'error'/'ignore' path) anyway, so the
+    # guard costs nothing extra.
+    deg, n_deg, deg_hint = _node_broadcast_hint(deg, broadcast_node_limit)
     ew = (
         e.join(deg_hint(deg), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
@@ -398,15 +411,9 @@ def adamic_adar_links(
             F.col(col_w).alias("w"),
         )
     )
-    deg = both.groupBy("z").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=True)
-    # deg is NODE-scale; the one count both fills the checkpoint cache
-    # and decides the wedge-join strategy (see docstring).
-    hint = (
-        F.broadcast
-        if deg.count() <= broadcast_node_limit
-        else (lambda df: df)
+    deg, _, hint = _node_broadcast_hint(
+        both.groupBy("z").agg(F.count(F.lit(1)).alias("deg")),
+        broadcast_node_limit,
     )
     wr = Window.partitionBy("z").orderBy(F.desc("w"), F.asc("nbr"))
     capped = (
@@ -491,15 +498,9 @@ def common_neighbor_links(
             F.col(col_w).alias("w"),
         )
     )
-    deg = both.groupBy("z").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=True)
-    # Node-scale degree table: one count fills the checkpoint cache and
-    # decides broadcast vs shuffle for both degree-enrich joins below.
-    hint = (
-        F.broadcast
-        if deg.count() <= broadcast_node_limit
-        else (lambda df: df)
+    deg, _, hint = _node_broadcast_hint(
+        both.groupBy("z").agg(F.count(F.lit(1)).alias("deg")),
+        broadcast_node_limit,
     )
     wr = Window.partitionBy("z").orderBy(F.desc("w"), F.asc("nbr"))
     capped = (

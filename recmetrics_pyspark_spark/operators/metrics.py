@@ -623,11 +623,10 @@ def user_behavior_entropy(
             F.sum("c").alias("h_dec"),
         )
     )
-    wk = Window.orderBy(F.desc("h_dec"), F.asc("u"))
+    from .ranking import ranked_topk
+
     return (
-        per_user.orderBy(F.desc("h_dec"), F.asc("u"))
-        .limit(k)
-        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+        ranked_topk(per_user, [F.desc("h_dec"), F.asc("u")], k)
         .select(
             F.col("u").alias("user"),
             "n_events",
@@ -635,9 +634,13 @@ def user_behavior_entropy(
             F.round(F.col("h_dec").cast("double"), 6).alias("entropy"),
             F.when(
                 F.col("n_items") > 1,
+                # log2 pre-rounded to 9 decimals: the repo's standard
+                # guard against 1-ulp libm-vs-JVM transcendental drift
                 F.round(
                     F.col("h_dec").cast("double")
-                    / F.log2(F.col("n_items").cast("double")),
+                    / F.round(
+                        F.log2(F.col("n_items").cast("double")), 9
+                    ),
                     6,
                 ),
             ).alias("norm_entropy"),

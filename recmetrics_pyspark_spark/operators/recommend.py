@@ -1053,7 +1053,13 @@ def sequential_rules(
         .persist()
     )
     # N enters declaratively as a one-row broadcast (the rfm_segments
-    # pattern) — no build-time driver action, one returned plan.
+    # pattern) — no build-time driver action, one returned plan. The
+    # persist above is LAZY by the same rule; on the first action the
+    # nu/na/nb broadcast subtrees and the pair join race the unfilled
+    # cache, but BlockInfoManager's get-or-compute computes each
+    # cached partition once (racers block on the lock rather than
+    # duplicating the aggregate), and every later action hits the
+    # filled cache.
     nu = capped.agg(F.countDistinct("u").alias("n_users"))
     adopters = capped.groupBy("it").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_adopt")

@@ -313,18 +313,12 @@ def trend_slope_topk(
         ),
         6,
     )
-    from pyspark.sql.window import Window
+    from .ranking import ranked_topk
 
-    wk = Window.orderBy(F.desc("slope"), F.asc("key"))
-    return (
-        agg.select(
-            "key",
-            "n_days",
-            F.col("sy").alias("n_events"),
-            slope.alias("slope"),
-        )
-        .filter(F.col("slope").isNotNull())
-        .orderBy(F.desc("slope"), F.asc("key"))
-        .limit(k)
-        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
-    )
+    sl = agg.select(
+        "key",
+        "n_days",
+        F.col("sy").alias("n_events"),
+        slope.alias("slope"),
+    ).filter(F.col("slope").isNotNull())
+    return ranked_topk(sl, [F.desc("slope"), F.asc("key")], k)

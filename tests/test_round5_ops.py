@@ -57,9 +57,10 @@ def test_ucb_arm_stats_matches_reference_math(spark):
         assert r.n_total == n_total
         mean9 = round(sum(vals) / len(vals), 9)
         assert r.mean_reward == round(mean9, 6)
-        assert r.ucb1 == round(
-            mean9 + math.sqrt(2.0 * math.log(n_total) / len(vals)), 6
+        bonus9 = round(
+            math.sqrt(2.0 * math.log(n_total) / len(vals)), 9
         )
+        assert r.ucb1 == round(mean9 + bonus9, 6)
         assert r.ucb1 > r.mean_reward
     assert sum(r.n_pulls for r in out.values()) == n_total
 

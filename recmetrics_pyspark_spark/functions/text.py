@@ -893,3 +893,116 @@ def doc_perplexity(
             ).cast("int").alias("bits_bucket"),
         )
     )
+
+
+def heaps_law_points(
+    df: DataFrame,
+    n_buckets: int = 10,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+) -> DataFrame:
+    """Vocabulary growth curve + Heaps'-law fit: partition the corpus
+    into ``n_buckets`` doc-id ranges (id order standing in for arrival
+    order, as in ngram_novelty_by_source), and at each cutoff report
+    cumulative token count N and cumulative distinct vocabulary V,
+    plus the fitted Heaps exponent β from the log-log OLS
+    V ≈ K·N^β over the observed points — the curve that predicts
+    tokenizer vocabulary pressure as a corpus grows.
+
+    The trick that keeps this ONE pass instead of n_buckets scans:
+    V(cutoff) needs no per-cutoff distinct — each token's FIRST
+    bucket is min(doc_id)'s bucket (one vocabulary-scale aggregate),
+    and cumulative sums over the n_buckets-row frame give every
+    cutoff's V and N at once. Bucket index is pure integer arithmetic
+    (never a percentile); log10 points are pre-rounded to
+    DECIMAL(18,9) so the OLS sums are exact, and β is one closed-form
+    double division.
+
+    Scale shape: one token explode (scan-side), one vocabulary-scale
+    min aggregate, two n_buckets-row cumulative windows, a constant-
+    size fit. Empty id-ranges emit no row (observed points only)."""
+    from pyspark.sql.window import Window
+
+    bounds = df.agg(
+        F.min(col_id).alias("lo"), F.max(col_id).alias("hi")
+    )
+    step = F.expr(
+        f"CAST(ceil((hi - lo + 1) / CAST({n_buckets} AS DOUBLE))"
+        " AS BIGINT)"
+    )
+    toks = df.select(
+        F.col(col_id).alias("id"),
+        F.explode(F.split(F.col(col_text), " ")).alias("tok"),
+    )
+
+    def bucket_of(id_col):
+        return F.least(
+            F.floor((id_col - F.col("lo")) / F.col("stp")).cast("int")
+            + 1,
+            F.lit(n_buckets),
+        )
+
+    tok_b = (
+        toks.crossJoin(F.broadcast(bounds.select("lo", step.alias("stp"))))
+        .select(bucket_of(F.col("id")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_toks"))
+    )
+    first_b = (
+        toks.groupBy("tok")
+        .agg(F.min("id").alias("fd"))
+        .crossJoin(F.broadcast(bounds.select("lo", step.alias("stp"))))
+        .select(bucket_of(F.col("fd")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    points = (
+        tok_b.join(first_b, "bucket", "left")
+        .withColumn("cum_tokens", F.sum("n_toks").over(w_cum))
+        .withColumn(
+            "cum_vocab",
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w_cum),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+            F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        )
+    )
+    lx = F.expr(
+        "CAST(round(log10(CAST(cum_tokens AS DOUBLE)), 9)"
+        " AS DECIMAL(18,9))"
+    )
+    ly = F.expr(
+        "CAST(round(log10(CAST(cum_vocab AS DOUBLE)), 9)"
+        " AS DECIMAL(18,9))"
+    )
+    fit = (
+        points.select(lx.alias("x"), ly.alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            F.round(
+                F.try_divide(
+                    (
+                        F.col("np") * F.col("sxy")
+                        - F.col("sx") * F.col("sy")
+                    ).cast("double"),
+                    (
+                        F.col("np") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double"),
+                ),
+                6,
+            ).alias("heaps_beta")
+        )
+    )
+    return points.crossJoin(F.broadcast(fit)).orderBy("bucket")

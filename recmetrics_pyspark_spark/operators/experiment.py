@@ -271,3 +271,94 @@ def ucb_arm_stats(
         )
         .orderBy("arm")
     )
+
+
+def ab_power_mde(
+    df: DataFrame,
+    col_unit: str,
+    col_value: str,
+    salt: str = "exp1",
+    z_alpha: float = 1.96,
+    z_beta: float = 0.841621234,
+) -> DataFrame:
+    """Minimum detectable effect for the running A/B experiment: with
+    the observed arm sizes and variances, the smallest absolute (and
+    relative-to-control) mean difference the test could declare
+    significant at two-sided α=5% with 80% power:
+
+        MDE = (z_α/2 + z_β) · √(s²_a/n_a + s²_b/n_b)
+
+    — the readout that answers "is this experiment big enough yet"
+    BEFORE peeking at the effect itself. Same deterministic salted-md5
+    arm assignment and DECIMAL (n, Σv, Σv²) reduction as
+    ``ab_test_analysis`` (kept standalone so that witnessed query's
+    code stays untouched; the shared-stats refactor is noted for the
+    next rotation). The standard error is pre-rounded to 9 decimals
+    before the constant multiplier — √ is IEEE-exact, but the upstream
+    double divisions are guarded like every cross-engine float.
+
+    Scale shape: one unit-scale aggregate, one 2-row arm aggregate,
+    a ONE-ROW output; nothing wider than the unit table shuffles."""
+    unit = (
+        df.groupBy(F.col(col_unit).alias("unit"))
+        .agg(
+            F.sum(F.col(col_value).cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("v")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(
+                        F.concat_ws("|", F.lit(salt),
+                                    F.col("unit").cast("string"))
+                    ), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            "v",
+        )
+    )
+    per_arm = unit.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(38,12)").alias("sv"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,12)")
+        ).cast("decimal(38,12)").alias("svv"),
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("sv").alias("sv_a"),
+        F.col("svv").alias("svv_a"),
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("sv").alias("sv_b"),
+        F.col("svv").alias("svv_b"),
+    )
+    mean_a = F.col("sv_a").cast("double") / F.col("n_a")
+    var_a = (
+        F.col("svv_a").cast("double")
+        - F.col("sv_a").cast("double") * F.col("sv_a").cast("double")
+        / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("svv_b").cast("double")
+        - F.col("sv_b").cast("double") * F.col("sv_b").cast("double")
+        / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    se9 = F.round(
+        F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")), 9
+    )
+    z_tot = float(z_alpha) + float(z_beta)
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round(se9, 6).alias("std_error"),
+        F.round(F.lit(z_tot) * se9, 6).alias("mde_abs"),
+        F.round(F.lit(z_tot) * se9 / F.abs(F.round(mean_a, 9)), 6).alias(
+            "mde_rel_control"
+        ),
+    )

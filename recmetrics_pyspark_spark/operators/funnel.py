@@ -510,3 +510,95 @@ def repurchase_intervals(
     return ranked_topk(
         agg, [F.desc("n_repurchases"), F.asc("item")], k
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    value_type: str = "purchase",
+    col_user: str = "user_id",
+    col_ts: str = "ts",
+    col_type: str = "event_type",
+    col_value: str = "value",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Weekly-cohort cumulative revenue (LTV curve): cohort = week of
+    the user's first ``cohort_type`` event; at each week offset, the
+    cohort's CUMULATIVE ``value_type`` revenue and its per-user LTV
+    (cum revenue / cohort size) — the revenue-weighted companion of
+    ``cohort_retention``'s activity counts.
+
+    Offsets with no revenue emit no row; the next observed offset's
+    cumulative total is still correct (the running sum is over
+    observed rows in offset order). Revenue is summed in
+    DECIMAL(18,6) end to end — weekly sums, the cohort-scale running
+    sum, and only the final per-user division is double.
+
+    Scale shape: revenue collapses to (user, week) grain in one
+    aggregate before the user-keyed cohort join; the cumulative
+    window runs over cohorts × offsets (calendar-bounded)."""
+    from pyspark.sql.window import Window
+
+    ev = events.select(
+        F.col(col_user).alias("u"),
+        F.date_trunc("week", F.col(col_ts)).cast("date").alias("wk"),
+        F.col(col_type).alias("et"),
+        F.col(col_value).alias("v"),
+    )
+    cohorts = (
+        ev.filter(F.col("et") == cohort_type)
+        .groupBy("u")
+        .agg(F.min("wk").alias("cohort_week"))
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        ev.filter(F.col("et") == value_type)
+        .groupBy("u", "wk")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("wrev")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(cohorts, "u")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+            "wrev",
+        )
+        .filter(
+            (F.col("week_offset") >= 0)
+            & (F.col("week_offset") <= max_offset)
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("wrev").cast("decimal(18,6)").alias("orev"))
+        .withColumn(
+            "cum_revenue_dec",
+            F.sum("orev").over(w_cum).cast("decimal(18,6)"),
+        )
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            F.round(F.col("cum_revenue_dec").cast("double"), 6).alias(
+                "cum_revenue"
+            ),
+            F.round(
+                F.col("cum_revenue_dec").cast("double")
+                / F.col("cohort_size"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

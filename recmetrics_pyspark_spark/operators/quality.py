@@ -212,3 +212,101 @@ def psi_drift(
         )
         .orderBy(col_group)
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    col_amount: str,
+) -> DataFrame:
+    """Benford's-law audit of a monetary/measure column: observed
+    first-significant-digit shares vs the Benford expectation
+    log10(1 + 1/d) — the classic anomaly screen for fabricated or
+    systematically-generated amounts (synthetic uniform data fails it
+    loudly, which is itself the signal here).
+
+    The first significant digit is extracted from the value's STRING
+    form (first [1-9] character) — never via log10/floor arithmetic,
+    whose 1-ulp boundary behavior differs across engines for values at
+    powers of ten. Expected shares are transcendental constants,
+    pre-rounded to 9 decimals. Output: 9 rows (digit, n, obs_share,
+    exp_share, abs_dev).
+
+    Scale shape: one scan-side string projection, one 9-row aggregate,
+    shares via a window over the 9-row frame — corpus-scale work is
+    exactly one aggregate."""
+    from pyspark.sql.window import Window
+
+    digits = df.select(
+        F.regexp_extract(
+            F.col(col_amount).cast("string"), "[1-9]", 0
+        ).alias("dgt")
+    ).filter(F.col("dgt") != "")
+    w_all = Window.partitionBy(F.lit(1))
+    exp_share = F.round(
+        F.log10(1.0 + 1.0 / F.col("digit")), 9
+    )
+    return (
+        digits.groupBy(F.col("dgt").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("n_tot", F.sum("n").over(w_all))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_tot").cast("double"), 6).alias(
+                "obs_share"
+            ),
+            F.round(exp_share, 6).alias("exp_share"),
+            F.round(
+                F.abs(
+                    F.round(F.col("n") / F.col("n_tot").cast("double"), 6)
+                    - F.round(exp_share, 6)
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: one
+    summary row with the smallest equivalence-class size (``k_min`` —
+    the dataset's actual anonymity level), class count, and how many
+    rows sit in classes below ``k`` (re-identifiable under the
+    k-anonymity model) — the privacy gate that runs BEFORE a
+    quasi-identifier projection is released, complementing the
+    row-level scrubbing of redact_pii and the deletion cascade of
+    user_erasure_audit.
+
+    Scale shape: ONE groupBy on the quasi-identifier tuple, then a
+    one-row reduction over class sizes; nothing wider than the input
+    shuffles, and a popular class is one reducer's count."""
+    g = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("cls")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("cls").cast("bigint").alias("n_rows"),
+        F.min("cls").cast("bigint").alias("k_min"),
+        F.sum(F.when(F.col("cls") < k, F.col("cls")).otherwise(0))
+        .cast("bigint")
+        .alias("n_at_risk"),
+        F.round(
+            F.sum(
+                F.when(F.col("cls") < k, F.col("cls")).otherwise(0)
+            ).cast("double")
+            / F.sum("cls"),
+            6,
+        ).alias("risk_fraction"),
+    ).select(
+        F.lit(k).cast("int").alias("k"),
+        "n_classes",
+        "n_rows",
+        "k_min",
+        "n_at_risk",
+        "risk_fraction",
+    )

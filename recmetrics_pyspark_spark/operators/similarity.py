@@ -1141,3 +1141,52 @@ def cluster_eval(
             ).alias("nmi"),
         )
     )
+
+
+def centroid_distances(
+    corpus: DataFrame,
+    col_vec: str = "embedding",
+    col_label: str = "label",
+) -> DataFrame:
+    """Pairwise Euclidean distances between label centroids — the
+    class-separation readout (which labels are embedding-space
+    neighbors, which are far apart) that complements cluster_eval's
+    within-cluster stats with a BETWEEN-class view.
+
+    Builds on ``label_centroids`` (whose per-dimension means are
+    already rounded to 6 decimals — so this operator's inputs are
+    engine-exact by construction); squared per-dimension differences
+    are pre-rounded to DECIMAL(18,9) and summed exactly, and the final
+    √ is IEEE-exact, so the 6-decimal distances cannot drift. Output:
+    one row per unordered label pair (label_a < label_b).
+
+    Scale shape: the corpus collapses to label × dimension in
+    label_centroids' one aggregate; the pair join runs over that
+    LABEL-scale table (labels² · d rows — class counts, not corpus),
+    equi-keyed on dimension."""
+    cents = label_centroids(corpus, col_vec, col_label)
+    a = cents.select(
+        F.col(col_label).alias("label_a"),
+        "dim_idx",
+        F.col("centroid_val").alias("ca"),
+    )
+    b = cents.select(
+        F.col(col_label).alias("label_b"),
+        "dim_idx",
+        F.col("centroid_val").alias("cb"),
+    )
+    sq = F.expr(
+        "CAST(round((ca - cb) * (ca - cb), 9) AS DECIMAL(18,9))"
+    )
+    return (
+        a.join(b, "dim_idx")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", sq.alias("sq"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sqrt(F.sum("sq").cast("double")), 6
+            ).alias("dist")
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -322,3 +322,75 @@ def trend_slope_topk(
         slope.alias("slope"),
     ).filter(F.col("slope").isNotNull())
     return ranked_topk(sl, [F.desc("slope"), F.asc("key")], k)
+
+
+def daily_autocorrelation(
+    df: DataFrame,
+    col_ts: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation of the DAILY event-count series for
+    k = 1..max_lag — the weekly-seasonality diagnostic that picks the
+    window for seasonal_profile / trailing_window_anomaly:
+
+        acf(k) = Σ_t (y_t − ȳ)(y_{t+k} − ȳ) / Σ_t (y_t − ȳ)²
+
+    over observed days (a pair contributes only when BOTH days have
+    events; calendar gaps shrink n_pairs, not the denominator).
+
+    Determinism: ȳ is one double division of exact integer sums; each
+    cross-product and squared deviation is pre-rounded to
+    DECIMAL(18,6) and summed exactly, so the day-scale reductions are
+    partial-aggregation-order independent; acf is one double division,
+    rounded.
+
+    Scale shape: the corpus collapses to DAY grain in one aggregate;
+    everything after is day-scale — a ×max_lag explode keyed by target
+    day makes the lag pairing an EQUI-join (never a date-range
+    self-join), and the output is max_lag rows."""
+    daily = df.groupBy(F.to_date(col_ts).alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    mu = daily.agg(
+        (F.sum("y") / F.count(F.lit(1))).alias("mu")
+    )
+    dm = daily.crossJoin(F.broadcast(mu)).select(
+        "d", (F.col("y") - F.col("mu")).alias("dm")
+    )
+    den = dm.select(
+        F.expr("CAST(round(dm * dm, 6) AS DECIMAL(18,6))").alias("sq")
+    ).agg(F.sum("sq").alias("s0"))
+    lags = dm.select(
+        F.col("dm").alias("dma"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(max_lag))
+        ).alias("k"),
+        "d",
+    ).select("dma", "k", F.expr("date_add(d, k)").alias("d2"))
+    rhs = dm.select(F.col("d").alias("d2"), F.col("dm").alias("dmb"))
+    num = (
+        lags.join(rhs, "d2")
+        .select(
+            "k",
+            F.expr(
+                "CAST(round(dma * dmb, 6) AS DECIMAL(18,6))"
+            ).alias("xy"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("xy").alias("sk"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_pairs",
+            F.round(
+                F.col("sk").cast("double") / F.col("s0").cast("double"),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("k")
+    )

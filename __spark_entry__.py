@@ -197,6 +197,69 @@ a1_{s} AS (
     )
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Chained-CTE mirror of operators/graph.py::k_core_decompose:
+    ``rounds`` synchronous peels over the pcounts edge set."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one three times — un-pinned,
+    # e8 would expand to 3^8 copies of the base scan (observed as an
+    # fd-exhaustion crash, not just slowness).
+    parts = ["e0 AS MATERIALIZED (SELECT ia AS a, ib AS b FROM pcounts)"]
+    for r in range(1, rounds + 1):
+        prev = f"e{r-1}"
+        parts.append(f"""n{r} AS MATERIALIZED (
+  SELECT z FROM (
+    SELECT a AS z FROM {prev} UNION ALL SELECT b AS z FROM {prev}) t
+  GROUP BY z HAVING count(*) >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT z FROM n{r}) AND b IN (SELECT z FROM n{r})
+)""")
+    body = ",\n".join(parts)
+    return ORACLE_BASE + ITEM_SIMS_SQL + f"""
+, {body}
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM e{rounds}
+  UNION ALL SELECT b AS node FROM e{rounds}) t
+GROUP BY node HAVING count(*) >= {k} ORDER BY node
+"""
+
+
+def _pq_distortion_oracle(m: int = 4, k_codes: int = 16,
+                          dim: int = 64) -> str:
+    """Per-subspace reconstruction-error mirror of
+    operators/similarity.py::pq_distortion, reusing the shared PQ
+    training chains."""
+    chains, _, _ = _pq_chains(m, k_codes, dim)
+    errs = []
+    for s in range(m):
+        errs.append(f"""err{s} AS (
+  SELECT vid, {s} AS sub, dist FROM (
+    SELECT b.vid,
+      round(b.sv_sq - 2*list_dot_product(b.sv, c.c)
+            + list_dot_product(c.c, c.c), 6) AS dist,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.sv_sq - 2*list_dot_product(b.sv, c.c)
+                 + list_dot_product(c.c, c.c), 6), c.cid) AS rn
+    FROM b{s} b, c1_{s} c) t
+  WHERE rn = 1
+)""")
+    err_ctes = ",\n".join(errs)
+    union = " UNION ALL ".join(f"SELECT * FROM err{s}" for s in range(m))
+    return f"""
+WITH ebase AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v
+               FROM embeddings),
+{chains},
+{err_ctes},
+allerr AS ({union})
+SELECT CAST(sub AS INT) AS sub, CAST(count(*) AS BIGINT) AS n_vectors,
+  round(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+    AS mse,
+  max(dist) AS max_sq_err
+FROM allerr GROUP BY sub ORDER BY sub
+"""
+
+
 def _pq_rerank_oracle(pool: int = 80, k: int = 10) -> str:
     """Two-stage oracle: the PQ-ADC estimate orders a candidate pool,
     exact cosine re-ranks it — mirrors pq_ann_topk(rerank_factor=8)."""
@@ -3041,6 +3104,85 @@ def _heaps_law_docs(spark, sf_dir):
     return T.heaps_law_points(_docs(spark, sf_dir))
 
 
+def _kcore_items(spark, sf_dir):
+    """3-core of the item co-occurrence graph
+    (operators/graph.py::k_core_decompose): 8 synchronous peels over
+    the persisted item-pair table; surviving (node, degree) rows —
+    the dense-community extractor."""
+    from recmetrics_pyspark_spark.operators.graph import k_core_decompose
+
+    inter = R.interactions(spark, sf_dir)
+    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    return k_core_decompose(pairs, k=3, rounds=8)
+
+
+def _corpus_entropy(spark, sf_dir):
+    """Unigram/bigram/conditional entropy rates of the document token
+    stream (functions/text.py::corpus_entropy_rates): DECIMAL-exact
+    contribution sums, one-row output."""
+    return T.corpus_entropy_rates(_docs(spark, sf_dir))
+
+
+def _seasonal_decompose_events(spark, sf_dir):
+    """Additive trend/seasonal/residual decomposition of daily
+    purchase revenue (operators/timeseries.py::
+    seasonal_decompose_daily): centered-7-day DECIMAL trend, ISO-dow
+    seasonal means, per-day residuals."""
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return seasonal_decompose_daily(ev)
+
+
+def _pq_distortion(spark, sf_dir):
+    """PQ reconstruction-error report per subspace
+    (operators/similarity.py::pq_distortion): mean/max squared
+    assignment distance from the memoized codebooks — the compression
+    quality behind pq_ann_topk's estimates."""
+    return S.pq_distortion(_embs(spark, sf_dir))
+
+
+def _shipping_sla_compliance(spark, sf_dir):
+    """Order-to-ship SLA compliance per order priority: line counts,
+    share shipped within 7 days, exact mean lag and interpolated p90 —
+    one fact join + one priority-scale aggregate (integer lags, single
+    double divisions)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+            "lag"
+        ),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.when(F.col("lag") <= 7, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pct_within_7d"),
+            F.round(
+                F.sum("lag").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_lag_days"),
+            F.expr("percentile(lag, 0.9)").alias("p90_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-5 rotation (`_ROUND5_WINDOW`
@@ -3068,13 +3210,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scripts/driver_check.py at sf0.01 this round. (funnel_conversion
     and conversion_latency also changed/replanned this round but sit
     INSIDE the window, so their round-5 driver rows are at final
-    code.) Eight more operators landed after the window filled
+    code.) Thirteen more operators landed after the window filled
     (daily_acf_events, cohort_ltv, ab_power_mde, benford_order_totals,
     k_anonymity_customers, attribution_time_decay, centroid_distances,
-    heaps_law_docs) — all verified at sf0.001/0.01/0.1 via
+    heaps_law_docs, kcore_items, corpus_entropy,
+    seasonal_decompose_events, pq_distortion,
+    shipping_sla_compliance) — all verified at sf0.001/0.01/0.1 via
     driver_check this round. Round 6 window: canaries first, then the
-    pagerank_items re-witness + these eight, then any round-6 changes,
-    then new operators; no other backlog remains.
+    pagerank_items re-witness + these thirteen, then any round-6
+    changes, then new operators; no other backlog remains.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -3320,6 +3464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_time_decay": _attribution_time_decay,
         "centroid_distances": _centroid_distances,
         "heaps_law_docs": _heaps_law_docs,
+        "kcore_items": _kcore_items,
+        "corpus_entropy": _corpus_entropy,
+        "seasonal_decompose_events": _seasonal_decompose_events,
+        "pq_distortion": _pq_distortion,
+        "shipping_sla_compliance": _shipping_sla_compliance,
     }
     ordered = {k: base[k] for k in _ROUND5_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -6952,5 +7101,82 @@ s AS (
 )
 SELECT bucket, cum_tokens, cum_vocab, heaps_beta
 FROM pts CROSS JOIN fit ORDER BY bucket
+""",
+        "kcore_items": _kcore_oracle(),
+        "pq_distortion": _pq_distortion_oracle(),
+        "corpus_entropy": """
+WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+uni AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(tk) AS tok FROM toks) u GROUP BY tok
+), ut AS (SELECT sum(n) AS tot FROM uni),
+hu AS (
+  SELECT CAST(max(tot) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_unigrams,
+    sum(CAST(round(-(n / CAST(tot AS DOUBLE))
+                   * log2(n / CAST(tot AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS h_uni
+  FROM uni CROSS JOIN ut
+), bi AS (
+  SELECT tk[i] AS tok, tk[i+1] AS nxt, count(*) AS n
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  GROUP BY 1, 2
+), bt AS (SELECT sum(n) AS tot FROM bi),
+hb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bigrams,
+    sum(CAST(round(-(n / CAST(tot AS DOUBLE))
+                   * log2(n / CAST(tot AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS h_bi
+  FROM bi CROSS JOIN bt
+)
+SELECT n_tokens, n_unigrams, n_bigrams,
+  round(CAST(h_uni AS DOUBLE), 6) AS h_unigram,
+  round(CAST(h_bi AS DOUBLE), 6) AS h_bigram,
+  round(CAST(h_bi - h_uni AS DOUBLE), 6) AS h_cond
+FROM hu CROSS JOIN hb
+""",
+        "seasonal_decompose_events": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v_dec
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), tr AS (
+  SELECT d, v_dec,
+    count(*) OVER w AS n_frame,
+    CAST(sum(v_dec) OVER w AS DECIMAL(18,6)) AS t_sum
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), t2 AS (
+  SELECT d, v_dec,
+    CAST(t_sum AS DOUBLE) / 7.0 AS trend_raw,
+    CAST(round(CAST(v_dec AS DOUBLE) - CAST(t_sum AS DOUBLE) / 7.0, 6)
+         AS DECIMAL(18,6)) AS detr,
+    isodow(d) AS iso_dow
+  FROM tr WHERE n_frame = 7
+), seas AS (
+  SELECT iso_dow, CAST(sum(detr) AS DOUBLE) / count(*) AS seasonal_raw
+  FROM t2 GROUP BY 1
+)
+SELECT CAST(d AS VARCHAR) AS day,
+  round(CAST(v_dec AS DOUBLE), 6) AS value,
+  round(trend_raw, 6) AS trend,
+  round(seasonal_raw, 6) AS seasonal,
+  round(CAST(v_dec AS DOUBLE) - trend_raw - seasonal_raw, 6)
+    AS residual
+FROM t2 JOIN seas USING (iso_dow) ORDER BY day
+""",
+        "shipping_sla_compliance": """
+WITH j AS (
+  SELECT o_orderpriority,
+    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  round(CAST(sum(CASE WHEN lag <= 7 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS pct_within_7d,
+  round(CAST(sum(lag) AS DOUBLE) / count(*), 6) AS avg_lag_days,
+  quantile_cont(lag, 0.9) AS p90_lag_days
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
     }

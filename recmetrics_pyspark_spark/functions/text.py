@@ -1006,3 +1006,74 @@ def heaps_law_points(
         )
     )
     return points.crossJoin(F.broadcast(fit)).orderBy("bucket")
+
+
+def corpus_entropy_rates(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+) -> DataFrame:
+    """Corpus-level Shannon entropy rates of the token stream — the
+    information-density summary (how compressible / how repetitive the
+    corpus is) that sits between per-doc perplexity (doc_perplexity)
+    and the fitted rank law (zipf_fit):
+
+    - ``h_unigram``  = H(X)   over the unigram distribution
+    - ``h_bigram``   = H(X,Y) over adjacent-pair counts
+    - ``h_cond``     = H(Y|X) = H(X,Y) − H(X), the bigram entropy rate
+
+    all in bits. Every -p·log2(p) contribution is pre-rounded to
+    DECIMAL(18,9) and summed exactly (the user_behavior_entropy rule),
+    totals enter as one-row broadcasts — the three entropies cannot
+    drift with partition order.
+
+    Scale shape: one token explode, one vocabulary-scale unigram
+    aggregate and one bigram-vocabulary aggregate (both with map-side
+    partial combine), two one-row reductions. Nothing wider than the
+    n-gram vocabularies shuffles."""
+    toks = df.select(
+        F.col(col_id).alias("id"),
+        F.split(F.col(col_text), " ").alias("__toks"),
+    )
+    uni = toks.select(
+        F.explode("__toks").alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    bi = (
+        toks.select(
+            "id",
+            "__toks",
+            F.posexplode("__toks").alias("pos", "tok"),
+        )
+        .select(
+            "tok",
+            F.expr("try_element_at(__toks, pos + 2)").alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def _entropy(counts, label):
+        tot = counts.agg(F.sum("n").alias("tot"))
+        contrib = F.expr(
+            "CAST(round(-(n / CAST(tot AS DOUBLE))"
+            " * log2(n / CAST(tot AS DOUBLE)), 9) AS DECIMAL(18,9))"
+        )
+        return counts.crossJoin(F.broadcast(tot)).agg(
+            F.max("tot").cast("bigint").alias(f"n_{label}_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{label}_types"),
+            F.sum(contrib).alias(f"h_{label}_dec"),
+        )
+
+    hu = _entropy(uni, "uni")
+    hb = _entropy(bi, "bi")
+    return hu.crossJoin(F.broadcast(hb)).select(
+        F.col("n_uni_tokens").alias("n_tokens"),
+        F.col("n_uni_types").alias("n_unigrams"),
+        F.col("n_bi_types").alias("n_bigrams"),
+        F.round(F.col("h_uni_dec").cast("double"), 6).alias("h_unigram"),
+        F.round(F.col("h_bi_dec").cast("double"), 6).alias("h_bigram"),
+        F.round(
+            (F.col("h_bi_dec") - F.col("h_uni_dec")).cast("double"), 6
+        ).alias("h_cond"),
+    )

@@ -556,3 +556,64 @@ def common_neighbor_links(
             "rnk",
         )
     )
+
+
+def k_core_decompose(
+    pairs: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    col_a: str = "ia",
+    col_b: str = "ib",
+) -> DataFrame:
+    """k-core peeling over an undirected pair table (``col_a < col_b``
+    canonical): ``rounds`` synchronous peels — each round drops every
+    node whose CURRENT degree is below ``k`` and the edges touching it
+    — approaching the k-core (the maximal subgraph where every node
+    keeps ≥ k neighbors), the standard dense-community / spam-cluster
+    extractor.
+
+    Fixed round count (not convergence-tested) keeps the computation
+    deterministic and exactly mirrorable as chained SQL CTEs — the
+    same contract as pagerank_from_edges / neardup_components; at the
+    default 8 rounds the peel has converged on every test corpus
+    (convergence is monotone, so extra rounds are no-ops). Output:
+    surviving (node, degree) at the final round, node-ordered.
+
+    Scale shape: each round is one edge-scale degree aggregate + two
+    semi-joins against the surviving node set (node-scale, AQE decides
+    broadcast — never hint-forced), with ``localCheckpoint`` truncating
+    the per-round lineage. Never materializes anything wider than the
+    edge table."""
+    edges = pairs.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).localCheckpoint(eager=True)
+    # Right-size the loop's edge table exactly like pagerank_from_edges:
+    # 8 peel rounds × 32 inherited partitions × map/reduce shuffle files
+    # exhausts local-mode file handles and drowns the work in tiny
+    # tasks; ~2M edges/partition with a floor of 8 keeps the loop lean
+    # while big graphs keep their parallelism.
+    n_edges = edges.count()
+    target = max(8, int(n_edges // 2_000_000) + 1)
+    if target < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(target)
+    for _ in range(rounds):
+        both = edges.select(F.col("a").alias("z")).unionAll(
+            edges.select(F.col("b").alias("z"))
+        )
+        deg = both.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("z")
+        edges = (
+            edges.join(keep.withColumnRenamed("z", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("z", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .orderBy("node")
+    )
+    return final_deg

@@ -1190,3 +1190,72 @@ def centroid_distances(
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    refinements: int = 1,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization reconstruction-error report: per subspace,
+    the mean and max squared distance between vectors and their
+    assigned sub-centroid — the compression-quality readout that
+    decides m/k_codes BEFORE trusting pq_ann_topk's estimates (recall
+    tells you retrieval quality; distortion tells you WHY it
+    degraded).
+
+    Serves from the same memoized codebooks as the PQ/ANN family (one
+    training run per session). The per-(vector, subspace) error is the
+    SAME 6-rounded expanded-form distance the assignment argmin uses —
+    re-derived here with the dist column kept (the shared _pq_assign
+    drops it; kept separate so the witnessed ANN queries' code stays
+    untouched). Errors sum in DECIMAL(18,6), so the means are
+    partition-order independent.
+
+    Scale shape: one subspace explode, one broadcast codebook join +
+    per-(vid, sub) argmin window, one m-row aggregate."""
+    dim_info = corpus.select(
+        F.size(as_double(col_vec)).alias("d")
+    ).first()
+    sub_dim = dim_info["d"] // m
+    books = pq_codebooks(
+        corpus, m, k_codes, refinements, col_id, col_vec
+    )
+    subs = _pq_subspaces(corpus, m, sub_dim, col_id, col_vec)
+    wmin = Window.partitionBy("vid", "sub").orderBy(
+        F.asc("dist"), F.asc("cid")
+    )
+    assigned = (
+        subs.join(broadcast(books), "sub")
+        .select(
+            "vid",
+            "sub",
+            "cid",
+            F.round(
+                F.col("sv_sq")
+                - 2.0 * dot(F.col("sv"), F.col("c"))
+                + F.col("c_sq"),
+                6,
+            ).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy(F.col("sub").cast("int").alias("sub"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(
+                    F.col("dist").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mse"),
+            F.max("dist").alias("max_sq_err"),
+        )
+        .orderBy("sub")
+    )

@@ -394,3 +394,77 @@ def daily_autocorrelation(
         )
         .orderBy("k")
     )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    col_ts: str = "ts",
+    col_val: str = "value",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the global daily
+    value series: trend = centered 7-day moving average (emitted only
+    where the full window exists), seasonal = mean detrended value per
+    ISO weekday, residual = value − trend − seasonal — the STL-lite
+    decomposition behind "is this dip seasonal or real".
+
+    Determinism: daily totals come from DECIMAL sums; the trend is an
+    exact DECIMAL frame-sum divided once (never a float window
+    average, whose accumulation order differs between engines);
+    detrended values are pre-rounded to DECIMAL(18,6) before the
+    seasonal means. Windows order by day over the DAY-scale table —
+    calendar-bounded, the documented single-partition exception every
+    day-grain operator shares.
+
+    Output: (day, value, trend, seasonal, residual), trend-defined
+    rows only, day-ordered."""
+    from pyspark.sql.window import Window
+
+    daily = df.groupBy(F.to_date(col_ts).alias("d")).agg(
+        F.sum(F.col(col_val).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("v_dec")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = (
+        daily.withColumn("n_frame", F.count(F.lit(1)).over(w7))
+        .withColumn(
+            "t_sum", F.sum("v_dec").over(w7).cast("decimal(18,6)")
+        )
+        .filter(F.col("n_frame") == 7)
+        .select(
+            "d",
+            F.col("v_dec"),
+            (F.col("t_sum").cast("double") / 7.0).alias("trend_raw"),
+        )
+        .withColumn(
+            "detr",
+            F.expr(
+                "CAST(round(CAST(v_dec AS DOUBLE) - trend_raw, 6)"
+                " AS DECIMAL(18,6))"
+            ),
+        )
+    )
+    seasonal = trended.groupBy(
+        (F.weekday("d") + 1).alias("iso_dow")
+    ).agg(
+        (
+            F.sum("detr").cast("double") / F.count(F.lit(1))
+        ).alias("seasonal_raw")
+    )
+    return (
+        trended.withColumn("iso_dow", F.weekday("d") + 1)
+        .join(F.broadcast(seasonal), "iso_dow")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.round(F.col("v_dec").cast("double"), 6).alias("value"),
+            F.round("trend_raw", 6).alias("trend"),
+            F.round("seasonal_raw", 6).alias("seasonal"),
+            F.round(
+                F.col("v_dec").cast("double")
+                - F.col("trend_raw")
+                - F.col("seasonal_raw"),
+                6,
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )

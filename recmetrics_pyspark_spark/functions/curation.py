@@ -824,3 +824,75 @@ def split_leakage_audit(
         )
         .orderBy("status")
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_source: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between sources' unigram
+    distributions (Laplace-smoothed over the joint vocabulary) — the
+    mixture-balance diagnostic for a multi-source training corpus:
+    which feeds speak the same language, which one is the outlier
+    (complementing DSIR's per-document importance and log_odds'
+    per-term contrasts with one number per source PAIR).
+
+        JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2,
+        P_s(t) = (n_st + 1) / (N_s + V)
+
+    Bounded in [0, 1] bits; symmetric. Every per-token contribution is
+    pre-rounded to DECIMAL(18,9) and summed exactly, and the smoothing
+    means absent tokens carry real mass — the full source × vocabulary
+    grid is materialized (sources are enumerable; the grid is
+    |V|·|S| rows, vocabulary-scale).
+
+    Scale shape: one token explode, one (source, token) aggregate, a
+    vocabulary × sources grid via crossJoin against the source list
+    (broadcast-scale), one token-keyed pair join (a.source <
+    b.source), one pair-scale reduction."""
+    toks = df.select(
+        F.col(col_source).alias("src"),
+        F.explode(F.split(F.col(col_text), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("src", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = toks.groupBy("src").agg(F.count(F.lit(1)).alias("n_src"))
+    vocab_n = counts.select("tok").distinct()
+    v_size = vocab_n.agg(F.count(F.lit(1)).alias("v"))
+    grid = (
+        vocab_n.crossJoin(F.broadcast(totals))
+        .join(counts, ["src", "tok"], "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "src",
+            "tok",
+            (
+                (F.coalesce("n", F.lit(0)) + 1)
+                / (F.col("n_src") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("src").alias("source_a"), "tok", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("src").alias("source_b"), "tok", F.col("p").alias("pb")
+    )
+    contrib = F.expr(
+        "CAST(round(0.5 * pa * log2(pa / ((pa + pb) / 2))"
+        " + 0.5 * pb * log2(pb / ((pa + pb) / 2)), 9)"
+        " AS DECIMAL(18,9))"
+    )
+    return (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", contrib.alias("c"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(F.sum("c").cast("double"), 6).alias("js_divergence")
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -980,30 +980,33 @@ def heaps_law_points(
         "CAST(round(log10(CAST(cum_vocab AS DOUBLE)), 9)"
         " AS DECIMAL(18,9))"
     )
-    fit = (
-        points.select(lx.alias("x"), ly.alias("y"))
-        .agg(
-            F.count(F.lit(1)).alias("np"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        )
-        .select(
-            F.round(
-                F.try_divide(
-                    (
-                        F.col("np") * F.col("sxy")
-                        - F.col("sx") * F.col("sy")
-                    ).cast("double"),
-                    (
-                        F.col("np") * F.col("sxx")
-                        - F.col("sx") * F.col("sx")
-                    ).cast("double"),
-                ),
-                6,
-            ).alias("heaps_beta")
-        )
+    # CENTERED OLS — Σ(x−x̄)(y−ȳ) / Σ(x−x̄)² with centered products
+    # pre-rounded to DECIMAL(18,9): the raw closed form subtracts
+    # near-equal decimal products whose precision caps truncate
+    # differently per engine (see degree_distribution's docstring).
+    pts_xy = points.select(lx.alias("x"), ly.alias("y"))
+    means = pts_xy.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mx"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("my"),
+    )
+    centered = pts_xy.crossJoin(F.broadcast(means)).select(
+        F.expr(
+            "CAST(round((CAST(x AS DOUBLE) - mx)"
+            " * (CAST(y AS DOUBLE) - my), 9) AS DECIMAL(18,9))"
+        ).alias("cxy"),
+        F.expr(
+            "CAST(round((CAST(x AS DOUBLE) - mx)"
+            " * (CAST(x AS DOUBLE) - mx), 9) AS DECIMAL(18,9))"
+        ).alias("cxx"),
+    )
+    fit = centered.agg(
+        F.round(
+            F.try_divide(
+                F.sum("cxy").cast("double"),
+                F.sum("cxx").cast("double"),
+            ),
+            6,
+        ).alias("heaps_beta")
     )
     return points.crossJoin(F.broadcast(fit)).orderBy("bucket")
 

@@ -1274,3 +1274,57 @@ def ngram_novelty_by_source(
         )
         .orderBy("source")
     )
+
+
+def lsh_parameter_plan(
+    spark,
+    bands=(4, 8, 16, 32),
+    rows_per_band=(2, 4, 8),
+) -> DataFrame:
+    """MinHash-LSH banding planner: for each (bands b, rows-per-band r)
+    configuration, the approximate similarity threshold (1/b)^(1/r)
+    where the S-curve crosses ½, and the capture probability
+    1 − (1 − s^r)^b at four representative Jaccard levels — the table
+    an engineer reads to pick minhash_lsh_pairs' parameters for a
+    target near-dup threshold BEFORE burning a corpus-scale run.
+
+    Pure closed-form math over a bands × rows grid (no input tables;
+    constant rows at any scale). Transcendental powers are pre-rounded
+    to 9 decimals before the 6-decimal output — the standard
+    cross-engine drift guard."""
+    grid = spark.createDataFrame(
+        [(b, r) for b in bands for r in rows_per_band],
+        "bands INT, rows_per_band INT",
+    )
+
+    def p_at(s: float):
+        return F.round(
+            F.round(
+                1.0
+                - F.pow(
+                    1.0 - F.pow(F.lit(s), F.col("rows_per_band")),
+                    F.col("bands"),
+                ),
+                9,
+            ),
+            6,
+        )
+
+    return grid.select(
+        "bands",
+        "rows_per_band",
+        F.round(
+            F.round(
+                F.pow(
+                    1.0 / F.col("bands"),
+                    1.0 / F.col("rows_per_band"),
+                ),
+                9,
+            ),
+            6,
+        ).alias("approx_threshold"),
+        p_at(0.5).alias("p_at_s50"),
+        p_at(0.7).alias("p_at_s70"),
+        p_at(0.8).alias("p_at_s80"),
+        p_at(0.9).alias("p_at_s90"),
+    ).orderBy("bands", "rows_per_band")

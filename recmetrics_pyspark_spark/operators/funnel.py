@@ -602,3 +602,78 @@ def cohort_ltv(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def session_summary(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    col_user: str = "user_id",
+    col_ts: str = "ts",
+) -> DataFrame:
+    """One-row session-quality summary over the inactivity-gap
+    sessionization (the KPI header above events_sessions' per-session
+    rows): session count, mean events per session, bounce rate (share
+    of single-event sessions), exact mean and interpolated median
+    session duration in seconds.
+
+    Sessions are user-keyed gap splits (a >gap_minutes silence starts
+    a new session) — one lag window + one running sum per user, the
+    same definition as streaming/windows.py::assign_session_ids.
+    Integer durations; DECIMAL-safe single divisions; a one-row
+    output.
+
+    Scale shape: one user-partitioned window pass over the events, one
+    session-scale aggregate, one one-row reduction — nothing wider
+    than the event table shuffles, and window skew is bounded by one
+    user's history."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u").orderBy("t")
+    sessions = (
+        events.select(F.col(col_user).alias("u"), F.col(col_ts).alias("t"))
+        .withColumn("prev_t", F.lag("t").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_t").isNull()
+                | (
+                    F.unix_timestamp("t") - F.unix_timestamp("prev_t")
+                    > gap_minutes * 60
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                Window.partitionBy("u").orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .groupBy("u", "sid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.unix_timestamp(F.max("t"))
+                - F.unix_timestamp(F.min("t"))
+            ).cast("bigint").alias("dur_sec"),
+        )
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events_per_session"),
+        F.round(
+            F.sum(
+                F.when(F.col("n_events") == 1, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("dur_sec").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_duration_sec"),
+        F.expr("percentile(dur_sec, 0.5)").alias("median_duration_sec"),
+    )

@@ -1105,3 +1105,46 @@ def sequential_rules(
             )
         ).cast("bigint"))
     )
+
+
+def catalog_freshness(
+    timed: DataFrame,
+    col_item: str = "item",
+    col_time: str = "dt",
+) -> DataFrame:
+    """Weekly catalog-freshness report: per calendar week, total
+    interactions, interactions on items FIRST seen that week, and the
+    new-item share — the cold-start pressure gauge (how much of demand
+    lands on items the recommender has no history for).
+
+    The item's introduction week is one vocabulary-scale min
+    aggregate; the weekly rollup joins item-keyed (catalog-scale,
+    broadcastable). Exact integer counts, one double division.
+
+    Scale shape: one (item) min aggregate, one (week, is-new)
+    aggregate over the interaction scan, output rows = observed
+    weeks."""
+    wk = F.date_trunc("week", F.col(col_time)).cast("date")
+    ev = timed.select(F.col(col_item).alias("i"), wk.alias("wk"))
+    first_wk = ev.groupBy("i").agg(F.min("wk").alias("first_wk"))
+    return (
+        ev.join(first_wk, "i")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_interactions"),
+            F.sum(
+                F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0)
+            ).cast("bigint").alias("n_new_item_interactions"),
+        )
+        .select(
+            F.col("wk").cast("string").alias("week"),
+            "n_interactions",
+            "n_new_item_interactions",
+            F.round(
+                F.col("n_new_item_interactions")
+                / F.col("n_interactions").cast("double"),
+                6,
+            ).alias("new_item_share"),
+        )
+        .orderBy("week")
+    )

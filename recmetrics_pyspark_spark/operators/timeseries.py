@@ -468,3 +468,74 @@ def seasonal_decompose_daily(
         )
         .orderBy("day")
     )
+
+
+def gmv_mtd_report(
+    orders: DataFrame,
+    col_date: str = "o_orderdate",
+    col_amount: str = "o_totalprice",
+    last_n_days: int = 120,
+) -> DataFrame:
+    """Finance-style daily GMV report over the trailing ``last_n_days``
+    of the order history: per day, gross revenue, the month-to-date
+    running total, and the month-over-month ratio against the SAME day
+    of the previous month (NULL when that day had no orders or doesn't
+    exist — the standard reporting convention).
+
+    Revenue stays DECIMAL(18,6) through the daily sums and the MTD
+    window; MoM is one double division, rounded. The previous-month
+    comparison is an EQUI-join on (month - 1, day-of-month) over the
+    day-scale table — never a date-range join.
+
+    Scale shape: one day-scale aggregate from the scan (filter pushed
+    to parquet via the max-date broadcast), then day-scale windows and
+    joins; output rows = observed days in the window."""
+    from pyspark.sql.window import Window
+
+    mx = orders.agg(
+        F.max(F.col(col_date).cast("date")).alias("max_d")
+    )
+    daily = (
+        orders.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col(col_date).cast("date")
+            >= F.date_sub(F.col("max_d"), last_n_days)
+        )
+        .groupBy(F.col(col_date).cast("date").alias("d"))
+        .agg(
+            F.sum(F.col(col_amount).cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("gmv_dec")
+        )
+        .withColumn("mth", F.trunc("d", "month"))
+        .withColumn("dom", F.dayofmonth("d"))
+    )
+    w_mtd = (
+        Window.partitionBy("mth")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = daily.withColumn(
+        "mtd_dec", F.sum("gmv_dec").over(w_mtd).cast("decimal(18,6)")
+    )
+    prev = daily.select(
+        F.add_months(F.col("mth"), 1).alias("mth"),
+        F.col("dom"),
+        F.col("gmv_dec").alias("prev_gmv_dec"),
+    )
+    return (
+        cur.join(prev, ["mth", "dom"], "left")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.round(F.col("gmv_dec").cast("double"), 6).alias("gmv"),
+            F.round(F.col("mtd_dec").cast("double"), 6).alias("mtd_gmv"),
+            F.round(
+                F.try_divide(
+                    F.col("gmv_dec").cast("double"),
+                    F.col("prev_gmv_dec").cast("double"),
+                ),
+                6,
+            ).alias("mom_ratio"),
+        )
+        .orderBy("day")
+    )

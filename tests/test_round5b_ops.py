@@ -180,10 +180,12 @@ def test_heaps_law_points_cumulative_and_fit(spark):
     assert [r.cum_tokens for r in out] == [2 * i for i in range(1, 11)]
     assert [r.cum_vocab for r in out] == [i + 1 for i in range(1, 11)]
 
+    # mirror the operator's CENTERED OLS with pre-rounded products
     xs = [round(math.log10(2 * i), 9) for i in range(1, 11)]
     ys = [round(math.log10(i + 1), 9) for i in range(1, 11)]
     n = len(xs)
-    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
-    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum(round((x - mx) * (y - my), 9) for x, y in zip(xs, ys))
+    den = sum(round((x - mx) * (x - mx), 9) for x in xs)
     assert out[0].heaps_beta == round(num / den, 6)
     assert all(r.heaps_beta == out[0].heaps_beta for r in out)

@@ -677,3 +677,131 @@ def session_summary(
         ).alias("avg_duration_sec"),
         F.expr("percentile(dur_sec, 0.5)").alias("median_duration_sec"),
     )
+
+
+def user_lifecycle_stages(
+    events: DataFrame,
+    col_user: str = "user_id",
+    col_ts: str = "ts",
+) -> DataFrame:
+    """Weekly growth accounting: per calendar week, how many active
+    users are NEW (first-ever week), RETAINED (also active the prior
+    week), RESURRECTED (previously seen, inactive last week), and how
+    many CHURNED INTO this week (active last week, absent now) — the
+    standard startup growth-accounting table (new + retained +
+    resurrected − churned = WoW active delta).
+
+    All work happens at USER-WEEK grain: one distinct collapse of the
+    event stream, one user-scale first-week aggregate, one equi-join
+    against the prior week's activity (u, wk−7), and one anti-join for
+    churn. Weeks are Monday-truncated dates; output rows are the
+    observed activity weeks (the week after the last observed week,
+    where the final cohort's churn would land, is out of frame).
+    Exact integer counts throughout."""
+    act = events.select(
+        F.col(col_user).alias("u"),
+        F.date_trunc("week", F.col(col_ts)).cast("date").alias("wk"),
+    ).distinct()
+    firstwk = act.groupBy("u").agg(F.min("wk").alias("first_wk"))
+    prev = act.select(
+        "u", F.date_add("wk", 7).alias("wk"), F.lit(1).alias("was_prev")
+    )
+    staged = (
+        act.join(firstwk, "u")
+        .join(prev, ["u", "wk"], "left")
+        .groupBy("wk")
+        .agg(
+            F.sum(
+                F.when(F.col("first_wk") == F.col("wk"), 1).otherwise(0)
+            ).cast("bigint").alias("n_new"),
+            F.sum(
+                F.when(F.col("was_prev").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_retained"),
+            F.sum(
+                F.when(
+                    (F.col("first_wk") < F.col("wk"))
+                    & F.col("was_prev").isNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_resurrected"),
+        )
+    )
+    churned = (
+        prev.select("u", "wk")
+        .join(act, ["u", "wk"], "left_anti")
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        staged.join(churned, "wk", "left")
+        .select(
+            F.col("wk").cast("string").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0).cast("bigint")).alias(
+                "n_churned"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+def revenue_concentration(
+    orders: DataFrame,
+    col_cust: str = "o_custkey",
+    col_amount: str = "o_totalprice",
+    top_fractions=(0.01, 0.1, 0.2, 0.5),
+) -> DataFrame:
+    """Customer revenue Pareto: for each top fraction f, the revenue
+    threshold (the (1−f) percentile of per-customer revenue), how many
+    customers clear it, and their share of total revenue — the
+    "top 1% of customers drive X% of GMV" table, the customer-side
+    twin of popularity_concentration's item Gini.
+
+    Per-customer revenue sums in DECIMAL; thresholds are interpolated
+    percentiles of the double cast (both engines compute them
+    identically); the selected-revenue sums go back through DECIMAL so
+    shares are partial-aggregation-order independent.
+
+    Scale shape: one customer-scale aggregate, one one-row percentile
+    aggregate broadcast back, one conditional-sum aggregate —
+    len(top_fractions) output rows, no global sort, no window."""
+    per = orders.groupBy(F.col(col_cust).alias("c")).agg(
+        F.sum(F.col(col_amount).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("rev_dec")
+    ).withColumn("rev", F.col("rev_dec").cast("double"))
+    qs = ", ".join(str(1.0 - f) for f in top_fractions)
+    thr = per.agg(
+        F.expr(f"percentile(rev, array({qs}))").alias("thrs"),
+        F.sum("rev_dec").cast("decimal(18,6)").alias("tot_dec"),
+    )
+    joined = per.crossJoin(F.broadcast(thr))
+    aggs = []
+    for i, f in enumerate(top_fractions):
+        t = F.expr(f"element_at(thrs, {i + 1})")
+        aggs += [
+            F.round(F.max(t), 6).alias(f"__thr_{i}"),
+            F.sum(F.when(F.col("rev") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__n_{i}"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rev") >= t, F.col("rev_dec")).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double")
+                / F.max(F.col("tot_dec")).cast("double"),
+                6,
+            ).alias(f"__share_{i}"),
+        ]
+    wide = joined.agg(*aggs)
+    stack = ", ".join(
+        f"{f}D, __thr_{i}, __n_{i}, __share_{i}"
+        for i, f in enumerate(top_fractions)
+    )
+    return wide.selectExpr(
+        f"stack({len(top_fractions)}, {stack}) AS "
+        "(top_fraction, rev_threshold, n_customers, revenue_share)"
+    ).orderBy("top_fraction")

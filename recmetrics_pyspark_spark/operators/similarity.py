@@ -1259,3 +1259,52 @@ def pq_distortion(
         )
         .orderBy("sub")
     )
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    k: int = 20,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` embedding outliers by Euclidean distance to the GLOBAL
+    centroid — the quick contamination screen over a vector corpus
+    (mislabeled batches, wrong-modality rows, collapsed encoders show
+    up as far-from-center mass) complementing mad_outlier_docs'
+    text-side screen and centroid_distances' between-class view.
+
+    The centroid's per-dimension means are rounded to 6 decimals
+    (engine-exact inputs by construction, the label_centroids rule);
+    squared per-dimension deviations are pre-rounded to DECIMAL(18,9)
+    and summed exactly; √ is IEEE-exact. Ranking ties break by id.
+
+    Scale shape: one dimension-keyed aggregate (corpus → d rows,
+    broadcast back), one per-(vector, dim) join + vector-scale
+    aggregate, global top-k via orderBy+limit."""
+    ex = corpus.select(
+        F.col(col_id).alias("vid"),
+        F.posexplode(as_double(col_vec)).alias("dim_idx", "val"),
+    )
+    cent = ex.groupBy("dim_idx").agg(
+        F.round(F.avg("val"), 6).alias("cv")
+    )
+    sq = F.expr(
+        "CAST(round((val - cv) * (val - cv), 9) AS DECIMAL(18,9))"
+    )
+    per_vec = (
+        ex.join(broadcast(cent), "dim_idx")
+        .select("vid", sq.alias("sq"))
+        .groupBy("vid")
+        .agg(
+            F.round(F.sqrt(F.sum("sq").cast("double")), 6).alias(
+                "dist_to_centroid"
+            )
+        )
+    )
+    from .ranking import ranked_topk
+
+    return ranked_topk(
+        per_vec, [F.desc("dist_to_centroid"), F.asc("vid")], k
+    ).select(
+        F.col("vid").alias("vec_id"), "dist_to_centroid", "rnk"
+    )

@@ -139,3 +139,68 @@ def test_lsh_parameter_plan_s_curve(spark):
     assert out[(32, 4)].p_at_s80 > out[(4, 4)].p_at_s80
     # and decreases with rows per band at fixed bands
     assert out[(8, 2)].p_at_s50 > out[(8, 8)].p_at_s50
+
+
+def test_user_lifecycle_stages_accounting(spark):
+    from recmetrics_pyspark_spark.operators.funnel import (
+        user_lifecycle_stages,
+    )
+
+    def wk(week, day=0):  # week 1 starts Mon 2024-01-01
+        return _dt.datetime(2024, 1, 1 + (week - 1) * 7 + day)
+
+    rows = [
+        (1, wk(1)), (1, wk(2)), (1, wk(3)),   # always active
+        (2, wk(1)), (2, wk(3)),               # skips week 2
+        (3, wk(2)),                            # week-2 one-off
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.week: r for r in user_lifecycle_stages(ev).collect()}
+    w1, w2, w3 = "2024-01-01", "2024-01-08", "2024-01-15"
+    assert (out[w1].n_new, out[w1].n_retained, out[w1].n_resurrected,
+            out[w1].n_churned) == (2, 0, 0, 0)
+    assert (out[w2].n_new, out[w2].n_retained, out[w2].n_resurrected,
+            out[w2].n_churned) == (1, 1, 0, 1)
+    assert (out[w3].n_new, out[w3].n_retained, out[w3].n_resurrected,
+            out[w3].n_churned) == (0, 1, 1, 1)
+
+
+def test_revenue_concentration_pareto(spark):
+    from recmetrics_pyspark_spark.operators.funnel import (
+        revenue_concentration,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 30.0), (4, 20.0)],
+        ["o_custkey", "o_totalprice"],
+    )
+    out = {
+        r.top_fraction: r for r in revenue_concentration(orders).collect()
+    }
+    # interpolated 99th pct of [20,30,50,100] is 98.5 -> only the 100
+    r01 = out[0.01]
+    assert r01.n_customers == 1 and r01.revenue_share == 0.5
+    # 50th pct is 40 -> {50, 100} hold 150/200
+    r50 = out[0.5]
+    assert r50.n_customers == 2 and r50.revenue_share == 0.75
+
+
+def test_embedding_outliers_distance_ranking(spark):
+    from recmetrics_pyspark_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [0.0, 0.0]),
+        (3, [0.0, 0.0]),
+        (4, [4.0, 0.0]),  # centroid (1, 0): dist 3 vs 1 for the rest
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_outliers(df, k=4).collect()
+    assert [(r.vec_id, r.dist_to_centroid, r.rnk) for r in out] == [
+        (4, 3.0, 1),
+        (1, 1.0, 2),
+        (2, 1.0, 3),
+        (3, 1.0, 4),
+    ]

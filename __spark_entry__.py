@@ -3295,14 +3295,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its current code sits after the window.
 
     ROUND-6 ROTATION NOTE: after this round's window, every declared
-    query has a driver row at its current code EXCEPT one whose code
+    query has a driver row at its current code EXCEPT two whose code
     changed late in round 5 with the window already full:
     pagerank_items (the deg fold-in join moved under the
-    broadcast_node_limit guard) — verified green via
-    scripts/driver_check.py at sf0.01 this round. (funnel_conversion
-    and conversion_latency also changed/replanned this round but sit
-    INSIDE the window, so their round-5 driver rows are at final
-    code.) Twenty-two more operators landed after the window filled
+    broadcast_node_limit guard) and ab_test_events (ab_test_analysis'
+    per-arm (n, Σv, Σv²) core extracted into the shared
+    ``_per_arm_stats`` with ``ab_power_mde`` — byte-identical
+    semantics) — both verified green via scripts/driver_check.py at
+    sf0.01 this round.
+    (funnel_conversion and conversion_latency also changed/replanned
+    this round but sit INSIDE the window, so their round-5 driver
+    rows are at final code.) Twenty-two more operators landed after
+    the window filled
     (daily_acf_events, cohort_ltv, ab_power_mde, benford_order_totals,
     k_anonymity_customers, attribution_time_decay, centroid_distances,
     heaps_law_docs, kcore_items, corpus_entropy,
@@ -3310,10 +3314,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     source_divergence, session_summary, degree_distribution,
     gmv_mtd_report, catalog_freshness, lsh_parameter_plan,
     user_lifecycle_stages, revenue_concentration, embedding_outliers)
-    — all verified at sf0.001/0.01/0.1 via driver_check this round.
-    Round 6 window: 5 canaries, then the pagerank_items re-witness +
-    these twenty-two (28 slots), then any round-6 changes, then new
-    operators fill the rest; no other backlog remains.
+    — all verified at sf0.001/0.01/0.1 via driver_check this round,
+    re-verified after the second code-review pass touched eight of
+    them (nullif/try_divide zero-denominator guards, the session-gap
+    microsecond fix, the gmv lead-in, the lifecycle dead-week row).
+    Round 6 window: 5 canaries, then the pagerank_items +
+    ab_test_events re-witnesses + these twenty-two (29 slots), then
+    any round-6 changes, then new operators fill the rest; no other
+    backlog remains.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -7006,7 +7014,7 @@ WITH daily AS (
   FROM lags JOIN dm b ON lags.d2 = b.d GROUP BY k
 )
 SELECT CAST(k AS INT) AS k, n_pairs,
-  round(CAST(sk AS DOUBLE) / CAST(s0 AS DOUBLE), 6) AS acf
+  round(CAST(sk AS DOUBLE) / nullif(CAST(s0 AS DOUBLE), 0), 6) AS acf
 FROM num CROSS JOIN den ORDER BY k
 """,
         "cohort_ltv": """
@@ -7066,7 +7074,7 @@ per_arm AS (
 SELECT n_a, n_b,
   round(se9, 6) AS std_error,
   round(2.801621234 * se9, 6) AS mde_abs,
-  round(2.801621234 * se9 / abs(round(mean_a, 9)), 6)
+  round(2.801621234 * se9 / nullif(abs(round(mean_a, 9)), 0), 6)
     AS mde_rel_control
 FROM (
   SELECT n_a, n_b, mean_a,
@@ -7075,11 +7083,11 @@ FROM (
     SELECT a.n AS n_a, b.n AS n_b,
       CAST(a.sv AS DOUBLE) / a.n AS mean_a,
       (CAST(a.svv AS DOUBLE)
-       - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / a.n) / (a.n - 1)
-        AS var_a,
+       - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / a.n)
+        / nullif(a.n - 1, 0) AS var_a,
       (CAST(b.svv AS DOUBLE)
-       - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n) / (b.n - 1)
-        AS var_b
+       - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n)
+        / nullif(b.n - 1, 0) AS var_b
     FROM (SELECT * FROM per_arm WHERE arm = 0) a
     CROSS JOIN (SELECT * FROM per_arm WHERE arm = 1) b) t1) t2
 """,
@@ -7280,7 +7288,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 WITH s AS (
   SELECT user_id AS u, ts,
     CASE WHEN lag(ts) OVER w IS NULL
-         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
          THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
@@ -7311,7 +7319,7 @@ daily AS (
     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6))
       AS gmv_dec
   FROM orders CROSS JOIN mx
-  WHERE CAST(o_orderdate AS DATE) >= max_d - 120 GROUP BY 1
+  WHERE CAST(o_orderdate AS DATE) >= max_d - 151 GROUP BY 1
 ), dd AS (
   SELECT d, gmv_dec,
     CAST(date_trunc('month', d) AS DATE) AS mth, day(d) AS dom
@@ -7331,7 +7339,9 @@ SELECT CAST(d AS VARCHAR) AS day,
   round(CAST(mtd_dec AS DOUBLE), 6) AS mtd_gmv,
   round(CAST(gmv_dec AS DOUBLE) / CAST(prev_gmv_dec AS DOUBLE), 6)
     AS mom_ratio
-FROM cur LEFT JOIN prev USING (mth, dom) ORDER BY day
+FROM cur LEFT JOIN prev USING (mth, dom)
+CROSS JOIN mx WHERE d >= max_d - 120
+ORDER BY day
 """,
         "catalog_freshness": """
 WITH ev AS (
@@ -7370,11 +7380,16 @@ staged AS (
   FROM (SELECT u, wk + 7 AS wk FROM act) p
   LEFT JOIN act a ON a.u = p.u AND a.wk = p.wk
   WHERE a.u IS NULL GROUP BY p.wk
-)
-SELECT CAST(s.wk AS VARCHAR) AS week, n_new, n_retained,
-  n_resurrected,
+), mw AS (SELECT max(wk) AS max_wk FROM act)
+SELECT CAST(coalesce(s.wk, ch.wk) AS VARCHAR) AS week,
+  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
   CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
-FROM staged s LEFT JOIN ch ON ch.wk = s.wk ORDER BY week
+FROM staged s FULL JOIN ch ON ch.wk = s.wk
+CROSS JOIN mw
+WHERE coalesce(s.wk, ch.wk) <= max_wk
+ORDER BY week
 """,
         "revenue_concentration": """
 WITH per AS (

@@ -828,7 +828,6 @@ def split_leakage_audit(
 
 def source_divergence(
     df: DataFrame,
-    col_id: str = "doc_id",
     col_text: str = "text",
     col_source: str = "source",
 ) -> DataFrame:

@@ -980,33 +980,10 @@ def heaps_law_points(
         "CAST(round(log10(CAST(cum_vocab AS DOUBLE)), 9)"
         " AS DECIMAL(18,9))"
     )
-    # CENTERED OLS — Σ(x−x̄)(y−ȳ) / Σ(x−x̄)² with centered products
-    # pre-rounded to DECIMAL(18,9): the raw closed form subtracts
-    # near-equal decimal products whose precision caps truncate
-    # differently per engine (see degree_distribution's docstring).
-    pts_xy = points.select(lx.alias("x"), ly.alias("y"))
-    means = pts_xy.agg(
-        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mx"),
-        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("my"),
-    )
-    centered = pts_xy.crossJoin(F.broadcast(means)).select(
-        F.expr(
-            "CAST(round((CAST(x AS DOUBLE) - mx)"
-            " * (CAST(y AS DOUBLE) - my), 9) AS DECIMAL(18,9))"
-        ).alias("cxy"),
-        F.expr(
-            "CAST(round((CAST(x AS DOUBLE) - mx)"
-            " * (CAST(x AS DOUBLE) - mx), 9) AS DECIMAL(18,9))"
-        ).alias("cxx"),
-    )
-    fit = centered.agg(
-        F.round(
-            F.try_divide(
-                F.sum("cxy").cast("double"),
-                F.sum("cxx").cast("double"),
-            ),
-            6,
-        ).alias("heaps_beta")
+    from .fitting import centered_ols_slope
+
+    fit = centered_ols_slope(
+        points.select(lx.alias("x"), ly.alias("y")), "heaps_beta"
     )
     return points.crossJoin(F.broadcast(fit)).orderBy("bucket")
 

@@ -14,6 +14,44 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _per_arm_stats(
+    df: DataFrame, col_unit: str, col_value: str, salt: str
+) -> DataFrame:
+    """Shared two-arm reduction for ab_test_analysis / ab_power_mde:
+    salted-md5 parity assignment over per-unit DECIMAL value sums,
+    reduced to one (n, Σv, Σv²) row per arm — the
+    determinism-sensitive core (hash, decimal widths) lives ONCE."""
+    unit = (
+        df.groupBy(F.col(col_unit).alias("unit"))
+        .agg(
+            F.sum(F.col(col_value).cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("v")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(
+                        F.concat_ws("|", F.lit(salt),
+                                    F.col("unit").cast("string"))
+                    ), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            "v",
+        )
+    )
+    return unit.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(38,12)").alias("sv"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,12)")
+        ).cast("decimal(38,12)").alias("svv"),
+    )
+
+
 def ab_test_analysis(
     df: DataFrame,
     col_unit: str,
@@ -37,35 +75,7 @@ def ab_test_analysis(
     Caveat at extreme scale: Σv² is carried as DECIMAL(38,12); for
     values |v| > ~1e8 per unit, pre-scale the metric (the t statistic
     is scale-invariant)."""
-    unit = (
-        df.groupBy(F.col(col_unit).alias("unit"))
-        .agg(
-            F.sum(F.col(col_value).cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
-            .alias("v")
-        )
-        .select(
-            (
-                F.conv(
-                    F.substring(F.md5(
-                        F.concat_ws("|", F.lit(salt),
-                                    F.col("unit").cast("string"))
-                    ), 1, 8),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-            ).alias("arm"),
-            "v",
-        )
-    )
-    per_arm = unit.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("v").cast("decimal(38,12)").alias("sv"),
-        F.sum(
-            (F.col("v") * F.col("v")).cast("decimal(38,12)")
-        ).cast("decimal(38,12)").alias("svv"),
-    )
+    per_arm = _per_arm_stats(df, col_unit, col_value, salt)
     a = per_arm.filter(F.col("arm") == 0).select(
         F.col("n").alias("n_a"),
         F.col("sv").alias("sv_a"),
@@ -289,45 +299,22 @@ def ab_power_mde(
         MDE = (z_α/2 + z_β) · √(s²_a/n_a + s²_b/n_b)
 
     — the readout that answers "is this experiment big enough yet"
-    BEFORE peeking at the effect itself. Same deterministic salted-md5
-    arm assignment and DECIMAL (n, Σv, Σv²) reduction as
-    ``ab_test_analysis`` (kept standalone so that witnessed query's
-    code stays untouched; the shared-stats refactor is noted for the
-    next rotation). The standard error is pre-rounded to 9 decimals
-    before the constant multiplier — √ is IEEE-exact, but the upstream
-    double divisions are guarded like every cross-engine float.
+    BEFORE peeking at the effect itself. Shares ``_per_arm_stats``
+    (the salted-md5 assignment and DECIMAL (n, Σv, Σv²) reduction)
+    with ``ab_test_analysis``, so the determinism-sensitive core
+    cannot desynchronize between the two readouts. The standard error
+    is pre-rounded to 9 decimals before the constant multiplier, the
+    z constant itself is pre-rounded (1.96 + z_β in binary is 1 ulp
+    off the decimal literal an oracle would parse), and every
+    denominator that can legitimately be 0 (single-unit arm's n−1,
+    a zero control mean) goes through try_divide so both engines
+    agree on NULL. A completely empty arm yields an EMPTY result (the
+    cross join has no build side) — by design, the "experiment not
+    randomized yet" signal.
 
     Scale shape: one unit-scale aggregate, one 2-row arm aggregate,
     a ONE-ROW output; nothing wider than the unit table shuffles."""
-    unit = (
-        df.groupBy(F.col(col_unit).alias("unit"))
-        .agg(
-            F.sum(F.col(col_value).cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
-            .alias("v")
-        )
-        .select(
-            (
-                F.conv(
-                    F.substring(F.md5(
-                        F.concat_ws("|", F.lit(salt),
-                                    F.col("unit").cast("string"))
-                    ), 1, 8),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-            ).alias("arm"),
-            "v",
-        )
-    )
-    per_arm = unit.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("v").cast("decimal(38,12)").alias("sv"),
-        F.sum(
-            (F.col("v") * F.col("v")).cast("decimal(38,12)")
-        ).cast("decimal(38,12)").alias("svv"),
-    )
+    per_arm = _per_arm_stats(df, col_unit, col_value, salt)
     a = per_arm.filter(F.col("arm") == 0).select(
         F.col("n").alias("n_a"),
         F.col("sv").alias("sv_a"),
@@ -339,26 +326,31 @@ def ab_power_mde(
         F.col("svv").alias("svv_b"),
     )
     mean_a = F.col("sv_a").cast("double") / F.col("n_a")
-    var_a = (
+    var_a = F.try_divide(
         F.col("svv_a").cast("double")
         - F.col("sv_a").cast("double") * F.col("sv_a").cast("double")
-        / F.col("n_a")
-    ) / (F.col("n_a") - 1)
-    var_b = (
+        / F.col("n_a"),
+        (F.col("n_a") - 1).cast("double"),
+    )
+    var_b = F.try_divide(
         F.col("svv_b").cast("double")
         - F.col("sv_b").cast("double") * F.col("sv_b").cast("double")
-        / F.col("n_b")
-    ) / (F.col("n_b") - 1)
+        / F.col("n_b"),
+        (F.col("n_b") - 1).cast("double"),
+    )
     se9 = F.round(
         F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")), 9
     )
-    z_tot = float(z_alpha) + float(z_beta)
+    z_tot = round(float(z_alpha) + float(z_beta), 9)
     return a.crossJoin(F.broadcast(b)).select(
         "n_a",
         "n_b",
         F.round(se9, 6).alias("std_error"),
         F.round(F.lit(z_tot) * se9, 6).alias("mde_abs"),
-        F.round(F.lit(z_tot) * se9 / F.abs(F.round(mean_a, 9)), 6).alias(
-            "mde_rel_control"
-        ),
+        F.round(
+            F.try_divide(
+                F.lit(z_tot) * se9, F.abs(F.round(mean_a, 9))
+            ),
+            6,
+        ).alias("mde_rel_control"),
     )

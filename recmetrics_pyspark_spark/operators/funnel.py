@@ -634,11 +634,14 @@ def session_summary(
         .withColumn("prev_t", F.lag("t").over(w))
         .withColumn(
             "new_s",
+            # MICROSECOND gap, exactly assign_session_ids' definition:
+            # ts carries sub-second precision, and a second-granularity
+            # diff would merge sessions the sessionizer splits
             F.when(
                 F.col("prev_t").isNull()
                 | (
-                    F.unix_timestamp("t") - F.unix_timestamp("prev_t")
-                    > gap_minutes * 60
+                    F.expr("timestampdiff(MICROSECOND, prev_t, t)")
+                    > gap_minutes * 60 * 1_000_000
                 ),
                 1,
             ).otherwise(0),
@@ -694,10 +697,13 @@ def user_lifecycle_stages(
     All work happens at USER-WEEK grain: one distinct collapse of the
     event stream, one user-scale first-week aggregate, one equi-join
     against the prior week's activity (u, wk−7), and one anti-join for
-    churn. Weeks are Monday-truncated dates; output rows are the
-    observed activity weeks (the week after the last observed week,
-    where the final cohort's churn would land, is out of frame).
-    Exact integer counts throughout."""
+    churn. Weeks are Monday-truncated dates. Output rows are the
+    UNION of activity weeks and churn-target weeks up to the last
+    observed activity week — an interior fully-dead week still emits
+    its row (all zeros except n_churned), so the growth identity
+    holds across gaps; only the week AFTER the last observed week,
+    where the final cohort's churn would land, is out of frame. Exact
+    integer counts throughout."""
     act = events.select(
         F.col(col_user).alias("u"),
         F.date_trunc("week", F.col(col_ts)).cast("date").alias("wk"),
@@ -732,16 +738,21 @@ def user_lifecycle_stages(
         .groupBy("wk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
     )
+    # FULL join so churn into an interior dead week (no activity rows)
+    # still surfaces; the one-row max-week broadcast crops the week
+    # after the final observed week, which is out of frame
+    max_wk = act.agg(F.max("wk").alias("max_wk"))
+    zero = F.lit(0).cast("bigint")
     return (
-        staged.join(churned, "wk", "left")
+        staged.join(churned, "wk", "full")
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk") <= F.col("max_wk"))
         .select(
             F.col("wk").cast("string").alias("week"),
-            "n_new",
-            "n_retained",
-            "n_resurrected",
-            F.coalesce("n_churned", F.lit(0).cast("bigint")).alias(
-                "n_churned"
-            ),
+            F.coalesce("n_new", zero).alias("n_new"),
+            F.coalesce("n_retained", zero).alias("n_retained"),
+            F.coalesce("n_resurrected", zero).alias("n_resurrected"),
+            F.coalesce("n_churned", zero).alias("n_churned"),
         )
         .orderBy("week")
     )

@@ -630,15 +630,10 @@ def degree_distribution(
     scale-free-ness readout (hub structure drives every wedge-cap and
     skew decision the graph family makes).
 
-    Determinism: log10 points are pre-rounded to DECIMAL(18,9), and
-    the OLS runs in CENTERED form — Σ(x−x̄)(y−ȳ) / Σ(x−x̄)² with the
-    means from exact DECIMAL sums and the centered products
-    pre-rounded to DECIMAL(18,9) again. The raw closed form
-    (nΣxy − ΣxΣy) is a difference of near-equal products that
-    overflows DECIMAL precision caps differently per engine
-    (catastrophic cancellation, observed as a 5th-decimal alpha
-    mismatch on tight-spread degree histograms); the centered products
-    are small and exact. Alpha is NULL for a single-degree histogram.
+    Determinism: log10 points are pre-rounded to DECIMAL(18,9) and
+    the fit is ``functions.fitting.centered_ols_slope`` (see its
+    docstring for why the raw nΣxy−ΣxΣy form drifts across engines).
+    Alpha is NULL for a single-degree histogram.
 
     Scale shape: one edge-scale degree aggregate, one degree-scale
     histogram aggregate (output rows = distinct degrees, bounded by
@@ -659,29 +654,10 @@ def degree_distribution(
         "CAST(round(log10(CAST(n_nodes AS DOUBLE)), 9)"
         " AS DECIMAL(18,9))"
     )
-    pts = hist.select(lx.alias("x"), ly.alias("y"))
-    means = pts.agg(
-        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mx"),
-        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("my"),
-    )
-    centered = pts.crossJoin(F.broadcast(means)).select(
-        F.expr(
-            "CAST(round((CAST(x AS DOUBLE) - mx)"
-            " * (CAST(y AS DOUBLE) - my), 9) AS DECIMAL(18,9))"
-        ).alias("cxy"),
-        F.expr(
-            "CAST(round((CAST(x AS DOUBLE) - mx)"
-            " * (CAST(x AS DOUBLE) - mx), 9) AS DECIMAL(18,9))"
-        ).alias("cxx"),
-    )
-    fit = centered.agg(
-        F.round(
-            F.try_divide(
-                F.sum("cxy").cast("double"),
-                F.sum("cxx").cast("double"),
-            ),
-            6,
-        ).alias("powerlaw_alpha")
+    from ..functions.fitting import centered_ols_slope
+
+    fit = centered_ols_slope(
+        hist.select(lx.alias("x"), ly.alias("y")), "powerlaw_alpha"
     )
     return (
         hist.select(F.col("deg").cast("bigint").alias("degree"), "n_nodes")

@@ -387,8 +387,13 @@ def daily_autocorrelation(
         .select(
             F.col("k").cast("int").alias("k"),
             "n_pairs",
+            # try_divide: a CONSTANT daily series has s0 = 0 exactly
+            # (every dm = 0) — acf is undefined, NULL on both engines
             F.round(
-                F.col("sk").cast("double") / F.col("s0").cast("double"),
+                F.try_divide(
+                    F.col("sk").cast("double"),
+                    F.col("s0").cast("double"),
+                ),
                 6,
             ).alias("acf"),
         )
@@ -485,11 +490,15 @@ def gmv_mtd_report(
     Revenue stays DECIMAL(18,6) through the daily sums and the MTD
     window; MoM is one double division, rounded. The previous-month
     comparison is an EQUI-join on (month - 1, day-of-month) over the
-    day-scale table — never a date-range join.
+    day-scale table — never a date-range join. The daily table is
+    built over an extra 31-day lead-in so the output window's leading
+    month still finds its comparison days (and its month-to-date
+    includes pre-window days of the same month); MoM is NULL only
+    when the same day of the previous month truly had no orders.
 
     Scale shape: one day-scale aggregate from the scan (filter pushed
     to parquet via the max-date broadcast), then day-scale windows and
-    joins; output rows = observed days in the window."""
+    joins; output rows = observed days in the reporting window."""
     from pyspark.sql.window import Window
 
     mx = orders.agg(
@@ -499,7 +508,7 @@ def gmv_mtd_report(
         orders.crossJoin(F.broadcast(mx))
         .filter(
             F.col(col_date).cast("date")
-            >= F.date_sub(F.col("max_d"), last_n_days)
+            >= F.date_sub(F.col("max_d"), last_n_days + 31)
         )
         .groupBy(F.col(col_date).cast("date").alias("d"))
         .agg(
@@ -525,6 +534,9 @@ def gmv_mtd_report(
     )
     return (
         cur.join(prev, ["mth", "dom"], "left")
+        # crop the 31-day lead-in: it exists only to feed MTD/MoM
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("d") >= F.date_sub(F.col("max_d"), last_n_days))
         .select(
             F.col("d").cast("string").alias("day"),
             F.round(F.col("gmv_dec").cast("double"), 6).alias("gmv"),

@@ -204,3 +204,25 @@ def test_embedding_outliers_distance_ranking(spark):
         (2, 1.0, 3),
         (3, 1.0, 4),
     ]
+
+
+def test_user_lifecycle_interior_dead_week_emits_churn_row(spark):
+    from recmetrics_pyspark_spark.operators.funnel import (
+        user_lifecycle_stages,
+    )
+
+    # active week 1, NOBODY active week 2, returns week 3: the dead
+    # week must still emit its churn row so the growth identity
+    # (new + retained + resurrected - churned = WoW delta) holds
+    rows = [
+        (1, _dt.datetime(2024, 1, 1)),
+        (1, _dt.datetime(2024, 1, 15)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.week: r for r in user_lifecycle_stages(ev).collect()}
+    assert sorted(out) == ["2024-01-01", "2024-01-08", "2024-01-15"]
+    dead = out["2024-01-08"]
+    assert (dead.n_new, dead.n_retained, dead.n_resurrected,
+            dead.n_churned) == (0, 0, 0, 1)
+    back = out["2024-01-15"]
+    assert back.n_resurrected == 1 and back.n_churned == 0

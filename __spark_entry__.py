@@ -3275,6 +3275,53 @@ def _embedding_outliers(spark, sf_dir):
     return S.embedding_outliers(_embs(spark, sf_dir))
 
 
+def _scd2_customer_priority(spark, sf_dir):
+    """Type-2 SCD build (operators/cdc.py::scd2_history): customer
+    order-priority history as half-open validity intervals — change
+    runs collapse, same-day ties break by max order key."""
+    from recmetrics_pyspark_spark.operators.cdc import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "od", F.col("o_orderdate").cast("date")
+    )
+    return scd2_history(
+        orders, "o_custkey", "o_orderpriority", "od", "o_orderkey"
+    )
+
+
+def _join_size_lineitem_part(spark, sf_dir):
+    """Join-cardinality pre-flight (operators/skew.py::
+    join_size_report): exact output size and top skew keys for the
+    lineitem ⋈ lineitem self-join on l_partkey — the pair-table
+    blowup predictor."""
+    from recmetrics_pyspark_spark.operators.skew import (
+        join_size_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_size_report(li, li, "l_partkey", "l_partkey", top_k=10)
+
+
+def _token_budget_plan(spark, sf_dir):
+    """Training-mixture allocator (functions/curation.py::
+    token_budget_plan): equal-weight token budget split across
+    sources with keep rates and epoch factors."""
+    return C.token_budget_plan(
+        load_table(spark, sf_dir, "documents"), 1_000_000
+    )
+
+
+def _bot_activity_flags(spark, sf_dir):
+    """Bot/abuse screen (operators/funnel.py::bot_activity_flags):
+    per-user sustained rate + max 10-second burst over the event
+    stream, with inhuman-activity flags."""
+    from recmetrics_pyspark_spark.operators.funnel import (
+        bot_activity_flags,
+    )
+
+    return bot_activity_flags(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-5 rotation (`_ROUND5_WINDOW`
@@ -3318,10 +3365,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-verified after the second code-review pass touched eight of
     them (nullif/try_divide zero-denominator guards, the session-gap
     microsecond fix, the gmv lead-in, the lifecycle dead-week row).
+    Four more operators landed after that pass
+    (scd2_customer_priority, join_size_lineitem_part,
+    token_budget_plan, bot_activity_flags) — verified at
+    sf0.001/0.01/0.1 via driver_check on arrival.
     Round 6 window: 5 canaries, then the pagerank_items +
-    ab_test_events re-witnesses + these twenty-two (29 slots), then
-    any round-6 changes, then new operators fill the rest; no other
-    backlog remains.
+    ab_test_events re-witnesses + the twenty-two + these four
+    (33 slots), then any round-6 changes, then new operators fill
+    the rest; no other backlog remains.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -3581,6 +3632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_lifecycle_stages": _user_lifecycle_stages,
         "revenue_concentration": _revenue_concentration,
         "embedding_outliers": _embedding_outliers,
+        "scd2_customer_priority": _scd2_customer_priority,
+        "join_size_lineitem_part": _join_size_lineitem_part,
+        "token_budget_plan": _token_budget_plan,
+        "bot_activity_flags": _bot_activity_flags,
     }
     ordered = {k: base[k] for k in _ROUND5_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -7439,6 +7494,94 @@ FROM (
     ORDER BY dist_to_centroid DESC, vid) AS rnk
   FROM pv) t
 WHERE rnk <= 20
+""",
+        "scd2_customer_priority": """
+WITH ch AS (
+  SELECT o_custkey AS k, o_orderpriority AS a,
+    CAST(o_orderdate AS DATE) AS t,
+    row_number() OVER (
+      PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+      ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), latest AS (
+  SELECT k, a, t FROM ch WHERE rn = 1
+), runs AS (
+  SELECT k, a, t,
+    row_number() OVER (PARTITION BY k ORDER BY t) AS pos,
+    lag(a) OVER (PARTITION BY k ORDER BY t) AS prev
+  FROM latest
+), kept AS (
+  SELECT k, a, t FROM runs
+  WHERE pos = 1 OR a IS DISTINCT FROM prev
+)
+SELECT k AS key, a AS attr_value,
+  CAST(t AS VARCHAR) AS valid_from,
+  CAST(lead(t) OVER w AS VARCHAR) AS valid_to,
+  CAST(CASE WHEN lead(t) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+    AS is_current,
+  row_number() OVER w AS version
+FROM kept WINDOW w AS (PARTITION BY k ORDER BY t)
+ORDER BY key, valid_from
+""",
+        "join_size_lineitem_part": """
+WITH c AS (
+  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n * n) AS BIGINT) AS join_rows,
+         CAST(count(*) AS BIGINT) AS n_matched_keys,
+         CAST(sum(n) AS BIGINT) AS left_rows
+  FROM c
+)
+SELECT key, n AS n_left, n AS n_right,
+  CAST(n * n AS BIGINT) AS n_pairs,
+  round(CAST(n * n AS DOUBLE) / CAST(join_rows AS DOUBLE), 6)
+    AS share_of_join,
+  join_rows, n_matched_keys, left_rows, left_rows AS right_rows
+FROM c CROSS JOIN tot
+ORDER BY n_pairs DESC, key
+LIMIT 10
+""",
+        "token_budget_plan": """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+  round(1.0 / n_sources, 6) AS target_weight,
+  CAST(1000000 // n_sources AS BIGINT) AS allocated_tokens,
+  round(least(1.0, CAST(1000000 // n_sources AS DOUBLE)
+              / nullif(CAST(n_tokens AS DOUBLE), 0)), 6)
+    AS sample_rate,
+  round(CAST(1000000 // n_sources AS DOUBLE)
+        / nullif(CAST(n_tokens AS DOUBLE), 0), 6) AS epochs
+FROM per CROSS JOIN ns
+ORDER BY source
+""",
+        "bot_activity_flags": """
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) AS mu FROM events
+), pe AS (
+  SELECT u, mu, count(*) OVER (PARTITION BY u ORDER BY mu
+    RANGE BETWEEN CURRENT ROW AND 9999999 FOLLOWING) AS burst
+  FROM base
+), pu AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(max(mu) - min(mu) AS BIGINT) AS active_us,
+    CAST(max(burst) AS BIGINT) AS max_burst_10s
+  FROM pe GROUP BY u
+)
+SELECT u AS user_id, n_events,
+  round(CAST(active_us AS DOUBLE) / 1000000.0, 6) AS active_secs,
+  round(CAST(n_events AS DOUBLE) * 60000000.0
+        / nullif(CAST(active_us AS DOUBLE), 0), 6) AS events_per_min,
+  max_burst_10s,
+  CAST(CASE WHEN max_burst_10s >= 10
+            OR CAST(n_events AS DOUBLE) * 60000000.0
+               > 6.0 * CAST(active_us AS DOUBLE)
+       THEN 1 ELSE 0 END AS INT) AS is_bot
+FROM pu WHERE n_events >= 20 ORDER BY user_id
 """,
         "lsh_parameter_plan": """
 WITH grid AS (

@@ -895,3 +895,83 @@ def source_divergence(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    total_budget_tokens: int,
+    col_source: str = "source",
+    col_text: str = "text",
+) -> DataFrame:
+    """Training-mixture allocator: given a total token budget and an
+    equal-weight target mixture over sources, emit per source the
+    observed inventory (docs, whitespace tokens), the allocated
+    budget, the keep rate a sampler should apply, and the epoch
+    (repeat) factor when the target EXCEEDS the inventory — the table
+    a data-mixing stage reads before ``mixture_sample`` executes the
+    rates (this planner decides; that operator applies).
+
+    Determinism: inventories are exact BIGINT sums of
+    ``size(split(text, ' '))`` (the repo-wide token convention);
+    the per-source allocation is the exact integer
+    ``floor(budget / n_sources)`` so every engine rounds identically;
+    only the final rate/epoch divisions are doubles, rounded to 6, via
+    try_divide (a source of empty texts has zero tokens → NULL rate,
+    the "nothing to sample" signal).
+
+    Scale shape: one scan-side token projection, one source-scale
+    aggregate (sources are a handful), one one-row source-count
+    aggregate broadcast back — no row-scale shuffle beyond the single
+    groupBy, no driver action, output rows = number of sources."""
+    n_tok = F.expr(f"size(split({col_text}, ' '))").cast("long")
+    per = (
+        df.select(F.col(col_source).alias("source"), n_tok.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("n_tokens"),
+        )
+    )
+    nsrc = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    alloc = (
+        F.expr(f"{int(total_budget_tokens)}L DIV n_sources")
+        .cast("bigint")
+        .alias("allocated_tokens")
+    )
+    return (
+        per.crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) / F.col("n_sources").cast("double"), 6
+            ).alias("target_weight"),
+            alloc,
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "target_weight",
+            "allocated_tokens",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.try_divide(
+                        F.col("allocated_tokens").cast("double"),
+                        F.col("n_tokens").cast("double"),
+                    ),
+                ),
+                6,
+            ).alias("sample_rate"),
+            F.round(
+                F.try_divide(
+                    F.col("allocated_tokens").cast("double"),
+                    F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )

@@ -347,3 +347,81 @@ def user_erasure_audit(
             )
         )
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    col_key: str,
+    col_attr: str,
+    col_ts: str,
+    col_tiebreak: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse a change-event
+    stream (key, attribute, timestamp) into validity intervals —
+    one row per (key, attribute VALUE run) with ``valid_from`` /
+    ``valid_to`` / ``is_current`` / ``version`` — the dimension-history
+    table every lakehouse warehouse maintains next to its facts (the
+    reference has no dimension surface; this extends ``snapshot_diff``
+    from "what changed between two snapshots" to "the full interval
+    history from the change log").
+
+    Semantics: within one (key, ts) the row with the highest
+    ``col_tiebreak`` wins (a change log can carry several updates at
+    one timestamp; the tiebreak makes the winner deterministic across
+    engines). Consecutive equal values collapse into one interval
+    (change detection via NULL-safe ``lag`` comparison, with the
+    first row per key always opening an interval — so a NULL
+    attribute is a value, not a wildcard). ``valid_to`` is the NEXT change's
+    ``valid_from`` (half-open intervals, no gaps/overlaps by
+    construction); the last interval per key has ``valid_to`` NULL and
+    ``is_current`` = 1. ``version`` numbers intervals 1..n per key.
+
+    Scale shape: everything is windowed PARTITION BY key — one shuffle
+    on the key, then three codegen'd window passes at change-log
+    scale; no self-join, no global window, output is bounded by the
+    number of VALUE CHANGES (<< change-log rows for real dimensions).
+    At 100 TB the change log is entity-keyed, so AQE coalesces the
+    post-shuffle partitions and skewed hot entities split; the
+    interval build itself never widens a row beyond (key, attr, ts).
+    """
+    from pyspark.sql.window import Window
+
+    k, a, t, tb = col_key, col_attr, col_ts, col_tiebreak
+    # per-(key, ts) winner WITHOUT a (key, ts)-partitioned window:
+    # within the key partition ordered (ts ASC, tiebreak DESC), each
+    # timestamp run's FIRST row is its winner — so every window in
+    # this build partitions by the key alone and Catalyst reuses ONE
+    # exchange for all three passes (a (k, t) window would force a
+    # second shuffle)
+    w_win = Window.partitionBy(k).orderBy(F.asc(t), F.desc(tb))
+    latest = (
+        changes.select(k, a, t, tb)
+        .withColumn("_pt", F.lag(t).over(w_win))
+        .filter(F.col("_pt").isNull() | (F.col("_pt") != F.col(t)))
+        .drop("_pt", tb)
+    )
+    w_key = Window.partitionBy(k).orderBy(t)
+    runs = (
+        latest.withColumn("_pos", F.row_number().over(w_key))
+        .withColumn("_prev", F.lag(a).over(w_key))
+        .filter(
+            (F.col("_pos") == 1)
+            | ~F.col(a).eqNullSafe(F.col("_prev"))
+        )
+        .drop("_pos", "_prev")
+    )
+    return (
+        runs.withColumn("_next_from", F.lead(t).over(w_key))
+        .select(
+            F.col(k).alias("key"),
+            F.col(a).alias("attr_value"),
+            F.col(t).cast("string").alias("valid_from"),
+            F.col("_next_from").cast("string").alias("valid_to"),
+            F.when(F.col("_next_from").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_current"),
+            F.row_number().over(w_key).cast("bigint").alias("version"),
+        )
+        .orderBy("key", "valid_from")
+    )

@@ -816,3 +816,88 @@ def revenue_concentration(
         f"stack({len(top_fractions)}, {stack}) AS "
         "(top_fraction, rev_threshold, n_customers, revenue_share)"
     ).orderBy("top_fraction")
+
+
+def bot_activity_flags(
+    events: DataFrame,
+    col_user: str = "user_id",
+    col_ts: str = "ts",
+    min_events: int = 20,
+    burst_threshold: int = 10,
+    rate_threshold_per_min: float = 6.0,
+) -> DataFrame:
+    """Bot/abuse screen over the event stream: per sufficiently-active
+    user, the activity-rate diagnostics a training-data pipeline reads
+    before events feed recommendations or behavioral corpora —
+    inhuman sustained rates and bursts are the standard spam signals
+    (engagement farms distort every popularity-derived statistic
+    downstream, so this filter runs FIRST).
+
+    Per user: event count, active span, sustained events-per-active-
+    minute, and the maximum 10-second burst (the count of events in
+    any half-open [t, t+10s) window anchored at an event). A user is
+    flagged when the burst reaches ``burst_threshold`` or the
+    sustained rate exceeds ``rate_threshold_per_min``. The span is
+    exact BIGINT microseconds; only the rate division is a rounded
+    double (try_divide: a single-event user has zero span → NULL rate,
+    never flagged by rate). The burst window is a RANGE frame over
+    microsecond epochs — exact integer bounds, no timestamp rounding
+    ambiguity between engines.
+
+    Scale shape: one shuffle on the user key serves BOTH the burst
+    window and the per-user aggregate; the RANGE frame is
+    event-scale but strictly per-user and forward-bounded (10 s), so
+    a hot user costs O(events-in-10s) per row, not O(n²); output is
+    user-scale, filtered to ``min_events``. No joins, no driver
+    actions."""
+    from pyspark.sql.window import Window
+
+    # NTZ parquet timestamps need the explicit cast (identity in this
+    # engine's fixed UTC session timezone) before unix_micros
+    mu = F.expr(f"unix_micros(CAST({col_ts} AS TIMESTAMP))")
+    base = events.select(F.col(col_user).alias("u"), mu.alias("mu"))
+    w_burst = (
+        Window.partitionBy("u")
+        .orderBy("mu")
+        .rangeBetween(0, 9_999_999)
+    )
+    per_event = base.withColumn(
+        "burst", F.count(F.lit(1)).over(w_burst)
+    )
+    per_user = per_event.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("mu") - F.min("mu")).cast("bigint").alias("active_us"),
+        F.max("burst").cast("bigint").alias("max_burst_10s"),
+    )
+    rate = F.round(
+        F.try_divide(
+            F.col("n_events").cast("double") * 60_000_000.0,
+            F.col("active_us").cast("double"),
+        ),
+        6,
+    )
+    return (
+        per_user.filter(F.col("n_events") >= min_events)
+        .select(
+            F.col("u").alias("user_id"),
+            "n_events",
+            F.round(
+                F.col("active_us").cast("double") / 1_000_000.0, 6
+            ).alias("active_secs"),
+            rate.alias("events_per_min"),
+            "max_burst_10s",
+            F.when(
+                (F.col("max_burst_10s") >= burst_threshold)
+                | (
+                    F.col("n_events").cast("double") * 60_000_000.0
+                    > F.lit(float(rate_threshold_per_min))
+                    * F.col("active_us").cast("double")
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_bot"),
+        )
+        .orderBy("user_id")
+    )

@@ -77,3 +77,74 @@ def key_skew_stats(
             ).alias("cum_share"),
         )
     )
+
+
+def join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    col_key_left: str,
+    col_key_right: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight cardinality estimate for an equi-join: the EXACT
+    output row count Σ_k n_left(k)·n_right(k) plus the top-k keys by
+    contribution — the measurement that predicts a shuffle blowup
+    BEFORE the join runs (a 100 TB self-join on a power-law key can
+    emit 1000× its input; this report costs two key-scale aggregates
+    instead).
+
+    Output: one row per top-k contributing key with both side counts,
+    the key's pair count, and its share of the total join output; the
+    totals (join_rows, left_rows, right_rows, n_matched_keys) ride
+    along as broadcast one-row columns so the report is self-contained.
+
+    Scale shape: one count aggregate per side (key-scale), one
+    key-scale equi-join of the two count tables (AQE broadcasts the
+    smaller), a one-row total aggregate, and ``orderBy().limit(k)``
+    planned as TakeOrderedAndProject — the key-scale table is never
+    globally sorted and nothing row-scale shuffles twice. Exact BIGINT
+    arithmetic everywhere; only the share is a rounded double."""
+    lc = left.groupBy(F.col(col_key_left).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left")
+    )
+    rc = right.groupBy(F.col(col_key_right).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right")
+    )
+    per_key = lc.join(rc, "key").select(
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).cast("bigint").alias(
+            "n_pairs"
+        ),
+    )
+    totals = per_key.agg(
+        F.sum("n_pairs").cast("bigint").alias("join_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_keys"),
+    )
+    sides = lc.agg(F.sum("n_left").cast("bigint").alias("left_rows")).crossJoin(
+        rc.agg(F.sum("n_right").cast("bigint").alias("right_rows"))
+    )
+    top = per_key.orderBy(F.desc("n_pairs"), F.asc("key")).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(sides))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "n_pairs",
+            F.round(
+                F.try_divide(
+                    F.col("n_pairs").cast("double"),
+                    F.col("join_rows").cast("double"),
+                ),
+                6,
+            ).alias("share_of_join"),
+            "join_rows",
+            "n_matched_keys",
+            "left_rows",
+            "right_rows",
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("key"))
+    )

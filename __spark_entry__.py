@@ -3322,6 +3322,45 @@ def _bot_activity_flags(spark, sf_dir):
     return bot_activity_flags(load_table(spark, sf_dir, "events"))
 
 
+def _theil_sen_orders(spark, sf_dir):
+    """Robust daily-revenue trend (operators/timeseries.py::
+    theil_sen_trend): median of pairwise day slopes over the last 120
+    days — the outlier-proof companion to the OLS trend."""
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    return theil_sen_trend(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderdate",
+        "o_totalprice",
+    )
+
+
+def _seasonal_anomaly_days(spark, sf_dir):
+    """Weekday-adjusted volume anomalies (operators/timeseries.py::
+    seasonal_residual_anomalies): days whose residual vs their
+    day-of-week mean exceeds 2 robust (MAD) sigmas."""
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        seasonal_residual_anomalies,
+    )
+
+    return seasonal_residual_anomalies(
+        load_table(spark, sf_dir, "events"), "ts", z_threshold=2.0
+    )
+
+
+def _peak_concurrency(spark, sf_dir):
+    """Peak simultaneous sessions per day (operators/funnel.py::
+    peak_concurrency): day-partitioned +1/−1 sweep over sessionized
+    event intervals, exact microsecond arithmetic."""
+    from recmetrics_pyspark_spark.operators.funnel import (
+        peak_concurrency,
+    )
+
+    return peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-5 rotation (`_ROUND5_WINDOW`
@@ -3365,13 +3404,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-verified after the second code-review pass touched eight of
     them (nullif/try_divide zero-denominator guards, the session-gap
     microsecond fix, the gmv lead-in, the lifecycle dead-week row).
-    Four more operators landed after that pass
+    Seven more operators landed after that pass
     (scd2_customer_priority, join_size_lineitem_part,
-    token_budget_plan, bot_activity_flags) — verified at
+    token_budget_plan, bot_activity_flags, theil_sen_orders,
+    seasonal_anomaly_days, peak_concurrency) — verified at
     sf0.001/0.01/0.1 via driver_check on arrival.
     Round 6 window: 5 canaries, then the pagerank_items +
-    ab_test_events re-witnesses + the twenty-two + these four
-    (33 slots), then any round-6 changes, then new operators fill
+    ab_test_events re-witnesses + the twenty-two + these seven
+    (36 slots), then any round-6 changes, then new operators fill
     the rest; no other backlog remains.
     """
     base = {
@@ -3636,6 +3676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_lineitem_part": _join_size_lineitem_part,
         "token_budget_plan": _token_budget_plan,
         "bot_activity_flags": _bot_activity_flags,
+        "theil_sen_orders": _theil_sen_orders,
+        "seasonal_anomaly_days": _seasonal_anomaly_days,
+        "peak_concurrency": _peak_concurrency,
     }
     ordered = {k: base[k] for k in _ROUND5_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -7582,6 +7625,103 @@ SELECT u AS user_id, n_events,
                > 6.0 * CAST(active_us AS DOUBLE)
        THEN 1 ELSE 0 END AS INT) AS is_bot
 FROM pu WHERE n_events >= 20 ORDER BY user_id
+""",
+        "theil_sen_orders": """
+WITH mx AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders
+), daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', d) AS x, v FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+           AS DECIMAL(18,6)) AS DOUBLE) AS v
+    FROM orders CROSS JOIN mx
+    WHERE CAST(o_orderdate AS DATE) >= max_d - 120
+    GROUP BY 1) t
+), slopes AS (
+  SELECT CAST(round((b.v - a.v) / CAST(b.x - a.x AS DOUBLE), 9)
+         AS DOUBLE) AS s
+  FROM daily a JOIN daily b ON a.x < b.x
+), fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(s, 0.5) AS m
+  FROM slopes
+), dd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         quantile_cont(v, 0.5) AS med_v
+  FROM daily
+)
+SELECT n_days, n_pairs, round(m, 6) AS slope_per_day,
+  round(med_v, 6) AS median_level
+FROM fit CROSS JOIN dd
+""",
+        "seasonal_anomaly_days": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), dw AS (
+  SELECT dayofweek(d) AS dwk,
+    CAST(round(CAST(sum(n) AS DOUBLE) / count(*), 9) AS DOUBLE)
+      AS dw_mean
+  FROM daily GROUP BY 1
+), resid AS (
+  SELECT d, n, dw_mean,
+    CAST(round(CAST(n AS DOUBLE) - dw_mean, 9) AS DOUBLE) AS r
+  FROM daily JOIN dw ON dayofweek(d) = dwk
+), mad AS (SELECT quantile_cont(abs(r), 0.5) AS mad FROM resid)
+SELECT CAST(d AS VARCHAR) AS day, n,
+  round(dw_mean, 6) AS weekday_mean,
+  round(r / nullif(1.4826 * mad, 0), 6) AS robust_z
+FROM resid CROSS JOIN mad
+WHERE abs(round(r / nullif(1.4826 * mad, 0), 6)) > 2.0
+ORDER BY day
+""",
+        "peak_concurrency": """
+WITH s AS (
+  SELECT user_id AS u, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT u, sid,
+    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us,
+    CAST(min(ts) AS DATE) AS s_day, CAST(max(ts) AS DATE) AS e_day
+  FROM (SELECT u, ts,
+          sum(new_s) OVER (PARTITION BY u ORDER BY ts) AS sid
+        FROM s) t
+  GROUP BY u, sid
+), segs AS (
+  SELECT day,
+    greatest(s_us, epoch_us(CAST(day AS TIMESTAMP))) AS a_us,
+    least(e_us,
+          epoch_us(CAST((day + 1) AS TIMESTAMP)) - 1) AS b_us
+  FROM (SELECT unnest(generate_series(s_day, e_day,
+                                      INTERVAL 1 DAY))::DATE AS day,
+          s_us, e_us
+        FROM sess) g
+), pts AS (
+  SELECT day, p,
+    CAST(sum(is_s) AS BIGINT) AS s_cnt,
+    CAST(sum(1 - is_s) AS BIGINT) AS e_cnt
+  FROM (
+    SELECT day, a_us AS p, 1 AS is_s FROM segs
+    UNION ALL
+    SELECT day, b_us AS p, 0 AS is_s FROM segs) u
+  GROUP BY day, p
+), act AS (
+  SELECT day,
+    sum(s_cnt) OVER wd - (sum(e_cnt) OVER wd - e_cnt) AS active
+  FROM pts WINDOW wd AS (PARTITION BY day ORDER BY p
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pk AS (
+  SELECT day, CAST(max(active) AS BIGINT) AS peak_concurrent
+  FROM act GROUP BY day
+), ns AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM segs GROUP BY day
+)
+SELECT CAST(pk.day AS VARCHAR) AS day, peak_concurrent, n_sessions
+FROM pk JOIN ns ON pk.day = ns.day ORDER BY day
 """,
         "lsh_parameter_plan": """
 WITH grid AS (

@@ -901,3 +901,137 @@ def bot_activity_flags(
         )
         .orderBy("user_id")
     )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    col_user: str = "user_id",
+    col_ts: str = "ts",
+) -> DataFrame:
+    """Peak simultaneous sessions per day — the capacity-planning
+    number (connection pools, serving replicas) that daily/rolling
+    actives can't give you: 10k daily users at 100 concurrent is a
+    different system than 10k at 5k concurrent.
+
+    Sessions are the same user-keyed microsecond-gap splits as
+    ``session_summary`` / ``assign_session_ids``. Each session
+    interval [first event, last event] (inclusive) splits at day
+    boundaries; within each day a classic +1/−1 sweep over the
+    distinct event-time points gives concurrency(t) = sessions
+    started ≤ t minus sessions ended < t, and the day's peak is the
+    max. All arithmetic is exact BIGINT microseconds.
+
+    Scale shape: one user-key shuffle (sessionize), one session-scale
+    aggregate, a bounded day-split explode (sessions span ≤ gap-bound
+    days — almost always 1-2 segments), then a DAY-PARTITIONED sweep
+    window: the global-sort trap is structurally avoided because
+    boundary-crossing sessions are pre-split, so no window ever
+    orders more than one day's points. Output rows = observed days."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u").orderBy("t")
+    sess = (
+        events.select(
+            F.col(col_user).alias("u"), F.col(col_ts).alias("t")
+        )
+        .withColumn("prev_t", F.lag("t").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_t").isNull()
+                | (
+                    F.expr("timestampdiff(MICROSECOND, prev_t, t)")
+                    > gap_minutes * 60 * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("u", "sid")
+        .agg(
+            F.expr("unix_micros(CAST(min(t) AS TIMESTAMP))").alias(
+                "s_us"
+            ),
+            F.expr("unix_micros(CAST(max(t) AS TIMESTAMP))").alias(
+                "e_us"
+            ),
+            F.to_date(F.min("t")).alias("s_day"),
+            F.to_date(F.max("t")).alias("e_day"),
+        )
+    )
+    segs = sess.select(
+        F.explode(
+            F.expr("sequence(s_day, e_day)")
+        ).alias("day"),
+        "s_us",
+        "e_us",
+    ).select(
+        "day",
+        F.greatest(
+            F.col("s_us"),
+            F.expr("unix_micros(CAST(day AS TIMESTAMP))"),
+        ).alias("a_us"),
+        F.least(
+            F.col("e_us"),
+            F.expr(
+                "unix_micros(CAST(date_add(day, 1) AS TIMESTAMP)) - 1"
+            ),
+        ).alias("b_us"),
+    )
+    # both sweep points leave each segment in ONE explode (a union
+    # would duplicate the whole sessionize subtree), and the per-day
+    # session count falls out of the same aggregate (n_sessions =
+    # Σ start-points), so the session build runs exactly once
+    points = (
+        segs.select(
+            "day",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a_us").alias("p"),
+                        F.lit(1).alias("is_s"),
+                    ),
+                    F.struct(
+                        F.col("b_us").alias("p"),
+                        F.lit(0).alias("is_s"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("day", "e.p", "e.is_s")
+        .groupBy("day", "p")
+        .agg(
+            F.sum("is_s").cast("bigint").alias("s_cnt"),
+            F.sum(1 - F.col("is_s")).cast("bigint").alias("e_cnt"),
+        )
+    )
+    w_day = Window.partitionBy("day").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    active = points.select(
+        "day",
+        "s_cnt",
+        (
+            F.sum("s_cnt").over(w_day)
+            - (F.sum("e_cnt").over(w_day) - F.col("e_cnt"))
+        ).alias("active"),
+    )
+    return (
+        active.groupBy("day")
+        .agg(
+            F.max("active").cast("bigint").alias("peak_concurrent"),
+            F.sum("s_cnt").cast("bigint").alias("n_sessions"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "peak_concurrent",
+            "n_sessions",
+        )
+        .orderBy("day")
+    )

@@ -551,3 +551,148 @@ def gmv_mtd_report(
         )
         .orderBy("day")
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    col_ts: str,
+    col_val: str,
+    last_n_days: int = 120,
+) -> DataFrame:
+    """Theil–Sen robust trend over the daily total of a metric: the
+    MEDIAN of all pairwise day-to-day slopes — the estimator that
+    shrugs off the outlier days (flash sales, outages) that wreck an
+    OLS fit (``trend_slope_topk``); the standard robust companion to
+    every daily KPI this module serves.
+
+    Determinism: daily totals are order-independent DECIMAL sums cast
+    to double; each pairwise slope is one IEEE division pre-rounded to
+    9 decimals; the median is the interpolated 0.5 quantile both
+    engines compute identically over identical doubles. The intercept
+    is the median of per-day levels at the slope (median residual
+    form), same guards.
+
+    Scale shape: one day-scale aggregate from the scan (filter pushed
+    via the max-date broadcast), then a DAY-scale pair join bounded by
+    the calendar window (≤ last_n_days²/2 pairs — the documented
+    calendar-bounded quadratic class, thousands of rows, never
+    data-scale), one one-row median reduction. Nothing fact-scale
+    shuffles twice."""
+    mx = df.agg(
+        F.max(F.to_date(F.col(col_ts))).alias("max_d")
+    )
+    daily = (
+        df.crossJoin(F.broadcast(mx))
+        .filter(
+            F.to_date(F.col(col_ts))
+            >= F.date_sub(F.col("max_d"), last_n_days)
+        )
+        .groupBy(F.to_date(F.col(col_ts)).alias("d"))
+        .agg(
+            F.sum(F.col(col_val).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+        .select(
+            F.datediff(F.col("d"), F.lit("1970-01-01")).alias("x"),
+            "v",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, F.col("a.x") < F.col("b.x"))
+        .select(
+            F.expr(
+                "CAST(round((b.v - a.v) / CAST(b.x - a.x AS DOUBLE),"
+                " 9) AS DOUBLE)"
+            ).alias("s")
+        )
+    )
+    fit = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(s, 0.5)").alias("m"),
+    )
+    days = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("percentile(v, 0.5)").alias("med_v"),
+    )
+    return (
+        fit.crossJoin(F.broadcast(days))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("m"), 6).alias("slope_per_day"),
+            F.round(F.col("med_v"), 6).alias("median_level"),
+        )
+    )
+
+
+def seasonal_residual_anomalies(
+    df: DataFrame,
+    col_ts: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Day-of-week-adjusted anomaly screen over daily event volume:
+    residual = day count − its weekday's mean, scored against the
+    robust MAD scale (1.4826·MAD ≈ σ under normality). Catches the
+    Tuesday that behaved like a Sunday — exactly the days a trailing
+    z-score (``trailing_window_anomaly``) normalizes away because its
+    window mixes weekdays.
+
+    Determinism: day counts are exact BIGINT; weekday means are one
+    double division pre-rounded to 9; residuals pre-rounded to 9;
+    MAD is the interpolated median both engines compute identically;
+    the score division goes through try_divide (a perfectly regular
+    calendar has MAD 0 → NULL scores → empty result, the "nothing
+    anomalous is detectable" signal).
+
+    Scale shape: one day-scale aggregate from the scan, a 7-row
+    weekday aggregate broadcast back, a one-row MAD reduction
+    broadcast — output rows = flagged days. No fact-scale second
+    shuffle, no window at all."""
+    daily = df.groupBy(F.to_date(F.col(col_ts)).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dow = daily.select(
+        F.dayofweek("d").alias("dw"), F.col("n")
+    ).groupBy("dw").agg(
+        F.expr(
+            "CAST(round(CAST(sum(n) AS DOUBLE) / count(*), 9)"
+            " AS DOUBLE)"
+        ).alias("dw_mean")
+    )
+    resid = (
+        daily.withColumn("dw", F.dayofweek("d"))
+        .join(F.broadcast(dow), "dw")
+        .select(
+            "d",
+            "n",
+            "dw_mean",
+            F.expr(
+                "CAST(round(CAST(n AS DOUBLE) - dw_mean, 9)"
+                " AS DOUBLE)"
+            ).alias("r"),
+        )
+    )
+    mad = resid.agg(
+        F.expr("percentile(abs(r), 0.5)").alias("mad")
+    )
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n",
+            F.round("dw_mean", 6).alias("weekday_mean"),
+            F.round(
+                F.try_divide(
+                    F.col("r"),
+                    F.lit(1.4826) * F.col("mad"),
+                ),
+                6,
+            ).alias("robust_z"),
+        )
+        .filter(
+            F.abs(F.col("robust_z")) > F.lit(float(z_threshold))
+        )
+        .orderBy("day")
+    )

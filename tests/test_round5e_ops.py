@@ -143,3 +143,86 @@ def test_bot_activity_flags_single_instant_user_not_rate_flagged(
     assert r.events_per_min is None
     assert r.active_secs == 0.0
     assert r.max_burst_10s == 20 and r.is_bot == 1
+
+
+def test_theil_sen_robust_to_one_outlier(spark):
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    # days 1..5 with v = 10*x, except day 3 is a wild outlier:
+    # OLS would bend; the pairwise-slope median stays 10
+    rows = []
+    vals = {1: 10.0, 2: 20.0, 3: 900.0, 4: 40.0, 5: 50.0}
+    for day, v in vals.items():
+        rows.append((_dt.datetime(2024, 1, day), v))
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    r = theil_sen_trend(df, "ts", "v").collect()[0]
+    assert r.n_days == 5 and r.n_pairs == 10
+    assert r.slope_per_day == 10.0
+    assert r.median_level == 40.0
+
+
+def test_seasonal_residual_anomalies_flags_the_odd_tuesday(spark):
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        seasonal_residual_anomalies,
+    )
+
+    # 4 weeks: Mondays always 10 events, Tuesdays always 20 —
+    # except the last Tuesday spikes to 60
+    rows = []
+    for wk in range(4):
+        mon = _dt.datetime(2024, 1, 1) + _dt.timedelta(weeks=wk)
+        for i in range(10):
+            rows.append((mon + _dt.timedelta(seconds=i),))
+        tue = mon + _dt.timedelta(days=1)
+        n = 60 if wk == 3 else 20
+        for i in range(n):
+            rows.append((tue + _dt.timedelta(seconds=i),))
+    df = spark.createDataFrame(rows, ["ts"])
+    out = seasonal_residual_anomalies(df, "ts", z_threshold=2.0)
+    got = out.collect()
+    assert [r.day for r in got] == ["2024-01-23"]
+    assert got[0].n == 60
+    assert got[0].weekday_mean == 30.0  # (20*3 + 60) / 4
+
+
+def test_peak_concurrency_overlap_and_day_split(spark):
+    from recmetrics_pyspark_spark.operators.funnel import (
+        peak_concurrency,
+    )
+
+    t = lambda h, m=0: _dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        # three sessions overlapping 12:00-12:10 (users 1, 2, 3)
+        (1, t(11, 50)), (1, t(12, 10)),
+        (2, t(11, 55)), (2, t(12, 5)),
+        (3, t(12, 0)), (3, t(12, 8)),
+        # user 4 alone in the evening
+        (4, t(20, 0)),
+        # user 5 spans midnight: 23:50 Jan 1 -> 00:10 Jan 2
+        (5, t(23, 50)),
+        (5, _dt.datetime(2024, 1, 2, 0, 10)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.day: r for r in peak_concurrency(df).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-02"}
+    d1 = out["2024-01-01"]
+    assert d1.peak_concurrent == 3  # the 12:00-12:05 triple overlap
+    assert d1.n_sessions == 5  # 1,2,3,4 + user 5's pre-midnight leg
+    d2 = out["2024-01-02"]
+    assert d2.peak_concurrent == 1 and d2.n_sessions == 1
+
+
+def test_peak_concurrency_point_session_counts(spark):
+    from recmetrics_pyspark_spark.operators.funnel import (
+        peak_concurrency,
+    )
+
+    # two single-event sessions at the SAME instant still overlap
+    t0 = _dt.datetime(2024, 1, 1, 9)
+    df = spark.createDataFrame(
+        [(1, t0), (2, t0)], ["user_id", "ts"]
+    )
+    r = peak_concurrency(df).collect()[0]
+    assert r.peak_concurrent == 2 and r.n_sessions == 2

@@ -3363,56 +3363,35 @@ def _peak_concurrency(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
-    evaluates the FIRST 50 entries. Round-5 rotation (`_ROUND5_WINDOW`
-    below) CLOSES union driver coverage: the 32 queries that had never
-    had a driver row (15 carried from round 3 + the 17 round-4
-    additions — the full list from round 4's ROTATION NOTE), plus 5
-    stable canaries (coverage, personalization, item_item_topk,
-    minhash_lsh_pairs, event_sessionize — leading, so they own the
-    shared cache builds for comparable bench accounting), plus
-    re-witnesses for every query whose code changed after its last
-    driver row: the 5 df-cap-affected Jaccard queries
-    (ngram_jaccard_pairs, neardup_components, minhash_jaccard_estimate,
-    dedup_pipeline, dup_ngram_fraction — source_overlap is already in
-    the never-witnessed 32) and the 2 round-5-changed queries
-    (adamic_adar_links: broadcast guard; ips_offline_eval: declarative
-    n_logs). Remaining slots carry the round-5 new operators so they
-    are witnessed the round they land. Everything else driver-green at
-    its current code sits after the window.
+    evaluates the FIRST 50 entries. Round-6 rotation (`_ROUND6_WINDOW`
+    below) closes union driver coverage at the FULL declared surface:
+    the 5 stable canaries lead (coverage, personalization,
+    item_item_topk, minhash_lsh_pairs, event_sessionize — they own the
+    shared cache builds, so rotated-in queries show marginal bench
+    cost); then the 2 queries whose code changed late in round 5 with
+    the window already full (pagerank_items: deg fold-in under the
+    broadcast_node_limit guard; ab_test_events: per-arm stats core
+    extracted into the shared ``_per_arm_stats`` — byte-identical
+    semantics); then association_rules (round-6 change: the n_users
+    formula scalar is now a declarative one-row crossJoin(broadcast)
+    frame, VERDICT r5 item 2); then the 29 round-5 post-window
+    additions (22 + 7 from round 5's rotation note — three of them,
+    daily_acf_events / session_summary / heaps_law_docs, ALSO changed
+    in round 6 for the ADVICE r5 fixes: DECIMAL(38,6) acf
+    intermediates, microsecond-exact session durations, numeric-id
+    validation — so their window slots double as re-witnesses); then
+    the round-6 new operators. Everything else driver-green at its
+    current code sits after the window.
 
-    ROUND-6 ROTATION NOTE: after this round's window, every declared
-    query has a driver row at its current code EXCEPT two whose code
-    changed late in round 5 with the window already full:
-    pagerank_items (the deg fold-in join moved under the
-    broadcast_node_limit guard) and ab_test_events (ab_test_analysis'
-    per-arm (n, Σv, Σv²) core extracted into the shared
-    ``_per_arm_stats`` with ``ab_power_mde`` — byte-identical
-    semantics) — both verified green via scripts/driver_check.py at
-    sf0.01 this round.
-    (funnel_conversion and conversion_latency also changed/replanned
-    this round but sit INSIDE the window, so their round-5 driver
-    rows are at final code.) Twenty-two more operators landed after
-    the window filled
-    (daily_acf_events, cohort_ltv, ab_power_mde, benford_order_totals,
-    k_anonymity_customers, attribution_time_decay, centroid_distances,
-    heaps_law_docs, kcore_items, corpus_entropy,
-    seasonal_decompose_events, pq_distortion, shipping_sla_compliance,
-    source_divergence, session_summary, degree_distribution,
-    gmv_mtd_report, catalog_freshness, lsh_parameter_plan,
-    user_lifecycle_stages, revenue_concentration, embedding_outliers)
-    — all verified at sf0.001/0.01/0.1 via driver_check this round,
-    re-verified after the second code-review pass touched eight of
-    them (nullif/try_divide zero-denominator guards, the session-gap
-    microsecond fix, the gmv lead-in, the lifecycle dead-week row).
-    Seven more operators landed after that pass
-    (scd2_customer_priority, join_size_lineitem_part,
-    token_budget_plan, bot_activity_flags, theil_sen_orders,
-    seasonal_anomaly_days, peak_concurrency) — verified at
-    sf0.001/0.01/0.1 via driver_check on arrival.
-    Round 6 window: 5 canaries, then the pagerank_items +
-    ab_test_events re-witnesses + the twenty-two + these seven
-    (36 slots), then any round-6 changes, then new operators fill
-    the rest; no other backlog remains.
+    ROUND-7 ROTATION NOTE: round-6 code changes re-verified at
+    sf0.001/0.01/0.1 via scripts/driver_check.py this round:
+    association_rules, daily_acf_events, session_summary,
+    heaps_law_docs (bot_activity_flags and funnel_conversion changed
+    docstrings only — no re-witness needed). All of these sit INSIDE
+    the round-6 window, so their driver rows are at final code.
+    Queries landing after the round-6 window fills (if any) are listed
+    at the end of _ROUND6_WINDOW's trailing comment and go first in
+    round 7's window.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -3680,75 +3659,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomaly_days": _seasonal_anomaly_days,
         "peak_concurrency": _peak_concurrency,
     }
-    ordered = {k: base[k] for k in _ROUND5_WINDOW}
+    ordered = {k: base[k] for k in _ROUND6_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
 
-# The first-50 driver witness window for round 5 (see queries()
+# The first-50 driver witness window for round 6 (see queries()
 # docstring). 5 canaries lead (green every round they ran) — order
 # within the window is bench-accounting, not correctness: the canaries
 # own the shared cache builds (interactions, shingle table, events
-# scan) exactly as in rounds 1-4, so the rotated-in queries show their
+# scan) exactly as in rounds 1-5, so the rotated-in queries show their
 # MARGINAL cost, comparable round over round. Composition: 5 canaries
-# + the 32 never-driver-witnessed + 5 df-cap Jaccard re-witnesses +
-# 2 round-5-changed re-witnesses + the round-5 new operators.
-_ROUND5_WINDOW = [
+# + 2 round-5-late-change re-witnesses + association_rules (round-6
+# change) + the 29 round-5 post-window additions (3 of which also
+# changed in round 6 — their slots double as re-witnesses) + the
+# round-6 new operators in the remaining slots.
+_ROUND6_WINDOW = [
     "coverage",
     "personalization",
     "item_item_topk",
     "minhash_lsh_pairs",
     "event_sessionize",
-    # 15 carried from round 3, never driver-witnessed
-    "zipf_fit",
-    "mad_outlier_docs",
-    "psi_drift",
-    "calibration_kl",
-    "popularity_concentration",
-    "item_exposure",
-    "serendipity",
-    "baseline_predictor_rmse",
-    "pass_at_k_items",
-    "qa_eval_docs",
-    "source_overlap",
-    "log_odds_terms",
-    "hashing_features",
-    "langid_confusion",
-    "quantile_normalize",
-    # 17 round-4 additions, never driver-witnessed
-    "media_decode_meta",
-    "funnel_conversion",
-    "cohort_retention",
-    "doc_perplexity",
-    "dsir_importance",
-    "ann_recall_report",
-    "common_neighbor_links",
-    "rfm_segments",
-    "conversion_latency",
-    "user_erasure_audit",
-    "split_leakage_audit",
-    "daily_anomaly_events",
-    "skipgram_pairs",
-    "wow_trending",
-    "churn_training_set",
-    "containment_pairs",
-    "sequential_rules",
-    # df-cap-affected Jaccard family: last driver row predates 3fb31a4
-    "ngram_jaccard_pairs",
-    "neardup_components",
-    "minhash_jaccard_estimate",
-    "dedup_pipeline",
-    "dup_ngram_fraction",
-    # code changed in round 5 (broadcast guard / declarative n_logs)
-    "adamic_adar_links",
-    "ips_offline_eval",
-    # round-5 new operators, witnessed the round they land
-    "user_behavior_entropy",
-    "ucb_arm_stats",
-    "item_trend_slope",
-    "prefix_dedup",
-    "ngram_novelty_by_source",
-    "repurchase_intervals",
+    # code changed late in round 5, window was full
+    "pagerank_items",
+    "ab_test_events",
+    # round-6 change: declarative one-row n_users frame (VERDICT r5 #2)
+    "association_rules",
+    # the 22 round-5 post-window additions (daily_acf_events,
+    # session_summary, heaps_law_docs also changed in round 6 —
+    # ADVICE r5 fixes — so these slots double as re-witnesses)
+    "daily_acf_events",
+    "cohort_ltv",
+    "ab_power_mde",
+    "benford_order_totals",
+    "k_anonymity_customers",
+    "attribution_time_decay",
+    "centroid_distances",
+    "heaps_law_docs",
+    "kcore_items",
+    "corpus_entropy",
+    "seasonal_decompose_events",
+    "pq_distortion",
+    "shipping_sla_compliance",
+    "source_divergence",
+    "session_summary",
+    "degree_distribution",
+    "gmv_mtd_report",
+    "catalog_freshness",
+    "lsh_parameter_plan",
+    "user_lifecycle_stages",
+    "revenue_concentration",
+    "embedding_outliers",
+    # the 7 later round-5 additions
+    "scd2_customer_priority",
+    "join_size_lineitem_part",
+    "token_budget_plan",
+    "bot_activity_flags",
+    "theil_sen_orders",
+    "seasonal_anomaly_days",
+    "peak_concurrency",
+    # round-6 new operators (witnessed the round they land) fill the
+    # remaining slots — appended below as they are added
 ]
 
 
@@ -7102,13 +7073,13 @@ WITH daily AS (
 ), dm AS (
   SELECT d, y - mu AS dm FROM daily CROSS JOIN mu
 ), den AS (
-  SELECT sum(CAST(round(dm * dm, 6) AS DECIMAL(18,6))) AS s0 FROM dm
+  SELECT sum(CAST(round(dm * dm, 6) AS DECIMAL(38,6))) AS s0 FROM dm
 ), lags AS (
   SELECT a.dm AS dma, k, a.d + CAST(k AS INT) AS d2
   FROM dm a CROSS JOIN range(1, 8) r(k)
 ), num AS (
   SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
-    sum(CAST(round(dma * b.dm, 6) AS DECIMAL(18,6))) AS sk
+    sum(CAST(round(dma * b.dm, 6) AS DECIMAL(38,6))) AS sk
   FROM lags JOIN dm b ON lags.d2 = b.d GROUP BY k
 )
 SELECT CAST(k AS INT) AS k, n_pairs,
@@ -7391,7 +7362,7 @@ WITH s AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
   SELECT u, sid, CAST(count(*) AS BIGINT) AS n_events,
-    CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_sec
+    CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us
   FROM (
     SELECT u, ts, sum(new_s) OVER (
       PARTITION BY u ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
@@ -7403,9 +7374,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_sessions,
     AS avg_events_per_session,
   round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         / count(*), 6) AS bounce_rate,
-  round(CAST(sum(dur_sec) AS DOUBLE) / count(*), 6)
+  round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0, 6)
     AS avg_duration_sec,
-  quantile_cont(dur_sec, 0.5) AS median_duration_sec
+  quantile_cont(dur_us, 0.5) / 1000000.0 AS median_duration_sec
 FROM sess
 """,
         "gmv_mtd_report": """

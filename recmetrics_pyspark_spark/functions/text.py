@@ -920,9 +920,23 @@ def heaps_law_points(
 
     Scale shape: one token explode (scan-side), one vocabulary-scale
     min aggregate, two n_buckets-row cumulative windows, a constant-
-    size fit. Empty id-ranges emit no row (observed points only)."""
+    size fit. Empty id-ranges emit no row (observed points only).
+
+    ``col_id`` must be NUMERIC (the bucket bounds are ``hi - lo``
+    range arithmetic) — validated up front with a clear error instead
+    of a deep AnalysisException; string-keyed corpora should derive a
+    numeric order column first (e.g. a dense_rank over the id)."""
+    from pyspark.sql.types import NumericType
     from pyspark.sql.window import Window
 
+    id_field = df.schema[col_id]
+    if not isinstance(id_field.dataType, NumericType):
+        raise TypeError(
+            f"heaps_law_points: col_id {col_id!r} must be numeric "
+            f"(bucket bounds use range arithmetic), got "
+            f"{id_field.dataType.simpleString()}; derive a numeric "
+            "order column (e.g. dense_rank over the id) first"
+        )
     bounds = df.agg(
         F.min(col_id).alias("lo"), F.max(col_id).alias("hi")
     )

@@ -52,7 +52,16 @@ def funnel_conversion(
     the ContextCleaner once the returned DataFrame is garbage
     collected, so repeated funnel calls in a long session never
     accumulate entries in the CacheManager. The final rate
-    computation windows over ≤ len(steps) rows — constant."""
+    computation windows over ≤ len(steps) rows — constant.
+
+    Cluster-deployment tradeoff: ``localCheckpoint`` TRUNCATES lineage
+    — its blocks live only on executors, so an executor loss mid-job
+    fails the job (no recompute path) where ``.persist()`` would
+    recover from lineage. On a multi-tenant cluster with preemption,
+    prefer reliable ``sparkContext.setCheckpointDir`` + ``.checkpoint``
+    or ``.persist()`` with an explicit ``unpersist`` after collection;
+    local/driver-session use (this repo's bench/driver harness) keeps
+    the reclaimable localCheckpoint."""
     if not steps:
         raise ValueError("steps must be non-empty")
     from pyspark.sql.window import Window
@@ -619,8 +628,10 @@ def session_summary(
     Sessions are user-keyed gap splits (a >gap_minutes silence starts
     a new session) — one lag window + one running sum per user, the
     same definition as streaming/windows.py::assign_session_ids.
-    Integer durations; DECIMAL-safe single divisions; a one-row
-    output.
+    Durations are exact integer MICROSECOND spans (matching the
+    sessionizer's split precision — a sub-second session contributes
+    its true fractional seconds, not 0) divided once at the end;
+    one-row output.
 
     Scale shape: one user-partitioned window pass over the events, one
     session-scale aggregate, one one-row reduction — nothing wider
@@ -657,12 +668,16 @@ def session_summary(
         .groupBy("u", "sid")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            # NTZ parquet timestamps need the explicit cast (identity
+            # in this engine's fixed UTC session timezone)
             (
-                F.unix_timestamp(F.max("t"))
-                - F.unix_timestamp(F.min("t"))
-            ).cast("bigint").alias("dur_sec"),
+                F.unix_micros(F.max("t").cast("timestamp"))
+                - F.unix_micros(F.min("t").cast("timestamp"))
+            ).cast("bigint").alias("dur_us"),
         )
     )
+    # exact BIGINT microsecond sums; the /1e6 unit conversion happens
+    # once per output scalar (identical IEEE op order on the oracle)
     return sessions.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.round(
@@ -676,9 +691,14 @@ def session_summary(
             6,
         ).alias("bounce_rate"),
         F.round(
-            F.sum("dur_sec").cast("double") / F.count(F.lit(1)), 6
+            F.sum("dur_us").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0),
+            6,
         ).alias("avg_duration_sec"),
-        F.expr("percentile(dur_sec, 0.5)").alias("median_duration_sec"),
+        (
+            F.expr("percentile(dur_us, 0.5)") / F.lit(1_000_000.0)
+        ).alias("median_duration_sec"),
     )
 
 
@@ -839,10 +859,19 @@ def bot_activity_flags(
     flagged when the burst reaches ``burst_threshold`` or the
     sustained rate exceeds ``rate_threshold_per_min``. The span is
     exact BIGINT microseconds; only the rate division is a rounded
-    double (try_divide: a single-event user has zero span → NULL rate,
-    never flagged by rate). The burst window is a RANGE frame over
-    microsecond epochs — exact integer bounds, no timestamp rounding
-    ambiguity between engines.
+    double (try_divide: a zero-span user — single event, OR several
+    events all sharing one timestamp — reads NULL ``events_per_min``).
+    The rate FLAG uses the multiplicative form
+    ``n_events·60e6 > threshold·active_us``, so a MULTI-event
+    zero-span user (an unboundedly fast burst, the most bot-like
+    signature there is) IS rate-flagged even though the displayed
+    rate is NULL — deliberate: NULL there means "division undefined
+    (infinite)", not "no evidence". A single-event user would satisfy
+    the same inequality, but the ``min_events`` floor (default 20)
+    excludes them before the flag applies — keep min_events ≥ 2 if
+    you lower it. The burst window is a RANGE frame
+    over microsecond epochs — exact integer bounds, no timestamp
+    rounding ambiguity between engines.
 
     Scale shape: one shuffle on the user key serves BOTH the burst
     window and the per-user aggregate; the RANGE frame is

@@ -355,7 +355,10 @@ def association_rules(
     so the product is an integer up to ~1e-10 float error and rint is
     exact. Everything after is pair-scale arithmetic with
     catalog-scale broadcasts; top-k via one window over the filtered
-    rule set."""
+    rule set. N enters declaratively as a one-row
+    crossJoin(broadcast(·)) frame over the already-persisted basket
+    table (the sequential_rules pattern) — no build-time driver
+    action."""
     from pyspark.sql.window import Window
 
     from .metrics import (
@@ -379,7 +382,12 @@ def association_rules(
             ).cast("bigint").alias("n_common"),
         )
     )
-    n_users = user_baskets(df, col_user, col_item).count()
+    # one row, double-typed to mirror the oracle's CAST(... AS DOUBLE);
+    # user_baskets is the session-cached basket table the sims above
+    # already filled, so this aggregate is a cache read, not a re-scan
+    nu = user_baskets(df, col_user, col_item).agg(
+        F.count(F.lit(1)).cast("double").alias("n_users")
+    )
     both = pairs.select(
         F.col("ia").alias("a"), F.col("ib").alias("b"), "n_common"
     ).unionByName(
@@ -392,16 +400,17 @@ def association_rules(
     rules = (
         both.join(F.broadcast(sza), "a")
         .join(F.broadcast(szb), "b")
+        .crossJoin(F.broadcast(nu))
         .select(
             F.col("a").alias("antecedent"),
             F.col("b").alias("consequent"),
             "n_common",
-            F.round(F.col("n_common") / F.lit(float(n_users)), 6).alias(
+            F.round(F.col("n_common") / F.col("n_users"), 6).alias(
                 "support"
             ),
             F.round(F.col("n_common") / F.col("n_a"), 6).alias("confidence"),
             F.round(
-                F.col("n_common") * F.lit(float(n_users))
+                F.col("n_common") * F.col("n_users")
                 / (F.col("n_a") * F.col("n_b")),
                 6,
             ).alias("lift"),

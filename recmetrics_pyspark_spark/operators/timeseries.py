@@ -340,9 +340,12 @@ def daily_autocorrelation(
 
     Determinism: ȳ is one double division of exact integer sums; each
     cross-product and squared deviation is pre-rounded to
-    DECIMAL(18,6) and summed exactly, so the day-scale reductions are
+    DECIMAL(38,6) and summed exactly, so the day-scale reductions are
     partial-aggregation-order independent; acf is one double division,
-    rounded.
+    rounded. The element width is (38,6), not (18,6): a day with ~1e6
+    events puts dm² near 1e12, which already exhausts (18,6)'s 12
+    integer digits — (38,6) holds dm up to ~1e16 and the sum stays
+    exact on both engines.
 
     Scale shape: the corpus collapses to DAY grain in one aggregate;
     everything after is day-scale — a ×max_lag explode keyed by target
@@ -358,7 +361,7 @@ def daily_autocorrelation(
         "d", (F.col("y") - F.col("mu")).alias("dm")
     )
     den = dm.select(
-        F.expr("CAST(round(dm * dm, 6) AS DECIMAL(18,6))").alias("sq")
+        F.expr("CAST(round(dm * dm, 6) AS DECIMAL(38,6))").alias("sq")
     ).agg(F.sum("sq").alias("s0"))
     lags = dm.select(
         F.col("dm").alias("dma"),
@@ -373,7 +376,7 @@ def daily_autocorrelation(
         .select(
             "k",
             F.expr(
-                "CAST(round(dma * dmb, 6) AS DECIMAL(18,6))"
+                "CAST(round(dma * dmb, 6) AS DECIMAL(38,6))"
             ).alias("xy"),
         )
         .groupBy("k")

@@ -3361,6 +3361,65 @@ def _peak_concurrency(spark, sf_dir):
     return peak_concurrency(load_table(spark, sf_dir, "events"))
 
 
+def _docs_with_urls(spark, sf_dir):
+    """Documents with a DETERMINISTIC synthetic URL column (the
+    testdata has no URL grain): ~50 registrable domains with a
+    quadratically skewed size distribution (site index =
+    floor(sqrt(doc_id % 625)), so domain k holds ~2k+1 of every 625
+    docs), an occasional ``news.`` subdomain (doc_id % 7 — exercises
+    label stripping), and a co.uk share (doc_id % 3 — exercises the
+    multi-part-suffix rule). Mirrored VERBATIM in the oracle ``u``
+    CTE (_DOMAIN_PROLOGUE); sqrt is IEEE-exact so floor(sqrt(·)) is
+    engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("news.")).otherwise(
+            F.lit("")
+        ),
+        F.lit("site"),
+        F.floor(F.sqrt((F.col("doc_id") % 625).cast("double")))
+        .cast("int")
+        .cast("string"),
+        F.lit("."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("co.uk")).otherwise(
+            F.lit("com")
+        ),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn("url", url)
+
+
+def _domain_mix_stats(spark, sf_dir):
+    """Top-20 registrable domains by doc count + an (other) residual
+    row, with doc/char shares and cumulative doc share
+    (functions/curation.py::domain_mix_stats over the synthetic-URL
+    documents)."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        domain_mix_stats,
+    )
+
+    return domain_mix_stats(
+        _docs_with_urls(spark, sf_dir), "url", "n_chars", top_k=20
+    )
+
+
+def _domain_cap_sample(spark, sf_dir):
+    """Per-registrable-domain document cap: ≤ 10 docs per domain by
+    deterministic md5(domain:id) hash order
+    (functions/curation.py::domain_cap_sample over the synthetic-URL
+    documents)."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        domain_cap_sample,
+    )
+
+    return domain_cap_sample(
+        _docs_with_urls(spark, sf_dir), "url", "doc_id",
+        max_per_domain=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-6 rotation (`_ROUND6_WINDOW`
@@ -3658,6 +3717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_orders": _theil_sen_orders,
         "seasonal_anomaly_days": _seasonal_anomaly_days,
         "peak_concurrency": _peak_concurrency,
+        # --- round-6 additions (domain-grain curation)
+        "domain_mix_stats": _domain_mix_stats,
+        "domain_cap_sample": _domain_cap_sample,
     }
     ordered = {k: base[k] for k in _ROUND6_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3720,6 +3782,8 @@ _ROUND6_WINDOW = [
     "peak_concurrency",
     # round-6 new operators (witnessed the round they land) fill the
     # remaining slots — appended below as they are added
+    "domain_mix_stats",
+    "domain_cap_sample",
 ]
 
 
@@ -7645,6 +7709,106 @@ SELECT CAST(d AS VARCHAR) AS day, n,
 FROM resid CROSS JOIN mad
 WHERE abs(round(r / nullif(1.4826 * mad, 0), 6)) > 2.0
 ORDER BY day
+""",
+        "domain_mix_stats": """
+WITH u AS (
+  SELECT doc_id, n_chars,
+    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'news.' ELSE '' END
+    || 'site'
+    || CAST(CAST(floor(sqrt(CAST(doc_id % 625 AS DOUBLE))) AS INT)
+            AS VARCHAR)
+    || '.' || CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END
+    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), hosts AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1) <> ''
+         THEN lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1))
+         ELSE lower(regexp_extract(url, '^([^/:?#]+)', 1)) END AS host
+  FROM u
+), lab AS (
+  SELECT doc_id, n_chars, host, string_split(host, '.') AS l FROM hosts
+), dom AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN (
+           'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+           'org.au','co.jp','ne.jp','or.jp','co.kr','com.br','com.mx',
+           'com.cn','com.tr','co.in','co.za','com.ar','com.sg','com.hk')
+         THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+         WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+         ELSE host END AS domain
+  FROM lab
+), agg AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS weight
+  FROM dom GROUP BY domain
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+    CAST(sum(weight) AS BIGINT) AS tw FROM agg
+), top AS (
+  SELECT * FROM (
+    SELECT domain, n_docs, weight, CAST(row_number() OVER (
+      ORDER BY n_docs DESC, domain ASC) AS BIGINT) AS rnk
+    FROM agg) t
+  WHERE rnk <= 20
+), topsum AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS sd,
+    CAST(sum(weight) AS BIGINT) AS sw FROM top
+), unioned AS (
+  SELECT domain, n_docs, weight, rnk FROM top
+  UNION ALL
+  SELECT '(other)', td - sd, tw - sw, CAST(21 AS BIGINT)
+  FROM tot, topsum WHERE td - sd > 0
+)
+SELECT rnk, domain, n_docs, weight,
+  round(n_docs / CAST(td AS DOUBLE), 6) AS doc_share,
+  round(weight / CAST(tw AS DOUBLE), 6) AS weight_share,
+  round(sum(n_docs) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
+        / CAST(td AS DOUBLE), 6) AS cum_doc_share
+FROM unioned, tot ORDER BY rnk
+""",
+        "domain_cap_sample": """
+WITH u AS (
+  SELECT doc_id, n_chars,
+    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'news.' ELSE '' END
+    || 'site'
+    || CAST(CAST(floor(sqrt(CAST(doc_id % 625 AS DOUBLE))) AS INT)
+            AS VARCHAR)
+    || '.' || CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END
+    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), hosts AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1) <> ''
+         THEN lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1))
+         ELSE lower(regexp_extract(url, '^([^/:?#]+)', 1)) END AS host
+  FROM u
+), lab AS (
+  SELECT doc_id, n_chars, host, string_split(host, '.') AS l FROM hosts
+), dom AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN (
+           'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+           'org.au','co.jp','ne.jp','or.jp','co.kr','com.br','com.mx',
+           'com.cn','com.tr','co.in','co.za','com.ar','com.sg','com.hk')
+         THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+         WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+         ELSE host END AS domain
+  FROM lab
+), r AS (
+  SELECT domain, doc_id, CAST(row_number() OVER (
+    PARTITION BY domain ORDER BY
+      ('0x' || substr(md5(domain || ':' || CAST(doc_id AS VARCHAR)),
+                      1, 15))::BIGINT ASC,
+      doc_id ASC) AS BIGINT) AS keep_rank
+  FROM dom
+)
+SELECT domain, doc_id, keep_rank
+FROM r WHERE keep_rank <= 10 ORDER BY domain, keep_rank
 """,
         "peak_concurrency": """
 WITH s AS (

@@ -975,3 +975,197 @@ def token_budget_plan(
         )
         .orderBy("source")
     )
+
+
+# Multi-part public suffixes the -lite registrable-domain rule knows
+# (the high-traffic entries of the public-suffix list; a full PSL
+# would arrive as a broadcast lookup table with the same CASE shape).
+MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "co.kr",
+    "com.br", "com.mx", "com.cn", "com.tr",
+    "co.in", "co.za", "com.ar", "com.sg", "com.hk",
+)
+
+_HOST_WITH_SCHEME = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)"
+_HOST_BARE = r"^([^/:?#]+)"
+
+
+def registrable_domain(col_url) -> "F.Column":
+    """Registrable domain (eTLD+1) of a URL column, public-suffix-lite:
+    lowercase host (scheme optional, port/path/query stripped), then
+    the last two labels — or last THREE when the trailing two form a
+    known multi-part suffix (co.uk, com.au, …, ``MULTIPART_SUFFIXES``)
+    — so ``news.bbc.co.uk`` → ``bbc.co.uk`` and ``a.b.example.com`` →
+    ``example.com``. This is THE provenance grain web-corpus curation
+    caps and mixes by (per-domain caps are the CommonCrawl-style dedup
+    axis ``source`` is too coarse for).
+
+    Limitations (documented, not guarded): bare IPv4 hosts reduce to
+    their last two octets, and suffixes outside the -lite list (e.g.
+    city TLDs) keep two labels; swap in the full public-suffix list as
+    a broadcast join if those grains matter.
+
+    Pure scan-side JVM expressions (regexp + split + CASE) — no
+    shuffle, no Python, engine-portable to the DuckDB oracles."""
+    scheme_host = F.regexp_extract(col_url, _HOST_WITH_SCHEME, 1)
+    bare_host = F.regexp_extract(col_url, _HOST_BARE, 1)
+    host = F.lower(
+        F.when(scheme_host != "", scheme_host).otherwise(bare_host)
+    )
+    labs = F.split(host, r"\.")
+    n = F.size(labs)
+    # try_element_at: ANSI element_at throws on out-of-bounds even
+    # when a CASE condition would reject the row (conditions evaluate
+    # eagerly); NULLs from short hosts are screened by the n guards
+    last2 = F.concat_ws(
+        ".", F.try_element_at(labs, F.lit(-2)),
+        F.try_element_at(labs, F.lit(-1)),
+    )
+    return (
+        F.when(
+            (n >= 3) & last2.isin(*MULTIPART_SUFFIXES),
+            F.concat_ws(
+                ".", F.try_element_at(labs, F.lit(-3)), last2
+            ),
+        )
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def domain_mix_stats(
+    df: DataFrame,
+    col_url: str = "url",
+    col_weight: str = "n_chars",
+    top_k: int = 20,
+) -> DataFrame:
+    """Domain-mix report: the ``top_k`` registrable domains by document
+    count — each with doc/weight counts, corpus shares, and cumulative
+    doc share — plus one ``(other)`` residual row aggregating the full
+    tail, so the report always sums to 1.0 (the standard corpus-
+    composition table a pretraining data card leads with).
+
+    Scale shape: one scan-side domain projection, ONE domain-grain
+    aggregate shuffle, then a distributed TakeOrdered top-k (never a
+    global sort over the domain table — at web scale that's ~1e8 rows)
+    and a ≤ top_k+1-row window for ranks/cumulative shares. Corpus
+    totals ride a one-row broadcast; the residual row is one-row
+    arithmetic (tot − Σtop). Ties break by domain asc. The ``(other)``
+    row lands at rank top_k+1 with cum_doc_share exactly 1.0 — a
+    built-in self-check."""
+    from ..operators.ranking import ranked_topk
+
+    per = df.select(
+        registrable_domain(F.col(col_url)).alias("domain"),
+        F.col(col_weight).alias("w"),
+    )
+    agg = per.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("weight"),
+    )
+    tot = agg.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("weight").cast("bigint").alias("tw"),
+    )
+    top = ranked_topk(
+        agg, [F.desc("n_docs"), F.asc("domain")], top_k
+    )
+    topsum = top.agg(
+        F.sum("n_docs").cast("bigint").alias("sd"),
+        F.sum("weight").cast("bigint").alias("sw"),
+    )
+    other = (
+        tot.crossJoin(F.broadcast(topsum))
+        .select(
+            F.lit("(other)").alias("domain"),
+            (F.col("td") - F.col("sd")).cast("bigint").alias("n_docs"),
+            (F.col("tw") - F.col("sw")).cast("bigint").alias("weight"),
+            F.lit(top_k + 1).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    w_cum = Window.orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.select("domain", "n_docs", "weight", "rnk")
+        .unionByName(other)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "doc_share",
+            F.round(F.col("n_docs") / F.col("td").cast("double"), 6),
+        )
+        .withColumn(
+            "weight_share",
+            F.round(
+                F.try_divide(
+                    F.col("weight").cast("double"),
+                    F.col("tw").cast("double"),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "cum_doc_share",
+            F.round(
+                F.sum("n_docs").over(w_cum) / F.col("td").cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "rnk", "domain", "n_docs", "weight",
+            "doc_share", "weight_share", "cum_doc_share",
+        )
+        .orderBy("rnk")
+    )
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    col_url: str = "url",
+    col_id: str = "doc_id",
+    max_per_domain: int = 10,
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``max_per_domain`` docs
+    per registrable domain, chosen by a deterministic md5 hash of
+    (domain, id) — a uniform, reproducible pick that no crawl-order or
+    file-layout bias can leak through (the CommonCrawl-style guard
+    against one boilerplate-heavy domain dominating a training mix).
+    Returns (domain, kept id, keep_rank 1..cap), ordered.
+
+    Scale shape: one scan-side domain+hash projection and ONE shuffle
+    on the domain key. The hot-domain sort is NOT a skew trap: the
+    ``row_number ≤ cap`` filter plans as WindowGroupLimit (Spark ≥3.5
+    rank-limit pushdown), which truncates every map-side group to the
+    cap BEFORE the exchange — a 1e9-doc domain ships cap×n_map_tasks
+    rows to its reducer, not 1e9 (asserted in
+    tests/test_domain_curation.py). Hash order ties (proper md5
+    collisions) break by id asc."""
+    per = df.select(
+        registrable_domain(F.col(col_url)).alias("domain"),
+        F.col(col_id).alias("id"),
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("domain"), F.col("id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.asc("h"), F.asc("id"))
+    return (
+        per.withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("keep_rank") <= max_per_domain)
+        .select("domain", F.col("id").alias(col_id), "keep_rank")
+        .orderBy("domain", "keep_rank")
+    )

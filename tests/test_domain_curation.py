@@ -1,0 +1,122 @@
+"""Domain-grain curation: registrable-domain extraction, per-domain
+caps, and domain-mix stats (functions/curation.py round-6 additions).
+
+Hand-computed fixtures; the sf-scale DuckDB parity rides
+test_oracle_parity.py like every other query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from recmetrics_pyspark_spark.functions.curation import (
+    domain_cap_sample,
+    domain_mix_stats,
+    registrable_domain,
+)
+
+
+def _extract(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [
+        r.d
+        for r in df.select(
+            registrable_domain(F.col("url")).alias("d")
+        ).collect()
+    ]
+
+
+def test_registrable_domain_cases(spark):
+    cases = {
+        "https://news.bbc.co.uk/world": "bbc.co.uk",
+        "http://example.com": "example.com",
+        "https://a.b.example.com.au:8080/q?x=1": "example.com.au",
+        "sub.example.org/path": "example.org",  # scheme-less
+        "https://WWW.Example.COM/Upper": "example.com",
+        "https://localhost/x": "localhost",  # single label
+        "ftp://deep.sub.tree.example.co.jp/f": "example.co.jp",
+        "https://plain.io": "plain.io",
+    }
+    got = _extract(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_domain_cap_sample_cap_and_determinism(spark):
+    # domain a: 5 docs, domain b: 2 docs; cap 3
+    rows = [(i, f"https://{'a' if i < 5 else 'b'}.com/p/{i}") for i in range(7)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = domain_cap_sample(df, "url", "doc_id", max_per_domain=3).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert set(by_dom) == {"a.com", "b.com"}
+    assert len(by_dom["a.com"]) == 3  # capped from 5
+    assert len(by_dom["b.com"]) == 2  # under cap: passes through
+    assert [r.keep_rank for r in by_dom["a.com"]] == [1, 2, 3]
+
+    # the kept a.com ids are the 3 smallest md5(domain:id) hashes —
+    # recompute driver-side with the same 15-hex-digit rule
+    def h(dom, i):
+        return int(hashlib.md5(f"{dom}:{i}".encode()).hexdigest()[:15], 16)
+
+    expect = sorted(range(5), key=lambda i: (h("a.com", i), i))[:3]
+    kept = sorted(r.doc_id for r in by_dom["a.com"])
+    assert kept == sorted(expect)
+
+    # deterministic: a second run returns byte-identical rows
+    again = domain_cap_sample(
+        df, "url", "doc_id", max_per_domain=3
+    ).collect()
+    assert out == again
+
+
+def test_domain_cap_sample_plans_window_group_limit(spark):
+    """The scale claim in the docstring: rank ≤ cap plans as
+    WindowGroupLimit, truncating map-side groups BEFORE the exchange
+    (partial mode) so a hot domain never ships its full row set."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://s"), (F.col("id") % 3).cast("string"),
+            F.lit(".com/p"),
+        ).alias("url"),
+    )
+    plan = (
+        domain_cap_sample(df, "url", "doc_id", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_domain_mix_stats_shares_and_residual(spark):
+    # 4 domains: sizes 5, 3, 2, 1 (11 docs); top_k=2 → (other) holds 3
+    rows = []
+    sizes = {"big.com": 5, "mid.com": 3, "sml.com": 2, "one.com": 1}
+    i = 0
+    for dom, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"https://{dom}/p/{i}", 10 * (i + 1)))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    out = domain_mix_stats(df, "url", "n_chars", top_k=2).collect()
+    assert [r.domain for r in out] == ["big.com", "mid.com", "(other)"]
+    assert [r.rnk for r in out] == [1, 2, 3]
+    assert [r.n_docs for r in out] == [5, 3, 3]
+    total_w = sum(10 * (j + 1) for j in range(11))
+    assert sum(r.weight for r in out) == total_w
+    assert abs(out[0].doc_share - round(5 / 11, 6)) < 1e-9
+    assert abs(out[1].cum_doc_share - round(8 / 11, 6)) < 1e-9
+    assert out[-1].cum_doc_share == 1.0  # residual closes the report
+
+
+def test_domain_mix_stats_no_residual_when_topk_covers(spark):
+    rows = [(i, f"https://d{i % 2}.com/x", 7) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    out = domain_mix_stats(df, "url", "n_chars", top_k=5).collect()
+    assert len(out) == 2  # no (other) row when the tail is empty
+    assert {r.domain for r in out} == {"d0.com", "d1.com"}
+    assert out[-1].cum_doc_share == 1.0

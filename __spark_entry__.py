@@ -3784,6 +3784,9 @@ _ROUND6_WINDOW = [
     # remaining slots — appended below as they are added
     "domain_mix_stats",
     "domain_cap_sample",
+    # round-6 change: empty-table n_deleted coalesced to 0 (defect
+    # found by test_property_round6b's random-input cascade replay)
+    "user_erasure_audit",
 ]
 
 

@@ -288,8 +288,13 @@ def user_erasure_audit(
         )
         agg = flagged.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_before"),
-            F.sum(
-                F.when(F.col(del_col).isNotNull(), 1).otherwise(0)
+            # coalesce: an EMPTY table must report 0 deleted (sum over
+            # zero rows is NULL, which would poison n_after too)
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(del_col).isNotNull(), 1).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("bigint").alias("n_deleted"),
         )
         res = residual_df.agg(

@@ -3442,15 +3442,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round-6 new operators. Everything else driver-green at its
     current code sits after the window.
 
-    ROUND-7 ROTATION NOTE: round-6 code changes re-verified at
-    sf0.001/0.01/0.1 via scripts/driver_check.py this round:
-    association_rules, daily_acf_events, session_summary,
-    heaps_law_docs (bot_activity_flags and funnel_conversion changed
-    docstrings only — no re-witness needed). All of these sit INSIDE
-    the round-6 window, so their driver rows are at final code.
-    Queries landing after the round-6 window fills (if any) are listed
-    at the end of _ROUND6_WINDOW's trailing comment and go first in
-    round 7's window.
+    ROUND-7 ROTATION NOTE: every round-6 code change and addition was
+    re-verified at sf0.001/0.01/0.1 via scripts/driver_check.py this
+    round AND sits INSIDE the round-6 window, so all driver rows land
+    at final code: association_rules (declarative n_users),
+    daily_acf_events (DECIMAL(38,6) widening), session_summary
+    (microsecond durations), heaps_law_docs (numeric-id validation),
+    user_erasure_audit (empty-table n_deleted coalesce — found by
+    test_property_round6b's random cascade replay), and the two new
+    domain-curation queries domain_mix_stats / domain_cap_sample
+    (bot_activity_flags and funnel_conversion changed docstrings only
+    — no re-witness needed). No post-window backlog exists; round 7
+    starts with a clean slate (canaries + any round-7 changes).
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing

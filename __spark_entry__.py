@@ -7728,11 +7728,9 @@ WITH u AS (
   FROM documents
 ), hosts AS (
   SELECT doc_id, n_chars,
-    CASE WHEN regexp_extract(url,
-           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1) <> ''
-         THEN lower(regexp_extract(url,
-           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1))
-         ELSE lower(regexp_extract(url, '^([^/:?#]+)', 1)) END AS host
+    lower(regexp_extract(url,
+      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)',
+      1)) AS host
   FROM u
 ), lab AS (
   SELECT doc_id, n_chars, host, string_split(host, '.') AS l FROM hosts
@@ -7787,11 +7785,9 @@ WITH u AS (
   FROM documents
 ), hosts AS (
   SELECT doc_id, n_chars,
-    CASE WHEN regexp_extract(url,
-           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1) <> ''
-         THEN lower(regexp_extract(url,
-           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1))
-         ELSE lower(regexp_extract(url, '^([^/:?#]+)', 1)) END AS host
+    lower(regexp_extract(url,
+      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)',
+      1)) AS host
   FROM u
 ), lab AS (
   SELECT doc_id, n_chars, host, string_split(host, '.') AS l FROM hosts

@@ -988,32 +988,34 @@ MULTIPART_SUFFIXES = (
     "co.in", "co.za", "com.ar", "com.sg", "com.hk",
 )
 
-_HOST_WITH_SCHEME = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)"
-_HOST_BARE = r"^([^/:?#]+)"
+# One optional-scheme, optional-userinfo host capture — a single regex
+# pass per URL, no merge expression, and NO backslash escapes so the
+# identical pattern string works verbatim in Java regex and RE2
+# (DuckDB). Userinfo ([^/?#]*@, which may contain ':') is consumed
+# BEFORE the host so credentialed URLs don't collapse to the username.
+_HOST_PATTERN = (
+    "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)"
+)
 
 
 def registrable_domain(col_url) -> "F.Column":
     """Registrable domain (eTLD+1) of a URL column, public-suffix-lite:
-    lowercase host (scheme optional, port/path/query stripped), then
-    the last two labels — or last THREE when the trailing two form a
-    known multi-part suffix (co.uk, com.au, …, ``MULTIPART_SUFFIXES``)
-    — so ``news.bbc.co.uk`` → ``bbc.co.uk`` and ``a.b.example.com`` →
-    ``example.com``. This is THE provenance grain web-corpus curation
-    caps and mixes by (per-domain caps are the CommonCrawl-style dedup
-    axis ``source`` is too coarse for).
+    lowercase host (scheme optional, userinfo/port/path/query
+    stripped), then the last two labels — or last THREE when the
+    trailing two form a known multi-part suffix (co.uk, com.au, …,
+    ``MULTIPART_SUFFIXES``) — so ``news.bbc.co.uk`` → ``bbc.co.uk``
+    and ``a.b.example.com`` → ``example.com``. This is THE provenance
+    grain web-corpus curation caps and mixes by (per-domain caps are
+    the CommonCrawl-style dedup axis ``source`` is too coarse for).
 
     Limitations (documented, not guarded): bare IPv4 hosts reduce to
     their last two octets, and suffixes outside the -lite list (e.g.
     city TLDs) keep two labels; swap in the full public-suffix list as
     a broadcast join if those grains matter.
 
-    Pure scan-side JVM expressions (regexp + split + CASE) — no
-    shuffle, no Python, engine-portable to the DuckDB oracles."""
-    scheme_host = F.regexp_extract(col_url, _HOST_WITH_SCHEME, 1)
-    bare_host = F.regexp_extract(col_url, _HOST_BARE, 1)
-    host = F.lower(
-        F.when(scheme_host != "", scheme_host).otherwise(bare_host)
-    )
+    Pure scan-side JVM expressions (ONE regexp pass + split + CASE) —
+    no shuffle, no Python, engine-portable to the DuckDB oracles."""
+    host = F.lower(F.regexp_extract(col_url, _HOST_PATTERN, 1))
     labs = F.split(host, r"\.")
     n = F.size(labs)
     # try_element_at: ANSI element_at throws on out-of-bounds even
@@ -1133,10 +1135,16 @@ def domain_cap_sample(
     (domain, id) — a uniform, reproducible pick that no crawl-order or
     file-layout bias can leak through (the CommonCrawl-style guard
     against one boilerplate-heavy domain dominating a training mix).
-    Returns (domain, kept id, keep_rank 1..cap), ordered.
+    Returns (domain, kept id, keep_rank 1..cap) — UNORDERED, like
+    every selection operator here: a tail orderBy would add a global
+    range-partition sort over the kept output (~1e9 rows at the
+    stated scale), the exact global-sort trap this module documents
+    avoiding; downstream consumers that need an order sort their own
+    (smaller) derivative.
 
     Scale shape: one scan-side domain+hash projection and ONE shuffle
-    on the domain key. The hot-domain sort is NOT a skew trap: the
+    on the domain key — the window's hash exchange is the only one in
+    the plan. The hot-domain sort is NOT a skew trap: the
     ``row_number ≤ cap`` filter plans as WindowGroupLimit (Spark ≥3.5
     rank-limit pushdown), which truncates every map-side group to the
     cap BEFORE the exchange — a 1e9-doc domain ships cap×n_map_tasks
@@ -1167,5 +1175,4 @@ def domain_cap_sample(
         per.withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("keep_rank") <= max_per_domain)
         .select("domain", F.col("id").alias(col_id), "keep_rank")
-        .orderBy("domain", "keep_rank")
     )

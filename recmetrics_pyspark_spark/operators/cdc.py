@@ -373,7 +373,12 @@ def scd2_history(
     Semantics: within one (key, ts) the row with the highest
     ``col_tiebreak`` wins (a change log can carry several updates at
     one timestamp; the tiebreak makes the winner deterministic across
-    engines). Consecutive equal values collapse into one interval
+    engines). The ordering is made TOTAL by a final ``col_attr``
+    ascending-nulls-first key, so even rows that tie on the tiebreak
+    itself resolve identically on every engine and input order —
+    supply a unique tiebreak (an ingest sequence / source offset) to
+    make the winner semantically meaningful rather than merely
+    deterministic. Consecutive equal values collapse into one interval
     (change detection via NULL-safe ``lag`` comparison, with the
     first row per key always opening an interval — so a NULL
     attribute is a value, not a wildcard). ``valid_to`` is the NEXT change's
@@ -398,7 +403,9 @@ def scd2_history(
     # this build partitions by the key alone and Catalyst reuses ONE
     # exchange for all three passes (a (k, t) window would force a
     # second shuffle)
-    w_win = Window.partitionBy(k).orderBy(F.asc(t), F.desc(tb))
+    w_win = Window.partitionBy(k).orderBy(
+        F.asc(t), F.desc(tb), F.asc_nulls_first(a)
+    )
     latest = (
         changes.select(k, a, t, tb)
         .withColumn("_pt", F.lag(t).over(w_win))

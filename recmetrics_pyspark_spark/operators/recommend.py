@@ -356,9 +356,11 @@ def association_rules(
     exact. Everything after is pair-scale arithmetic with
     catalog-scale broadcasts; top-k via one window over the filtered
     rule set. N enters declaratively as a one-row
-    crossJoin(broadcast(·)) frame over the already-persisted basket
-    table (the sequential_rules pattern) — no build-time driver
-    action."""
+    crossJoin(broadcast(·)) frame over the persisted basket table
+    (the sequential_rules pattern) — the former N formula scalar is
+    gone; the only build-time action left is ``user_baskets``' own
+    documented cache-fill count, which the sims path above has
+    already executed, so it is a cache read, not a scan."""
     from pyspark.sql.window import Window
 
     from .metrics import (

@@ -38,6 +38,10 @@ def test_registrable_domain_cases(spark):
         "https://localhost/x": "localhost",  # single label
         "ftp://deep.sub.tree.example.co.jp/f": "example.co.jp",
         "https://plain.io": "plain.io",
+        # userinfo is stripped, not mistaken for the host
+        "https://user:pw@example.com/x": "example.com",
+        "https://bob@mail.example.co.uk/inbox": "example.co.uk",
+        "alice@ftp.example.org/f": "example.org",  # scheme-less + userinfo
     }
     got = _extract(spark, list(cases))
     assert got == list(cases.values())
@@ -54,7 +58,7 @@ def test_domain_cap_sample_cap_and_determinism(spark):
     assert set(by_dom) == {"a.com", "b.com"}
     assert len(by_dom["a.com"]) == 3  # capped from 5
     assert len(by_dom["b.com"]) == 2  # under cap: passes through
-    assert [r.keep_rank for r in by_dom["a.com"]] == [1, 2, 3]
+    assert sorted(r.keep_rank for r in by_dom["a.com"]) == [1, 2, 3]
 
     # the kept a.com ids are the 3 smallest md5(domain:id) hashes —
     # recompute driver-side with the same 15-hex-digit rule
@@ -65,11 +69,12 @@ def test_domain_cap_sample_cap_and_determinism(spark):
     kept = sorted(r.doc_id for r in by_dom["a.com"])
     assert kept == sorted(expect)
 
-    # deterministic: a second run returns byte-identical rows
+    # deterministic: a second run returns the same row SET (the
+    # operator is unordered by design — no global output sort)
     again = domain_cap_sample(
         df, "url", "doc_id", max_per_domain=3
     ).collect()
-    assert out == again
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
 def test_domain_cap_sample_plans_window_group_limit(spark):

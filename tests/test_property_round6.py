@@ -96,11 +96,21 @@ def test_scd2_interval_algebra_on_random_change_logs(spark, rows):
     )
     out = scd2_history(df, "key", "attr", "ts", "seq").collect()
 
-    # independent replay: winner per (key, ts) = max seq; collapse runs
+    # independent replay: winner per (key, ts) = max seq, then min
+    # attr with NULL first (the operator's total order — exercised
+    # here: the strategy DOES generate full (key, ts, seq) ties)
+    def _attr_key(v):
+        return (v is not None, v)
+
     per_key: dict[int, dict] = {}
     for k, v, ts, q in data:
         slot = per_key.setdefault(k, {})
-        if ts not in slot or q > slot[ts][0]:
+        if (
+            ts not in slot
+            or q > slot[ts][0]
+            or (q == slot[ts][0]
+                and _attr_key(v) < _attr_key(slot[ts][1]))
+        ):
             slot[ts] = (q, v)
     expect = []
     for k, slot in per_key.items():

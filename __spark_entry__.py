@@ -3452,8 +3452,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     test_property_round6b's random cascade replay), and the two new
     domain-curation queries domain_mix_stats / domain_cap_sample
     (bot_activity_flags and funnel_conversion changed docstrings only
-    — no re-witness needed). No post-window backlog exists; round 7
-    starts with a clean slate (canaries + any round-7 changes).
+    — no re-witness needed). The round-6 review pass then changed
+    three more, all ALSO inside the window and re-witnessed at all
+    three sfs after the change: domain_cap_sample (tail global sort
+    dropped — single-exchange plan), domain_mix_stats + _cap_sample
+    (single userinfo-safe host regex, oracles mirrored), and
+    scd2_customer_priority (total winner tiebreak; byte-identical on
+    this data — o_orderkey is unique). No post-window backlog exists;
+    round 7 starts with a clean slate (canaries + any round-7
+    changes).
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing

@@ -3458,7 +3458,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dropped — single-exchange plan), domain_mix_stats + _cap_sample
     (single userinfo-safe host regex, oracles mirrored), and
     scd2_customer_priority (total winner tiebreak; byte-identical on
-    this data — o_orderkey is unique). No post-window backlog exists;
+    this data — o_orderkey is unique). A sixth property batch then
+    caught psi_drift crashing on a CONSTANT-valued feed (zero bin
+    width under ANSI division) — guarded with try_divide/nullif on
+    both engines, re-witnessed at all three sfs, windowed.
+    No post-window backlog exists;
     round 7 starts with a clean slate (canaries + any round-7
     changes).
     """
@@ -3797,6 +3801,9 @@ _ROUND6_WINDOW = [
     # round-6 change: empty-table n_deleted coalesced to 0 (defect
     # found by test_property_round6b's random-input cascade replay)
     "user_erasure_audit",
+    # round-6 change: constant-feed zero-bin-width guard (defect found
+    # by test_property_round6f's mirrored-halves PSI property)
+    "psi_drift",
 ]
 
 
@@ -4935,8 +4942,9 @@ WITH stats AS (
   SELECT event_type AS grp,
     CASE WHEN 2 * epoch_us(ts) < ts_lo + ts_hi
          THEN 'ref' ELSE 'cur' END AS side,
-    CAST(least(floor((value - v_lo) / ((v_hi - v_lo) / 10)), 9)
-         AS INTEGER) AS bin
+    CAST(coalesce(
+      least(floor((value - v_lo) / nullif((v_hi - v_lo) / 10, 0)), 9),
+      0) AS INTEGER) AS bin
   FROM events, stats
 ), counts AS (
   SELECT grp, side, bin, count(*) AS n FROM b GROUP BY grp, side, bin

@@ -144,12 +144,20 @@ def psi_drift(
             F.when(
                 2 * F.col("tsd") < F.col("ts_lo") + F.col("ts_hi"), "ref"
             ).otherwise("cur").alias("side"),
-            F.least(
-                F.floor(
-                    (F.col(col_value) - F.col("v_lo"))
-                    / ((F.col("v_hi") - F.col("v_lo")) / n_bins)
+            # try_divide + coalesce: a CONSTANT-valued feed has zero
+            # bin width (v_hi == v_lo) — every row lands in bin 0 and
+            # PSI reads 0, instead of an ANSI divide-by-zero crash
+            F.coalesce(
+                F.least(
+                    F.floor(
+                        F.try_divide(
+                            F.col(col_value) - F.col("v_lo"),
+                            (F.col("v_hi") - F.col("v_lo")) / n_bins,
+                        )
+                    ),
+                    F.lit(n_bins - 1),
                 ),
-                F.lit(n_bins - 1),
+                F.lit(0),
             ).cast("int").alias("bin"),
         )
     )

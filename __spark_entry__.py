@@ -3461,7 +3461,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this data — o_orderkey is unique). A sixth property batch then
     caught psi_drift crashing on a CONSTANT-valued feed (zero bin
     width under ANSI division) — guarded with try_divide/nullif on
-    both engines, re-witnessed at all three sfs, windowed.
+    both engines, re-witnessed at all three sfs, windowed. A targeted
+    degenerate-divisor sweep of the same crash class then found and
+    fixed four more (mad_outlier_docs: MAD 0; zipf_fit: single-point
+    var(x) 0; seasonal_profile: zero total; ab_test Welch t:
+    zero-variance arms), each guarded on BOTH engines, regression-
+    tested in tests/test_degenerate_inputs.py, re-witnessed at all
+    three sfs, and windowed (ab_test_events already sat in the
+    window).
     No post-window backlog exists;
     round 7 starts with a clean slate (canaries + any round-7
     changes).
@@ -3804,6 +3811,12 @@ _ROUND6_WINDOW = [
     # round-6 change: constant-feed zero-bin-width guard (defect found
     # by test_property_round6f's mirrored-halves PSI property)
     "psi_drift",
+    # round-6 change: the degenerate-divisor sweep that followed the
+    # PSI find (MAD 0 / single-point fit / zero total / zero-variance
+    # arms — try_divide + oracle nullif; tests/test_degenerate_inputs)
+    "mad_outlier_docs",
+    "zipf_fit",
+    "seasonal_profile_events",
 ]
 
 
@@ -4792,8 +4805,8 @@ WITH toks AS (
   SELECT ln(CAST(rnk AS DOUBLE)) AS x, y FROM ranked WHERE rnk <= 1000
 )
 SELECT count(*) AS n_tokens_fit,
-  round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope,
-  round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
+  round(covar_pop(x, y) / nullif(var_pop(x), 0), 6) AS zipf_slope,
+  round(avg(y) - (covar_pop(x, y) / nullif(var_pop(x), 0)) * avg(x), 6)
     AS zipf_intercept
 FROM xy
 """,
@@ -5011,7 +5024,7 @@ dev AS (SELECT doc_id, n, med, abs(n - med) AS ad FROM t, med),
 mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev),
 scored AS (
   SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-    round(0.6745 * (n - med) / mad, 6) AS mod_zscore
+    round(0.6745 * (n - med) / nullif(mad, 0), 6) AS mod_zscore
   FROM dev, mad
 )
 SELECT doc_id, n_tokens, mod_zscore FROM scored
@@ -6815,9 +6828,9 @@ per_arm AS (
   FROM armed GROUP BY arm)
 SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
   round((mean_b - mean_a)
-        / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+        / nullif(sqrt(var_a / n_a + var_b / n_b), 0), 6) AS t_stat,
   abs((mean_b - mean_a)
-      / sqrt(var_a / n_a + var_b / n_b)) > 1.96 AS significant_95
+      / nullif(sqrt(var_a / n_a + var_b / n_b), 0)) > 1.96 AS significant_95
 FROM (
   SELECT a.n AS n_a, b.n AS n_b,
     CAST(a.sv AS DOUBLE) / a.n AS mean_a,
@@ -6925,7 +6938,7 @@ tot AS (
   FROM dow GROUP BY event_type)
 SELECT d.event_type, d.iso_dow, d.n_days,
   round(d.mean_v, 6) AS mean_daily_value,
-  round(d.mean_v / t.tot_v, 6) AS dow_share
+  round(d.mean_v / nullif(t.tot_v, 0), 6) AS dow_share
 FROM dow d JOIN tot t USING (event_type)
 """,
         "qa_eval_docs": r"""

@@ -416,15 +416,14 @@ def zipf_fit(
             F.log(F.col("n").cast("double")).alias("y"),
         )
     )
+    # try_divide: a degenerate fit table (a single qualifying token →
+    # var(x) = 0) has no defined slope — NULL, not an ANSI crash
+    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_tokens_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
         F.round(
-            F.covar_pop("x", "y") / F.var_pop("x"), 6
-        ).alias("zipf_slope"),
-        F.round(
-            F.avg("y")
-            - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x"),
-            6,
+            F.avg("y") - slope * F.avg("x"), 6
         ).alias("zipf_intercept"),
     )
 
@@ -461,8 +460,15 @@ def mad_outlier_docs(
         .select(
             F.col(col_id),
             F.col("n").cast("bigint").alias("n_tokens"),
+            # try_divide: a constant-length corpus has MAD 0 — the
+            # score is undefined (NULL), the filter drops it, and the
+            # operator returns "no outliers" instead of an ANSI
+            # divide-by-zero crash
             F.round(
-                0.6745 * (F.col("n") - F.col("med")) / F.col("mad"), 6
+                F.try_divide(
+                    0.6745 * (F.col("n") - F.col("med")), F.col("mad")
+                ),
+                6,
             ).alias("mod_zscore"),
         )
         .filter(F.abs(F.col("mod_zscore")) >= cutoff)

@@ -100,8 +100,12 @@ def ab_test_analysis(
     mean_b = _mean(F.col("sv_b"), F.col("n_b"))
     var_a = _var(F.col("svv_a"), F.col("sv_a"), F.col("n_a"))
     var_b = _var(F.col("svv_b"), F.col("sv_b"), F.col("n_b"))
-    t = (mean_b - mean_a) / F.sqrt(
-        var_a / F.col("n_a") + var_b / F.col("n_b")
+    # try_divide: two zero-variance arms (a metric that never moved)
+    # make the standard error 0 — t is undefined (NULL on both
+    # engines, significant_95 NULL with it), not an ANSI crash
+    t = F.try_divide(
+        mean_b - mean_a,
+        F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
     )
     return joined.select(
         F.col("n_a"),

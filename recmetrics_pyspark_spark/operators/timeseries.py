@@ -191,9 +191,11 @@ def seasonal_profile(
             "iso_dow",
             "n_days",
             F.round("mean_v", 6).alias("mean_daily_value"),
-            F.round(F.col("mean_v") / F.col("tot_v"), 6).alias(
-                "dow_share"
-            ),
+            # try_divide: an all-zero series has tot_v = 0 — shares
+            # are undefined (NULL on both engines), not a crash
+            F.round(
+                F.try_divide(F.col("mean_v"), F.col("tot_v")), 6
+            ).alias("dow_share"),
         )
     )
 

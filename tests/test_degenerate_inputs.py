@@ -1,0 +1,78 @@
+"""Degenerate-input regression tests: legitimate edge corpora
+(constant values, zero totals, single-point fits, metrics that never
+moved) must yield NULL/empty results, not ANSI divide-by-zero crashes.
+Each case here crashed before the round-6 try_divide sweep.
+
+All four go through .collect() deliberately — .count() lets Catalyst
+prune the very projection that divides, hiding the crash.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+_B = _dt.datetime(2024, 3, 4)
+
+
+def test_mad_outlier_constant_corpus_returns_empty(spark):
+    from recmetrics_pyspark_spark.functions.curation import (
+        mad_outlier_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(6)], ["doc_id", "text"]
+    )
+    assert mad_outlier_docs(df).collect() == []  # MAD 0 → no outliers
+
+
+def test_zipf_fit_single_point_null_slope(spark):
+    from recmetrics_pyspark_spark.functions.curation import zipf_fit
+
+    df = spark.createDataFrame(
+        [(i, "a a a a") for i in range(4)], ["doc_id", "text"]
+    )
+    r = zipf_fit(df, min_count=1).collect()[0]
+    assert r.n_tokens_fit == 1
+    assert r.zipf_slope is None and r.zipf_intercept is None
+
+
+def test_seasonal_profile_zero_series_null_shares(spark):
+    from recmetrics_pyspark_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("k", _B + _dt.timedelta(days=d), 0.0) for d in range(14)],
+        ["key", "ts", "value"],
+    )
+    out = seasonal_profile(df, "key", "ts", "value").collect()
+    assert len(out) == 7
+    for r in out:
+        assert r.mean_daily_value == 0.0 and r.dow_share is None
+
+
+def test_ab_test_zero_variance_null_t(spark):
+    from recmetrics_pyspark_spark.operators.experiment import (
+        ab_test_analysis,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i}", 3.0) for i in range(40)], ["unit", "metric"]
+    )
+    r = ab_test_analysis(df, "unit", "metric").collect()[0]
+    assert r.mean_a == r.mean_b == 3.0
+    assert r.t_stat is None and r.significant_95 is None
+
+
+def test_psi_constant_feed_zero(spark):
+    from recmetrics_pyspark_spark.operators.quality import psi_drift
+
+    df = spark.createDataFrame(
+        [
+            ("g", 0.0, _B),
+            ("g", 0.0, _B + _dt.timedelta(days=10)),
+        ],
+        ["event_type", "value", "ts"],
+    )
+    out = psi_drift(df).collect()
+    assert len(out) == 1 and out[0].psi == 0.0

@@ -3468,7 +3468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     zero-variance arms), each guarded on BOTH engines, regression-
     tested in tests/test_degenerate_inputs.py, re-witnessed at all
     three sfs, and windowed (ab_test_events already sat in the
-    window).
+    window); two further finds closed the sweep — intra_list's
+    zero-norm feature vector (zero-vector items now contribute 0,
+    matching the no-shared-feature rule) and stratified_metrics'
+    equal-length strata (sigma 0 → NULL z) — same guard + regression
+    + re-witness treatment.
     No post-window backlog exists;
     round 7 starts with a clean slate (canaries + any round-7
     changes).
@@ -3817,6 +3821,8 @@ _ROUND6_WINDOW = [
     "mad_outlier_docs",
     "zipf_fit",
     "seasonal_profile_events",
+    "intra_list_similarity",
+    "stratified_metrics",
 ]
 
 
@@ -4443,7 +4449,7 @@ WITH per AS (
   SELECT avg(avg_chars) AS mu, stddev_samp(avg_chars) AS sigma FROM per
 )
 SELECT lang, n_docs, avg_chars, avg_tokens,
-  round((avg_chars - mu) / sigma, 6) AS len_zscore
+  round((avg_chars - mu) / nullif(sigma, 0), 6) AS len_zscore
 FROM per, st ORDER BY lang
 """,
         "doc_cooccurrence_pmi": """
@@ -5189,7 +5195,7 @@ FROM events GROUP BY bucket ORDER BY bucket
 ), n_items AS (
   SELECT g, count(*) AS n_it FROM norms GROUP BY g
 ), w AS (
-  SELECT vecs.g, vecs.f, vecs.v / norms.nrm AS w
+  SELECT vecs.g, vecs.f, vecs.v / nullif(norms.nrm, 0) AS w
   FROM vecs JOIN norms ON vecs.g = norms.g AND vecs.it = norms.it
 ), fsum AS (
   SELECT g, f, sum(w) AS sw, sum(w*w) AS sww FROM w GROUP BY g, f

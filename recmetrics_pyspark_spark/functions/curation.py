@@ -108,8 +108,14 @@ def stratified_metrics(
             "n_docs",
             "avg_chars",
             "avg_tokens",
+            # try_divide: strata with identical mean lengths have
+            # sigma 0 (and a single stratum has sigma NULL) — the
+            # z-score is undefined there, not an ANSI crash
             F.round(
-                (F.col("avg_chars") - F.col("mu")) / F.col("sigma"), 6
+                F.try_divide(
+                    F.col("avg_chars") - F.col("mu"), F.col("sigma")
+                ),
+                6,
             ).alias("len_zscore"),
         )
         .orderBy(col_stratum)

@@ -502,8 +502,13 @@ def intra_list_similarity(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
     ).persist()
     n_items = norms.groupBy("g").agg(F.count(F.lit(1)).alias("n_it"))
+    # try_divide: an all-zero feature vector has norm 0 — its weights
+    # go NULL, the feature sums skip them, and the item contributes 0
+    # to every pair (cosine with a zero vector is defined as 0 here)
+    # while still counting in the pair denominator; without the guard
+    # ANSI division crashes on the first zero-vector item
     w = vecs.join(norms, ["g", "it"]).select(
-        "g", "f", (F.col("v") / F.col("nrm")).alias("w")
+        "g", "f", F.try_divide(F.col("v"), F.col("nrm")).alias("w")
     )
     cos_sums = (
         w.groupBy("g", "f")

@@ -76,3 +76,38 @@ def test_psi_constant_feed_zero(spark):
     )
     out = psi_drift(df).collect()
     assert len(out) == 1 and out[0].psi == 0.0
+
+
+def test_intra_list_zero_vector_item_contributes_zero(spark):
+    from recmetrics_pyspark_spark.operators.metrics import (
+        intra_list_similarity,
+    )
+
+    rows = [
+        ("u1", 1, "a", 1.0), ("u1", 1, "b", 2.0),
+        ("u1", 2, "a", 0.0), ("u1", 2, "b", 0.0),  # zero vector
+        ("u1", 3, "a", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["person", "product", "category", "rating"]
+    )
+    out = intra_list_similarity(df).collect()
+    assert len(out) == 1
+    # pairs (1,3) share feature a: cos = (1/sqrt(5))·1; pairs with the
+    # zero-vector item contribute 0; mean over C(3,2)=3 pairs
+    assert abs(out[0].intra_list_similarity - round((1 / 5**0.5) / 3, 6)) < 1e-6
+
+
+def test_stratified_metrics_equal_length_strata_null_z(spark):
+    from recmetrics_pyspark_spark.functions.curation import (
+        stratified_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc", "en"), (2, "xyz", "fr")],  # identical mean lengths
+        ["doc_id", "text", "lang"],
+    )
+    out = stratified_metrics(df).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.len_zscore is None  # sigma 0 → z undefined

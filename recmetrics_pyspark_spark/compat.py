@@ -151,8 +151,10 @@ def personalization_pandas(
     norms = vecs.groupBy("u").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
     )
+    # try_divide: a zero-norm user vector contributes 0 to every pair
+    # (sklearn's normalize() leaves zero rows zero — same semantics)
     w = vecs.join(norms, "u").select(
-        "i", (F.col("v") / F.col("nrm")).alias("w")
+        "i", F.try_divide(F.col("v"), F.col("nrm")).alias("w")
     )
     s_row = (
         w.groupBy("i")
@@ -258,7 +260,7 @@ def cosine_similarity_matrix(
     return a.crossJoin(b).select(
         "index_a",
         "index_b",
-        (dot / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        F.try_divide(dot, F.col("na") * F.col("nb")).alias("cos_sim"),
     )
 
 

@@ -241,12 +241,19 @@ def baseline_histogram(
             F.col(col_group).alias("grp"),
             "v_lo",
             "v_hi",
-            F.least(
-                F.floor(
-                    (F.col(col_value) - F.col("v_lo"))
-                    / ((F.col("v_hi") - F.col("v_lo")) / n_bins)
+            # try_divide+coalesce: a constant-valued reference has
+            # zero bin width (same guard as the batch psi_drift twin)
+            F.coalesce(
+                F.least(
+                    F.floor(
+                        F.try_divide(
+                            F.col(col_value) - F.col("v_lo"),
+                            (F.col("v_hi") - F.col("v_lo")) / n_bins,
+                        )
+                    ),
+                    F.lit(n_bins - 1),
                 ),
-                F.lit(n_bins - 1),
+                F.lit(0),
             ).cast("int").alias("bin"),
         )
     )
@@ -318,12 +325,18 @@ def foreach_batch_drift(
             )
             .select(
                 "grp",
-                F.least(
-                    F.floor(
-                        (F.col(col_value) - F.col("v_lo"))
-                        / ((F.col("v_hi") - F.col("v_lo")) / n_bins)
+                F.coalesce(
+                    F.least(
+                        F.floor(
+                            F.try_divide(
+                                F.col(col_value) - F.col("v_lo"),
+                                (F.col("v_hi") - F.col("v_lo"))
+                                / n_bins,
+                            )
+                        ),
+                        F.lit(n_bins - 1),
                     ),
-                    F.lit(n_bins - 1),
+                    F.lit(0),
                 ).cast("int").alias("bin"),
             )
             # out-of-range batch values clamp into the edge bins

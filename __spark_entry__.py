@@ -3472,7 +3472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     zero-norm feature vector (zero-vector items now contribute 0,
     matching the no-shared-feature rule) and stratified_metrics'
     equal-length strata (sigma 0 → NULL z) — same guard + regression
-    + re-witness treatment.
+    + re-witness treatment. End-of-round full-surface check:
+    ``scripts/driver_check.py --all`` at sf0.01 under a vanilla
+    session — 241 passed / 0 failed / 1 no-oracle (the documented
+    media_features waiver) — every declared query is oracle-verified
+    at final round-6 code.
     No post-window backlog exists;
     round 7 starts with a clean slate (canaries + any round-7
     changes).

@@ -3476,7 +3476,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``scripts/driver_check.py --all`` at sf0.01 under a vanilla
     session — 241 passed / 0 failed / 1 no-oracle (the documented
     media_features waiver) — every declared query is oracle-verified
-    at final round-6 code.
+    at final round-6 code. A SECOND review pass then hardened four of
+    the sweep's own fixes (all re-witnessed at all three sfs, all
+    already in the window): ab_test's per-arm variance guards n = 1
+    (try_divide/nullif), the equi-width bin rule is one shared helper
+    (operators/quality.py::equi_width_bin) with EXPLICIT zero-width
+    semantics — a constant baseline sits in bin 1 and shifted mass
+    separates into edge bins, so the streaming drift monitor ALERTS
+    on a jump from a constant baseline instead of going blind (the
+    earlier coalesce-after-least guard was dead code: least() skips
+    NULLs) — mad_outlier falls back to the Iglewicz–Hoaglin MeanAD
+    scale when MAD = 0 (a boilerplate-heavy corpus still flags its
+    genuine outliers), and the compat cosine matrix pins zero-norm
+    cells to the reference's 0.0.
     No post-window backlog exists;
     round 7 starts with a clean slate (canaries + any round-7
     changes).
@@ -4965,9 +4977,12 @@ WITH stats AS (
   SELECT event_type AS grp,
     CASE WHEN 2 * epoch_us(ts) < ts_lo + ts_hi
          THEN 'ref' ELSE 'cur' END AS side,
-    CAST(coalesce(
-      least(floor((value - v_lo) / nullif((v_hi - v_lo) / 10, 0)), 9),
-      0) AS INTEGER) AS bin
+    CAST(CASE WHEN v_hi = v_lo THEN
+           CASE WHEN value < v_lo THEN 0
+                WHEN value = v_lo THEN 1 ELSE 9 END
+         ELSE greatest(least(floor(
+           (value - v_lo) / nullif((v_hi - v_lo) / 10, 0)), 9), 0)
+         END AS INTEGER) AS bin
   FROM events, stats
 ), counts AS (
   SELECT grp, side, bin, count(*) AS n FROM b GROUP BY grp, side, bin
@@ -5031,10 +5046,14 @@ WITH t AS (
   FROM documents
 ), med AS (SELECT quantile_cont(n, 0.5) AS med FROM t),
 dev AS (SELECT doc_id, n, med, abs(n - med) AS ad FROM t, med),
-mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev),
+mad AS (
+  SELECT quantile_cont(ad, 0.5) AS mad, avg(ad) AS meanad FROM dev),
 scored AS (
   SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-    round(0.6745 * (n - med) / nullif(mad, 0), 6) AS mod_zscore
+    CASE WHEN mad > 0
+         THEN round(0.6745 * (n - med) / mad, 6)
+         ELSE round((n - med) / nullif(1.2533 * meanad, 0), 6)
+    END AS mod_zscore
   FROM dev, mad
 )
 SELECT doc_id, n_tokens, mod_zscore FROM scored
@@ -6846,11 +6865,11 @@ FROM (
     CAST(a.sv AS DOUBLE) / a.n AS mean_a,
     CAST(b.sv AS DOUBLE) / b.n AS mean_b,
     (CAST(a.svv AS DOUBLE)
-     - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / a.n) / (a.n - 1)
-      AS var_a,
+     - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / a.n)
+      / nullif(a.n - 1, 0) AS var_a,
     (CAST(b.svv AS DOUBLE)
-     - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n) / (b.n - 1)
-      AS var_b
+     - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n)
+      / nullif(b.n - 1, 0) AS var_b
   FROM (SELECT * FROM per_arm WHERE arm = 0) a
   CROSS JOIN (SELECT * FROM per_arm WHERE arm = 1) b) t
 """,

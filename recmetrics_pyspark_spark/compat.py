@@ -260,7 +260,13 @@ def cosine_similarity_matrix(
     return a.crossJoin(b).select(
         "index_a",
         "index_b",
-        F.try_divide(dot, F.col("na") * F.col("nb")).alias("cos_sim"),
+        # coalesce 0.0: the reference path pins zero-row norms to 1.0
+        # before dividing, so a zero vector's cells read 0.0 there —
+        # match that, not NULL (cell-wise consumers compare against
+        # reference output)
+        F.coalesce(
+            F.try_divide(dot, F.col("na") * F.col("nb")), F.lit(0.0)
+        ).alias("cos_sim"),
     )
 
 

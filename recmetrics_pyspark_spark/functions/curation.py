@@ -446,11 +446,17 @@ def mad_outlier_docs(
     threshold. Returns flagged docs with their scores — the standard
     pre-filter before length-sensitive curation stages.
 
-    Scale: two exact-percentile aggregates (median of n, then median
-    of |n − median|) — each a single one-row reduction broadcast back
-    over the scan; no window, no sort of the corpus. At 100 TB swap
-    `percentile` for `approx_percentile` (documented ε) with the same
-    plan shape."""
+    MAD = 0 (≥ half the corpus shares the median length — boilerplate-
+    heavy corpora, not just constant ones) falls back to the
+    Iglewicz–Hoaglin alternative (x − median)/(1.2533·MeanAD), so a
+    genuine extreme outlier among boilerplate is still flagged; only a
+    fully constant corpus (MeanAD 0 too) yields no outliers.
+
+    Scale: two exact-percentile aggregates (median of n, then median +
+    mean of |n − median| in ONE reduction) — each a single one-row
+    reduction broadcast back over the scan; no window, no sort of the
+    corpus. At 100 TB swap `percentile` for `approx_percentile`
+    (documented ε) with the same plan shape."""
     toks = df.select(
         F.col(col_id),
         F.expr(f"size(split({col_text}, ' '))").cast("double").alias("n"),
@@ -460,22 +466,31 @@ def mad_outlier_docs(
         toks.crossJoin(F.broadcast(med))
         .select(F.col(col_id), "n", "med", F.abs(F.col("n") - F.col("med")).alias("ad"))
     )
-    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    mad = dev.agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"),
+        F.avg("ad").alias("meanad"),
+    )
+    # MAD > 0: the standard modified z. MAD = 0: MeanAD fallback
+    # (Iglewicz–Hoaglin) keeps real outliers visible in boilerplate-
+    # heavy corpora; try_divide makes a fully constant corpus
+    # (MeanAD 0 too) read NULL → "no outliers", never an ANSI crash
+    mz = F.when(
+        F.col("mad") > 0,
+        F.round(0.6745 * (F.col("n") - F.col("med")) / F.col("mad"), 6),
+    ).otherwise(
+        F.round(
+            F.try_divide(
+                F.col("n") - F.col("med"), 1.2533 * F.col("meanad")
+            ),
+            6,
+        )
+    )
     return (
         dev.crossJoin(F.broadcast(mad))
         .select(
             F.col(col_id),
             F.col("n").cast("bigint").alias("n_tokens"),
-            # try_divide: a constant-length corpus has MAD 0 — the
-            # score is undefined (NULL), the filter drops it, and the
-            # operator returns "no outliers" instead of an ANSI
-            # divide-by-zero crash
-            F.round(
-                F.try_divide(
-                    0.6745 * (F.col("n") - F.col("med")), F.col("mad")
-                ),
-                6,
-            ).alias("mod_zscore"),
+            mz.alias("mod_zscore"),
         )
         .filter(F.abs(F.col("mod_zscore")) >= cutoff)
         .orderBy(F.desc(F.abs(F.col("mod_zscore"))), F.asc(col_id))

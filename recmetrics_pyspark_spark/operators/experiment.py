@@ -91,9 +91,13 @@ def ab_test_analysis(
         return sv.cast("double") / n
 
     def _var(svv, sv, n):
-        return (
-            svv.cast("double") - sv.cast("double") * sv.cast("double") / n
-        ) / (n - 1)
+        # try_divide: a single-unit arm has n - 1 = 0 — its sample
+        # variance is undefined (NULL, flowing into a NULL t), not an
+        # ANSI crash (oracle twin: nullif(n - 1, 0))
+        return F.try_divide(
+            svv.cast("double") - sv.cast("double") * sv.cast("double") / n,
+            n - 1,
+        )
 
     joined = a.crossJoin(F.broadcast(b))
     mean_a = _mean(F.col("sv_a"), F.col("n_a"))

@@ -97,6 +97,42 @@ def run_checks(parts: list[DataFrame]) -> DataFrame:
     return out
 
 
+def equi_width_bin(
+    value: Column, v_lo: Column, v_hi: Column, n_bins: int
+) -> Column:
+    """Equi-width bin index over [v_lo, v_hi], clamped to
+    [0, n_bins-1], with EXPLICIT degenerate-range semantics: when the
+    observed range collapses (v_hi == v_lo — a constant feed), values
+    AT the constant land in bin 1 while values above/below land in the
+    top/bottom edge bins, so a drift comparison against a constant
+    baseline still SEPARATES shifted mass (alerting) instead of
+    crashing (ANSI divide-by-zero) or silently sharing one bin with
+    the baseline (a blind monitor). The ONE place the binning rule
+    lives — batch PSI and both streaming drift twins share it; the
+    DuckDB oracles mirror the same CASE. Note least()/greatest() SKIP
+    NULL operands on both engines, so a NULL-from-division can never
+    be patched up after the fact — the zero-width case must branch
+    BEFORE the division, as here."""
+    width = (v_hi - v_lo) / n_bins
+    normal = F.greatest(
+        F.least(
+            F.floor(F.try_divide(value - v_lo, width)),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
+    )
+    return (
+        F.when(
+            v_hi == v_lo,
+            F.when(value < v_lo, F.lit(0))
+            .when(value == v_lo, F.lit(1))
+            .otherwise(F.lit(n_bins - 1)),
+        )
+        .otherwise(normal)
+        .cast("int")
+    )
+
+
 def psi_drift(
     df: DataFrame,
     col_group: str = "event_type",
@@ -144,21 +180,9 @@ def psi_drift(
             F.when(
                 2 * F.col("tsd") < F.col("ts_lo") + F.col("ts_hi"), "ref"
             ).otherwise("cur").alias("side"),
-            # try_divide + coalesce: a CONSTANT-valued feed has zero
-            # bin width (v_hi == v_lo) — every row lands in bin 0 and
-            # PSI reads 0, instead of an ANSI divide-by-zero crash
-            F.coalesce(
-                F.least(
-                    F.floor(
-                        F.try_divide(
-                            F.col(col_value) - F.col("v_lo"),
-                            (F.col("v_hi") - F.col("v_lo")) / n_bins,
-                        )
-                    ),
-                    F.lit(n_bins - 1),
-                ),
-                F.lit(0),
-            ).cast("int").alias("bin"),
+            equi_width_bin(
+                F.col(col_value), F.col("v_lo"), F.col("v_hi"), n_bins
+            ).alias("bin"),
         )
     )
     counts = binned.groupBy("grp", "side", "bin").agg(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.quality import equi_width_bin
+
 
 def stream_events(
     spark: SparkSession, events_dir: str, schema=None
@@ -241,20 +243,11 @@ def baseline_histogram(
             F.col(col_group).alias("grp"),
             "v_lo",
             "v_hi",
-            # try_divide+coalesce: a constant-valued reference has
-            # zero bin width (same guard as the batch psi_drift twin)
-            F.coalesce(
-                F.least(
-                    F.floor(
-                        F.try_divide(
-                            F.col(col_value) - F.col("v_lo"),
-                            (F.col("v_hi") - F.col("v_lo")) / n_bins,
-                        )
-                    ),
-                    F.lit(n_bins - 1),
-                ),
-                F.lit(0),
-            ).cast("int").alias("bin"),
+            # shared rule incl. degenerate-range semantics — see
+            # operators/quality.py::equi_width_bin (the batch twin)
+            equi_width_bin(
+                F.col(col_value), F.col("v_lo"), F.col("v_hi"), n_bins
+            ).alias("bin"),
         )
     )
     counts = binned.groupBy("grp", "v_lo", "v_hi", "bin").agg(
@@ -325,22 +318,15 @@ def foreach_batch_drift(
             )
             .select(
                 "grp",
-                F.coalesce(
-                    F.least(
-                        F.floor(
-                            F.try_divide(
-                                F.col(col_value) - F.col("v_lo"),
-                                (F.col("v_hi") - F.col("v_lo"))
-                                / n_bins,
-                            )
-                        ),
-                        F.lit(n_bins - 1),
-                    ),
-                    F.lit(0),
-                ).cast("int").alias("bin"),
+                # shared rule; a batch drifted away from a CONSTANT
+                # baseline separates into an edge bin (the baseline
+                # sits in bin 1) so the monitor ALERTS instead of
+                # going blind; out-of-range values clamp to the edges
+                equi_width_bin(
+                    F.col(col_value), F.col("v_lo"), F.col("v_hi"),
+                    n_bins,
+                ).alias("bin"),
             )
-            # out-of-range batch values clamp into the edge bins
-            .withColumn("bin", F.greatest(F.col("bin"), F.lit(0)))
         )
         counts = binned.groupBy("grp", "bin").agg(
             F.count(F.lit(1)).alias("n")

@@ -111,3 +111,64 @@ def test_stratified_metrics_equal_length_strata_null_z(spark):
     assert len(out) == 2
     for r in out:
         assert r.len_zscore is None  # sigma 0 → z undefined
+
+
+def test_mad_outlier_meanad_fallback_catches_boilerplate_outlier(spark):
+    """MAD = 0 because >=50% of docs share the median length — the
+    MeanAD fallback must still flag the genuine extreme outlier
+    instead of silently returning empty."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        mad_outlier_docs,
+    )
+
+    rows = [(i, "a b c") for i in range(5)]  # 5 boilerplate docs, 3 toks
+    rows.append((9, " ".join(f"t{j}" for j in range(500))))  # outlier
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = mad_outlier_docs(df).collect()
+    assert [r.doc_id for r in out] == [9]
+    # (n - med) / (1.2533 * meanad): med=3, ads=[0]*5+[497], meanad=497/6
+    expect = round((500 - 3) / (1.2533 * (497 / 6)), 6)
+    assert abs(out[0].mod_zscore - expect) < 1e-6
+
+
+def test_psi_detects_shift_from_constant_baseline(spark):
+    """The zero-width branch separates shifted mass: a feed that was
+    constant in the first half and jumped in the second must alert,
+    not silently share one bin with the baseline."""
+    from recmetrics_pyspark_spark.operators.quality import psi_drift
+
+    rows = [("g", 0.0, _B + _dt.timedelta(seconds=s)) for s in range(6)]
+    rows += [
+        ("g", 0.0, _B + _dt.timedelta(days=10, seconds=s))
+        for s in range(6)
+    ]
+    # NOTE global v_lo == v_hi == 0.0 → degenerate range on BOTH sides
+    # (equal half sizes: Laplace smoothing is share-neutral then)
+    df = spark.createDataFrame(rows, ["event_type", "value", "ts"])
+    out = psi_drift(df).collect()
+    assert out[0].psi == 0.0  # same constant both halves: stable
+
+    rows2 = [("g", 0.0, _B + _dt.timedelta(seconds=s)) for s in range(6)]
+    rows2 += [
+        ("g", 500.0, _B + _dt.timedelta(days=10, seconds=s))
+        for s in range(6)
+    ]
+    df2 = spark.createDataFrame(rows2, ["event_type", "value", "ts"])
+    out2 = psi_drift(df2).collect()
+    assert out2[0].psi > 0.5  # total shift: loudly unstable
+
+
+def test_ab_test_single_unit_arm_null_t(spark):
+    """An arm with exactly one unit has undefined sample variance —
+    t goes NULL instead of an ANSI crash."""
+    from recmetrics_pyspark_spark.operators.experiment import (
+        ab_test_analysis,
+    )
+
+    # u3 hashes to arm 0 alone under the exp1 salt; u0/u1/u2 to arm 1
+    df = spark.createDataFrame(
+        [(f"u{i}", float(i)) for i in range(4)], ["unit", "metric"]
+    )
+    out = ab_test_analysis(df, "unit", "metric").collect()[0]
+    assert 1 in (out.n_a, out.n_b)
+    assert out.t_stat is None and out.significant_95 is None

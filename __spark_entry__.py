@@ -3488,7 +3488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     NULLs) — mad_outlier falls back to the Iglewicz–Hoaglin MeanAD
     scale when MAD = 0 (a boilerplate-heavy corpus still flags its
     genuine outliers), and the compat cosine matrix pins zero-norm
-    cells to the reference's 0.0.
+    cells to the reference's 0.0. The full-surface driver_check --all
+    was RE-RUN after that pass: 241/0/1 again — the certification
+    holds at the round's truly final code.
     No post-window backlog exists;
     round 7 starts with a clean slate (canaries + any round-7
     changes).

@@ -52,13 +52,30 @@ ORACLE_BASE = """WITH interactions AS (
 )"""
 
 
+# Heavy-basket cap (mirrors item_cooccurrence_pairs(max_basket=1000)):
+# pair GENERATION reads each user's MAX_BASKET smallest item ids
+# (row_number cut == Spark's slice(sort_array(items), 1, cap)); item
+# sizes stay uncapped on both sides. Inert on TPC-H-ish baskets
+# (≤ ~40 items/user), live against an adversarial hot user.
+MAX_BASKET = 1000
+
+CAPPED_CTE = f"""bcapped AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+      row_number() OVER (PARTITION BY user_id ORDER BY item_id) AS brk
+    FROM upairs) t
+  WHERE brk <= {MAX_BASKET}
+)"""
+
+
 # Item-similarity CTE chain shared by the item2item and item-based-recs
 # oracles (mirrors operators/metrics.py::item_item_topk).
-ITEM_SIMS_SQL = """
-, isz AS (SELECT item_id, count(*) AS sz FROM upairs GROUP BY item_id),
+ITEM_SIMS_SQL = f"""
+, {CAPPED_CTE},
+isz AS (SELECT item_id, count(*) AS sz FROM upairs GROUP BY item_id),
 pcounts AS (
   SELECT a.item_id AS ia, b.item_id AS ib, count(*) AS n_common
-  FROM upairs a JOIN upairs b ON a.user_id = b.user_id
+  FROM bcapped a JOIN bcapped b ON a.user_id = b.user_id
     AND a.item_id < b.item_id
   GROUP BY a.item_id, b.item_id
   HAVING count(*) >= 2
@@ -1547,10 +1564,11 @@ def _pagerank_oracle() -> str:
         prev = f"p{i}"
     return (
         ORACLE_BASE
-        + """
-, pcounts AS (
+        + f"""
+, {CAPPED_CTE},
+pcounts AS (
   SELECT a.item_id AS ia, b.item_id AS ib
-  FROM upairs a JOIN upairs b ON a.user_id = b.user_id
+  FROM bcapped a JOIN bcapped b ON a.user_id = b.user_id
     AND a.item_id < b.item_id
   GROUP BY a.item_id, b.item_id
   HAVING count(*) >= 2
@@ -4917,7 +4935,7 @@ SELECT CAST(max(n_items) AS BIGINT) AS n_items,
   round(exp(-sum(p * ln(p))), 6) AS effective_catalog_size
 FROM ranked
 """,
-        "association_rules": """
+        "association_rules": f"""
 WITH interactions AS (
   SELECT o_custkey AS user_id, l_partkey AS item_id
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -4927,9 +4945,9 @@ WITH interactions AS (
   SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM upairs
 ), isz AS (
   SELECT item_id, count(*) AS sz FROM upairs GROUP BY item_id
-), pcounts AS (
+), {CAPPED_CTE}, pcounts AS (
   SELECT a.item_id AS ia, b.item_id AS ib, count(*) AS n_common
-  FROM upairs a JOIN upairs b ON a.user_id = b.user_id
+  FROM bcapped a JOIN bcapped b ON a.user_id = b.user_id
     AND a.item_id < b.item_id
   GROUP BY a.item_id, b.item_id
   HAVING count(*) >= 2
@@ -7022,10 +7040,11 @@ SELECT task, k, n, c,
 FROM expanded
 """,
         "bpe_merges": _bpe_oracle(8),
-        "item_triangles": ORACLE_BASE + """
-, e AS (
+        "item_triangles": ORACLE_BASE + f"""
+, {CAPPED_CTE},
+e AS (
   SELECT a.item_id AS ea, b.item_id AS eb
-  FROM upairs a JOIN upairs b
+  FROM bcapped a JOIN bcapped b
     ON a.user_id = b.user_id AND a.item_id < b.item_id
   GROUP BY a.item_id, b.item_id HAVING count(*) >= 2),
 deg AS (

@@ -300,6 +300,7 @@ def item_cooccurrence_pairs(
     col_user: str = "person",
     col_item: str = "product",
     min_common: int = 2,
+    max_basket: int | None = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared pair pipeline behind item_item_topk and pagerank_items:
     returns (pairs, sizes) where pairs = (ia, ib, n_common) with
@@ -309,17 +310,37 @@ def item_cooccurrence_pairs(
     One ``collect_set`` shuffle builds the distinct baskets (map-side
     partial set subsumes a separate distinct); pairs are emitted by a
     codegen'd double explode (x < y) and counted on a packed BIGINT
-    key — see item_item_topk's docstring for the measured numbers."""
+    key — see item_item_topk's docstring for the measured numbers.
+
+    ``max_basket`` is the heavy-basket cap — per-user pair count is
+    QUADRATIC in basket size, so one bot/crawler user with a 1e5-item
+    basket would contribute 5e9 pairs from a single row at 100 TB.
+    The cap slices each basket to its ``max_basket`` smallest item
+    ids (``slice(sort_array(items), 1, cap)`` — a deterministic,
+    oracle-mirrorable cut; a projection over the cached basket table,
+    no extra shuffle) BEFORE the double explode, bounding any user's
+    contribution at C(cap, 2) pairs. Capped pairs are a subset of the
+    uncapped pairs with per-pair support ≤ the uncapped support
+    (property-tested in tests/test_basket_cap.py). ``sizes`` stays
+    UNCAPPED: item popularity |users(i)| is linear-cost and exact —
+    only the quadratic pair emission needs bounding. ``None`` disables
+    the cap; the default (1000) is inert on TPC-H-ish baskets (≤ ~40
+    items/user at any SF) and bounds the adversarial tail."""
     item_type = dict(df.dtypes)[col_item]
     blists = user_baskets(df, col_user, col_item)
     sizes = blists.select(F.explode("items").alias("i")).groupBy("i").agg(
         F.count(F.lit(1)).alias("sz")
     )
+    pair_src = blists
+    if max_basket is not None:
+        pair_src = blists.select(
+            F.slice(F.sort_array("items"), 1, max_basket).alias("items")
+        )
     # pure-integer pair stream: the cosine numerator is just the
     # co-occurrence COUNT, so no per-pair weight rides the shuffle;
     # sizes attach to the aggregated pairs (catalog-scale, broadcast)
     pairs = (
-        blists.select(F.col("items"), F.explode("items").alias("x"))
+        pair_src.select(F.col("items"), F.explode("items").alias("x"))
         .select(F.col("x"), F.explode("items").alias("y"))
         .filter(F.col("x") < F.col("y"))
         .select(
@@ -359,14 +380,20 @@ def item_similarity_pairs(
     col_user: str = "person",
     col_item: str = "product",
     min_common: int = 2,
+    max_basket: int | None = 1000,
 ) -> DataFrame:
     """All co-occurrence pairs (ia < ib) with their cosine similarity —
     the persisted intermediate behind item_item_topk, exposed so graph
     consumers (pagerank_items) build the IDENTICAL canonicalized plan
     and hit the session cache instead of re-running the pair pipeline.
     Persisted and materialized before return: every caller fans out to
-    at least two consumers."""
-    counts, sizes = item_cooccurrence_pairs(df, col_user, col_item, min_common)
+    at least two consumers. ``max_basket`` is the heavy-basket cap
+    (see item_cooccurrence_pairs) — keep it at the shared default so
+    sibling consumers build the same canonical plan and share the
+    cache."""
+    counts, sizes = item_cooccurrence_pairs(
+        df, col_user, col_item, min_common, max_basket
+    )
     sza = sizes.select(F.col("i").alias("ia"), F.col("sz").alias("sza"))
     szb = sizes.select(F.col("i").alias("ib"), F.col("sz").alias("szb"))
     sims = (
@@ -396,6 +423,7 @@ def item_item_topk(
     col_item: str = "product",
     k: int = 5,
     min_common: int = 2,
+    max_basket: int | None = 1000,
 ) -> DataFrame:
     """Top-k most-similar items per item by co-occurrence cosine — the
     transpose of ``personalization``'s plan: binary item vectors over
@@ -421,16 +449,22 @@ def item_item_topk(
     (4.3B distinct items — beyond any real catalog); ANSI mode
     overflows loudly, not silently, if that's ever violated.
 
-    Per-user pair generation is quadratic in basket size — at 100 TB
-    cap the heaviest baskets (``slice(items, 1, cap)`` on the sorted
-    array; power users contribute little signal per pair and all of
-    the skew). ``min_common`` is the support threshold: pairs sharing
+    Per-user pair generation is quadratic in basket size —
+    ``max_basket`` (default 1000) IS the heavy-basket cap:
+    ``slice(sort_array(items), 1, max_basket)`` before the double
+    explode bounds any user's contribution at C(cap, 2) pairs (power
+    users contribute little signal per pair and all of the skew; see
+    item_cooccurrence_pairs for the subset/support laws, property-
+    tested in tests/test_basket_cap.py). ``min_common`` is the
+    support threshold: pairs sharing
     fewer users are noise, and dropping them before the ranking window
     cuts its input ~30x on this data (measured: 12.7M → 413k pairs at
     sf0.1 with min_common=2). Output is symmetric: both (i,j)
     directions are ranked so every item gets its own neighbour list."""
     _require_cols(df, "item_item_topk", col_user, col_item)
-    sims = item_similarity_pairs(df, col_user, col_item, min_common)
+    sims = item_similarity_pairs(
+        df, col_user, col_item, min_common, max_basket
+    )
     both = sims.unionByName(
         sims.select(
             F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim"

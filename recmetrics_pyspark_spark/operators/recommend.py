@@ -121,6 +121,7 @@ def item_based_recommendations(
     k: int = 10,
     n_neighbors: int = 5,
     min_common: int = 2,
+    max_basket: int | None = 1000,
 ) -> DataFrame:
     """Training-free item-based collaborative recommender: score each
     candidate item by the summed similarity of its top-``n_neighbors``
@@ -145,7 +146,8 @@ def item_based_recommendations(
     # (vocabulary × k rows), so a session that already ran the item
     # query reuses the RANKED output — not just the raw pair table
     sims = item_item_topk(
-        interactions_df, col_user, col_item, k=n_neighbors, min_common=min_common
+        interactions_df, col_user, col_item, k=n_neighbors,
+        min_common=min_common, max_basket=max_basket
     ).select("item_id", "neighbor_id", "sim").persist()
     sims.count()
     # explode the SHARED persisted basket arrays back to (user, item)
@@ -336,6 +338,7 @@ def association_rules(
     min_common: int = 2,
     min_confidence: float = 0.0,
     top_k: int = 50,
+    max_basket: int | None = 1000,
 ) -> DataFrame:
     """Pairwise association rules A→B over co-purchase baskets:
 
@@ -369,8 +372,10 @@ def association_rules(
         user_baskets,
     )
 
-    sims = item_similarity_pairs(df, col_user, col_item, min_common)
-    _, sizes = item_cooccurrence_pairs(df, col_user, col_item, min_common)
+    sims = item_similarity_pairs(df, col_user, col_item, min_common, max_basket)
+    _, sizes = item_cooccurrence_pairs(
+        df, col_user, col_item, min_common, max_basket
+    )
     sa = sizes.select(F.col("i").alias("ia"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("i").alias("ib"), F.col("sz").alias("szb"))
     pairs = (

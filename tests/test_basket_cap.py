@@ -1,0 +1,97 @@
+"""Heavy-basket cap laws for item_cooccurrence_pairs(max_basket) —
+the round-7 fix for the last unbounded quadratic (per-user pair
+emission). Three laws, each against a hypothesis-generated corpus
+seeded with one adversarial hot user:
+
+1. subset: capped pair keys ⊆ uncapped pair keys, and per-pair
+   support n_common(capped) ≤ n_common(uncapped);
+2. bound: the hot user contributes at most C(cap, 2) pairs — exact
+   Python replay of the slice(sort_array, 1, cap) cut;
+3. sizes invariance: item sizes (the cosine denominators) are
+   identical capped vs uncapped — only pair GENERATION is capped.
+
+Plus a determinism pin: the Spark cut equals the oracle's
+row_number() OVER (ORDER BY item_id) <= cap cut (smallest item ids).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from hypothesis import given, settings, strategies as st
+
+_corpus = st.lists(
+    st.tuples(st.integers(1, 6), st.integers(1, 30)),  # (user, item)
+    min_size=1,
+    max_size=60,
+)
+
+
+def _python_pairs(rows, cap):
+    """Exact replay: per-user distinct items, keep the cap smallest,
+    emit unordered pairs, count supporting users, keep support >= 1."""
+    baskets = {}
+    for u, i in rows:
+        baskets.setdefault(u, set()).add(i)
+    counts = {}
+    for items in baskets.values():
+        kept = sorted(items)[:cap] if cap is not None else sorted(items)
+        for a, b in combinations(kept, 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    return counts
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_corpus, cap=st.integers(2, 6))
+def test_cap_subset_support_and_replay(spark, rows, cap):
+    from recmetrics_pyspark_spark.operators.metrics import (
+        item_cooccurrence_pairs,
+    )
+
+    # one adversarial hot user whose basket dwarfs the cap
+    hot = [(99, i) for i in range(100, 140)]
+    df = spark.createDataFrame(rows + hot, ["person", "product"])
+
+    capped_df, sizes_c = item_cooccurrence_pairs(
+        df, min_common=1, max_basket=cap
+    )
+    uncapped_df, sizes_u = item_cooccurrence_pairs(
+        df, min_common=1, max_basket=None
+    )
+    capped = {(r.ia, r.ib): r.n_common for r in capped_df.collect()}
+    uncapped = {(r.ia, r.ib): r.n_common for r in uncapped_df.collect()}
+
+    # law 1: subset + per-pair support dominance
+    for k, n in capped.items():
+        assert k in uncapped and n <= uncapped[k]
+
+    # law 2 + determinism pin: exact Python replay of the sorted cut
+    assert capped == _python_pairs(rows + hot, cap)
+    assert uncapped == _python_pairs(rows + hot, None)
+
+    # the hot user's contribution is bounded at C(cap, 2)
+    hot_pairs = [k for k in capped if k[0] >= 100 and k[1] >= 100]
+    assert len(hot_pairs) <= cap * (cap - 1) // 2
+    # uncapped it was the full quadratic (the thing the cap bounds)
+    assert len([k for k in uncapped if k[0] >= 100]) == 40 * 39 // 2
+
+    # law 3: sizes (cosine denominators) are cap-invariant
+    sc = {r.i: r.sz for r in sizes_c.collect()}
+    su = {r.i: r.sz for r in sizes_u.collect()}
+    assert sc == su
+
+
+def test_default_cap_inert_on_small_baskets(spark):
+    """The default (1000) must not change results on sane baskets —
+    the driver-parity guarantee for every riding query at test SF."""
+    from recmetrics_pyspark_spark.operators.metrics import (
+        item_cooccurrence_pairs,
+    )
+
+    rows = [(u, i) for u in range(1, 5) for i in range(u, u + 7)]
+    df = spark.createDataFrame(rows, ["person", "product"])
+    dflt, _ = item_cooccurrence_pairs(df, min_common=1)
+    off, _ = item_cooccurrence_pairs(df, min_common=1, max_basket=None)
+    assert sorted(map(tuple, dflt.collect())) == sorted(
+        map(tuple, off.collect())
+    )

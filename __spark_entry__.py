@@ -4913,27 +4913,39 @@ pu AS (
 SELECT count(*) AS n_users, round(avg(kl), 6) AS mean_kl,
   round(max(kl), 6) AS max_kl FROM pu
 """,
+        # distinct-count-grain decomposition (mirrors the Spark plan):
+        # a tie-group of k items at count c after offset o contributes
+        # c*(k*o + k(k+1)/2) to the exact-BIGINT rank sum; entropy
+        # terms pre-rounded DECIMAL(18,9) for order-independence
         "popularity_concentration": """
 WITH inter AS (
   SELECT l_partkey AS i
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), pops AS (SELECT i, count(*) AS cnt FROM inter GROUP BY i),
-tot AS (
-  SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
-         CAST(count(*) AS DOUBLE) AS n_items
-  FROM pops
-), ranked AS (
-  SELECT cnt / tot AS p,
-    CAST(row_number() OVER (ORDER BY cnt, i) AS DOUBLE) AS rnk,
-    n_items
-  FROM pops, tot
+grp AS (
+  SELECT cnt, count(*) AS k,
+    coalesce(sum(count(*)) OVER (ORDER BY cnt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM pops GROUP BY cnt
+), tot AS (
+  SELECT sum(cnt * k) AS tot_l, sum(k) AS n_l FROM grp
+), scored AS (
+  SELECT CAST(CAST(cnt AS DECIMAL(38,0))
+              * CAST(k * o + (k * (k + 1)) // 2 AS DECIMAL(38,0))
+         AS DECIMAL(38,0)) AS rnk_cnt,
+    CAST(round(-(k * cnt / CAST(tot_l AS DOUBLE))
+               * ln(cnt / CAST(tot_l AS DOUBLE)), 9)
+         AS DECIMAL(18,9)) AS h_dec,
+    tot_l, n_l
+  FROM grp, tot
 )
-SELECT CAST(max(n_items) AS BIGINT) AS n_items,
-  round((2.0 * sum(rnk * p) - (max(n_items) + 1)) / max(n_items), 6)
-    AS gini,
-  round(-sum(p * ln(p)), 6) AS entropy,
-  round(exp(-sum(p * ln(p))), 6) AS effective_catalog_size
-FROM ranked
+SELECT CAST(max(n_l) AS BIGINT) AS n_items,
+  round((2.0 * sum(rnk_cnt) / max(tot_l) - (max(n_l) + 1))
+        / max(n_l), 6) AS gini,
+  round(CAST(sum(h_dec) AS DOUBLE), 6) AS entropy,
+  round(round(exp(CAST(sum(h_dec) AS DOUBLE)), 9), 6)
+    AS effective_catalog_size
+FROM scored
 """,
         "association_rules": f"""
 WITH interactions AS (

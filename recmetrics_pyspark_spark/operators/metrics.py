@@ -166,30 +166,52 @@ def long_tail_stats(
     ever be collected by a plotting adapter — the reference's own
     "aggregate first" rule (:30-32) taken to its conclusion.
 
-    The cumulative window is global-ordered, but it runs on the
-    *item-level aggregate* (|vocabulary| rows, not |interactions|), which
-    is the post-aggregation small side; ties broken by item id for
-    determinism.
+    Scale: NO global-ordered catalog window. Items tied at the same
+    volume v occupy consecutive ranks and each adds exactly v to the
+    running sum, so rank and cumsum decompose onto the DISTINCT-VOLUME
+    grain: per tie-group offsets (items above, volume above) come from
+    one window over distinct volume VALUES (≤ √(2·Σvol) rows — ~4.5e5
+    at 100 TB, one light task), then item_rank = offset + j and
+    cumulative_volume = vol_offset + j·v with j a row_number
+    partitioned BY volume — a distributed hash-partitioned window, not
+    a single-task global sort. Residual bound: the largest tie-group
+    (typically the volume=1 tail, a constant fraction of the catalog)
+    ranks inside one task; its j is an arbitrary id tie-break, so a
+    1e9-item catalog can salt that group by hash(id) buckets with
+    bucket-grain offsets — same trick one level down. Exact integers
+    throughout; ties broken by item id for determinism.
     """
     _require_cols(df, "long_tail_stats", col_item)
     vol = df.groupBy(col_item).agg(F.count(F.lit(1)).alias("volume"))
     total = vol.agg(F.sum("volume").cast("double").alias("total_volume"))
-    w = Window.orderBy(F.desc("volume"), F.asc(col_item)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    grp = vol.groupBy("volume").agg(F.count(F.lit(1)).alias("k"))
+    wg = Window.orderBy(F.desc("volume")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    wr = Window.orderBy(F.desc("volume"), F.asc(col_item))
+    offs = grp.select(
+        "volume",
+        F.coalesce(F.sum("k").over(wg), F.lit(0)).alias("rank_off"),
+        F.coalesce(
+            F.sum(F.col("k") * F.col("volume")).over(wg), F.lit(0)
+        ).alias("vol_off"),
+    )
+    wt = Window.partitionBy("volume").orderBy(F.asc(col_item))
     out = (
-        vol.crossJoin(broadcast(total))
-        .withColumn("item_rank", F.row_number().over(wr))
-        .withColumn("cumulative_volume", F.sum("volume").over(w))
+        vol.join(broadcast(offs), "volume")
+        .crossJoin(broadcast(total))
+        .withColumn("j", F.row_number().over(wt))
         .select(
             F.col(col_item),
             "volume",
-            "item_rank",
-            "cumulative_volume",
-            F.round(F.col("cumulative_volume") / F.col("total_volume"), 6).alias(
-                "pct_cumulative"
+            (F.col("rank_off") + F.col("j")).cast("int").alias("item_rank"),
+            (F.col("vol_off") + F.col("j") * F.col("volume")).alias(
+                "cumulative_volume"
             ),
+            F.round(
+                (F.col("vol_off") + F.col("j") * F.col("volume"))
+                / F.col("total_volume"),
+                6,
+            ).alias("pct_cumulative"),
         )
     )
     if percentage is not None:
@@ -587,35 +609,70 @@ def popularity_concentration(
 
     Gini uses the sorted-share closed form over shares ascending
     (ties broken by item id): G = (2·Σ_i i·p_(i) − (n+1)) / n with
-    Σp = 1. The rank window runs over the CATALOG-scale popularity
-    table (items, not interactions) — the only corpus-scale work is
-    the one popularity aggregate."""
+    Σp = 1.
+
+    Scale: NO catalog-scale window. Items with equal popularity share
+    the same p, and their (tie-broken) ranks are consecutive — so the
+    rank-weighted sum collapses onto the DISTINCT-COUNT grain:
+    a tie-group with k items at count c starting after offset o
+    contributes c·(k·o + k(k+1)/2) to Σ rnk·cnt, an exact BIGINT.
+    The only window runs over distinct popularity VALUES (≤ √(2·Σcnt)
+    rows mathematically — ~4.5e5 at 100 TB, one light task), and the
+    whole statistic is three integer sums plus one pre-rounded
+    DECIMAL(18,9) entropy sum (order-independent, engine-exact) and
+    two final double divisions. The former per-item rank window
+    (single-partition over the catalog) is gone."""
     pops = df.groupBy(F.col(col_item).alias("i")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    tot = pops.agg(
-        F.sum("cnt").cast("double").alias("tot"),
-        F.count(F.lit(1)).cast("double").alias("n_items"),
+    grp = pops.groupBy("cnt").agg(F.count(F.lit(1)).alias("k"))
+    wg = Window.orderBy(F.asc("cnt")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w = Window.orderBy(F.asc("cnt"), F.asc("i"))
-    ranked = (
-        pops.crossJoin(F.broadcast(tot))
-        .select(
-            (F.col("cnt") / F.col("tot")).alias("p"),
-            F.row_number().over(w).cast("double").alias("rnk"),
-            "n_items",
-        )
+    grp = grp.select(
+        "cnt",
+        "k",
+        F.coalesce(F.sum("k").over(wg), F.lit(0)).alias("o"),
     )
-    return ranked.agg(
-        F.max("n_items").cast("bigint").alias("n_items"),
+    tot = grp.agg(
+        F.sum(F.col("cnt") * F.col("k")).alias("tot_l"),
+        F.sum("k").alias("n_l"),
+    )
+    scored = grp.crossJoin(F.broadcast(tot)).select(
+        "cnt",
+        "k",
+        # Σ_{i in group} rnk_i · cnt — exact integer (k(k+1) is even);
+        # DECIMAL(38,0) so the sum can't overflow BIGINT at 100 TB
+        # (Σ rnk·cnt ≤ n·Σcnt ~ 1e19 there)
+        (
+            F.col("cnt").cast("decimal(38,0)")
+            * (F.col("k") * F.col("o")
+               + F.expr("k * (k + 1) div 2")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("rnk_cnt"),
+        # group entropy contribution −k·p·ln p, pre-rounded to 9
+        # decimals into DECIMAL(18,9): |k·p| ≤ 1 so the sum is exact
+        # and order-independent on both engines
         F.round(
-            (2.0 * F.sum(F.col("rnk") * F.col("p")) - (F.max("n_items") + 1))
-            / F.max("n_items"),
+            -(F.col("k") * F.col("cnt") / F.col("tot_l"))
+            * F.log(F.col("cnt") / F.col("tot_l")),
+            9,
+        ).cast("decimal(18,9)").alias("h_dec"),
+        "tot_l",
+        "n_l",
+    )
+    return scored.agg(
+        F.max("n_l").cast("bigint").alias("n_items"),
+        F.round(
+            (
+                2.0 * F.sum("rnk_cnt") / F.max("tot_l")
+                - (F.max("n_l") + 1)
+            )
+            / F.max("n_l"),
             6,
         ).alias("gini"),
-        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy"),
+        F.round(F.sum("h_dec").cast("double"), 6).alias("entropy"),
         F.round(
-            F.exp(-F.sum(F.col("p") * F.log(F.col("p")))), 6
+            F.round(F.exp(F.sum("h_dec").cast("double")), 9), 6
         ).alias("effective_catalog_size"),
     )
 

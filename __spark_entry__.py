@@ -233,9 +233,17 @@ def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
   WHERE a IN (SELECT z FROM n{r}) AND b IN (SELECT z FROM n{r})
 )""")
     body = ",\n".join(parts)
+    # convergence witness mirror: unchanged edge count across the
+    # final peel == fixed point (monotone), same rule as the Spark side
     return ORACLE_BASE + ITEM_SIMS_SQL + f"""
-, {body}
-SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+, {body},
+conv AS (
+  SELECT (SELECT count(*) FROM e{rounds - 1})
+       = (SELECT count(*) FROM e{rounds}) AS converged
+)
+SELECT node, CAST(count(*) AS BIGINT) AS degree,
+  (SELECT converged FROM conv) AS converged
+FROM (
   SELECT a AS node FROM e{rounds}
   UNION ALL SELECT b AS node FROM e{rounds}) t
 GROUP BY node HAVING count(*) >= {k} ORDER BY node

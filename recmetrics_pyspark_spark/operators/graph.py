@@ -572,12 +572,20 @@ def k_core_decompose(
     keeps ≥ k neighbors), the standard dense-community / spam-cluster
     extractor.
 
-    Fixed round count (not convergence-tested) keeps the computation
-    deterministic and exactly mirrorable as chained SQL CTEs — the
-    same contract as pagerank_from_edges / neardup_components; at the
-    default 8 rounds the peel has converged on every test corpus
-    (convergence is monotone, so extra rounds are no-ops). Output:
-    surviving (node, degree) at the final round, node-ordered.
+    Fixed round count keeps the computation deterministic and exactly
+    mirrorable as chained SQL CTEs — the same contract as
+    pagerank_from_edges / neardup_components; at the default 8 rounds
+    the peel has converged on every test corpus (convergence is
+    monotone, so extra rounds are no-ops — property-pinned by
+    tests/test_property_round6.py::test_kcore_peel_idempotent_past_convergence).
+    Output: surviving (node, degree, converged) at the final round,
+    node-ordered. ``converged`` is the witness: true iff the final
+    peel removed zero edges, i.e. the result IS the k-core fixed
+    point; false means the graph needed more than ``rounds`` peels and
+    the rows are a superset of the true core — callers on adversarial
+    graphs re-run with more rounds instead of silently trusting a
+    partial peel. The two deciding counts scan already-checkpointed
+    blocks (the established size-guard-count convention).
 
     Scale shape: each round is one edge-scale degree aggregate + two
     semi-joins against the surviving node set (node-scale, AQE decides
@@ -596,24 +604,31 @@ def k_core_decompose(
     target = max(8, int(n_edges // 2_000_000) + 1)
     if target < edges.rdd.getNumPartitions():
         edges = edges.coalesce(target)
+    prev_edges = edges
     for _ in range(rounds):
         both = edges.select(F.col("a").alias("z")).unionAll(
             edges.select(F.col("b").alias("z"))
         )
         deg = both.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("z")
+        prev_edges = edges
         edges = (
             edges.join(keep.withColumnRenamed("z", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("z", "b"), "b", "left_semi")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+    # convergence witness: peeling is monotone, so an unchanged edge
+    # count across the final round means a fixed point was reached —
+    # both counts scan checkpointed blocks, no recomputation
+    converged = edges.count() == prev_edges.count()
     final_deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .filter(F.col("degree") >= k)
+        .withColumn("converged", F.lit(converged))
         .orderBy("node")
     )
     return final_deg

@@ -1,0 +1,70 @@
+"""Round-7 operator additions: the k-core convergence witness and the
+tie-group decomposition of the popularity rank windows (exactness vs
+the naive single-window form)."""
+
+from __future__ import annotations
+
+
+def test_kcore_converged_flag_true_at_fixed_point(spark):
+    from recmetrics_pyspark_spark.operators.graph import k_core_decompose
+
+    # triangle + tail: converges in 2 peels, so 4 rounds hit the
+    # fixed point and every row carries the witness
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["ia", "ib"]
+    )
+    rows = k_core_decompose(pairs, k=2, rounds=4).collect()
+    assert {r.node for r in rows} == {1, 2, 3}
+    assert all(r.converged for r in rows)
+
+
+def test_kcore_converged_flag_false_when_rounds_exhausted(spark):
+    from recmetrics_pyspark_spark.operators.graph import k_core_decompose
+
+    # path graph 1-2-...-8 under k=2: each peel only sheds the two
+    # endpoints, so 1 round leaves a shrinking (non-fixed) subgraph
+    # and the witness must say so instead of silently returning the
+    # superset
+    path = [(i, i + 1) for i in range(1, 8)]
+    pairs = spark.createDataFrame(path, ["ia", "ib"])
+    rows = k_core_decompose(pairs, k=2, rounds=1).collect()
+    assert rows  # superset of the (empty) 2-core survives...
+    assert all(not r.converged for r in rows)  # ...and is flagged
+
+    # peeled to convergence the witness flips true (empty core: no
+    # rows, vacuous) — rounds+1 idempotence already property-pinned
+    done = k_core_decompose(pairs, k=2, rounds=4).collect()
+    assert done == []
+
+
+def test_long_tail_decomposition_matches_naive_window(spark):
+    """The tie-group offsets + per-group row_number plan must equal
+    the naive global-window rank/cumsum exactly (integers)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from recmetrics_pyspark_spark.operators.metrics import long_tail_stats
+
+    rows = [(u,) for u in [1] * 5 + [2] * 5 + [3] * 3 + [4, 5, 6]]
+    df = spark.createDataFrame(rows, ["id_product"])
+    got = {
+        r.id_product: (r.item_rank, r.cumulative_volume, r.pct_cumulative)
+        for r in long_tail_stats(df).collect()
+    }
+
+    vol = df.groupBy("id_product").agg(F.count(F.lit(1)).alias("v"))
+    w = Window.orderBy(F.desc("v"), F.asc("id_product"))
+    naive = {
+        r.id_product: (r.rnk, r.cum)
+        for r in vol.select(
+            "id_product",
+            F.row_number().over(w).alias("rnk"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        ).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == naive
+    total = float(sum(1 for _ in rows))
+    for k, (_, cum, pct) in got.items():
+        assert abs(pct - round(cum / total, 6)) < 1e-12

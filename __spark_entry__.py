@@ -5017,9 +5017,10 @@ WITH stats AS (
   SELECT event_type AS grp,
     CASE WHEN 2 * epoch_us(ts) < ts_lo + ts_hi
          THEN 'ref' ELSE 'cur' END AS side,
-    CAST(CASE WHEN v_hi = v_lo THEN
+    CAST(CASE WHEN value IS NULL THEN NULL
+         WHEN v_hi = v_lo THEN
            CASE WHEN value < v_lo THEN 0
-                WHEN value = v_lo THEN 1 ELSE 9 END
+                WHEN value = v_lo THEN least(1, 9) ELSE 9 END
          ELSE greatest(least(floor(
            (value - v_lo) / nullif((v_hi - v_lo) / 10, 0)), 9), 0)
          END AS INTEGER) AS bin
@@ -7826,9 +7827,9 @@ WITH u AS (
   FROM documents
 ), hosts AS (
   SELECT doc_id, n_chars,
-    lower(regexp_extract(url,
+    rtrim(lower(regexp_extract(url,
       '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)',
-      1)) AS host
+      1)), '.') AS host
   FROM u
 ), lab AS (
   SELECT doc_id, n_chars, host, string_split(host, '.') AS l FROM hosts
@@ -7883,9 +7884,9 @@ WITH u AS (
   FROM documents
 ), hosts AS (
   SELECT doc_id, n_chars,
-    lower(regexp_extract(url,
+    rtrim(lower(regexp_extract(url,
       '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)',
-      1)) AS host
+      1)), '.') AS host
   FROM u
 ), lab AS (
   SELECT doc_id, n_chars, host, string_split(host, '.') AS l FROM hosts

@@ -1035,14 +1035,28 @@ def registrable_domain(col_url) -> "F.Column":
     grain web-corpus curation caps and mixes by (per-domain caps are
     the CommonCrawl-style dedup axis ``source`` is too coarse for).
 
-    Limitations (documented, not guarded): bare IPv4 hosts reduce to
-    their last two octets, and suffixes outside the -lite list (e.g.
-    city TLDs) keep two labels; swap in the full public-suffix list as
-    a broadcast join if those grains matter.
+    Trailing dots are stripped before splitting (a legal FQDN like
+    ``example.com.`` must key with ``example.com``, not collapse every
+    ``*.com.`` host into the degenerate ``com.`` — the empty last
+    label would otherwise eat the real TLD).
 
-    Pure scan-side JVM expressions (ONE regexp pass + split + CASE) —
-    no shuffle, no Python, engine-portable to the DuckDB oracles."""
-    host = F.lower(F.regexp_extract(col_url, _HOST_PATTERN, 1))
+    Limitations (documented, not guarded): bare IPv4 hosts reduce to
+    their last two octets; bracketed IPv6 hosts (``https://[::1]/``)
+    reduce to ``[``-prefixed junk keys — they contain no dots, so they
+    land in the ``otherwise(host)`` arm as opaque-but-consistent
+    grains rather than colliding with real domains; and suffixes
+    outside the -lite list (e.g. city TLDs) keep two labels. Swap in
+    the full public-suffix list as a broadcast join if those grains
+    matter.
+
+    Pure scan-side JVM expressions (one regexp pass + trailing-dot
+    strip + split + CASE) — no shuffle, no Python, engine-portable to
+    the DuckDB oracles."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(col_url, _HOST_PATTERN, 1)),
+        r"[.]+$",
+        "",
+    )
     labs = F.split(host, r"\.")
     n = F.size(labs)
     # try_element_at: ANSI element_at throws on out-of-bounds even

@@ -112,7 +112,14 @@ def equi_width_bin(
     DuckDB oracles mirror the same CASE. Note least()/greatest() SKIP
     NULL operands on both engines, so a NULL-from-division can never
     be patched up after the fact — the zero-width case must branch
-    BEFORE the division, as here."""
+    BEFORE the division, as here — and for the same reason a NULL
+    *value* would silently land in the top edge bin through the
+    greatest/least clamp (registering missing measurements as shifted
+    mass): the leading isNull arm pins NULL → NULL in BOTH branches.
+    The constant slot is ``least(1, n_bins-1)`` so n_bins ∈ {1, 2}
+    degrades to valid indices; the separation guarantee (constant bin
+    distinct from both edge bins) needs n_bins ≥ 3, asserted at the
+    drift-monitor call sites that rely on it."""
     width = (v_hi - v_lo) / n_bins
     normal = F.greatest(
         F.least(
@@ -122,10 +129,11 @@ def equi_width_bin(
         F.lit(0),
     )
     return (
-        F.when(
+        F.when(value.isNull(), F.lit(None))
+        .when(
             v_hi == v_lo,
             F.when(value < v_lo, F.lit(0))
-            .when(value == v_lo, F.lit(1))
+            .when(value == v_lo, F.least(F.lit(1), F.lit(n_bins - 1)))
             .otherwise(F.lit(n_bins - 1)),
         )
         .otherwise(normal)
@@ -158,6 +166,12 @@ def psi_drift(
     the shuffle carries group×bin rows, never the input. The split
     point is data-derived (midpoint of min/max ts), so re-running on a
     grown table moves the comparison window with the data."""
+    if n_bins < 3:
+        raise ValueError(
+            "psi_drift needs n_bins >= 3: the constant-feed slot (bin "
+            "1) must be distinct from both edge bins for shifted mass "
+            "to separate from a constant baseline"
+        )
     # integer epoch-MICROSECONDS via pure ntz arithmetic (no tz, no
     # double truncation — the same engine-portability rule as the
     # as-of join's tolerance edge), so the midpoint compare 2·t <

@@ -233,6 +233,11 @@ def baseline_histogram(
     the baseline's min/max — carried on every row so the monitor bins
     incoming batches identically). Same smoothing and binning as the
     batch ``psi_drift`` operator; group×bin rows, broadcast-scale."""
+    if n_bins < 3:
+        raise ValueError(
+            "baseline_histogram needs n_bins >= 3 (constant-baseline "
+            "separation, see equi_width_bin)"
+        )
     stats = df.agg(
         F.min(col_value).alias("v_lo"), F.max(col_value).alias("v_hi")
     )
@@ -306,6 +311,12 @@ def foreach_batch_drift(
     ref = baseline.persist()
     ref.count()
     spark = stream_df.sparkSession
+
+    if n_bins < 3:
+        raise ValueError(
+            "foreach_batch_drift needs n_bins >= 3 (constant-baseline "
+            "separation, see equi_width_bin)"
+        )
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -42,9 +42,27 @@ def test_registrable_domain_cases(spark):
         "https://user:pw@example.com/x": "example.com",
         "https://bob@mail.example.co.uk/inbox": "example.co.uk",
         "alice@ftp.example.org/f": "example.org",  # scheme-less + userinfo
+        # legal trailing-dot FQDNs key with their real domain — the
+        # empty last label must not eat the TLD and collapse every
+        # *.com. host into 'com.'
+        "https://example.com./x": "example.com",
+        "https://news.bbc.co.uk.:443/w": "bbc.co.uk",
+        "http://dotted.example.org...": "example.org",
     }
     got = _extract(spark, list(cases))
     assert got == list(cases.values())
+
+
+def test_registrable_domain_ipv6_is_opaque_not_colliding(spark):
+    # bracketed IPv6 hosts are a documented limitation: no dots, so
+    # they fall through as '['-prefixed opaque keys that can never
+    # collide with a real registrable domain
+    got = _extract(
+        spark, ["https://[2001:db8::1]:8080/x", "https://example.com/x"]
+    )
+    assert got[1] == "example.com"
+    assert got[0].startswith("[")
+    assert "." not in got[0]
 
 
 def test_domain_cap_sample_cap_and_determinism(spark):

@@ -68,3 +68,41 @@ def test_long_tail_decomposition_matches_naive_window(spark):
     total = float(sum(1 for _ in rows))
     for k, (_, cum, pct) in got.items():
         assert abs(pct - round(cum / total, 6)) < 1e-12
+
+
+def test_equi_width_bin_null_and_degenerate_slots(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from recmetrics_pyspark_spark.operators.quality import (
+        equi_width_bin,
+        psi_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (0.0,), (10.0,)], "v double"
+    )
+    rows = df.select(
+        equi_width_bin(F.col("v"), F.lit(0.0), F.lit(10.0), 10).alias("b"),
+        equi_width_bin(F.col("v"), F.lit(5.0), F.lit(5.0), 10).alias("bz"),
+        # n_bins=2: the constant slot clamps to least(1, n_bins-1)=1,
+        # a valid index (it was silently == the top edge bin before)
+        equi_width_bin(F.col("v"), F.lit(5.0), F.lit(5.0), 2).alias("b2"),
+        equi_width_bin(F.col("v"), F.lit(5.0), F.lit(5.0), 1).alias("b1"),
+    ).collect()
+    got = {r.b: (r.bz, r.b2, r.b1) for r in rows}
+    # NULL measurements bin to NULL in BOTH branches — never to an
+    # edge bin where they'd register as shifted mass
+    assert None in got and got[None] == (None, None, None)
+    # constant-range semantics: below/at/above → 0 / slot / top
+    assert got[0] == (0, 0, 0)      # below the constant
+    assert got[5] == (1, 1, 0)      # at it (slot clamped for n_bins<=2)
+    assert got[9] == (9, 1, 0)      # above: top edge bin
+
+    # monitors that rely on the separation guarantee reject n_bins < 3
+    ev = spark.createDataFrame(
+        [("a", 1.0, __import__("datetime").datetime(2024, 1, 1))],
+        ["event_type", "value", "ts"],
+    )
+    with pytest.raises(ValueError, match="n_bins >= 3"):
+        psi_drift(ev, n_bins=2)

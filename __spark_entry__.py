@@ -3446,6 +3446,77 @@ def _domain_cap_sample(spark, sf_dir):
     )
 
 
+def _docs_with_messy_urls(spark, sf_dir):
+    """Documents with a DETERMINISTIC synthetic MESSY URL column:
+    consecutive doc pairs (2k, 2k+1) fetch the same page
+    (path /p/(doc_id div 2)) but through different surface noise —
+    www. prefix on odd ids, explicit :443 on id%11, trailing slash on
+    id%5, a utm_source tracking param on odd ids, unsorted param order
+    on all, #fragment on id%7 — so url_canonicalize must collapse each
+    pair to one key. Mirrored VERBATIM in the canonical_url_dups
+    oracle's ``u`` CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.expr("doc_id div 2").cast("string")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("www.")).otherwise(
+            F.lit("")
+        ),
+        F.lit("site"),
+        F.expr("(doc_id div 2) % 50").cast("string"),
+        F.when(
+            F.expr("(doc_id div 2) % 3 = 0"), F.lit(".co.uk")
+        ).otherwise(F.lit(".com")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(":443")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/p/"),
+        page,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.lit("?utm_source=feed&b=2&a=1"),
+        ).otherwise(F.lit("?b=2&a=1")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#f")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.withColumn("url", url)
+
+
+def _canonical_url_dups(spark, sf_dir):
+    """URL-identity dedup table over the messy synthetic URLs
+    (functions/curation.py::canonical_url_dups): canonicalization
+    must collapse every (2k, 2k+1) fetch pair — tracking params,
+    www/port/slash/fragment noise, param order — to one key."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        canonical_url_dups,
+    )
+
+    return canonical_url_dups(
+        _docs_with_messy_urls(spark, sf_dir), "doc_id", "url",
+        min_variants=2,
+    )
+
+
+def _domain_neardup_rates(spark, sf_dir):
+    """Per-registrable-domain near-dup pressure
+    (functions/curation.py::domain_neardup_rates): MinHash+LSH pairs
+    (same chain as the minhash_lsh_pairs canary — shares its persisted
+    signature/candidate caches) joined to the domain grain, counting
+    within-domain pairs only."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        domain_neardup_rates,
+    )
+
+    return domain_neardup_rates(
+        _docs_with_urls(spark, sf_dir), "doc_id", "text", "url",
+        threshold=0.1,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-6 rotation (`_ROUND6_WINDOW`
@@ -3789,6 +3860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions (domain-grain curation)
         "domain_mix_stats": _domain_mix_stats,
         "domain_cap_sample": _domain_cap_sample,
+        # --- round-7 additions (URL identity + domain×dedup compose)
+        "canonical_url_dups": _canonical_url_dups,
+        "domain_neardup_rates": _domain_neardup_rates,
     }
     ordered = {k: base[k] for k in _ROUND6_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -3899,6 +3973,98 @@ _DOC_BASE = """WITH d AS (
   JOIN sizes sb ON b.doc_id = sb.doc_id
   GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
 )"""
+
+
+from recmetrics_pyspark_spark.functions.curation import (  # noqa: E402
+    TRACKING_PARAM_PATTERN as _CUR_TRACK,
+    _URL_PARTS_PATTERN as _CUR_URL_PARTS,
+)
+
+
+def _domain_neardup_oracle() -> str:
+    """Per-domain near-dup rates: the minhash_lsh_pairs CTE chain
+    (signatures -> bands -> candidates -> Jaccard-verified pairs at
+    threshold 0.1, identical to that oracle) joined to the clean
+    synthetic-URL domain grain (the domain_mix_stats CTEs), counting
+    within-domain pairs and the distinct docs they touch."""
+    sig = ",\n    ".join(
+        f"min(md5('{i}|' || s)) AS mh{i}" for i in range(8)
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh{2*b} || mh{2*b+1}) AS band_sig FROM sig"
+        for b in range(4)
+    )
+    return _DOC_BASE + f"""
+, sig AS (
+  SELECT doc_id,
+    {sig}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+), np AS (
+  SELECT j.id_a, j.id_b FROM jac j JOIN cand USING (id_a, id_b)
+  WHERE j.jaccard >= 0.1
+), u AS (
+  SELECT doc_id,
+    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'news.' ELSE '' END
+    || 'site'
+    || CAST(CAST(floor(sqrt(CAST(doc_id % 625 AS DOUBLE))) AS INT)
+            AS VARCHAR)
+    || '.' || CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END
+    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), hosts AS (
+  SELECT doc_id,
+    rtrim(lower(regexp_extract(url,
+      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)',
+      1)), '.') AS host
+  FROM u
+), lab AS (
+  SELECT doc_id, host, string_split(host, '.') AS l FROM hosts
+), dom AS (
+  SELECT doc_id,
+    CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN (
+           'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+           'org.au','co.jp','ne.jp','or.jp','co.kr','com.br','com.mx',
+           'com.cn','com.tr','co.in','co.za','com.ar','com.sg','com.hk')
+         THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+         WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+         ELSE host END AS domain
+  FROM lab
+), dsz AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+  FROM dom GROUP BY domain
+), within AS (
+  SELECT da.domain, np.id_a, np.id_b
+  FROM np
+  JOIN dom da ON np.id_a = da.doc_id
+  JOIN dom db ON np.id_b = db.doc_id
+  WHERE da.domain = db.domain
+), pp AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_neardup_pairs
+  FROM within GROUP BY domain
+), dd AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_dup_docs FROM (
+    SELECT DISTINCT domain, d FROM (
+      SELECT domain, id_a AS d FROM within
+      UNION ALL SELECT domain, id_b AS d FROM within) t) t2
+  GROUP BY domain
+)
+SELECT dsz.domain, dsz.n_docs,
+  coalesce(pp.n_neardup_pairs, 0) AS n_neardup_pairs,
+  coalesce(dd.n_dup_docs, 0) AS n_dup_docs,
+  round(coalesce(dd.n_dup_docs, 0) / CAST(dsz.n_docs AS DOUBLE), 6)
+    AS dup_doc_share
+FROM dsz
+LEFT JOIN pp ON dsz.domain = pp.domain
+LEFT JOIN dd ON dsz.domain = dd.domain
+"""
 
 
 def _sqlset(words) -> str:
@@ -7911,6 +8077,56 @@ WITH u AS (
 SELECT domain, doc_id, keep_rank
 FROM r WHERE keep_rank <= 10 ORDER BY domain, keep_rank
 """,
+        # mirrors functions/curation.py::url_canonicalize verbatim:
+        # same decomposition regex (escape-free, Java<->RE2 portable),
+        # same tracking-param drop list, same sort/join of survivors
+        "canonical_url_dups": f"""
+WITH u AS (
+  SELECT doc_id,
+    'https://' || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END
+    || 'site' || CAST((doc_id // 2) % 50 AS VARCHAR)
+    || CASE WHEN (doc_id // 2) % 3 = 0 THEN '.co.uk' ELSE '.com' END
+    || CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END
+    || '/p/' || CAST(doc_id // 2 AS VARCHAR)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&b=2&a=1'
+            ELSE '?b=2&a=1' END
+    || CASE WHEN doc_id % 7 = 0 THEN '#f' ELSE '' END AS url
+  FROM documents
+), p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '{_CUR_URL_PARTS}', 1)) AS scheme0,
+    regexp_replace(
+      rtrim(lower(regexp_extract(url, '{_CUR_URL_PARTS}', 2)), '.'),
+      '^www[.]', '') AS host,
+    regexp_extract(url, '{_CUR_URL_PARTS}', 3) AS port,
+    regexp_replace(regexp_extract(url, '{_CUR_URL_PARTS}', 4),
+                   '/+$', '') AS path,
+    regexp_extract(url, '{_CUR_URL_PARTS}', 5) AS query
+  FROM u
+), c AS (
+  SELECT doc_id,
+    CASE WHEN scheme0 = '' THEN 'https' ELSE scheme0 END AS scheme,
+    host, port, path,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '{_CUR_TRACK}'))),
+      '&') AS q
+  FROM p
+), canon AS (
+  SELECT doc_id,
+    scheme || '://' || host
+    || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+             OR (scheme = 'https' AND port = '443')
+            THEN '' ELSE ':' || port END
+    || path
+    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+  FROM c
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM canon GROUP BY canonical_url HAVING count(*) >= 2
+""",
+        "domain_neardup_rates": _domain_neardup_oracle(),
         "peak_concurrency": """
 WITH s AS (
   SELECT user_id AS u, ts,

@@ -1217,3 +1217,190 @@ def domain_cap_sample(
         .filter(F.col("keep_rank") <= max_per_domain)
         .select("domain", F.col("id").alias(col_id), "keep_rank")
     )
+
+
+# Full URL decomposition in ONE escape-free regex (verbatim-portable
+# Java regex <-> RE2, same rule as _HOST_PATTERN): groups are
+# 1 scheme, 2 host (userinfo consumed non-capturing), 3 port, 4 path,
+# 5 query. A non-matching/empty URL yields '' for every group on both
+# engines.
+_URL_PARTS_PATTERN = (
+    "^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:[^/?#]*@)?"
+    "([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:[?]([^#]*))?"
+)
+
+# Query parameters that carry tracking provenance, not content
+# identity — the standard CommonCrawl-style canonicalization drop
+# list. (=|$) so bare flags ('utm_source') match too.
+TRACKING_PARAM_PATTERN = (
+    "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src"
+    "|spm)(=|$)"
+)
+
+
+def url_canonicalize(col_url) -> "F.Column":
+    """Canonical URL for dedup keying: lowercase scheme (empty →
+    ``https``) and host (trailing dots stripped, leading ``www.``
+    dropped), userinfo and fragment removed, default ports elided
+    (``:80`` for http, ``:443`` for https — judged against the
+    canonical scheme), trailing path slashes trimmed, and the query
+    string rebuilt as the ALPHABETICALLY SORTED parameters minus the
+    tracking list (``TRACKING_PARAM_PATTERN``: utm_*, gclid, fbclid,
+    …). Two fetches of the same page through different share links,
+    ports, or param orders key identically — the URL-identity twin of
+    ``registrable_domain``'s provenance grain, and the first pass a
+    web-corpus dedup runs before any content hashing.
+
+    Pure scan-side expressions: one regex decomposition pass plus a
+    tiny per-row lambda over the split query params (param lists are
+    short, so the interpreted higher-order filter/sort is noise).
+    Engine-portable: the identical pattern strings and the same
+    split/filter/sort/join steps run in the DuckDB oracles."""
+    scheme_raw = F.lower(
+        F.regexp_extract(col_url, _URL_PARTS_PATTERN, 1)
+    )
+    scheme = F.when(scheme_raw == "", F.lit("https")).otherwise(
+        scheme_raw
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(col_url, _URL_PARTS_PATTERN, 2)),
+            "[.]+$",
+            "",
+        ),
+        "^www[.]",
+        "",
+    )
+    port = F.regexp_extract(col_url, _URL_PARTS_PATTERN, 3)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.regexp_extract(col_url, _URL_PARTS_PATTERN, 4), "/+$", ""
+    )
+    params = F.filter(
+        F.split(F.regexp_extract(col_url, _URL_PARTS_PATTERN, 5), "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_PATTERN),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    q_part = F.when(q == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), q)
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, port_part, path, q_part
+    )
+
+
+def canonical_url_dups(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_url: str = "url",
+    min_variants: int = 2,
+) -> DataFrame:
+    """URL-identity dedup table: canonicalize every URL and report each
+    canonical key fetched under ≥ ``min_variants`` distinct raw URLs'
+    documents — (canonical_url, n_variants, min_doc_id, max_doc_id),
+    the crawl-frontier dedup pass that removes tracking-param /
+    www / port / param-order refetches BEFORE any content hashing.
+
+    Scale: one scan-side canonicalization projection + ONE
+    canonical-grain aggregate shuffle; output is dup-group-scale.
+    Unordered (the dup table is a join input, not a report — ordering
+    1e8 canonical keys would be the global-sort trap)."""
+    per = df.select(
+        url_canonicalize(F.col(col_url)).alias("canonical_url"),
+        F.col(col_id).alias("id"),
+    )
+    return (
+        per.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("id").alias("min_doc_id"),
+            F.max("id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_variants") >= min_variants)
+    )
+
+
+def domain_neardup_rates(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_url: str = "url",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-registrable-domain near-duplicate pressure: join the
+    MinHash+LSH near-dup pairs (``operators.dedup.minhash_lsh_pairs``,
+    shared defaults so the session reuses its persisted candidate
+    caches) back to the domain grain and report, per domain,
+    (n_docs, n_neardup_pairs, n_dup_docs, dup_doc_share) counting only
+    WITHIN-domain pairs — the "which domains are template farms"
+    readout that decides per-domain caps in a CommonCrawl-style
+    pipeline (cross-domain near-dups are syndication, a different
+    policy).
+
+    Scale: pairs are LSH-output-scale; the two domain attachments are
+    id-keyed joins against the scan-side domain projection (doc-scale,
+    hash-partitioned — never broadcast: the domain map is corpus-
+    sized); everything after is domain-grain. Unordered output
+    (domain-grain at web scale is ~1e8 rows — no tail sort)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        df, col_id=col_id, col_text=col_text, threshold=threshold
+    )
+    doms = df.select(
+        F.col(col_id).alias("did"),
+        registrable_domain(F.col(col_url)).alias("domain"),
+    )
+    dsz = doms.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    within = (
+        pairs.join(
+            doms.select(
+                F.col("did").alias("id_a"), F.col("domain").alias("dom_a")
+            ),
+            "id_a",
+        )
+        .join(
+            doms.select(
+                F.col("did").alias("id_b"), F.col("domain").alias("dom_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("dom_a") == F.col("dom_b"))
+        .select(F.col("dom_a").alias("domain"), "id_a", "id_b")
+    )
+    per_pairs = within.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs")
+    )
+    dup_docs = (
+        within.select("domain", F.col("id_a").alias("d"))
+        .unionByName(within.select("domain", F.col("id_b").alias("d")))
+        .distinct()
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_docs"))
+    )
+    return (
+        dsz.join(per_pairs, "domain", "left")
+        .join(dup_docs, "domain", "left")
+        .select(
+            "domain",
+            "n_docs",
+            F.coalesce("n_neardup_pairs", F.lit(0).cast("bigint")).alias(
+                "n_neardup_pairs"
+            ),
+            F.coalesce("n_dup_docs", F.lit(0).cast("bigint")).alias(
+                "n_dup_docs"
+            ),
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0).cast("bigint"))
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_doc_share"),
+        )
+    )

@@ -143,3 +143,81 @@ def test_domain_mix_stats_no_residual_when_topk_covers(spark):
     assert len(out) == 2  # no (other) row when the tail is empty
     assert {r.domain for r in out} == {"d0.com", "d1.com"}
     assert out[-1].cum_doc_share == 1.0
+
+
+def test_url_canonicalize_cases(spark):
+    from recmetrics_pyspark_spark.functions.curation import (
+        url_canonicalize,
+    )
+
+    cases = {
+        # tracking params dropped, survivors sorted, www/port/frag/
+        # trailing-slash/userinfo noise removed, case folded
+        "https://www.Example.COM:443/p/1/?b=2&utm_source=x&a=1#f":
+            "https://example.com/p/1?a=1&b=2",
+        "http://example.com:80/p/1?a=1&b=2":
+            "http://example.com/p/1?a=1&b=2",  # http kept, :80 elided
+        "https://example.com./p/1?a=1&b=2":
+            "https://example.com/p/1?a=1&b=2",
+        "example.com/p/1?a=1&b=2":  # scheme-less -> https
+            "https://example.com/p/1?a=1&b=2",
+        "https://user:pw@example.com/p/1":
+            "https://example.com/p/1",
+        "https://site.co.uk/": "https://site.co.uk",
+        "http://h.io:8080/x?utm_campaign": "http://h.io:8080/x",
+        "https://a.io/x?gclid=1&fbclid=2&ref=z": "https://a.io/x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = [
+        r.c
+        for r in df.select(
+            url_canonicalize(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == list(cases.values())
+
+
+def test_canonical_url_dups_groups(spark):
+    from recmetrics_pyspark_spark.functions.curation import (
+        canonical_url_dups,
+    )
+
+    rows = [
+        (1, "https://www.a.com/p?utm_source=x&k=1"),
+        (2, "https://a.com:443/p?k=1"),
+        (3, "https://a.com/p?k=1#frag"),
+        (4, "https://a.com/q"),  # singleton: filtered by min_variants
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = canonical_url_dups(df, "doc_id", "url").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.canonical_url == "https://a.com/p?k=1"
+    assert (r.n_variants, r.min_doc_id, r.max_doc_id) == (3, 1, 3)
+
+
+def test_domain_neardup_rates_within_domain_only(spark):
+    from recmetrics_pyspark_spark.functions.curation import (
+        domain_neardup_rates,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        # a.com: two exact-text docs -> one within-domain pair
+        (1, same, "https://a.com/1"),
+        (2, same, "https://sub.a.com/2"),  # subdomain, same domain
+        # b.com: one doc duplicating a.com's text (cross-domain pairs
+        # (1,3)/(2,3) must NOT count) and one unrelated doc
+        (3, same, "https://b.com/3"),
+        (4, "one two three four five six", "https://b.com/4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    out = {r.domain: r for r in domain_neardup_rates(df).collect()}
+    assert out["a.com"].n_docs == 2
+    assert out["a.com"].n_neardup_pairs == 1
+    assert out["a.com"].n_dup_docs == 2
+    assert out["a.com"].dup_doc_share == 1.0
+    assert out["b.com"].n_docs == 2
+    assert out["b.com"].n_neardup_pairs == 0  # cross-domain excluded
+    assert out["b.com"].n_dup_docs == 0
+    assert out["b.com"].dup_doc_share == 0.0

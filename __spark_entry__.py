@@ -8098,7 +8098,7 @@ WITH u AS (
     lower(regexp_extract(url, '{_CUR_URL_PARTS}', 1)) AS scheme0,
     regexp_replace(
       rtrim(lower(regexp_extract(url, '{_CUR_URL_PARTS}', 2)), '.'),
-      '^www[.]', '') AS host,
+      '^(www[.])+', '') AS host,
     regexp_extract(url, '{_CUR_URL_PARTS}', 3) AS port,
     regexp_replace(regexp_extract(url, '{_CUR_URL_PARTS}', 4),
                    '/+$', '') AS path,

@@ -1268,7 +1268,7 @@ def url_canonicalize(col_url) -> "F.Column":
             "[.]+$",
             "",
         ),
-        "^www[.]",
+        "^(www[.])+",
         "",
     )
     port = F.regexp_extract(col_url, _URL_PARTS_PATTERN, 3)

@@ -95,3 +95,99 @@ def test_default_cap_inert_on_small_baskets(spark):
     assert sorted(map(tuple, dflt.collect())) == sorted(
         map(tuple, off.collect())
     )
+
+
+# --- url_canonicalize laws (round 7) ---------------------------------
+
+_url_strategy = st.builds(
+    lambda scheme, www, host, port, path, slash, params, frag: (
+        scheme
+        + www
+        + host
+        + port
+        + "/" + path
+        + ("/" if slash else "")
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["https://", "http://", "", "HTTPS://"]),
+    www=st.sampled_from(["", "www.", "WWW.", "www.www."]),
+    host=st.sampled_from(
+        ["example.com", "Site7.CO.UK", "h.io", "a.b.c.org", "x.com."]
+    ),
+    port=st.sampled_from(["", ":443", ":80", ":8080"]),
+    path=st.sampled_from(["p/1", "q", "", "deep/er/path"]),
+    slash=st.booleans(),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "utm_source=x", "gclid=9", "z", "ref=t"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from(["", "#f", "#a/b?c"]),
+)
+
+
+def _py_canonicalize(url: str) -> str:
+    """Exact Python replay of functions/curation.py::url_canonicalize."""
+    import re
+
+    m = re.match(
+        r"^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:[^/?#]*@)?"
+        r"([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:[?]([^#]*))?",
+        url,
+    )
+    g = ["" if (m is None or x is None) else x for x in (
+        m.groups() if m else ("",) * 5
+    )]
+    scheme = g[0].lower() or "https"
+    host = re.sub(r"^(www\.)+", "", g[1].lower().rstrip("."))
+    port = g[2]
+    if port and not (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    ):
+        port_part = ":" + port
+    else:
+        port_part = ""
+    path = re.sub(r"/+$", "", g[3])
+    track = re.compile(
+        r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid|ref"
+        r"|ref_src|spm)(=|$)"
+    )
+    params = sorted(
+        x for x in g[4].split("&") if x != "" and not track.match(x)
+    )
+    q_part = "?" + "&".join(params) if params else ""
+    return scheme + "://" + host + port_part + path + q_part
+
+
+@settings(max_examples=5, deadline=None)
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=12))
+def test_url_canonicalize_replay_and_idempotent(spark, urls):
+    import pyspark.sql.functions as F
+
+    from recmetrics_pyspark_spark.functions.curation import (
+        url_canonicalize,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = [
+        r.c
+        for r in df.select(
+            url_canonicalize(F.col("url")).alias("c")
+        ).collect()
+    ]
+    # exact Python replay
+    assert once == [_py_canonicalize(u) for u in urls]
+    # idempotence: canonical output is its own canonical form (the
+    # dedup-key law — re-crawling a canonical URL must key identically)
+    df2 = spark.createDataFrame([(c,) for c in once], ["url"])
+    twice = [
+        r.c
+        for r in df2.select(
+            url_canonicalize(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert twice == once

@@ -3519,78 +3519,33 @@ def _domain_neardup_rates(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
-    evaluates the FIRST 50 entries. Round-6 rotation (`_ROUND6_WINDOW`
-    below) closes union driver coverage at the FULL declared surface:
-    the 5 stable canaries lead (coverage, personalization,
+    evaluates the FIRST 50 entries. Round-7 window (`_ROUND7_WINDOW`
+    below): the 5 stable canaries lead (coverage, personalization,
     item_item_topk, minhash_lsh_pairs, event_sessionize — they own the
     shared cache builds, so rotated-in queries show marginal bench
-    cost); then the 2 queries whose code changed late in round 5 with
-    the window already full (pagerank_items: deg fold-in under the
-    broadcast_node_limit guard; ab_test_events: per-arm stats core
-    extracted into the shared ``_per_arm_stats`` — byte-identical
-    semantics); then association_rules (round-6 change: the n_users
-    formula scalar is now a declarative one-row crossJoin(broadcast)
-    frame, VERDICT r5 item 2); then the 29 round-5 post-window
-    additions (22 + 7 from round 5's rotation note — three of them,
-    daily_acf_events / session_summary / heaps_law_docs, ALSO changed
-    in round 6 for the ADVICE r5 fixes: DECIMAL(38,6) acf
-    intermediates, microsecond-exact session durations, numeric-id
-    validation — so their window slots double as re-witnesses); then
-    the round-6 new operators. Everything else driver-green at its
-    current code sits after the window.
+    cost); then EVERY query whose code changed in round 7, each
+    re-verified at sf0.001/0.01/0.1 via scripts/driver_check.py after
+    its change: the 10 heavy-basket-cap riders (item_item_topk is a
+    canary; item_based_recommendations, association_rules,
+    pagerank_items, kcore_items — which also gained the k-core
+    convergence witness column — degree_distribution,
+    adamic_adar_links, common_neighbor_links, item_triangles,
+    mmr_rerank), the two popularity stats whose catalog-scale global
+    windows were decomposed onto the distinct-count grain
+    (long_tail_stats, popularity_concentration), psi_drift (NULL
+    values now bin to NULL; constant slot clamped), and the two
+    domain queries after the trailing-dot FQDN fix (domain_mix_stats,
+    domain_cap_sample); then the round-7 NEW operators
+    (canonical_url_dups — re-witnessed after the www-idempotence fix —
+    and domain_neardup_rates); the remaining 29 slots re-witness the
+    longest-unwitnessed queries (all r1-vintage TPC-H/SQL-surface
+    rows) so union coverage stays fresh, not merely closed.
 
-    ROUND-7 ROTATION NOTE: every round-6 code change and addition was
-    re-verified at sf0.001/0.01/0.1 via scripts/driver_check.py this
-    round AND sits INSIDE the round-6 window, so all driver rows land
-    at final code: association_rules (declarative n_users),
-    daily_acf_events (DECIMAL(38,6) widening), session_summary
-    (microsecond durations), heaps_law_docs (numeric-id validation),
-    user_erasure_audit (empty-table n_deleted coalesce — found by
-    test_property_round6b's random cascade replay), and the two new
-    domain-curation queries domain_mix_stats / domain_cap_sample
-    (bot_activity_flags and funnel_conversion changed docstrings only
-    — no re-witness needed). The round-6 review pass then changed
-    three more, all ALSO inside the window and re-witnessed at all
-    three sfs after the change: domain_cap_sample (tail global sort
-    dropped — single-exchange plan), domain_mix_stats + _cap_sample
-    (single userinfo-safe host regex, oracles mirrored), and
-    scd2_customer_priority (total winner tiebreak; byte-identical on
-    this data — o_orderkey is unique). A sixth property batch then
-    caught psi_drift crashing on a CONSTANT-valued feed (zero bin
-    width under ANSI division) — guarded with try_divide/nullif on
-    both engines, re-witnessed at all three sfs, windowed. A targeted
-    degenerate-divisor sweep of the same crash class then found and
-    fixed four more (mad_outlier_docs: MAD 0; zipf_fit: single-point
-    var(x) 0; seasonal_profile: zero total; ab_test Welch t:
-    zero-variance arms), each guarded on BOTH engines, regression-
-    tested in tests/test_degenerate_inputs.py, re-witnessed at all
-    three sfs, and windowed (ab_test_events already sat in the
-    window); two further finds closed the sweep — intra_list's
-    zero-norm feature vector (zero-vector items now contribute 0,
-    matching the no-shared-feature rule) and stratified_metrics'
-    equal-length strata (sigma 0 → NULL z) — same guard + regression
-    + re-witness treatment. End-of-round full-surface check:
-    ``scripts/driver_check.py --all`` at sf0.01 under a vanilla
-    session — 241 passed / 0 failed / 1 no-oracle (the documented
-    media_features waiver) — every declared query is oracle-verified
-    at final round-6 code. A SECOND review pass then hardened four of
-    the sweep's own fixes (all re-witnessed at all three sfs, all
-    already in the window): ab_test's per-arm variance guards n = 1
-    (try_divide/nullif), the equi-width bin rule is one shared helper
-    (operators/quality.py::equi_width_bin) with EXPLICIT zero-width
-    semantics — a constant baseline sits in bin 1 and shifted mass
-    separates into edge bins, so the streaming drift monitor ALERTS
-    on a jump from a constant baseline instead of going blind (the
-    earlier coalesce-after-least guard was dead code: least() skips
-    NULLs) — mad_outlier falls back to the Iglewicz–Hoaglin MeanAD
-    scale when MAD = 0 (a boilerplate-heavy corpus still flags its
-    genuine outliers), and the compat cosine matrix pins zero-norm
-    cells to the reference's 0.0. The full-surface driver_check --all
-    was RE-RUN after that pass: 241/0/1 again — the certification
-    holds at the round's truly final code.
-    No post-window backlog exists;
-    round 7 starts with a clean slate (canaries + any round-7
-    changes).
+    ROUND-8 ROTATION NOTE: round-7 changes are all INSIDE the window
+    above — no post-window backlog. Still r1-vintage and worth
+    rotating in next round: q_sql_surface, q_string_funcs_parts,
+    q_top_parts_per_brand, q_top_tokens, q_winsorized_stats (plus
+    media_features, the permanent rows-only waiver lane).
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -3864,83 +3819,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dups": _canonical_url_dups,
         "domain_neardup_rates": _domain_neardup_rates,
     }
-    ordered = {k: base[k] for k in _ROUND6_WINDOW}
+    ordered = {k: base[k] for k in _ROUND7_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
 
-# The first-50 driver witness window for round 6 (see queries()
-# docstring). 5 canaries lead (green every round they ran) — order
-# within the window is bench-accounting, not correctness: the canaries
-# own the shared cache builds (interactions, shingle table, events
-# scan) exactly as in rounds 1-5, so the rotated-in queries show their
-# MARGINAL cost, comparable round over round. Composition: 5 canaries
-# + 2 round-5-late-change re-witnesses + association_rules (round-6
-# change) + the 29 round-5 post-window additions (3 of which also
-# changed in round 6 — their slots double as re-witnesses) + the
-# round-6 new operators in the remaining slots.
-_ROUND6_WINDOW = [
+# The first-50 driver witness window for round 7 (see queries()
+# docstring). 5 canaries + every round-7 code change + the 2 new
+# operators + 29 freshness re-witnesses of the oldest (r1) driver
+# rows. Order within the window is bench-accounting, not correctness:
+# the canaries own the shared cache builds (interactions, shingle
+# table, events scan) so rotated-in queries show MARGINAL cost.
+_ROUND7_WINDOW = [
+    # 5 canaries (own the shared cache builds; green every round)
     "coverage",
     "personalization",
     "item_item_topk",
     "minhash_lsh_pairs",
     "event_sessionize",
-    # code changed late in round 5, window was full
-    "pagerank_items",
-    "ab_test_events",
-    # round-6 change: declarative one-row n_users frame (VERDICT r5 #2)
+    # round-7 code changes: heavy-basket-cap riders (max_basket=1000,
+    # mirrored bcapped oracle cut) — item_item_topk is a canary above
+    "item_based_recommendations",
     "association_rules",
-    # the 22 round-5 post-window additions (daily_acf_events,
-    # session_summary, heaps_law_docs also changed in round 6 —
-    # ADVICE r5 fixes — so these slots double as re-witnesses)
-    "daily_acf_events",
-    "cohort_ltv",
-    "ab_power_mde",
-    "benford_order_totals",
-    "k_anonymity_customers",
-    "attribution_time_decay",
-    "centroid_distances",
-    "heaps_law_docs",
-    "kcore_items",
-    "corpus_entropy",
-    "seasonal_decompose_events",
-    "pq_distortion",
-    "shipping_sla_compliance",
-    "source_divergence",
-    "session_summary",
+    "pagerank_items",
+    "kcore_items",  # + converged witness column
     "degree_distribution",
-    "gmv_mtd_report",
-    "catalog_freshness",
-    "lsh_parameter_plan",
-    "user_lifecycle_stages",
-    "revenue_concentration",
-    "embedding_outliers",
-    # the 7 later round-5 additions
-    "scd2_customer_priority",
-    "join_size_lineitem_part",
-    "token_budget_plan",
-    "bot_activity_flags",
-    "theil_sen_orders",
-    "seasonal_anomaly_days",
-    "peak_concurrency",
-    # round-6 new operators (witnessed the round they land) fill the
-    # remaining slots — appended below as they are added
+    "adamic_adar_links",
+    "common_neighbor_links",
+    "item_triangles",
+    "mmr_rerank",
+    # round-7: catalog-window decomposition (distinct-count grain)
+    "long_tail_stats",
+    "popularity_concentration",
+    # round-7: equi_width_bin NULL arm + constant-slot clamp
+    "psi_drift",
+    # round-7: registrable_domain trailing-dot strip (oracles mirrored)
     "domain_mix_stats",
     "domain_cap_sample",
-    # round-6 change: empty-table n_deleted coalesced to 0 (defect
-    # found by test_property_round6b's random-input cascade replay)
-    "user_erasure_audit",
-    # round-6 change: constant-feed zero-bin-width guard (defect found
-    # by test_property_round6f's mirrored-halves PSI property)
-    "psi_drift",
-    # round-6 change: the degenerate-divisor sweep that followed the
-    # PSI find (MAD 0 / single-point fit / zero total / zero-variance
-    # arms — try_divide + oracle nullif; tests/test_degenerate_inputs)
-    "mad_outlier_docs",
-    "zipf_fit",
-    "seasonal_profile_events",
-    "intra_list_similarity",
-    "stratified_metrics",
+    # round-7 NEW operators
+    "canonical_url_dups",
+    "domain_neardup_rates",
+    # freshness re-witnesses: the longest-unwitnessed queries (last
+    # driver row r1) — union coverage stays fresh, not merely closed
+    "profile_customer",
+    "q10_returned_items",
+    "q12_priority_by_date",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q1_pricing_summary",
+    "q22_dormant_rich_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q9_profit_by_nation_year",
+    "q_anti_join_customers",
+    "q_case_null_buckets",
+    "q_correlation_stats",
+    "q_cube_brand_status",
+    "q_customer_spend_ranks",
+    "q_fuzzy_part_names",
+    "q_grouping_sets",
+    "q_multi_distinct",
+    "q_orders_by_month",
+    "q_pivot_static",
+    "q_quantiles_by_flag",
+    "q_regexp_extract",
+    "q_rolling_revenue",
+    "q_rollup_returns",
+    "q_set_ops_customers",
 ]
 
 

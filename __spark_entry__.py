@@ -3926,8 +3926,54 @@ _DOC_BASE = """WITH d AS (
 
 from recmetrics_pyspark_spark.functions.curation import (  # noqa: E402
     TRACKING_PARAM_PATTERN as _CUR_TRACK,
+    _SCHEME_STRIP_PATTERN as _CUR_SCHEME_STRIP,
     _URL_PARTS_PATTERN as _CUR_URL_PARTS,
+    _URL_SCHEME_PATTERN as _CUR_URL_SCHEME,
 )
+
+
+_CLEAN_URL_CTE = """u AS (
+  SELECT doc_id, n_chars,
+    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'news.' ELSE '' END
+    || 'site'
+    || CAST(CAST(floor(sqrt(CAST(doc_id % 625 AS DOUBLE))) AS INT)
+            AS VARCHAR)
+    || '.' || CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END
+    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)"""
+
+
+def _domain_prologue() -> str:
+    """hosts/labels/eTLD+1 CTE chain over a preceding u(doc_id, url)
+    CTE — the verbatim DuckDB mirror of curation.registrable_domain:
+    unconditional scheme strip FIRST (the combined optional-scheme
+    pattern backtracked on empty-host URLs and captured the scheme
+    word as the host), then the userinfo-safe host parse, trailing-dot
+    rtrim, and the multi-part-suffix CASE built from the SAME
+    MULTIPART_SUFFIXES tuple the Spark side uses — one list, one edit.
+    Shared by all three domain-grain oracles."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        MULTIPART_SUFFIXES,
+    )
+
+    sufs = ",".join(f"'{x}'" for x in MULTIPART_SUFFIXES)
+    return f"""hosts AS (
+  SELECT doc_id,
+    rtrim(lower(regexp_extract(
+      regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+      '^(?:[^/?#]*@)?([^/:?#]+)', 1)), '.') AS host
+  FROM u
+), lab AS (
+  SELECT doc_id, host, string_split(host, '.') AS l FROM hosts
+), dom AS (
+  SELECT doc_id,
+    CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN ({sufs})
+         THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+         WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+         ELSE host END AS domain
+  FROM lab
+)"""
 
 
 def _domain_neardup_oracle() -> str:
@@ -3959,34 +4005,7 @@ def _domain_neardup_oracle() -> str:
 ), np AS (
   SELECT j.id_a, j.id_b FROM jac j JOIN cand USING (id_a, id_b)
   WHERE j.jaccard >= 0.1
-), u AS (
-  SELECT doc_id,
-    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'news.' ELSE '' END
-    || 'site'
-    || CAST(CAST(floor(sqrt(CAST(doc_id % 625 AS DOUBLE))) AS INT)
-            AS VARCHAR)
-    || '.' || CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END
-    || '/p/' || CAST(doc_id AS VARCHAR) AS url
-  FROM documents
-), hosts AS (
-  SELECT doc_id,
-    rtrim(lower(regexp_extract(url,
-      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)',
-      1)), '.') AS host
-  FROM u
-), lab AS (
-  SELECT doc_id, host, string_split(host, '.') AS l FROM hosts
-), dom AS (
-  SELECT doc_id,
-    CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN (
-           'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
-           'org.au','co.jp','ne.jp','or.jp','co.kr','com.br','com.mx',
-           'com.cn','com.tr','co.in','co.za','com.ar','com.sg','com.hk')
-         THEN l[-3] || '.' || l[-2] || '.' || l[-1]
-         WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
-         ELSE host END AS domain
-  FROM lab
-), dsz AS (
+), {_CLEAN_URL_CTE}, {_domain_prologue()}, dsz AS (
   SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
   FROM dom GROUP BY domain
 ), within AS (
@@ -5054,7 +5073,13 @@ grp AS (
   SELECT sum(cnt * k) AS tot_l, sum(k) AS n_l FROM grp
 ), scored AS (
   SELECT CAST(CAST(cnt AS DECIMAL(38,0))
-              * CAST(k * o + (k * (k + 1)) // 2 AS DECIMAL(38,0))
+              * (CAST(k AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0))
+                 + CASE WHEN k % 2 = 0
+                        THEN CAST(k // 2 AS DECIMAL(38,0))
+                             * CAST(k + 1 AS DECIMAL(38,0))
+                        ELSE CAST(k AS DECIMAL(38,0))
+                             * CAST((k + 1) // 2 AS DECIMAL(38,0))
+                   END)
          AS DECIMAL(38,0)) AS rnk_cnt,
     CAST(round(-(k * cnt / CAST(tot_l AS DOUBLE))
                * ln(cnt / CAST(tot_l AS DOUBLE)), 9)
@@ -5141,7 +5166,8 @@ WITH stats AS (
          END AS INTEGER) AS bin
   FROM events, stats
 ), counts AS (
-  SELECT grp, side, bin, count(*) AS n FROM b GROUP BY grp, side, bin
+  SELECT grp, side, bin, count(*) AS n FROM b
+  WHERE bin IS NOT NULL GROUP BY grp, side, bin
 ), totals AS (
   SELECT grp, side, sum(n) AS tot FROM counts GROUP BY grp, side
 ), slots AS (
@@ -7930,38 +7956,11 @@ FROM resid CROSS JOIN mad
 WHERE abs(round(r / nullif(1.4826 * mad, 0), 6)) > 2.0
 ORDER BY day
 """,
-        "domain_mix_stats": """
-WITH u AS (
-  SELECT doc_id, n_chars,
-    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'news.' ELSE '' END
-    || 'site'
-    || CAST(CAST(floor(sqrt(CAST(doc_id % 625 AS DOUBLE))) AS INT)
-            AS VARCHAR)
-    || '.' || CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END
-    || '/p/' || CAST(doc_id AS VARCHAR) AS url
-  FROM documents
-), hosts AS (
-  SELECT doc_id, n_chars,
-    rtrim(lower(regexp_extract(url,
-      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)',
-      1)), '.') AS host
-  FROM u
-), lab AS (
-  SELECT doc_id, n_chars, host, string_split(host, '.') AS l FROM hosts
-), dom AS (
-  SELECT doc_id, n_chars,
-    CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN (
-           'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
-           'org.au','co.jp','ne.jp','or.jp','co.kr','com.br','com.mx',
-           'com.cn','com.tr','co.in','co.za','com.ar','com.sg','com.hk')
-         THEN l[-3] || '.' || l[-2] || '.' || l[-1]
-         WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
-         ELSE host END AS domain
-  FROM lab
-), agg AS (
+        "domain_mix_stats": f"""
+WITH {_CLEAN_URL_CTE}, {_domain_prologue()}, agg AS (
   SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
     CAST(sum(n_chars) AS BIGINT) AS weight
-  FROM dom GROUP BY domain
+  FROM dom JOIN u USING (doc_id) GROUP BY domain
 ), tot AS (
   SELECT CAST(sum(n_docs) AS BIGINT) AS td,
     CAST(sum(weight) AS BIGINT) AS tw FROM agg
@@ -7987,35 +7986,8 @@ SELECT rnk, domain, n_docs, weight,
         / CAST(td AS DOUBLE), 6) AS cum_doc_share
 FROM unioned, tot ORDER BY rnk
 """,
-        "domain_cap_sample": """
-WITH u AS (
-  SELECT doc_id, n_chars,
-    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'news.' ELSE '' END
-    || 'site'
-    || CAST(CAST(floor(sqrt(CAST(doc_id % 625 AS DOUBLE))) AS INT)
-            AS VARCHAR)
-    || '.' || CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END
-    || '/p/' || CAST(doc_id AS VARCHAR) AS url
-  FROM documents
-), hosts AS (
-  SELECT doc_id, n_chars,
-    rtrim(lower(regexp_extract(url,
-      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)',
-      1)), '.') AS host
-  FROM u
-), lab AS (
-  SELECT doc_id, n_chars, host, string_split(host, '.') AS l FROM hosts
-), dom AS (
-  SELECT doc_id, n_chars,
-    CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN (
-           'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
-           'org.au','co.jp','ne.jp','or.jp','co.kr','com.br','com.mx',
-           'com.cn','com.tr','co.in','co.za','com.ar','com.sg','com.hk')
-         THEN l[-3] || '.' || l[-2] || '.' || l[-1]
-         WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
-         ELSE host END AS domain
-  FROM lab
-), r AS (
+        "domain_cap_sample": f"""
+WITH {_CLEAN_URL_CTE}, {_domain_prologue()}, r AS (
   SELECT domain, doc_id, CAST(row_number() OVER (
     PARTITION BY domain ORDER BY
       ('0x' || substr(md5(domain || ':' || CAST(doc_id AS VARCHAR)),
@@ -8042,17 +8014,24 @@ WITH u AS (
             ELSE '?b=2&a=1' END
     || CASE WHEN doc_id % 7 = 0 THEN '#f' ELSE '' END AS url
   FROM documents
-), p AS (
-  SELECT doc_id,
-    lower(regexp_extract(url, '{_CUR_URL_PARTS}', 1)) AS scheme0,
-    regexp_replace(
-      rtrim(lower(regexp_extract(url, '{_CUR_URL_PARTS}', 2)), '.'),
-      '^(www[.])+', '') AS host,
-    regexp_extract(url, '{_CUR_URL_PARTS}', 3) AS port,
-    regexp_replace(regexp_extract(url, '{_CUR_URL_PARTS}', 4),
-                   '/+$', '') AS path,
-    regexp_extract(url, '{_CUR_URL_PARTS}', 5) AS query
+), r0 AS (
+  -- scheme stripped FIRST (unconditionally): the combined
+  -- optional-scheme pattern backtracked on empty-host URLs and
+  -- captured the scheme word as the host
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '{_CUR_URL_SCHEME}', 1)) AS scheme0,
+    regexp_replace(url, '{_CUR_SCHEME_STRIP}', '') AS rest
   FROM u
+), p AS (
+  SELECT doc_id, scheme0,
+    regexp_replace(
+      rtrim(lower(regexp_extract(rest, '{_CUR_URL_PARTS}', 1)), '.'),
+      '^(www[.])+', '') AS host,
+    regexp_extract(rest, '{_CUR_URL_PARTS}', 2) AS port,
+    regexp_replace(regexp_extract(rest, '{_CUR_URL_PARTS}', 3),
+                   '/+$', '') AS path,
+    regexp_extract(rest, '{_CUR_URL_PARTS}', 4) AS query
+  FROM r0
 ), c AS (
   SELECT doc_id,
     CASE WHEN scheme0 = '' THEN 'https' ELSE scheme0 END AS scheme,

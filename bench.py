@@ -32,16 +32,56 @@ from statistics import median
 
 
 def _bench_local_path() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    return os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        ),
     )
 
 
+def _emit_compact(total: float, sf: str, timings: dict, extra: dict) -> None:
+    """One compact JSON line on the REAL stdout. The driver keeps only
+    the last ~2000 chars of stdout, so the full per-query map goes to
+    BENCH_LOCAL.json and this line stays under ~1900 chars (dropping
+    detail fields if a failure-heavy round would blow the budget)."""
+    failed = sorted(n for n, v in timings.items() if v < 0)
+    slowest = dict(sorted(
+        ((n, v) for n, v in timings.items() if v >= 0),
+        key=lambda kv: -kv[1],
+    )[:10])
+    base = {
+        "metric": "total_query_wall_sec", "value": total, "unit": "sec",
+        "sf": sf, "n_queries": len(timings),
+        "n_failed": len(failed), "failed": failed[:20],
+        **extra,
+        "queries": slowest, "queries_file": "BENCH_LOCAL.json",
+    }
+    compact = json.dumps(base)
+    if len(compact) > 1900:  # paranoia: never exceed the tail window
+        base.pop("failed", None)
+        base.pop("queries", None)
+        compact = json.dumps(base)
+    sys.stderr.flush()
+    os.write(_REAL_STDOUT, (compact + "\n").encode())
+
+
 def _multi_run(n_runs: int) -> None:
-    """Parent mode: N fresh solo-JVM child runs, median per query."""
+    """Parent mode: N fresh solo-JVM child runs, median per query.
+    Each child writes its payload to its OWN temp file (never the
+    committed BENCH_LOCAL.json — a failed child must not alias a
+    previous run's data, or a previous ROUND's committed medians,
+    into this protocol); failed or unreadable runs are dropped and
+    the median is taken over the runs that actually completed."""
+    import tempfile
+
     runs: list[dict] = []
-    env = dict(os.environ, SPARK_GRAFT_BENCH_RUNS="1")
     for i in range(n_runs):
+        fd, tmp = tempfile.mkstemp(prefix="bench_run_", suffix=".json")
+        os.close(fd)
+        os.unlink(tmp)  # child recreates it; absence == failed run
+        env = dict(os.environ, SPARK_GRAFT_BENCH_RUNS="1",
+                   SPARK_GRAFT_BENCH_OUT=tmp)
         t0 = time.perf_counter()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -49,45 +89,57 @@ def _multi_run(n_runs: int) -> None:
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
-        if proc.returncode != 0:
-            print(f"[bench] run {i + 1} exited {proc.returncode}",
+        wall = time.perf_counter() - t0
+        payload = None
+        if proc.returncode == 0:
+            try:
+                with open(tmp) as fh:
+                    payload = json.loads(fh.read())
+            except (OSError, ValueError) as exc:
+                print(f"[bench] run {i + 1}: unreadable payload: {exc}",
+                      file=sys.stderr)
+        else:
+            print(f"[bench] run {i + 1} exited {proc.returncode} — dropped",
                   file=sys.stderr)
-        with open(_bench_local_path()) as fh:
-            runs.append(json.loads(fh.read()))
-        print(f"[bench] run {i + 1}/{n_runs}: "
-              f"{runs[-1]['value']}s ({time.perf_counter() - t0:.0f}s wall)",
-              file=sys.stderr)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        if payload is not None:
+            runs.append(payload)
+            print(f"[bench] run {i + 1}/{n_runs}: "
+                  f"{payload['value']}s ({wall:.0f}s wall)",
+                  file=sys.stderr)
+    if not runs:
+        print("[bench] all runs failed — no payload", file=sys.stderr)
+        sys.exit(1)
     names = sorted({n for r in runs for n in r["queries"]})
     med = {
         n: round(median(r["queries"].get(n, -1.0) for r in runs), 3)
         for n in names
     }
     total = round(sum(v for v in med.values() if v >= 0), 3)
+    protocol = (
+        f"median-of-{len(runs)}-completed-of-{n_runs} solo-JVM "
+        "(SCALE.md Bench protocol)"
+    )
     payload = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": med,
         "sf": runs[0]["sf"],
-        "protocol": f"median-of-{n_runs} solo-JVM (SCALE.md Bench protocol)",
+        "protocol": protocol,
         "run_totals": [r["value"] for r in runs],
     }
-    with open(_bench_local_path(), "w") as fh:
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(out, "w") as fh:
         fh.write(json.dumps(payload) + "\n")
-    failed = sorted(n for n, v in med.items() if v < 0)
-    slowest = dict(sorted(
-        ((n, v) for n, v in med.items() if v >= 0), key=lambda kv: -kv[1]
-    )[:10])
-    compact = json.dumps({
-        "metric": "total_query_wall_sec", "value": total, "unit": "sec",
-        "sf": runs[0]["sf"], "n_queries": len(med),
-        "n_failed": len(failed), "failed": failed[:20],
-        "protocol": payload["protocol"],
-        "run_totals": payload["run_totals"], "queries": slowest,
-        "queries_file": "BENCH_LOCAL.json",
+    _emit_compact(total, runs[0]["sf"], med, {
+        "protocol": protocol, "run_totals": payload["run_totals"],
     })
-    sys.stderr.flush()
-    os.write(_REAL_STDOUT, (compact + "\n").encode())
 
 # The driver parses our stdout for the single JSON line, but the JVM
 # (launched as a child inheriting fd 1) prints banner noise there that
@@ -180,12 +232,9 @@ def main() -> None:
             list(pool.map(run_one, qs.items()))
     total = round(time.perf_counter() - t0_all, 3)
 
-    # Full per-query map goes to a well-known file; stdout gets a COMPACT
-    # summary line. The driver keeps only the last ~2000 chars of stdout,
-    # and the full 188-query JSON line is ~8 KB — it can never parse from
-    # the tail. The compact line carries the headline metric, failure
-    # list, and the 10 slowest queries, and points at BENCH_LOCAL.json
-    # for the rest. Budget: stay under ~1900 chars.
+    # Full per-query map goes to a well-known file (overridable via
+    # SPARK_GRAFT_BENCH_OUT — the multi-run parent points each child at
+    # its own temp file); stdout gets the shared COMPACT summary line.
     full_payload = json.dumps(
         {
             "metric": "total_query_wall_sec",
@@ -195,49 +244,14 @@ def main() -> None:
             "sf": sf,
         }
     )
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
+    out_path = _bench_local_path()
     try:
         with open(out_path, "w") as fh:
             fh.write(full_payload + "\n")
     except OSError as exc:
         print(f"[bench] could not write {out_path}: {exc}", file=sys.stderr)
 
-    failed = sorted(n for n, v in timings.items() if v < 0)
-    slowest = dict(
-        sorted(
-            ((n, v) for n, v in timings.items() if v >= 0),
-            key=lambda kv: -kv[1],
-        )[:10]
-    )
-    compact = json.dumps(
-        {
-            "metric": "total_query_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "n_failed": len(failed),
-            "failed": failed[:20],
-            "queries": slowest,
-            "queries_file": "BENCH_LOCAL.json",
-        }
-    )
-    if len(compact) > 1900:  # paranoia: never exceed the tail window
-        compact = json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_failed": len(failed),
-                "queries_file": "BENCH_LOCAL.json",
-            }
-        )
-    sys.stderr.flush()
-    os.write(_REAL_STDOUT, (compact + "\n").encode())
+    _emit_compact(total, sf, timings, {})
 
 
 if __name__ == "__main__":

@@ -1015,14 +1015,17 @@ MULTIPART_SUFFIXES = (
     "co.in", "co.za", "com.ar", "com.sg", "com.hk",
 )
 
-# One optional-scheme, optional-userinfo host capture — a single regex
-# pass per URL, no merge expression, and NO backslash escapes so the
-# identical pattern string works verbatim in Java regex and RE2
+# URL parsing is TWO steps on both engines: an unconditional scheme
+# strip (regexp_replace), then a host/parts parse on the remainder.
+# A single combined optional-scheme pattern backtracks on empty-host
+# URLs ('https:///x'): the scheme arm is abandoned and the scheme WORD
+# is captured as the host ('https'), a corrupt key — stripping the
+# scheme first makes that unrepresentable. NO backslash escapes, so
+# the identical pattern strings run verbatim in Java regex and RE2
 # (DuckDB). Userinfo ([^/?#]*@, which may contain ':') is consumed
 # BEFORE the host so credentialed URLs don't collapse to the username.
-_HOST_PATTERN = (
-    "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#]*@)?([^/:?#]+)"
-)
+_SCHEME_STRIP_PATTERN = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+_HOST_PATTERN = "^(?:[^/?#]*@)?([^/:?#]+)"
 
 
 def registrable_domain(col_url) -> "F.Column":
@@ -1053,7 +1056,13 @@ def registrable_domain(col_url) -> "F.Column":
     strip + split + CASE) — no shuffle, no Python, engine-portable to
     the DuckDB oracles."""
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(col_url, _HOST_PATTERN, 1)),
+        F.lower(
+            F.regexp_extract(
+                F.regexp_replace(col_url, _SCHEME_STRIP_PATTERN, ""),
+                _HOST_PATTERN,
+                1,
+            )
+        ),
         r"[.]+$",
         "",
     )
@@ -1224,10 +1233,14 @@ def domain_cap_sample(
 # 1 scheme, 2 host (userinfo consumed non-capturing), 3 port, 4 path,
 # 5 query. A non-matching/empty URL yields '' for every group on both
 # engines.
+# Applied AFTER _SCHEME_STRIP_PATTERN removed the scheme (see the
+# backtracking note above): groups are 1 host (MAY be empty — a
+# 'https:///x' fetch keys with an empty host, not with the scheme
+# word), 2 port, 3 path, 4 query.
 _URL_PARTS_PATTERN = (
-    "^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:[^/?#]*@)?"
-    "([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:[?]([^#]*))?"
+    "^(?:[^/?#]*@)?([^/:?#]*)(?::([0-9]+))?([^?#]*)(?:[?]([^#]*))?"
 )
+_URL_SCHEME_PATTERN = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 
 # Query parameters that carry tracking provenance, not content
 # identity — the standard CommonCrawl-style canonicalization drop
@@ -1257,21 +1270,22 @@ def url_canonicalize(col_url) -> "F.Column":
     Engine-portable: the identical pattern strings and the same
     split/filter/sort/join steps run in the DuckDB oracles."""
     scheme_raw = F.lower(
-        F.regexp_extract(col_url, _URL_PARTS_PATTERN, 1)
+        F.regexp_extract(col_url, _URL_SCHEME_PATTERN, 1)
     )
     scheme = F.when(scheme_raw == "", F.lit("https")).otherwise(
         scheme_raw
     )
+    rest = F.regexp_replace(col_url, _SCHEME_STRIP_PATTERN, "")
     host = F.regexp_replace(
         F.regexp_replace(
-            F.lower(F.regexp_extract(col_url, _URL_PARTS_PATTERN, 2)),
+            F.lower(F.regexp_extract(rest, _URL_PARTS_PATTERN, 1)),
             "[.]+$",
             "",
         ),
         "^(www[.])+",
         "",
     )
-    port = F.regexp_extract(col_url, _URL_PARTS_PATTERN, 3)
+    port = F.regexp_extract(rest, _URL_PARTS_PATTERN, 2)
     port_part = F.when(
         (port == "")
         | ((scheme == "http") & (port == "80"))
@@ -1279,10 +1293,10 @@ def url_canonicalize(col_url) -> "F.Column":
         F.lit(""),
     ).otherwise(F.concat(F.lit(":"), port))
     path = F.regexp_replace(
-        F.regexp_extract(col_url, _URL_PARTS_PATTERN, 4), "/+$", ""
+        F.regexp_extract(rest, _URL_PARTS_PATTERN, 3), "/+$", ""
     )
     params = F.filter(
-        F.split(F.regexp_extract(col_url, _URL_PARTS_PATTERN, 5), "&"),
+        F.split(F.regexp_extract(rest, _URL_PARTS_PATTERN, 4), "&"),
         lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_PATTERN),
     )
     q = F.array_join(F.array_sort(params), "&")

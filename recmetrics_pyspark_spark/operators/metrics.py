@@ -641,13 +641,26 @@ def popularity_concentration(
     scored = grp.crossJoin(F.broadcast(tot)).select(
         "cnt",
         "k",
-        # Σ_{i in group} rnk_i · cnt — exact integer (k(k+1) is even);
-        # DECIMAL(38,0) so the sum can't overflow BIGINT at 100 TB
-        # (Σ rnk·cnt ≤ n·Σcnt ~ 1e19 there)
+        # Σ_{i in group} rnk_i · cnt — exact integer. EVERY product
+        # runs in DECIMAL(38,0): k·o and k·(k+1) exceed BIGINT once a
+        # tie group passes ~3e9 items (ANSI would throw), and
+        # Σ rnk·cnt ~ 1e19 at 100 TB exceeds it always. The
+        # triangular term branches on parity so the halving stays in
+        # integer arithmetic (no cross-engine decimal-division scale).
         (
             F.col("cnt").cast("decimal(38,0)")
-            * (F.col("k") * F.col("o")
-               + F.expr("k * (k + 1) div 2")).cast("decimal(38,0)")
+            * (
+                F.col("k").cast("decimal(38,0)")
+                * F.col("o").cast("decimal(38,0)")
+                + F.when(
+                    F.col("k") % 2 == 0,
+                    F.expr("k div 2").cast("decimal(38,0)")
+                    * (F.col("k") + 1).cast("decimal(38,0)"),
+                ).otherwise(
+                    F.col("k").cast("decimal(38,0)")
+                    * F.expr("(k + 1) div 2").cast("decimal(38,0)")
+                )
+            )
         ).cast("decimal(38,0)").alias("rnk_cnt"),
         # group entropy contribution −k·p·ln p, pre-rounded to 9
         # decimals into DECIMAL(18,9): |k·p| ≤ 1 so the sum is exact

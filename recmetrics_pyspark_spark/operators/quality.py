@@ -199,8 +199,14 @@ def psi_drift(
             ).alias("bin"),
         )
     )
-    counts = binned.groupBy("grp", "side", "bin").agg(
-        F.count(F.lit(1)).alias("n")
+    # NULL bins (NULL measurements) are excluded from counts AND
+    # totals: a half with more missing values must not register as
+    # uniformly-shifted mass across every bin — missingness is a
+    # different monitor. n_ref/n_cur therefore count MEASURED rows.
+    counts = (
+        binned.filter(F.col("bin").isNotNull())
+        .groupBy("grp", "side", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     totals = counts.groupBy("grp", "side").agg(F.sum("n").alias("tot"))
     # densify: every (grp, side, bin) slot, so empty bins contribute

@@ -255,8 +255,12 @@ def baseline_histogram(
             ).alias("bin"),
         )
     )
-    counts = binned.groupBy("grp", "v_lo", "v_hi", "bin").agg(
-        F.count(F.lit(1)).alias("n")
+    # NULL bins excluded from counts and totals (same missingness
+    # rule as batch psi_drift)
+    counts = (
+        binned.filter(F.col("bin").isNotNull())
+        .groupBy("grp", "v_lo", "v_hi", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     totals = counts.groupBy("grp").agg(F.sum("n").alias("tot"))
     slots = (
@@ -308,15 +312,14 @@ def foreach_batch_drift(
     the usual at-least-once monitoring-sink semantics; rows carry
     batch_id so replays are idempotent to readers that dedup on
     (batch_id, group)."""
-    ref = baseline.persist()
-    ref.count()
-    spark = stream_df.sparkSession
-
     if n_bins < 3:
         raise ValueError(
             "foreach_batch_drift needs n_bins >= 3 (constant-baseline "
             "separation, see equi_width_bin)"
         )
+    ref = baseline.persist()
+    ref.count()
+    spark = stream_df.sparkSession
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -339,8 +342,10 @@ def foreach_batch_drift(
                 ).alias("bin"),
             )
         )
-        counts = binned.groupBy("grp", "bin").agg(
-            F.count(F.lit(1)).alias("n")
+        counts = (
+            binned.filter(F.col("bin").isNotNull())
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
         totals = counts.groupBy("grp").agg(F.sum("n").alias("tot"))
         shares = (

@@ -113,7 +113,8 @@ _url_strategy = st.builds(
     scheme=st.sampled_from(["https://", "http://", "", "HTTPS://"]),
     www=st.sampled_from(["", "www.", "WWW.", "www.www."]),
     host=st.sampled_from(
-        ["example.com", "Site7.CO.UK", "h.io", "a.b.c.org", "x.com."]
+        ["example.com", "Site7.CO.UK", "h.io", "a.b.c.org", "x.com.",
+         ""]  # empty host: 'https:///x' must NOT key as host='https'
     ),
     port=st.sampled_from(["", ":443", ":80", ":8080"]),
     path=st.sampled_from(["p/1", "q", "", "deep/er/path"]),
@@ -130,20 +131,23 @@ _url_strategy = st.builds(
 
 
 def _py_canonicalize(url: str) -> str:
-    """Exact Python replay of functions/curation.py::url_canonicalize."""
+    """Exact Python replay of functions/curation.py::url_canonicalize
+    (two-step: scheme strip FIRST, then parse — the combined pattern
+    backtracked on empty-host URLs)."""
     import re
 
+    sm = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", url)
+    rest = url[sm.end():] if sm else url
     m = re.match(
-        r"^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:[^/?#]*@)?"
-        r"([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:[?]([^#]*))?",
-        url,
+        r"^(?:[^/?#]*@)?([^/:?#]*)(?::([0-9]+))?([^?#]*)(?:[?]([^#]*))?",
+        rest,
     )
     g = ["" if (m is None or x is None) else x for x in (
-        m.groups() if m else ("",) * 5
+        m.groups() if m else ("",) * 4
     )]
-    scheme = g[0].lower() or "https"
-    host = re.sub(r"^(www\.)+", "", g[1].lower().rstrip("."))
-    port = g[2]
+    scheme = (sm.group(1).lower() if sm else "") or "https"
+    host = re.sub(r"^(www\.)+", "", g[0].lower().rstrip("."))
+    port = g[1]
     if port and not (
         (scheme == "http" and port == "80")
         or (scheme == "https" and port == "443")
@@ -151,13 +155,13 @@ def _py_canonicalize(url: str) -> str:
         port_part = ":" + port
     else:
         port_part = ""
-    path = re.sub(r"/+$", "", g[3])
+    path = re.sub(r"/+$", "", g[2])
     track = re.compile(
         r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid|ref"
         r"|ref_src|spm)(=|$)"
     )
     params = sorted(
-        x for x in g[4].split("&") if x != "" and not track.match(x)
+        x for x in g[3].split("&") if x != "" and not track.match(x)
     )
     q_part = "?" + "&".join(params) if params else ""
     return scheme + "://" + host + port_part + path + q_part

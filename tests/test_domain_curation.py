@@ -221,3 +221,28 @@ def test_domain_neardup_rates_within_domain_only(spark):
     assert out["b.com"].n_neardup_pairs == 0  # cross-domain excluded
     assert out["b.com"].n_dup_docs == 0
     assert out["b.com"].dup_doc_share == 0.0
+
+
+def test_url_parse_no_scheme_word_as_host(spark):
+    """Backtracking regression (round-7 review): an empty-host URL
+    must not capture the scheme word as its host/domain."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        url_canonicalize,
+    )
+
+    cases = {
+        "https:///x": "https:///x",            # empty host, idempotent
+        "file:///etc/passwd": "file:///etc/passwd",  # host '', not 'file'
+        "https://./x": "https:///x",           # dot-host strips to ''
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = [
+        r.c
+        for r in df.select(
+            url_canonicalize(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == list(cases.values())
+    # and the registrable domain of an empty-host URL is '', never
+    # the scheme word
+    assert _extract(spark, ["https:///x", "file:///e"]) == ["", ""]

@@ -3542,10 +3542,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows) so union coverage stays fresh, not merely closed.
 
     ROUND-8 ROTATION NOTE: round-7 changes are all INSIDE the window
-    above — no post-window backlog. Still r1-vintage and worth
-    rotating in next round: q_sql_surface, q_string_funcs_parts,
-    q_top_parts_per_brand, q_top_tokens, q_winsorized_stats (plus
-    media_features, the permanent rows-only waiver lane).
+    above — no post-window backlog. The round-7 review pass then
+    changed five more surfaces, ALL already windowed and re-witnessed
+    at sf0.001/0.01/0.1 after the change: the URL parse became a
+    two-step scheme-strip + parse on both engines (the combined
+    optional-scheme pattern backtracked on empty-host URLs and keyed
+    them under the scheme word — canonical_url_dups,
+    domain_mix_stats, domain_cap_sample, domain_neardup_rates, with
+    the three domain oracles now generated from one _domain_prologue
+    builder over the Spark-side MULTIPART_SUFFIXES tuple);
+    psi_drift's totals now exclude NULL bins (missingness no longer
+    smears as uniform drift; oracle mirrored); and
+    popularity_concentration's rank-sum products run fully in
+    DECIMAL(38,0) with a parity-branch triangular (BIGINT overflow at
+    ~3e9-item tie groups; oracle mirrored). End-of-round full-surface
+    check at final code: ``scripts/driver_check.py --all`` at sf0.01,
+    vanilla session — 243 passed / 0 failed / 1 no-oracle (the
+    documented media_features waiver) of 244. Still r1-vintage and
+    worth rotating in next round: q_sql_surface,
+    q_string_funcs_parts, q_top_parts_per_brand, q_top_tokens,
+    q_winsorized_stats (plus media_features, the permanent rows-only
+    waiver lane).
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing

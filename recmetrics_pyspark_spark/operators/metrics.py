@@ -157,6 +157,7 @@ def long_tail_stats(
     df: DataFrame,
     col_item: str = "id_product",
     percentage: float | None = 0.5,
+    tie_buckets: int | None = None,
 ) -> DataFrame:
     """Popularity curve stats: per-item volume, rank, cumulative share.
 
@@ -176,28 +177,53 @@ def long_tail_stats(
     partitioned BY volume — a distributed hash-partitioned window, not
     a single-task global sort. Residual bound: the largest tie-group
     (typically the volume=1 tail, a constant fraction of the catalog)
-    ranks inside one task; its j is an arbitrary id tie-break, so a
-    1e9-item catalog can salt that group by hash(id) buckets with
-    bucket-grain offsets — same trick one level down. Exact integers
-    throughout; ties broken by item id for determinism.
+    ranks inside one task with the default ``tie_buckets=None``.
+    ``tie_buckets=B`` applies the same trick one level down: items
+    salt into B md5 buckets and the offsets window runs on the
+    (volume, bucket) grain, so the largest single-task sort shrinks
+    by ~B×. Within a tie group every rank position carries the same
+    cumulative value, so the CURVE — the (item_rank,
+    cumulative_volume, pct) point set — is IDENTICAL under any
+    tie_buckets; only which tied item gets which tied rank changes
+    (ties break by (bucket, id) instead of (id); property-pinned in
+    tests/test_round7_ops.py). Exact integers throughout.
     """
     _require_cols(df, "long_tail_stats", col_item)
     vol = df.groupBy(col_item).agg(F.count(F.lit(1)).alias("volume"))
     total = vol.agg(F.sum("volume").cast("double").alias("total_volume"))
-    grp = vol.groupBy("volume").agg(F.count(F.lit(1)).alias("k"))
-    wg = Window.orderBy(F.desc("volume")).rowsBetween(
+    if tie_buckets is not None:
+        # deterministic md5 bucket (the domain_cap_sample hash rule:
+        # 15 hex digits → bigint, engine-portable)
+        vol = vol.withColumn(
+            "tb",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col(col_item).cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % tie_buckets
+            ).cast("int"),
+        )
+    else:
+        vol = vol.withColumn("tb", F.lit(0))
+    grp = vol.groupBy("volume", "tb").agg(F.count(F.lit(1)).alias("k"))
+    wg = Window.orderBy(F.desc("volume"), F.asc("tb")).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = grp.select(
         "volume",
+        "tb",
         F.coalesce(F.sum("k").over(wg), F.lit(0)).alias("rank_off"),
         F.coalesce(
             F.sum(F.col("k") * F.col("volume")).over(wg), F.lit(0)
         ).alias("vol_off"),
     )
-    wt = Window.partitionBy("volume").orderBy(F.asc(col_item))
+    wt = Window.partitionBy("volume", "tb").orderBy(F.asc(col_item))
     out = (
-        vol.join(broadcast(offs), "volume")
+        vol.join(broadcast(offs), ["volume", "tb"])
         .crossJoin(broadcast(total))
         .withColumn("j", F.row_number().over(wt))
         .select(

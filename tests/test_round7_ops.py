@@ -106,3 +106,39 @@ def test_equi_width_bin_null_and_degenerate_slots(spark):
     )
     with pytest.raises(ValueError, match="n_bins >= 3"):
         psi_drift(ev, n_bins=2)
+
+
+def test_long_tail_tie_buckets_preserves_curve(spark):
+    """tie_buckets salts the tie-group ranking (the ~B× single-task
+    shrink for the volume=1 tail at catalog scale) without changing
+    the curve: the (rank, cumulative, pct) point set and each item's
+    volume are invariant — only which tied item holds which tied rank
+    may differ."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from recmetrics_pyspark_spark.operators.metrics import long_tail_stats
+
+    rows = [(u,) for u in [1] * 6 + [2] * 6 + [3] * 3 + [4, 5, 6, 7]]
+    df = spark.createDataFrame(rows, ["id_product"])
+    base = long_tail_stats(df).collect()
+    salted = long_tail_stats(df, tie_buckets=4).collect()
+
+    def curve(rs):
+        return sorted(
+            (r.item_rank, r.cumulative_volume, r.pct_cumulative, r.bucket)
+            for r in rs
+        )
+
+    assert curve(base) == curve(salted)
+    # each item keeps its own volume (identity never crosses groups)
+    vb = {r.id_product: r.volume for r in base}
+    vs = {r.id_product: r.volume for r in salted}
+    assert vb == vs
+    # within a tie group the rank RANGE is the same set of integers
+    def ranks_by_vol(rs):
+        out = {}
+        for r in rs:
+            out.setdefault(r.volume, set()).add(r.item_rank)
+        return out
+
+    assert ranks_by_vol(base) == ranks_by_vol(salted)

@@ -3517,6 +3517,18 @@ def _domain_neardup_rates(spark, sf_dir):
     )
 
 
+def _gopher_quality_flags(spark, sf_dir):
+    """Gopher-rules quality gate over documents (functions/text.py::
+    gopher_quality_flags, Rae et al. 2021 A1.1): per-rule booleans +
+    the composite keep decision — the standard CommonCrawl pre-filter
+    as a tunable flag table."""
+    from recmetrics_pyspark_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-7 window (`_ROUND7_WINDOW`
@@ -3558,8 +3570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ~3e9-item tie groups; oracle mirrored). End-of-round full-surface
     check at final code: ``scripts/driver_check.py --all`` at sf0.01,
     vanilla session — 243 passed / 0 failed / 1 no-oracle (the
-    documented media_features waiver) of 244. Still r1-vintage and
-    worth rotating in next round: q_sql_surface,
+    documented media_features waiver) of 244. Post-window round-7
+    additions (window already full; each verified at sf0.001/0.01/0.1
+    on arrival via scripts/driver_check.py): gopher_quality_flags.
+    Still r1-vintage and worth rotating in next round: q_sql_surface,
     q_string_funcs_parts, q_top_parts_per_brand, q_top_tokens,
     q_winsorized_stats (plus media_features, the permanent rows-only
     waiver lane).
@@ -3835,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 additions (URL identity + domain×dedup compose)
         "canonical_url_dups": _canonical_url_dups,
         "domain_neardup_rates": _domain_neardup_rates,
+        "gopher_quality_flags": _gopher_quality_flags,
     }
     ordered = {k: base[k] for k in _ROUND7_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -8072,6 +8087,73 @@ SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
 FROM canon GROUP BY canonical_url HAVING count(*) >= 2
 """,
         "domain_neardup_rates": _domain_neardup_oracle(),
+        # mirrors functions/text.py::gopher_quality_flags step by step
+        # (same splits, same integer counts, one double division per
+        # ratio, coalesce(cond, false) rule booleans)
+        "gopher_quality_flags": """
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, ' '), x -> x <> '') AS words,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+         AS BIGINT) AS word_chars,
+    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+    CAST((len(text) - len(replace(text, '...', ''))) // 3
+         AS BIGINT) AS n_ellipsis,
+    CAST(len(list_filter(lines,
+      x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))
+         AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(lines, x -> x LIKE '%...'))
+         AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+      ['the','be','to','of','and','that','have','with']))
+         AS BIGINT) AS n_stop
+  FROM w
+), r AS (
+  SELECT doc_id, n_words,
+    word_chars / CAST(nullif(n_words, 0) AS DOUBLE) AS mean_wl,
+    (n_hash + n_ellipsis) / CAST(nullif(n_words, 0) AS DOUBLE)
+      AS symbol_ratio,
+    n_bullet_lines / CAST(nullif(n_lines, 0) AS DOUBLE) AS bullet_frac,
+    n_ellipsis_lines / CAST(nullif(n_lines, 0) AS DOUBLE)
+      AS ellipsis_frac,
+    n_alpha_words / CAST(nullif(n_words, 0) AS DOUBLE) AS alpha_frac,
+    n_stop
+  FROM c
+), f AS (
+  SELECT doc_id, n_words, mean_wl, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_stop,
+    coalesce(n_words >= 50 AND n_words <= 100000, false) AS r_words,
+    coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0, false) AS r_wlen,
+    coalesce(symbol_ratio <= 0.1, false) AS r_symbol,
+    coalesce(bullet_frac <= 0.9, false) AS r_bullet,
+    coalesce(ellipsis_frac <= 0.3, false) AS r_ellipsis,
+    coalesce(alpha_frac >= 0.8, false) AS r_alpha,
+    coalesce(n_stop >= 2, false) AS r_stop
+  FROM r
+)
+SELECT doc_id, n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_line_frac,
+  round(ellipsis_frac, 6) AS ellipsis_line_frac,
+  round(alpha_frac, 6) AS alpha_word_frac,
+  n_stop AS n_stopwords_present,
+  r_words AS ok_word_count, r_wlen AS ok_mean_word_len,
+  r_symbol AS ok_symbol_ratio, r_bullet AS ok_bullet_lines,
+  r_ellipsis AS ok_ellipsis_lines, r_alpha AS ok_alpha_words,
+  r_stop AS ok_stopwords,
+  (r_words AND r_wlen AND r_symbol AND r_bullet AND r_ellipsis
+   AND r_alpha AND r_stop) AS keep
+FROM f
+""",
         "peak_concurrency": """
 WITH s AS (
   SELECT user_id AS u, ts,

@@ -1071,3 +1071,126 @@ def corpus_entropy_rates(
             (F.col("h_bi_dec") - F.col("h_uni_dec")).cast("double"), 6
         ).alias("h_cond"),
     )
+
+
+# The Gopher-rules stopword witness set (Rae et al. 2021, table A1):
+# a document passing the "natural language" bar must contain at least
+# ``min_stopwords`` distinct members.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality gate (Rae et al. 2021 §A1.1 — the standard
+    CommonCrawl pre-filter) as per-document rule FLAGS plus the
+    composite ``keep`` decision: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio ('#' chars and '...' runs), bullet /
+    ellipsis line fractions, alphabetic-word fraction, and a distinct-
+    stopword witness count. Emitting every rule's boolean (not just
+    the verdict) is what makes the gate tunable: a data card reports
+    per-rule kill rates, and threshold changes re-filter from the
+    flags without re-scanning the corpus.
+
+    Scale: pure scan-side projection — one split per axis (words,
+    lines) reused across rules via short per-row lambdas (documents
+    are KB-scale; the interpreted higher-order functions are noise
+    next to the scan), zero shuffles, output row-per-doc. Ratios are
+    single divisions of exact integer counts, so the rule booleans
+    are bit-identical in any IEEE engine; try_divide + coalesce(false)
+    keep empty/whitespace documents as loud all-false rows instead of
+    ANSI crashes. Mirrored step for step in the DuckDB oracle."""
+    words = F.filter(
+        F.split(F.col(col_text), " "), lambda x: x != ""
+    )
+    lines = F.split(F.col(col_text), "\n")
+    n_words = F.size(words).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = (
+        F.length(col_text)
+        - F.length(F.replace(F.col(col_text), F.lit("#"), F.lit("")))
+    ).cast("bigint")
+    n_ellipsis = (
+        (
+            F.length(col_text)
+            - F.length(
+                F.replace(F.col(col_text), F.lit("..."), F.lit(""))
+            )
+        )
+        / 3
+    ).cast("bigint")
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-")
+            | x.startswith("*")
+            | x.startswith("•"),
+        )
+    ).cast("bigint")
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.endswith("..."))
+    ).cast("bigint")
+    n_alpha_words = F.size(
+        F.filter(words, lambda x: x.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+
+    mean_wl = F.try_divide(word_chars, n_words)
+    symbol_ratio = F.try_divide(n_hash + n_ellipsis, n_words)
+    bullet_frac = F.try_divide(n_bullet_lines, n_lines)
+    ellipsis_frac = F.try_divide(n_ellipsis_lines, n_lines)
+    alpha_frac = F.try_divide(n_alpha_words, n_words)
+
+    def ok(cond):
+        return F.coalesce(cond, F.lit(False))
+
+    r_words = ok((n_words >= min_words) & (n_words <= max_words))
+    r_wlen = ok(
+        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    )
+    r_symbol = ok(symbol_ratio <= max_symbol_ratio)
+    r_bullet = ok(bullet_frac <= max_bullet_frac)
+    r_ellipsis = ok(ellipsis_frac <= max_ellipsis_frac)
+    r_alpha = ok(alpha_frac >= min_alpha_frac)
+    r_stop = ok(n_stop >= min_stopwords)
+
+    return df.select(
+        F.col(col_id),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords_present"),
+        r_words.alias("ok_word_count"),
+        r_wlen.alias("ok_mean_word_len"),
+        r_symbol.alias("ok_symbol_ratio"),
+        r_bullet.alias("ok_bullet_lines"),
+        r_ellipsis.alias("ok_ellipsis_lines"),
+        r_alpha.alias("ok_alpha_words"),
+        r_stop.alias("ok_stopwords"),
+        (
+            r_words & r_wlen & r_symbol & r_bullet & r_ellipsis
+            & r_alpha & r_stop
+        ).alias("keep"),
+    )

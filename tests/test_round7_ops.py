@@ -142,3 +142,41 @@ def test_long_tail_tie_buckets_preserves_curve(spark):
         return out
 
     assert ranks_by_vol(base) == ranks_by_vol(salted)
+
+
+def test_gopher_quality_flags_hand_cases(spark):
+    """Rae et al. 2021 A1.1 rules, hand-computed per rule."""
+    from recmetrics_pyspark_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    rows = [
+        (1, " ".join(["the", "of", "and"] * 20)),  # wlen 2.67 fails
+        (2, " ".join(["table"] * 55) + " the of"),  # passes everything
+        (3, "- b\n- b\nreal text line..."),  # bullet/ellipsis lines
+        (4, ""),  # empty: all-false, no crash
+        (5, "### #### " + " ".join(["word"] * 60)),  # symbol ratio
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+
+    assert out[2].keep and out[2].n_words == 57
+    assert abs(out[2].mean_word_len - round(280 / 57, 6)) < 1e-9
+
+    assert not out[1].keep and not out[1].ok_mean_word_len
+    assert out[1].ok_word_count and out[1].ok_stopwords  # 3 distinct
+
+    r3 = out[3]
+    assert not r3.ok_word_count  # 7 words < 50
+    assert r3.bullet_line_frac == round(2 / 3, 6)
+    assert r3.ellipsis_line_frac == round(1 / 3, 6)
+    assert not r3.ok_ellipsis_lines  # 0.333 > 0.3
+    assert r3.ok_bullet_lines  # 0.667 <= 0.9
+
+    r4 = out[4]
+    assert r4.n_words == 0 and not r4.keep
+    assert r4.mean_word_len is None  # undefined, not crashed
+
+    r5 = out[5]
+    assert not r5.ok_symbol_ratio  # 7 '#' / 62 words > 0.1
+    assert r5.ok_word_count and r5.ok_alpha_words

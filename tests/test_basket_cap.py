@@ -195,3 +195,53 @@ def test_url_canonicalize_replay_and_idempotent(spark, urls):
         ).collect()
     ]
     assert twice == once
+
+
+def test_cap_cut_matches_duckdb_mirror_when_live(spark):
+    """The oracle mirrors the cap as a row_number() ORDER BY item_id
+    cut while Spark slices the sorted basket array. At driver SFs the
+    cap never binds, so parity alone can't prove the two cuts agree —
+    this runs BOTH engines on a corpus where the cap bites (a hot
+    user over the cap) and compares the full pair tables."""
+    import duckdb
+
+    from recmetrics_pyspark_spark.operators.metrics import (
+        item_cooccurrence_pairs,
+    )
+
+    rows = [(u, i) for u in (1, 2) for i in range(u, u + 4)]
+    rows += [(9, i) for i in range(100, 120)]  # hot: 20 items, cap 5
+    df = spark.createDataFrame(rows, ["person", "product"])
+    got, _ = item_cooccurrence_pairs(df, min_common=1, max_basket=5)
+    got = sorted(map(tuple, got.select("ia", "ib", "n_common").collect()))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE upairs AS SELECT * FROM (VALUES "
+        + ",".join(f"({u},{i})" for u, i in rows)
+        + ") t(user_id, item_id)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH bcapped AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+      row_number() OVER (PARTITION BY user_id ORDER BY item_id) AS brk
+    FROM upairs) t
+  WHERE brk <= 5
+)
+SELECT a.item_id AS ia, b.item_id AS ib, count(*) AS n_common
+FROM bcapped a JOIN bcapped b ON a.user_id = b.user_id
+  AND a.item_id < b.item_id
+GROUP BY a.item_id, b.item_id
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # and the cut actually bit: the hot user contributes C(5,2)=10
+    hot = [p for p in got if p[0] >= 100]
+    assert len(hot) == 10

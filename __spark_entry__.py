@@ -3569,8 +3569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL(38,0) with a parity-branch triangular (BIGINT overflow at
     ~3e9-item tie groups; oracle mirrored). End-of-round full-surface
     check at final code: ``scripts/driver_check.py --all`` at sf0.01,
-    vanilla session — 243 passed / 0 failed / 1 no-oracle (the
-    documented media_features waiver) of 244. Post-window round-7
+    vanilla session — 244 passed / 0 failed / 1 no-oracle (the
+    documented media_features waiver) of 245, re-run after the last
+    round-7 addition (gopher_quality_flags) and the salted long-tail
+    variant landed. Post-window round-7
     additions (window already full; each verified at sf0.001/0.01/0.1
     on arrival via scripts/driver_check.py): gopher_quality_flags.
     Still r1-vintage and worth rotating in next round: q_sql_surface,

@@ -132,11 +132,19 @@ def _multi_run(n_runs: int) -> None:
         "protocol": protocol,
         "run_totals": [r["value"] for r in runs],
     }
-    out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    # Parent honors SPARK_GRAFT_BENCH_OUT exactly like single-run mode
+    # (the children were pointed at their own temp files above, so the
+    # inherited value is free for the parent to consume); the median
+    # payload is ALSO written to the tracked BENCH_MEDIAN.json so
+    # round-over-round comparisons diff a committed file, not prose.
+    payload_line = json.dumps(payload) + "\n"
+    with open(_bench_local_path(), "w") as fh:
+        fh.write(payload_line)
+    median_out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_MEDIAN.json"
     )
-    with open(out, "w") as fh:
-        fh.write(json.dumps(payload) + "\n")
+    with open(median_out, "w") as fh:
+        fh.write(payload_line)
     _emit_compact(total, runs[0]["sf"], med, {
         "protocol": protocol, "run_totals": payload["run_totals"],
     })

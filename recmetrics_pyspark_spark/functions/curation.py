@@ -1244,10 +1244,13 @@ _URL_SCHEME_PATTERN = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 
 # Query parameters that carry tracking provenance, not content
 # identity — the standard CommonCrawl-style canonicalization drop
-# list. (=|$) so bare flags ('utm_source') match too.
+# list. (=|$) so bare flags ('utm_source') match too. (?i) because
+# url_canonicalize lowercases only scheme and host — param names keep
+# their case, and 'UTM_SOURCE=x' / 'Gclid=9' refetch variants must
+# collapse too (same flag semantics in Java regex and DuckDB RE2).
 TRACKING_PARAM_PATTERN = (
-    "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src"
-    "|spm)(=|$)"
+    "(?i)^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid|ref"
+    "|ref_src|spm)(=|$)"
 )
 
 

@@ -121,7 +121,8 @@ _url_strategy = st.builds(
     slash=st.booleans(),
     params=st.lists(
         st.sampled_from(
-            ["a=1", "b=2", "utm_source=x", "gclid=9", "z", "ref=t"]
+            ["a=1", "b=2", "utm_source=x", "gclid=9", "z", "ref=t",
+             "UTM_SOURCE=y", "Gclid=8", "REF"]
         ),
         max_size=4,
         unique=True,
@@ -158,7 +159,8 @@ def _py_canonicalize(url: str) -> str:
     path = re.sub(r"/+$", "", g[2])
     track = re.compile(
         r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid|ref"
-        r"|ref_src|spm)(=|$)"
+        r"|ref_src|spm)(=|$)",
+        re.IGNORECASE,
     )
     params = sorted(
         x for x in g[3].split("&") if x != "" and not track.match(x)

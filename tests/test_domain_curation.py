@@ -166,6 +166,9 @@ def test_url_canonicalize_cases(spark):
         "https://site.co.uk/": "https://site.co.uk",
         "http://h.io:8080/x?utm_campaign": "http://h.io:8080/x",
         "https://a.io/x?gclid=1&fbclid=2&ref=z": "https://a.io/x",
+        # param names keep their case outside host/scheme, so the drop
+        # list must be case-insensitive (ADVICE r7)
+        "https://a.io/x?UTM_SOURCE=1&Gclid=9&REF": "https://a.io/x",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["url"])
     got = [

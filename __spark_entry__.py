@@ -52,11 +52,15 @@ ORACLE_BASE = """WITH interactions AS (
 )"""
 
 
-# Heavy-basket cap (mirrors item_cooccurrence_pairs(max_basket=1000)):
-# pair GENERATION reads each user's MAX_BASKET smallest item ids
-# (row_number cut == Spark's slice(sort_array(items), 1, cap)); item
-# sizes stay uncapped on both sides. Inert on TPC-H-ish baskets
-# (≤ ~40 items/user), live against an adversarial hot user.
+# Heavy-basket cap. The operator default is None (exact co-occurrence,
+# the reference's semantics — ADVICE r7); every declared query here
+# OPTS IN by passing max_basket=MAX_BASKET explicitly (all consumers
+# must pass the same value so their canonicalized plans share the
+# session cache), and each oracle mirrors the cut: pair GENERATION
+# reads each user's MAX_BASKET smallest item ids (row_number cut ==
+# Spark's slice(sort_array(items), 1, cap)); item sizes stay uncapped
+# on both sides. Inert on TPC-H-ish baskets (≤ ~40 items/user), live
+# against an adversarial hot user.
 MAX_BASKET = 1000
 
 CAPPED_CTE = f"""bcapped AS (
@@ -561,13 +565,15 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.item_item_topk(
-        R.interactions(spark, sf_dir), col_user="user", col_item="item", k=5
+        R.interactions(spark, sf_dir), col_user="user", col_item="item",
+        k=5, max_basket=MAX_BASKET,
     )
 
 
 def _item_based_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.item_based_recommendations(
-        R.interactions(spark, sf_dir), col_user="user", col_item="item", k=10
+        R.interactions(spark, sf_dir), col_user="user", col_item="item",
+        k=10, max_basket=MAX_BASKET,
     )
 
 
@@ -1230,7 +1236,9 @@ def _adamic_adar_links(spark, sf_dir):
     from recmetrics_pyspark_spark.operators.graph import adamic_adar_links
 
     inter = R.interactions(spark, sf_dir)
-    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    pairs = M.item_similarity_pairs(
+        inter, "user", "item", min_common=2, max_basket=MAX_BASKET
+    )
     return adamic_adar_links(pairs, col_w="sim")
 
 
@@ -1245,7 +1253,9 @@ def _common_neighbor_links(spark, sf_dir):
     )
 
     inter = R.interactions(spark, sf_dir)
-    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    pairs = M.item_similarity_pairs(
+        inter, "user", "item", min_common=2, max_basket=MAX_BASKET
+    )
     return common_neighbor_links(pairs, col_w="sim")
 
 
@@ -1517,7 +1527,9 @@ def _pagerank_items(spark, sf_dir):
     # item_similarity_pairs is the persisted intermediate shared with
     # item_item_topk — same canonicalized plan, so a session that ran
     # the item queries reuses the cache and the graph build is free
-    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    pairs = M.item_similarity_pairs(
+        inter, "user", "item", min_common=2, max_basket=MAX_BASKET
+    )
     edges = pairs.select(
         F.col("ia").alias("src"), F.col("ib").alias("dst")
     ).unionByName(
@@ -2186,7 +2198,9 @@ def _association_rules(spark, sf_dir):
     """Market-basket 2-itemset rules (support/confidence/lift) over the
     shared co-occurrence pair tables
     (operators/recommend.py::association_rules)."""
-    return R.association_rules(R.interactions(spark, sf_dir))
+    return R.association_rules(
+        R.interactions(spark, sf_dir), max_basket=MAX_BASKET
+    )
 
 
 def _item_exposure(spark, sf_dir):
@@ -2226,8 +2240,12 @@ def _mmr_rerank(spark, sf_dir):
     Rides the persisted similarity table for both candidate scoring
     and the diversity penalty."""
     inter = R.interactions(spark, sf_dir)
-    cands = R.item_based_recommendations(inter, "user", "item", k=10)
-    sims = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    cands = R.item_based_recommendations(
+        inter, "user", "item", k=10, max_basket=MAX_BASKET
+    )
+    sims = M.item_similarity_pairs(
+        inter, "user", "item", min_common=2, max_basket=MAX_BASKET
+    )
     bidir = sims.unionByName(
         sims.select(
             F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim"
@@ -2799,7 +2817,9 @@ def _item_triangles(spark, sf_dir):
     from recmetrics_pyspark_spark.operators.graph import triangle_stats
 
     inter = R.interactions(spark, sf_dir)
-    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    pairs = M.item_similarity_pairs(
+        inter, "user", "item", min_common=2, max_basket=MAX_BASKET
+    )
     return triangle_stats(pairs, "ia", "ib")
 
 
@@ -3138,7 +3158,9 @@ def _kcore_items(spark, sf_dir):
     from recmetrics_pyspark_spark.operators.graph import k_core_decompose
 
     inter = R.interactions(spark, sf_dir)
-    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    pairs = M.item_similarity_pairs(
+        inter, "user", "item", min_common=2, max_basket=MAX_BASKET
+    )
     return k_core_decompose(pairs, k=3, rounds=8)
 
 
@@ -3234,7 +3256,9 @@ def _degree_distribution(spark, sf_dir):
     )
 
     inter = R.interactions(spark, sf_dir)
-    pairs = M.item_similarity_pairs(inter, "user", "item", min_common=2)
+    pairs = M.item_similarity_pairs(
+        inter, "user", "item", min_common=2, max_basket=MAX_BASKET
+    )
     return degree_distribution(pairs)
 
 

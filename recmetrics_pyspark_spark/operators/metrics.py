@@ -348,7 +348,7 @@ def item_cooccurrence_pairs(
     col_user: str = "person",
     col_item: str = "product",
     min_common: int = 2,
-    max_basket: int | None = 1000,
+    max_basket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared pair pipeline behind item_item_topk and pagerank_items:
     returns (pairs, sizes) where pairs = (ia, ib, n_common) with
@@ -360,20 +360,24 @@ def item_cooccurrence_pairs(
     codegen'd double explode (x < y) and counted on a packed BIGINT
     key — see item_item_topk's docstring for the measured numbers.
 
-    ``max_basket`` is the heavy-basket cap — per-user pair count is
-    QUADRATIC in basket size, so one bot/crawler user with a 1e5-item
-    basket would contribute 5e9 pairs from a single row at 100 TB.
-    The cap slices each basket to its ``max_basket`` smallest item
-    ids (``slice(sort_array(items), 1, cap)`` — a deterministic,
+    ``max_basket`` is the OPT-IN heavy-basket cap — per-user pair
+    count is QUADRATIC in basket size, so one bot/crawler user with a
+    1e5-item basket would contribute 5e9 pairs from a single row at
+    100 TB. The cap slices each basket to its ``max_basket`` smallest
+    item ids (``slice(sort_array(items), 1, cap)`` — a deterministic,
     oracle-mirrorable cut; a projection over the cached basket table,
     no extra shuffle) BEFORE the double explode, bounding any user's
     contribution at C(cap, 2) pairs. Capped pairs are a subset of the
     uncapped pairs with per-pair support ≤ the uncapped support
     (property-tested in tests/test_basket_cap.py). ``sizes`` stays
     UNCAPPED: item popularity |users(i)| is linear-cost and exact —
-    only the quadratic pair emission needs bounding. ``None`` disables
-    the cap; the default (1000) is inert on TPC-H-ish baskets (≤ ~40
-    items/user at any SF) and bounds the adversarial tail."""
+    only the quadratic pair emission needs bounding. The DEFAULT is
+    ``None`` — exact co-occurrence, the reference's semantics — so a
+    caller on real power-user data never gets silently truncated
+    counts; production pipelines opt in (1000 is inert on TPC-H-ish
+    baskets, ≤ ~40 items/user at any SF, and bounds the adversarial
+    tail — the value every declared engine query passes explicitly,
+    mirrored by its oracle's ``bcapped`` cut)."""
     item_type = dict(df.dtypes)[col_item]
     blists = user_baskets(df, col_user, col_item)
     sizes = blists.select(F.explode("items").alias("i")).groupBy("i").agg(
@@ -428,17 +432,17 @@ def item_similarity_pairs(
     col_user: str = "person",
     col_item: str = "product",
     min_common: int = 2,
-    max_basket: int | None = 1000,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """All co-occurrence pairs (ia < ib) with their cosine similarity —
     the persisted intermediate behind item_item_topk, exposed so graph
     consumers (pagerank_items) build the IDENTICAL canonicalized plan
     and hit the session cache instead of re-running the pair pipeline.
     Persisted and materialized before return: every caller fans out to
-    at least two consumers. ``max_basket`` is the heavy-basket cap
-    (see item_cooccurrence_pairs) — keep it at the shared default so
-    sibling consumers build the same canonical plan and share the
-    cache."""
+    at least two consumers. ``max_basket`` is the opt-in heavy-basket
+    cap (default None = exact; see item_cooccurrence_pairs) — sibling
+    consumers must pass the SAME value to build the same canonical
+    plan and share the cache."""
     counts, sizes = item_cooccurrence_pairs(
         df, col_user, col_item, min_common, max_basket
     )
@@ -471,7 +475,7 @@ def item_item_topk(
     col_item: str = "product",
     k: int = 5,
     min_common: int = 2,
-    max_basket: int | None = 1000,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Top-k most-similar items per item by co-occurrence cosine — the
     transpose of ``personalization``'s plan: binary item vectors over
@@ -498,8 +502,8 @@ def item_item_topk(
     overflows loudly, not silently, if that's ever violated.
 
     Per-user pair generation is quadratic in basket size —
-    ``max_basket`` (default 1000) IS the heavy-basket cap:
-    ``slice(sort_array(items), 1, max_basket)`` before the double
+    ``max_basket`` (opt-in, default None = exact) IS the heavy-basket
+    cap: ``slice(sort_array(items), 1, max_basket)`` before the double
     explode bounds any user's contribution at C(cap, 2) pairs (power
     users contribute little signal per pair and all of the skew; see
     item_cooccurrence_pairs for the subset/support laws, property-

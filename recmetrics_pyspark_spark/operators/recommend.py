@@ -121,7 +121,7 @@ def item_based_recommendations(
     k: int = 10,
     n_neighbors: int = 5,
     min_common: int = 2,
-    max_basket: int | None = 1000,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Training-free item-based collaborative recommender: score each
     candidate item by the summed similarity of its top-``n_neighbors``
@@ -338,7 +338,7 @@ def association_rules(
     min_common: int = 2,
     min_confidence: float = 0.0,
     top_k: int = 50,
-    max_basket: int | None = 1000,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Pairwise association rules A→B over co-purchase baskets:
 

@@ -81,20 +81,22 @@ def test_cap_subset_support_and_replay(spark, rows, cap):
     assert sc == su
 
 
-def test_default_cap_inert_on_small_baskets(spark):
-    """The default (1000) must not change results on sane baskets —
-    the driver-parity guarantee for every riding query at test SF."""
+def test_default_is_exact_uncapped(spark):
+    """The DEFAULT is exact reference semantics — no silent truncation
+    (ADVICE r7): a basket larger than the old implicit 1000 cap emits
+    every C(n, 2) pair unless a caller opts in to max_basket."""
     from recmetrics_pyspark_spark.operators.metrics import (
         item_cooccurrence_pairs,
     )
 
-    rows = [(u, i) for u in range(1, 5) for i in range(u, u + 7)]
+    n = 1005
+    rows = [(1, i) for i in range(n)] + [(2, 3), (2, 4)]
     df = spark.createDataFrame(rows, ["person", "product"])
     dflt, _ = item_cooccurrence_pairs(df, min_common=1)
-    off, _ = item_cooccurrence_pairs(df, min_common=1, max_basket=None)
-    assert sorted(map(tuple, dflt.collect())) == sorted(
-        map(tuple, off.collect())
-    )
+    # C(1005, 2) > C(1000, 2): the default did not slice the basket
+    assert dflt.count() == n * (n - 1) // 2
+    capped, _ = item_cooccurrence_pairs(df, min_common=1, max_basket=1000)
+    assert capped.count() == 1000 * 999 // 2
 
 
 # --- url_canonicalize laws (round 7) ---------------------------------

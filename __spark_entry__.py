@@ -8114,16 +8114,45 @@ FROM canon GROUP BY canonical_url HAVING count(*) >= 2
 """,
         "domain_neardup_rates": _domain_neardup_oracle(),
         # mirrors functions/text.py::gopher_quality_flags step by step
-        # (same splits, same integer counts, one double division per
-        # ratio, coalesce(cond, false) rule booleans)
+        # (same whitespace-class word split, same integer counts, one
+        # double division per ratio, coalesce(cond, false) rule
+        # booleans; repetition axes: same non-empty-segment dup counts
+        # and the same (count, gram-chars) top-n-gram tie rule)
         "gopher_quality_flags": """
 WITH w AS (
   SELECT doc_id, text,
-    list_filter(string_split(text, ' '), x -> x <> '') AS words,
-    string_split(text, chr(10)) AS lines
+    list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                x -> x <> '') AS words,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), x -> x <> '')
+      AS lines_ne,
+    list_filter(regexp_split_to_array(text, '\n\n+'), x -> x <> '')
+      AS paras_ne
   FROM documents
-), c AS (
+), ngx AS (
+  SELECT doc_id, n, g, count(*) AS c FROM (
+    SELECT w.doc_id, tn.n AS n,
+      unnest(list_transform(
+        CASE WHEN len(words) >= tn.n
+             THEN generate_series(1, len(words) - tn.n + 1)
+             ELSE CAST([] AS BIGINT[]) END,
+        p -> array_to_string(
+               list_slice(words, p, p + tn.n - 1), ' '))) AS g
+    FROM w, (VALUES (2), (3), (4)) tn(n)) t
+  GROUP BY doc_id, n, g
+), ngbest AS (
+  SELECT doc_id, n, c, CAST(len(g) AS BIGINT) AS l,
+    row_number() OVER (PARTITION BY doc_id, n
+                       ORDER BY c DESC, len(g) DESC, g) AS rn
+  FROM ngx
+), rep AS (
   SELECT doc_id,
+    coalesce(max(CASE WHEN n = 2 THEN c * l END), 0) AS t2,
+    coalesce(max(CASE WHEN n = 3 THEN c * l END), 0) AS t3,
+    coalesce(max(CASE WHEN n = 4 THEN c * l END), 0) AS t4
+  FROM ngbest WHERE rn = 1 GROUP BY doc_id
+), c AS (
+  SELECT w.doc_id,
     CAST(len(words) AS BIGINT) AS n_words,
     CAST(len(lines) AS BIGINT) AS n_lines,
     CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
@@ -8140,8 +8169,18 @@ WITH w AS (
          AS BIGINT) AS n_alpha_words,
     CAST(len(list_intersect(list_transform(words, x -> lower(x)),
       ['the','be','to','of','and','that','have','with']))
-         AS BIGINT) AS n_stop
-  FROM w
+         AS BIGINT) AS n_stop,
+    CAST(len(lines_ne) AS BIGINT) AS n_lines_ne,
+    CAST(len(lines_ne) - len(list_distinct(lines_ne)) AS BIGINT)
+      AS n_dup_lines,
+    CAST(len(paras_ne) AS BIGINT) AS n_paras_ne,
+    CAST(len(paras_ne) - len(list_distinct(paras_ne)) AS BIGINT)
+      AS n_dup_paras,
+    CAST(len(text) AS BIGINT) AS n_chars,
+    coalesce(rep.t2, 0) AS t2,
+    coalesce(rep.t3, 0) AS t3,
+    coalesce(rep.t4, 0) AS t4
+  FROM w LEFT JOIN rep ON w.doc_id = rep.doc_id
 ), r AS (
   SELECT doc_id, n_words,
     word_chars / CAST(nullif(n_words, 0) AS DOUBLE) AS mean_wl,
@@ -8151,18 +8190,31 @@ WITH w AS (
     n_ellipsis_lines / CAST(nullif(n_lines, 0) AS DOUBLE)
       AS ellipsis_frac,
     n_alpha_words / CAST(nullif(n_words, 0) AS DOUBLE) AS alpha_frac,
-    n_stop
+    n_stop,
+    n_dup_lines / CAST(nullif(n_lines_ne, 0) AS DOUBLE)
+      AS dup_line_frac,
+    n_dup_paras / CAST(nullif(n_paras_ne, 0) AS DOUBLE)
+      AS dup_para_frac,
+    t2 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top2_frac,
+    t3 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top3_frac,
+    t4 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top4_frac
   FROM c
 ), f AS (
   SELECT doc_id, n_words, mean_wl, symbol_ratio, bullet_frac,
-    ellipsis_frac, alpha_frac, n_stop,
+    ellipsis_frac, alpha_frac, n_stop, dup_line_frac, dup_para_frac,
+    top2_frac, top3_frac, top4_frac,
     coalesce(n_words >= 50 AND n_words <= 100000, false) AS r_words,
     coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0, false) AS r_wlen,
     coalesce(symbol_ratio <= 0.1, false) AS r_symbol,
     coalesce(bullet_frac <= 0.9, false) AS r_bullet,
     coalesce(ellipsis_frac <= 0.3, false) AS r_ellipsis,
     coalesce(alpha_frac >= 0.8, false) AS r_alpha,
-    coalesce(n_stop >= 2, false) AS r_stop
+    coalesce(n_stop >= 2, false) AS r_stop,
+    coalesce(dup_line_frac <= 0.3, false) AS r_dup_line,
+    coalesce(dup_para_frac <= 0.3, false) AS r_dup_para,
+    coalesce(top2_frac <= 0.20, false) AS r_top2,
+    coalesce(top3_frac <= 0.18, false) AS r_top3,
+    coalesce(top4_frac <= 0.16, false) AS r_top4
   FROM r
 )
 SELECT doc_id, n_words,
@@ -8172,12 +8224,21 @@ SELECT doc_id, n_words,
   round(ellipsis_frac, 6) AS ellipsis_line_frac,
   round(alpha_frac, 6) AS alpha_word_frac,
   n_stop AS n_stopwords_present,
+  round(dup_line_frac, 6) AS dup_line_frac,
+  round(dup_para_frac, 6) AS dup_para_frac,
+  round(top2_frac, 6) AS top_2gram_char_frac,
+  round(top3_frac, 6) AS top_3gram_char_frac,
+  round(top4_frac, 6) AS top_4gram_char_frac,
   r_words AS ok_word_count, r_wlen AS ok_mean_word_len,
   r_symbol AS ok_symbol_ratio, r_bullet AS ok_bullet_lines,
   r_ellipsis AS ok_ellipsis_lines, r_alpha AS ok_alpha_words,
   r_stop AS ok_stopwords,
+  r_dup_line AS ok_dup_lines, r_dup_para AS ok_dup_paras,
+  r_top2 AS ok_top_2gram, r_top3 AS ok_top_3gram,
+  r_top4 AS ok_top_4gram,
   (r_words AND r_wlen AND r_symbol AND r_bullet AND r_ellipsis
-   AND r_alpha AND r_stop) AS keep
+   AND r_alpha AND r_stop AND r_dup_line AND r_dup_para
+   AND r_top2 AND r_top3 AND r_top4) AS keep
 FROM f
 """,
         "peak_concurrency": """

@@ -1092,27 +1092,49 @@ def gopher_quality_flags(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_para_frac: float = 0.3,
+    max_top_2gram_frac: float = 0.20,
+    max_top_3gram_frac: float = 0.18,
+    max_top_4gram_frac: float = 0.16,
 ) -> DataFrame:
     """The Gopher quality gate (Rae et al. 2021 §A1.1 — the standard
     CommonCrawl pre-filter) as per-document rule FLAGS plus the
-    composite ``keep`` decision: word-count bounds, mean-word-length
-    bounds, symbol-to-word ratio ('#' chars and '...' runs), bullet /
-    ellipsis line fractions, alphabetic-word fraction, and a distinct-
-    stopword witness count. Emitting every rule's boolean (not just
-    the verdict) is what makes the gate tunable: a data card reports
-    per-rule kill rates, and threshold changes re-filter from the
-    flags without re-scanning the corpus.
+    composite ``keep`` decision. Quality axes: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio ('#' chars and '...'
+    runs), bullet / ellipsis line fractions, alphabetic-word fraction,
+    and a distinct-stopword witness count. Repetition axes (the
+    section's other half): duplicate-line and duplicate-paragraph
+    fractions (occurrences beyond the first, over NON-EMPTY segments —
+    blank separators are structure, not content) and the top word
+    n-gram character fraction for n = 2, 3, 4 (chars of the most
+    frequent n-gram × its count over total chars; ties break toward
+    the higher count then the longer n-gram, which pins the statistic
+    without pinning an arbitrary winner). Emitting every rule's
+    boolean (not just the verdict) is what makes the gate tunable: a
+    data card reports per-rule kill rates, and threshold changes
+    re-filter from the flags without re-scanning the corpus.
 
-    Scale: pure scan-side projection — one split per axis (words,
-    lines) reused across rules via short per-row lambdas (documents
-    are KB-scale; the interpreted higher-order functions are noise
-    next to the scan), zero shuffles, output row-per-doc. Ratios are
-    single divisions of exact integer counts, so the rule booleans
-    are bit-identical in any IEEE engine; try_divide + coalesce(false)
-    keep empty/whitespace documents as loud all-false rows instead of
-    ANSI crashes. Mirrored step for step in the DuckDB oracle."""
+    Words split on a whitespace CLASS ([ \\t\\n\\r]+), not a literal
+    space — one-word-per-line prose must count every word (Gopher's
+    rules are whitespace-split; ADVICE r7).
+
+    Scale: the quality axes and the duplicate-segment fractions are
+    scan-side projections — one split per axis reused across rules via
+    short per-row lambdas (documents are KB-scale; interpreted
+    higher-order functions are noise next to the scan). The top-n-gram
+    axes add ONE token-scale explode → (doc, n, gram) count →
+    doc-grain max, joined back on the document key: token-scale rows,
+    doc-grain shuffles, output row-per-doc — the same grain discipline
+    as every text operator here. Ratios are single divisions of exact
+    integer counts, so the rule booleans are bit-identical in any IEEE
+    engine; try_divide + coalesce(false) keep empty/whitespace
+    documents as loud all-false rows instead of ANSI crashes (their
+    top-n-gram fractions are 0 over a nonzero char count, so only
+    zero-char documents null out). Mirrored step for step in the
+    DuckDB oracle."""
     words = F.filter(
-        F.split(F.col(col_text), " "), lambda x: x != ""
+        F.split(F.col(col_text), "[ \\t\\n\\r]+"), lambda x: x != ""
     )
     lines = F.split(F.col(col_text), "\n")
     n_words = F.size(words).cast("bigint")
@@ -1154,6 +1176,74 @@ def gopher_quality_flags(
         )
     ).cast("bigint")
 
+    # repetition axes over NON-EMPTY segments: duplicates = occurrences
+    # beyond the first, i.e. n - n_distinct (exact integers, one
+    # division each)
+    lines_ne = F.filter(lines, lambda x: x != "")
+    paras_ne = F.filter(
+        F.split(F.col(col_text), "\\n\\n+"), lambda x: x != ""
+    )
+    dup_line_frac = F.try_divide(
+        (F.size(lines_ne) - F.size(F.array_distinct(lines_ne))).cast(
+            "bigint"
+        ),
+        F.size(lines_ne).cast("bigint"),
+    )
+    dup_para_frac = F.try_divide(
+        (F.size(paras_ne) - F.size(F.array_distinct(paras_ne))).cast(
+            "bigint"
+        ),
+        F.size(paras_ne).cast("bigint"),
+    )
+    n_chars = F.length(col_text).cast("bigint")
+
+    # top word-n-gram character mass per document for n = 2, 3, 4:
+    # token-scale explode -> (doc, n, gram) counts -> per-(doc, n) max
+    # by (count, gram chars) -> one row per doc. The struct max IS the
+    # tie rule (higher count, then longer gram); equal (count, length)
+    # ties yield the same count*chars product, so the statistic is
+    # deterministic without ranking gram strings.
+    toks = df.select(F.col(col_id).alias("__gid"), words.alias("__w"))
+    grams = toks.select(
+        "__gid",
+        F.explode(
+            F.expr(
+                "flatten(transform(array(2, 3, 4), n -> transform("
+                "if(size(__w) >= n, sequence(1, size(__w) - n + 1), "
+                "   array()), "
+                "p -> struct(n AS n, "
+                "concat_ws(' ', slice(__w, p, n)) AS g))))"
+            )
+        ).alias("x"),
+    ).select("__gid", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    best = (
+        grams.groupBy("__gid", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__gid", "n")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), F.length("g").cast("bigint").alias("l"))
+            ).alias("m")
+        )
+    )
+    rep = best.groupBy("__gid").agg(
+        *[
+            F.max(
+                F.when(F.col("n") == n, F.col("m.c") * F.col("m.l"))
+            ).alias(f"__t{n}")
+            for n in (2, 3, 4)
+        ]
+    )
+    base = df.join(rep, F.col(col_id) == F.col("__gid"), "left")
+
+    def top_frac(n: int):
+        # 0 for documents with no n-grams; NULL only at zero chars
+        return F.try_divide(
+            F.coalesce(F.col(f"__t{n}"), F.lit(0).cast("bigint")), n_chars
+        )
+
+    top2_frac, top3_frac, top4_frac = (top_frac(n) for n in (2, 3, 4))
+
     mean_wl = F.try_divide(word_chars, n_words)
     symbol_ratio = F.try_divide(n_hash + n_ellipsis, n_words)
     bullet_frac = F.try_divide(n_bullet_lines, n_lines)
@@ -1172,8 +1262,13 @@ def gopher_quality_flags(
     r_ellipsis = ok(ellipsis_frac <= max_ellipsis_frac)
     r_alpha = ok(alpha_frac >= min_alpha_frac)
     r_stop = ok(n_stop >= min_stopwords)
+    r_dup_line = ok(dup_line_frac <= max_dup_line_frac)
+    r_dup_para = ok(dup_para_frac <= max_dup_para_frac)
+    r_top2 = ok(top2_frac <= max_top_2gram_frac)
+    r_top3 = ok(top3_frac <= max_top_3gram_frac)
+    r_top4 = ok(top4_frac <= max_top_4gram_frac)
 
-    return df.select(
+    return base.select(
         F.col(col_id),
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
@@ -1182,6 +1277,11 @@ def gopher_quality_flags(
         F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         n_stop.alias("n_stopwords_present"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_para_frac, 6).alias("dup_para_frac"),
+        F.round(top2_frac, 6).alias("top_2gram_char_frac"),
+        F.round(top3_frac, 6).alias("top_3gram_char_frac"),
+        F.round(top4_frac, 6).alias("top_4gram_char_frac"),
         r_words.alias("ok_word_count"),
         r_wlen.alias("ok_mean_word_len"),
         r_symbol.alias("ok_symbol_ratio"),
@@ -1189,8 +1289,14 @@ def gopher_quality_flags(
         r_ellipsis.alias("ok_ellipsis_lines"),
         r_alpha.alias("ok_alpha_words"),
         r_stop.alias("ok_stopwords"),
+        r_dup_line.alias("ok_dup_lines"),
+        r_dup_para.alias("ok_dup_paras"),
+        r_top2.alias("ok_top_2gram"),
+        r_top3.alias("ok_top_3gram"),
+        r_top4.alias("ok_top_4gram"),
         (
             r_words & r_wlen & r_symbol & r_bullet & r_ellipsis
-            & r_alpha & r_stop
+            & r_alpha & r_stop & r_dup_line & r_dup_para
+            & r_top2 & r_top3 & r_top4
         ).alias("keep"),
     )

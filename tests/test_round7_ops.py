@@ -152,7 +152,9 @@ def test_gopher_quality_flags_hand_cases(spark):
 
     rows = [
         (1, " ".join(["the", "of", "and"] * 20)),  # wlen 2.67 fails
-        (2, " ".join(["table"] * 55) + " the of"),  # passes everything
+        # 55 DISTINCT words + 2 stopwords: passes every quality AND
+        # repetition rule (each n-gram occurs once)
+        (2, " ".join(f"alpha{i:02d}" for i in range(55)) + " the of"),
         (3, "- b\n- b\nreal text line..."),  # bullet/ellipsis lines
         (4, ""),  # empty: all-false, no crash
         (5, "### #### " + " ".join(["word"] * 60)),  # symbol ratio
@@ -161,7 +163,7 @@ def test_gopher_quality_flags_hand_cases(spark):
     out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
 
     assert out[2].keep and out[2].n_words == 57
-    assert abs(out[2].mean_word_len - round(280 / 57, 6)) < 1e-9
+    assert abs(out[2].mean_word_len - round(390 / 57, 6)) < 1e-9
 
     assert not out[1].keep and not out[1].ok_mean_word_len
     assert out[1].ok_word_count and out[1].ok_stopwords  # 3 distinct
@@ -180,3 +182,58 @@ def test_gopher_quality_flags_hand_cases(spark):
     r5 = out[5]
     assert not r5.ok_symbol_ratio  # 7 '#' / 62 words > 0.1
     assert r5.ok_word_count and r5.ok_alpha_words
+
+
+def test_gopher_whitespace_word_split(spark):
+    """Words split on a whitespace CLASS (ADVICE r7): one-word-per-line
+    prose counts every word, not one merged token."""
+    from recmetrics_pyspark_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one\ntwo\tthree\r\nfour  five")], ["doc_id", "text"]
+    )
+    r = gopher_quality_flags(df).collect()[0]
+    assert r.n_words == 5
+    # 3+3+5+4+4 = 19 chars over 5 words
+    assert abs(r.mean_word_len - 3.8) < 1e-9
+
+
+def test_gopher_repetition_rules_hand_cases(spark):
+    """Rae et al. A1.1 repetition axes, hand-computed."""
+    from recmetrics_pyspark_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    rows = [
+        # 7 non-empty lines: 'dup line' x3 (2 dups) + 'para a' x2
+        # (1 dup) -> 3/7; paragraphs: 4 non-empty, 'para a' dup -> 1/4
+        (1, "dup line\ndup line\ndup line\nuniq one\n\n"
+            "para a\n\npara a\n\npara b"),
+        # 'spam' x7: top 2-gram 'spam spam' count 6 x len 9 = 54 over
+        # 58 chars (overlapping repeats can exceed 1 by design)
+        (2, "spam spam spam spam spam spam spam and the be to of it all"),
+        # one word: no 2/3/4-grams -> fractions 0, rules pass
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+
+    r1 = out[1]
+    assert r1.dup_line_frac == round(3 / 7, 6)
+    assert r1.dup_para_frac == 0.25
+    assert not r1.ok_dup_lines and r1.ok_dup_paras
+
+    r2 = out[2]
+    assert r2.dup_line_frac == 0.0
+    assert r2.top_2gram_char_frac == round(54 / 58, 6)
+    assert not r2.ok_top_2gram and not r2.ok_top_3gram
+
+    r3 = out[3]
+    assert (
+        r3.top_2gram_char_frac == 0.0
+        and r3.top_3gram_char_frac == 0.0
+        and r3.top_4gram_char_frac == 0.0
+    )
+    assert r3.ok_top_2gram and r3.ok_dup_lines and r3.ok_dup_paras

@@ -590,6 +590,28 @@ def _long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _long_tail_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """long_tail_stats with tie_buckets=8 — the salted variant whose
+    md5-bucket rank math (ties break by (md5 bucket, id) instead of
+    (id); offsets window on the (volume, bucket) grain) is the
+    100 TB scale path for the volume=1 tail. Oracle-pinned so the
+    conv/md5 bucket rule stays engine-portable, not just
+    curve-identical (the property test in tests/test_round7_ops.py
+    pins the curve; this pins the per-item ranks)."""
+    inter = R.interactions(spark, sf_dir).select(F.col("item").alias("item_id"))
+    out = M.long_tail_stats(
+        inter, col_item="item_id", percentage=0.5, tie_buckets=8
+    )
+    return out.select(
+        "item_id",
+        "volume",
+        F.col("item_rank").cast("long").alias("item_rank"),
+        "cumulative_volume",
+        "pct_cumulative",
+        "bucket",
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -3553,6 +3575,23 @@ def _gopher_quality_flags(spark, sf_dir):
     return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
 
 
+def _ngram_decontaminate(spark, sf_dir):
+    """Cross-corpus eval decontamination
+    (operators/dedup.py::ngram_decontaminate): the src0 documents play
+    the benchmark/eval corpus, every other source is the train corpus;
+    word-5-gram collisions flag contaminated train docs (k=5 keeps the
+    synthetic corpus's collision set non-trivial at every SF — the
+    operator's production default is the GPT-3-style k=13)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    tr = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    return ngram_decontaminate(tr, ev, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-7 window (`_ROUND7_WINDOW`
@@ -3876,6 +3915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dups": _canonical_url_dups,
         "domain_neardup_rates": _domain_neardup_rates,
         "gopher_quality_flags": _gopher_quality_flags,
+        # --- round-8 additions
+        "ngram_decontaminate": _ngram_decontaminate,
+        "long_tail_stats_salted": _long_tail_salted,
     }
     ordered = {k: base[k] for k in _ROUND7_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -5505,6 +5547,33 @@ w AS (
   SELECT item_id, volume,
     CAST(row_number() OVER (ORDER BY volume DESC, item_id) AS BIGINT) AS item_rank,
     CAST(sum(volume) OVER (ORDER BY volume DESC, item_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_volume
+  FROM vol)
+SELECT item_id, volume, item_rank, cumulative_volume,
+  round(cumulative_volume/total, 6) AS pct_cumulative,
+  CASE WHEN round(cumulative_volume/total, 6) <= 0.5
+       THEN 'head' ELSE 'tail' END AS bucket
+FROM w, tot
+""",
+        # salted tie-bucket variant: Spark decomposes rank/cumsum onto
+        # the (volume, md5-bucket) grain; within a tie group all items
+        # share the volume, so the decomposition equals ONE global
+        # order (volume DESC, bucket, item_id) — which DuckDB can
+        # afford at test scale. The md5 bucket mirrors
+        # conv(substr(md5(item), 1, 15), 16, 10) % 8 exactly.
+        "long_tail_stats_salted": ORACLE_BASE
+        + """
+, vol AS (
+  SELECT item_id, count(*) AS volume,
+    ('0x' || substr(md5(CAST(item_id AS VARCHAR)), 1, 15))::BIGINT % 8
+      AS tb
+  FROM interactions GROUP BY item_id),
+tot AS (SELECT CAST(sum(volume) AS DOUBLE) AS total FROM vol),
+w AS (
+  SELECT item_id, volume,
+    CAST(row_number() OVER (ORDER BY volume DESC, tb, item_id)
+         AS BIGINT) AS item_rank,
+    CAST(sum(volume) OVER (ORDER BY volume DESC, tb, item_id
          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_volume
   FROM vol)
 SELECT item_id, volume, item_rank, cumulative_volume,
@@ -8240,6 +8309,31 @@ SELECT doc_id, n_words,
    AND r_alpha AND r_stop AND r_dup_line AND r_dup_para
    AND r_top2 AND r_top3 AND r_top4) AS keep
 FROM f
+""",
+        # mirrors operators/dedup.py::ngram_decontaminate over the
+        # src0-eval / rest-train split (word-5-gram shingles built
+        # exactly like word_shingles: single-space split, positions
+        # 1..greatest(len-k+1, 1), distinct per doc)
+        "ngram_decontaminate": """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+    array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 4, 1))) u(i)
+), ev AS (
+  SELECT DISTINCT shingle, doc_id AS eval_id FROM sh
+  WHERE source = 'src0'
+), tr AS (
+  SELECT doc_id, shingle FROM sh WHERE source <> 'src0'
+)
+SELECT tr.doc_id AS doc_id,
+  CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_collisions,
+  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs,
+  min(tr.shingle) AS sample_shingle
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
 """,
         "peak_concurrency": """
 WITH s AS (

@@ -61,6 +61,35 @@ def exact_dedup(
     )
 
 
+def _shingle_rows(
+    df: DataFrame, col_id: str, col_text: str, k: int, distinct: bool = True
+) -> DataFrame:
+    """Unpersisted word-k-gram rows — the shared construction behind
+    word_shingles (which adds persist for fan-out consumers) and
+    ngram_decontaminate's train side (a single flowing consumer that
+    must NOT materialize a corpus-scale shingle table).
+    ``distinct=False`` skips the per-doc set shuffle for consumers
+    whose downstream aggregate already counts DISTINCT — the raw
+    stream stays a pure scan-side pipeline."""
+    lookups = [
+        F.expr(f"try_element_at(__toks, pos + {i})") for i in range(k)
+    ]
+    out = (
+        df.select(
+            F.col(col_id), F.split(F.col(col_text), " ").alias("__toks")
+        )
+        .select(
+            F.col(col_id),
+            "__toks",
+            F.posexplode(
+                F.expr(f"sequence(1, greatest(size(__toks) - {k - 1}, 1))")
+            ).alias("__i", "pos"),
+        )
+        .select(F.col(col_id), F.concat_ws(" ", *lookups).alias("shingle"))
+    )
+    return out.distinct() if distinct else out
+
+
 def word_shingles(
     df: DataFrame, col_id: str, col_text: str, k: int = 3
 ) -> DataFrame:
@@ -76,30 +105,13 @@ def word_shingles(
     ``try_element_at`` returns NULL past the array end and concat_ws
     skips NULLs, so short documents yield the same partial shingle the
     slice form produced (and ANSI mode stays crash-free)."""
-    lookups = [
-        F.expr(f"try_element_at(__toks, pos + {i})") for i in range(k)
-    ]
     # persisted AND filled eagerly: every consumer (signatures,
     # inverted-index sides, size aggregate) fans out from this table,
     # and sibling branches of one job racing an unfilled cache would
     # each re-run the explode+distinct (measured ~5s/evaluation cold at
     # sf0.01). Spark's cache manager dedupes the identical plan across
     # operators in one session, so later calls' count() hits the cache.
-    out = (
-        df.select(
-            F.col(col_id), F.split(F.col(col_text), " ").alias("__toks")
-        )
-        .select(
-            F.col(col_id),
-            "__toks",
-            F.posexplode(
-                F.expr(f"sequence(1, greatest(size(__toks) - {k - 1}, 1))")
-            ).alias("__i", "pos"),
-        )
-        .select(F.col(col_id), F.concat_ws(" ", *lookups).alias("shingle"))
-        .distinct()
-        .persist()
-    )
+    out = _shingle_rows(df, col_id, col_text, k).persist()
     out.count()
     return out
 
@@ -1328,3 +1340,55 @@ def lsh_parameter_plan(
         p_at(0.8).alias("p_at_s80"),
         p_at(0.9).alias("p_at_s90"),
     ).orderBy("bands", "rows_per_band")
+
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    eval_col_id: str = "doc_id",
+    eval_col_text: str = "text",
+    k: int = 13,
+    broadcast_eval_limit: int = 5_000_000,
+) -> DataFrame:
+    """Cross-corpus eval decontamination: flag every TRAIN document
+    that shares at least one word k-gram with the EVAL corpus — the
+    GPT-3/PaLM-style 13-gram collision scan every LLM training
+    pipeline runs so benchmark answers don't leak into the training
+    set (Brown et al. 2020 appendix C; the within-corpus twins are
+    split_leakage_audit for exact-hash and dup_ngram_fraction for
+    repetition). Output: one row per CONTAMINATED train document —
+    (train id, n_collisions = distinct colliding shingles,
+    n_eval_docs = distinct eval documents hit, sample_shingle = the
+    lexicographically smallest collision as an audit witness). Clean
+    documents emit nothing; callers drop contamination with one
+    anti-join of the train table against this output.
+
+    Scale: the eval side is benchmark-sized (thousands of documents
+    against a 100 TB train corpus), so its distinct shingles persist
+    (word_shingles) and BROADCAST under the house size guard — the
+    deciding count doubles as the cache fill, and past
+    ``broadcast_eval_limit`` rows the join falls back to a plain
+    shuffle hash join rather than OOMing the executors. The train
+    side streams SHUFFLE-FREE: raw un-deduplicated shingle rows
+    (_shingle_rows(distinct=False) — never a materialized or even
+    set-deduplicated corpus-scale table; the per-doc distinct would
+    cost a token-scale exchange the final countDistinct makes
+    redundant) flow scan → explode → broadcast-join, and only
+    COLLISION-scale rows reach the one doc-grain aggregate shuffle. Counts are exact integers; the
+    sample witness is a deterministic min."""
+    ev = word_shingles(eval_df, eval_col_id, eval_col_text, k).select(
+        F.col(eval_col_id).alias("__eval_id"), "shingle"
+    )
+    # cache-read count (word_shingles filled the cache): the guard
+    # decision never re-runs the eval shingle build
+    ev_rows = ev.count()
+    tr = _shingle_rows(train_df, col_id, col_text, k, distinct=False)
+    ev_side = F.broadcast(ev) if ev_rows <= broadcast_eval_limit else ev
+    hits = tr.join(ev_side, "shingle")
+    return hits.groupBy(F.col(col_id)).agg(
+        F.countDistinct("shingle").cast("bigint").alias("n_collisions"),
+        F.countDistinct("__eval_id").cast("bigint").alias("n_eval_docs"),
+        F.min("shingle").alias("sample_shingle"),
+    )

@@ -1,0 +1,107 @@
+"""Round-8 operators: cross-corpus eval decontamination
+(operators/dedup.py::ngram_decontaminate)."""
+
+import pytest
+
+F = pytest.importorskip("pyspark.sql.functions")
+
+
+QUOTE = "q1 q2 q3 q4 q5 q6"
+
+
+def _corpora(spark):
+    train = spark.createDataFrame(
+        [
+            # embeds the 6-word eval quote: exactly two colliding
+            # 5-grams (q1..q5, q2..q6)
+            (101, "t1 t2 " + QUOTE + " t3"),
+            # clean: shares words but no 5-gram run
+            (102, "q1 x q2 x q3 x q4 x q5 x q6 and more words"),
+            (103, "entirely different content with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(1, QUOTE), (2, "unrelated eval question about something else")],
+        ["doc_id", "text"],
+    )
+    return train, eval_df
+
+
+def test_planted_quote_is_flagged(spark):
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train, eval_df = _corpora(spark)
+    out = {
+        r.doc_id: r
+        for r in ngram_decontaminate(train, eval_df, k=5).collect()
+    }
+    assert set(out) == {101}  # only the embedding doc is flagged
+    r = out[101]
+    assert r.n_collisions == 2
+    assert r.n_eval_docs == 1
+    assert r.sample_shingle == "q1 q2 q3 q4 q5"
+
+
+def test_disjoint_corpora_flag_nothing(spark):
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "one two three four five six")], ["doc_id", "text"]
+    )
+    assert ngram_decontaminate(train, eval_df, k=5).count() == 0
+
+
+def test_n_eval_docs_counts_distinct_eval_hits(spark):
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame([(7, QUOTE)], ["doc_id", "text"])
+    # the same quote appears in TWO eval docs
+    eval_df = spark.createDataFrame(
+        [(1, QUOTE + " tail"), (2, "head " + QUOTE)], ["doc_id", "text"]
+    )
+    r = ngram_decontaminate(train, eval_df, k=5).collect()[0]
+    assert r.doc_id == 7 and r.n_eval_docs == 2
+
+
+def test_broadcast_guard_fallback_branch_matches(spark):
+    """Both size-guard branches (broadcast vs shuffle fallback) give
+    identical results — the house both-branches rule."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train, eval_df = _corpora(spark)
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert canon(
+        ngram_decontaminate(train, eval_df, k=5, broadcast_eval_limit=0)
+    ) == canon(ngram_decontaminate(train, eval_df, k=5))
+
+
+def test_k13_default_and_short_doc_partial_shingle(spark):
+    """Default k=13; a sub-k document contributes its single partial
+    shingle (word_shingles semantics), so an exact short-doc copy in
+    both corpora still flags."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    short = "only five words right here"
+    train = spark.createDataFrame(
+        [(1, short), (2, "another tiny doc")], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame([(9, short)], ["doc_id", "text"])
+    out = ngram_decontaminate(train, eval_df).collect()
+    assert [(r.doc_id, r.n_collisions) for r in out] == [(1, 1)]

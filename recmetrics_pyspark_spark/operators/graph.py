@@ -564,6 +564,8 @@ def k_core_decompose(
     rounds: int = 8,
     col_a: str = "ia",
     col_b: str = "ib",
+    until_converged: bool = False,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """k-core peeling over an undirected pair table (``col_a < col_b``
     canonical): ``rounds`` synchronous peels — each round drops every
@@ -587,6 +589,16 @@ def k_core_decompose(
     partial peel. The two deciding counts scan already-checkpointed
     blocks (the established size-guard-count convention).
 
+    ``until_converged=True`` peels TO the fixed point instead: the
+    loop stops as soon as a round removes zero edges (one
+    checkpointed-block count per round decides), bounded by
+    ``max_rounds`` as the adversarial backstop — a path graph needs
+    ~n/2 peels, so the bound is a loud safety valve, not a silent
+    truncation (``converged`` stays false if it ever bites).
+    ``rounds=8`` stays the default because the fixed count is what
+    chained SQL CTEs can mirror exactly — the oracle contract is
+    unchanged.
+
     Scale shape: each round is one edge-scale degree aggregate + two
     semi-joins against the surviving node set (node-scale, AQE decides
     broadcast — never hint-forced), with ``localCheckpoint`` truncating
@@ -604,24 +616,42 @@ def k_core_decompose(
     target = max(8, int(n_edges // 2_000_000) + 1)
     if target < edges.rdd.getNumPartitions():
         edges = edges.coalesce(target)
-    prev_edges = edges
-    for _ in range(rounds):
-        both = edges.select(F.col("a").alias("z")).unionAll(
-            edges.select(F.col("b").alias("z"))
+    def _peel(e: DataFrame) -> DataFrame:
+        both = e.select(F.col("a").alias("z")).unionAll(
+            e.select(F.col("b").alias("z"))
         )
         deg = both.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("z")
-        prev_edges = edges
-        edges = (
-            edges.join(keep.withColumnRenamed("z", "a"), "a", "left_semi")
+        return (
+            e.join(keep.withColumnRenamed("z", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("z", "b"), "b", "left_semi")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-    # convergence witness: peeling is monotone, so an unchanged edge
-    # count across the final round means a fixed point was reached —
-    # both counts scan checkpointed blocks, no recomputation
-    converged = edges.count() == prev_edges.count()
+
+    if until_converged:
+        # peel to the fixed point: each round's deciding count scans
+        # the freshly checkpointed blocks (n_edges already counted the
+        # round-0 table for the partition sizing above)
+        converged = False
+        n_prev = n_edges
+        for _ in range(max_rounds):
+            edges = _peel(edges)
+            n_now = edges.count()
+            if n_now == n_prev:
+                converged = True
+                break
+            n_prev = n_now
+    else:
+        prev_edges = edges
+        for _ in range(rounds):
+            prev_edges = edges
+            edges = _peel(edges)
+        # convergence witness: peeling is monotone, so an unchanged
+        # edge count across the final round means a fixed point was
+        # reached — both counts scan checkpointed blocks, no
+        # recomputation
+        converged = edges.count() == prev_edges.count()
     final_deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))

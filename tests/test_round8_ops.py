@@ -105,3 +105,44 @@ def test_k13_default_and_short_doc_partial_shingle(spark):
     eval_df = spark.createDataFrame([(9, short)], ["doc_id", "text"])
     out = ngram_decontaminate(train, eval_df).collect()
     assert [(r.doc_id, r.n_collisions) for r in out] == [(1, 1)]
+
+
+def test_kcore_until_converged_on_deep_chain(spark):
+    """A long path hanging off a K4 needs >8 peels at k=2: the fixed
+    default leaves a superset with converged=false, the auto mode
+    peels to the exact fixed point (the K4) with converged=true."""
+    from recmetrics_pyspark_spark.operators.graph import (
+        k_core_decompose,
+    )
+
+    clique = [(100, 101), (100, 102), (100, 103), (101, 102),
+              (101, 103), (102, 103)]
+    chain = [(i, i + 1) for i in range(1, 25)] + [(25, 100)]
+    pairs = spark.createDataFrame(clique + chain, ["ia", "ib"])
+
+    fixed = k_core_decompose(pairs, k=2, rounds=8).collect()
+    assert fixed and not fixed[0].converged  # honest superset flag
+    assert len(fixed) > 4  # chain remnants still present
+
+    auto = k_core_decompose(pairs, k=2, until_converged=True).collect()
+    assert auto and auto[0].converged
+    assert sorted(r.node for r in auto) == [100, 101, 102, 103]
+    assert all(r.degree == 3 for r in auto)
+
+
+def test_kcore_until_converged_max_rounds_backstop(spark):
+    """If max_rounds bites before the fixed point, converged stays
+    false — a loud bound, never a silent truncation."""
+    from recmetrics_pyspark_spark.operators.graph import (
+        k_core_decompose,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 25)]
+    pairs = spark.createDataFrame(chain, ["ia", "ib"])
+    out = k_core_decompose(
+        pairs, k=2, until_converged=True, max_rounds=2
+    ).collect()
+    assert out and not out[0].converged
+
+    done = k_core_decompose(pairs, k=2, until_converged=True).collect()
+    assert done == []  # a bare path has no 2-core; empty == converged

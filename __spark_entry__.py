@@ -3594,54 +3594,43 @@ def _ngram_decontaminate(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
-    evaluates the FIRST 50 entries. Round-7 window (`_ROUND7_WINDOW`
+    evaluates the FIRST 50 entries. Round-8 window (`_ROUND8_WINDOW`
     below): the 5 stable canaries lead (coverage, personalization,
     item_item_topk, minhash_lsh_pairs, event_sessionize — they own the
     shared cache builds, so rotated-in queries show marginal bench
-    cost); then EVERY query whose code changed in round 7, each
+    cost); then EVERY query whose code changed in round 8, each
     re-verified at sf0.001/0.01/0.1 via scripts/driver_check.py after
-    its change: the 10 heavy-basket-cap riders (item_item_topk is a
-    canary; item_based_recommendations, association_rules,
-    pagerank_items, kcore_items — which also gained the k-core
-    convergence witness column — degree_distribution,
-    adamic_adar_links, common_neighbor_links, item_triangles,
-    mmr_rerank), the two popularity stats whose catalog-scale global
-    windows were decomposed onto the distinct-count grain
-    (long_tail_stats, popularity_concentration), psi_drift (NULL
-    values now bin to NULL; constant slot clamped), and the two
-    domain queries after the trailing-dot FQDN fix (domain_mix_stats,
-    domain_cap_sample); then the round-7 NEW operators
-    (canonical_url_dups — re-witnessed after the www-idempotence fix —
-    and domain_neardup_rates); the remaining 29 slots re-witness the
-    longest-unwitnessed queries (all r1-vintage TPC-H/SQL-surface
-    rows) so union coverage stays fresh, not merely closed.
+    its change: gopher_quality_flags (whitespace-class word split +
+    the five repetition rules — schema AND values changed),
+    canonical_url_dups (tracking-param (?i); fixture values
+    unchanged), and the 10 heavy-basket-cap riders after the cap
+    became OPT-IN (operators default max_basket=None = exact
+    reference semantics; every declared query now passes
+    max_basket=MAX_BASKET explicitly — plans and values unchanged,
+    code changed: item_item_topk is a canary, plus
+    item_based_recommendations, association_rules, pagerank_items,
+    kcore_items — which also gained the opt-in until_converged mode,
+    default path untouched — degree_distribution, adamic_adar_links,
+    common_neighbor_links, item_triangles, mmr_rerank); then the
+    round-8 NEW operators (ngram_decontaminate — cross-corpus eval
+    decontamination, the GPT-3-style k-gram collision scan — and
+    long_tail_stats_salted, the tie_buckets=8 branch whose md5-bucket
+    rank math is now oracle-pinned); then the 5 r1-vintage rows the
+    round-7 verdict named (q_sql_surface, q_string_funcs_parts,
+    q_top_parts_per_brand, q_top_tokens, q_winsorized_stats); the
+    remaining 27 slots re-witness the longest-unwitnessed queries
+    (last driver row r2) so union coverage stays fresh, not merely
+    closed.
 
-    ROUND-8 ROTATION NOTE: round-7 changes are all INSIDE the window
-    above — no post-window backlog. The round-7 review pass then
-    changed five more surfaces, ALL already windowed and re-witnessed
-    at sf0.001/0.01/0.1 after the change: the URL parse became a
-    two-step scheme-strip + parse on both engines (the combined
-    optional-scheme pattern backtracked on empty-host URLs and keyed
-    them under the scheme word — canonical_url_dups,
-    domain_mix_stats, domain_cap_sample, domain_neardup_rates, with
-    the three domain oracles now generated from one _domain_prologue
-    builder over the Spark-side MULTIPART_SUFFIXES tuple);
-    psi_drift's totals now exclude NULL bins (missingness no longer
-    smears as uniform drift; oracle mirrored); and
-    popularity_concentration's rank-sum products run fully in
-    DECIMAL(38,0) with a parity-branch triangular (BIGINT overflow at
-    ~3e9-item tie groups; oracle mirrored). End-of-round full-surface
-    check at final code: ``scripts/driver_check.py --all`` at sf0.01,
-    vanilla session — 244 passed / 0 failed / 1 no-oracle (the
-    documented media_features waiver) of 245, re-run after the last
-    round-7 addition (gopher_quality_flags) and the salted long-tail
-    variant landed. Post-window round-7
-    additions (window already full; each verified at sf0.001/0.01/0.1
-    on arrival via scripts/driver_check.py): gopher_quality_flags.
-    Still r1-vintage and worth rotating in next round: q_sql_surface,
-    q_string_funcs_parts, q_top_parts_per_brand, q_top_tokens,
-    q_winsorized_stats (plus media_features, the permanent rows-only
-    waiver lane).
+    ROUND-9 ROTATION NOTE: still r2-vintage and worth rotating in
+    next round: q_events_resampled, q_json_props,
+    q_user_event_type_sets, quality_score, recommendations_topk,
+    repetition_stats, text_stats, tfidf_top_terms,
+    token_count_by_lang, value_histogram (plus media_features, the
+    permanent rows-only waiver lane, and the r3 cohort after those).
+    Round-8 median-of-3 bench payload is committed as
+    BENCH_MEDIAN.json (bench.py multi-run writes it alongside
+    BENCH_LOCAL.json).
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -3919,77 +3908,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontaminate": _ngram_decontaminate,
         "long_tail_stats_salted": _long_tail_salted,
     }
-    ordered = {k: base[k] for k in _ROUND7_WINDOW}
+    ordered = {k: base[k] for k in _ROUND8_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
 
-# The first-50 driver witness window for round 7 (see queries()
-# docstring). 5 canaries + every round-7 code change + the 2 new
-# operators + 29 freshness re-witnesses of the oldest (r1) driver
+# The first-50 driver witness window for round 8 (see queries()
+# docstring). 5 canaries + every round-8 code change + the 2 new
+# operators + 27 freshness re-witnesses of the oldest (r2) driver
 # rows. Order within the window is bench-accounting, not correctness:
 # the canaries own the shared cache builds (interactions, shingle
 # table, events scan) so rotated-in queries show MARGINAL cost.
-_ROUND7_WINDOW = [
+_ROUND8_WINDOW = [
     # 5 canaries (own the shared cache builds; green every round)
     "coverage",
     "personalization",
     "item_item_topk",
     "minhash_lsh_pairs",
     "event_sessionize",
-    # round-7 code changes: heavy-basket-cap riders (max_basket=1000,
-    # mirrored bcapped oracle cut) — item_item_topk is a canary above
+    # round-8 code changes: Gopher gate grew the repetition axes and
+    # the whitespace-class word split (schema + values changed)
+    "gopher_quality_flags",
+    # round-8: tracking-param (?i) fix (same fixture values; code
+    # changed, so re-witness)
+    "canonical_url_dups",
+    # round-8: heavy-basket cap became opt-in — every rider now passes
+    # max_basket=1000 explicitly (plans unchanged; code changed, so
+    # all 10 re-witness; item_item_topk is a canary above)
     "item_based_recommendations",
     "association_rules",
     "pagerank_items",
-    "kcore_items",  # + converged witness column
+    "kcore_items",  # + until_converged mode (default path unchanged)
     "degree_distribution",
     "adamic_adar_links",
     "common_neighbor_links",
     "item_triangles",
     "mmr_rerank",
-    # round-7: catalog-window decomposition (distinct-count grain)
-    "long_tail_stats",
-    "popularity_concentration",
-    # round-7: equi_width_bin NULL arm + constant-slot clamp
-    "psi_drift",
-    # round-7: registrable_domain trailing-dot strip (oracles mirrored)
-    "domain_mix_stats",
-    "domain_cap_sample",
-    # round-7 NEW operators
-    "canonical_url_dups",
-    "domain_neardup_rates",
+    # round-8 NEW operators
+    "ngram_decontaminate",
+    "long_tail_stats_salted",
+    # the 5 r1-vintage rows the round-7 verdict named for rotation
+    "q_sql_surface",
+    "q_string_funcs_parts",
+    "q_top_parts_per_brand",
+    "q_top_tokens",
+    "q_winsorized_stats",
     # freshness re-witnesses: the longest-unwitnessed queries (last
-    # driver row r1) — union coverage stays fresh, not merely closed
-    "profile_customer",
-    "q10_returned_items",
-    "q12_priority_by_date",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q1_pricing_summary",
-    "q22_dormant_rich_customers",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q9_profit_by_nation_year",
-    "q_anti_join_customers",
-    "q_case_null_buckets",
-    "q_correlation_stats",
-    "q_cube_brand_status",
-    "q_customer_spend_ranks",
-    "q_fuzzy_part_names",
-    "q_grouping_sets",
-    "q_multi_distinct",
-    "q_orders_by_month",
-    "q_pivot_static",
-    "q_quantiles_by_flag",
-    "q_regexp_extract",
-    "q_rolling_revenue",
-    "q_rollup_returns",
-    "q_set_ops_customers",
+    # driver row r2) — union coverage stays fresh, not merely closed
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "bm25_topk",
+    "chunk_documents",
+    "contamination_check",
+    "dataset_split",
+    "decay_popularity",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_lm_score",
+    "embedding_neardup",
+    "events_asof_purchase",
+    "events_range_pairs",
+    "events_sessions",
+    "events_sliding",
+    "events_tumbling",
+    "hourly_anomaly",
+    "ivf_ann_topk",
+    "kmeans_assignments",
+    "label_centroids",
+    "language_id",
+    "novelty",
+    "novelty_per_user",
+    "personalization_weighted",
+    "q_cohort_retention",
+    "q_conversion_funnel",
+    "q_event_gaps",
 ]
 
 

@@ -146,3 +146,18 @@ def test_kcore_until_converged_max_rounds_backstop(spark):
 
     done = k_core_decompose(pairs, k=2, until_converged=True).collect()
     assert done == []  # a bare path has no 2-core; empty == converged
+
+
+def test_ngram_decontaminate_empty_corpora(spark):
+    """Empty train or eval side: empty output, no crash (the round-6
+    degenerate-input rule)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    empty = spark.createDataFrame([], schema)
+    docs = spark.createDataFrame([(1, "some words here")], ["doc_id", "text"])
+    assert ngram_decontaminate(empty, docs, k=3).count() == 0
+    assert ngram_decontaminate(docs, empty, k=3).count() == 0
+    assert ngram_decontaminate(empty, empty, k=3).count() == 0

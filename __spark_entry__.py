@@ -583,7 +583,7 @@ def _long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "item_id",
         "volume",
-        F.col("item_rank").cast("long").alias("item_rank"),
+        "item_rank",
         "cumulative_volume",
         "pct_cumulative",
         "bucket",
@@ -605,7 +605,7 @@ def _long_tail_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "item_id",
         "volume",
-        F.col("item_rank").cast("long").alias("item_rank"),
+        "item_rank",
         "cumulative_volume",
         "pct_cumulative",
         "bucket",
@@ -8303,12 +8303,15 @@ SELECT doc_id, n_words,
 FROM f
 """,
         # mirrors operators/dedup.py::ngram_decontaminate over the
-        # src0-eval / rest-train split (word-5-gram shingles built
-        # exactly like word_shingles: single-space split, positions
+        # src0-eval / rest-train split (word-5-gram shingles over the
+        # WHITESPACE-CLASS token split — cross-corpus formatting noise
+        # must not defeat collisions — positions
         # 1..greatest(len-k+1, 1), distinct per doc)
         "ngram_decontaminate": """
 WITH d AS (
-  SELECT doc_id, source, string_split(text, ' ') AS toks
+  SELECT doc_id, source,
+    list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                x -> x <> '') AS toks
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, source,

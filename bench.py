@@ -54,8 +54,9 @@ def _emit_compact(total: float, sf: str, timings: dict, extra: dict) -> None:
         "metric": "total_query_wall_sec", "value": total, "unit": "sec",
         "sf": sf, "n_queries": len(timings),
         "n_failed": len(failed), "failed": failed[:20],
+        "queries": slowest,
+        "queries_file": os.path.basename(_bench_local_path()),
         **extra,
-        "queries": slowest, "queries_file": "BENCH_LOCAL.json",
     }
     compact = json.dumps(base)
     if len(compact) > 1900:  # paranoia: never exceed the tail window
@@ -114,10 +115,17 @@ def _multi_run(n_runs: int) -> None:
         print("[bench] all runs failed — no payload", file=sys.stderr)
         sys.exit(1)
     names = sorted({n for r in runs for n in r["queries"]})
-    med = {
-        n: round(median(r["queries"].get(n, -1.0) for r in runs), 3)
-        for n in names
-    }
+
+    def _med(n: str) -> float:
+        # median over the runs where the query actually SUCCEEDED —
+        # mixing the -1.0 failure sentinel into the median would
+        # silently deflate it toward the fastest success; a query that
+        # never succeeded stays a loud -1.0
+        ok = [v for r in runs
+              if (v := r["queries"].get(n, -1.0)) >= 0]
+        return round(median(ok), 3) if ok else -1.0
+
+    med = {n: _med(n) for n in names}
     total = round(sum(v for v in med.values() if v >= 0), 3)
     protocol = (
         f"median-of-{len(runs)}-completed-of-{n_runs} solo-JVM "

@@ -62,22 +62,37 @@ def exact_dedup(
 
 
 def _shingle_rows(
-    df: DataFrame, col_id: str, col_text: str, k: int, distinct: bool = True
+    df: DataFrame,
+    col_id: str,
+    col_text: str,
+    k: int,
+    distinct: bool = True,
+    whitespace: bool = False,
 ) -> DataFrame:
     """Unpersisted word-k-gram rows — the shared construction behind
     word_shingles (which adds persist for fan-out consumers) and
-    ngram_decontaminate's train side (a single flowing consumer that
+    ngram_decontaminate's corpora (single flowing consumers that
     must NOT materialize a corpus-scale shingle table).
     ``distinct=False`` skips the per-doc set shuffle for consumers
     whose downstream aggregate already counts DISTINCT — the raw
-    stream stays a pure scan-side pipeline."""
+    stream stays a pure scan-side pipeline. ``whitespace=True``
+    tokenizes on a whitespace CLASS ([ \\t\\n\\r]+, empty tokens
+    dropped) instead of the single literal space — cross-corpus
+    consumers need it (a line-wrapped copy of a single-spaced quote
+    must still collide); the single-space default is the pinned
+    within-corpus tokenization every existing shingle oracle
+    mirrors."""
     lookups = [
         F.expr(f"try_element_at(__toks, pos + {i})") for i in range(k)
     ]
-    out = (
-        df.select(
-            F.col(col_id), F.split(F.col(col_text), " ").alias("__toks")
+    if whitespace:
+        toks = F.filter(
+            F.split(F.col(col_text), "[ \\t\\n\\r]+"), lambda x: x != ""
         )
+    else:
+        toks = F.split(F.col(col_text), " ")
+    out = (
+        df.select(F.col(col_id), toks.alias("__toks"))
         .select(
             F.col(col_id),
             "__toks",
@@ -1365,26 +1380,37 @@ def ngram_decontaminate(
     documents emit nothing; callers drop contamination with one
     anti-join of the train table against this output.
 
+    Tokenization is the WHITESPACE-CLASS split (empty tokens
+    dropped), not the single-space split the within-corpus shingle
+    family pins: a line-wrapped or double-spaced copy of a
+    single-spaced benchmark answer must still collide — formatting
+    noise across corpora is exactly what an exact-token scan would
+    otherwise hide behind (the same defect class ADVICE r7 flagged in
+    gopher_quality_flags; the DuckDB oracle mirrors the class split).
+
     Scale: the eval side is benchmark-sized (thousands of documents
     against a 100 TB train corpus), so its distinct shingles persist
-    (word_shingles) and BROADCAST under the house size guard — the
-    deciding count doubles as the cache fill, and past
-    ``broadcast_eval_limit`` rows the join falls back to a plain
-    shuffle hash join rather than OOMing the executors. The train
-    side streams SHUFFLE-FREE: raw un-deduplicated shingle rows
-    (_shingle_rows(distinct=False) — never a materialized or even
-    set-deduplicated corpus-scale table; the per-doc distinct would
-    cost a token-scale exchange the final countDistinct makes
-    redundant) flow scan → explode → broadcast-join, and only
-    COLLISION-scale rows reach the one doc-grain aggregate shuffle. Counts are exact integers; the
+    and BROADCAST under the house size guard — the deciding count
+    doubles as the cache fill, and past ``broadcast_eval_limit`` rows
+    the join falls back to a plain shuffle hash join rather than
+    OOMing the executors. The train side streams SHUFFLE-FREE: raw
+    un-deduplicated shingle rows (_shingle_rows(distinct=False) —
+    never a materialized or even set-deduplicated corpus-scale table;
+    the per-doc distinct would cost a token-scale exchange the final
+    countDistinct makes redundant) flow scan → explode →
+    broadcast-join, and only COLLISION-scale rows reach the one
+    doc-grain aggregate shuffle. Counts are exact integers; the
     sample witness is a deterministic min."""
-    ev = word_shingles(eval_df, eval_col_id, eval_col_text, k).select(
-        F.col(eval_col_id).alias("__eval_id"), "shingle"
-    )
-    # cache-read count (word_shingles filled the cache): the guard
-    # decision never re-runs the eval shingle build
+    ev = _shingle_rows(
+        eval_df, eval_col_id, eval_col_text, k, whitespace=True
+    ).persist()
+    # the deciding count doubles as the cache fill: the guard decision
+    # and the join read the same materialized eval shingles
     ev_rows = ev.count()
-    tr = _shingle_rows(train_df, col_id, col_text, k, distinct=False)
+    ev = ev.select(F.col(eval_col_id).alias("__eval_id"), "shingle")
+    tr = _shingle_rows(
+        train_df, col_id, col_text, k, distinct=False, whitespace=True
+    )
     ev_side = F.broadcast(ev) if ev_rows <= broadcast_eval_limit else ev
     hits = tr.join(ev_side, "shingle")
     return hits.groupBy(F.col(col_id)).agg(

@@ -229,7 +229,11 @@ def long_tail_stats(
         .select(
             F.col(col_item),
             "volume",
-            (F.col("rank_off") + F.col("j")).cast("int").alias("item_rank"),
+            # BIGINT: int32 ranks overflow past ~2.1e9 catalog items,
+            # and every consumer (wrappers, oracles) wants long anyway
+            (F.col("rank_off") + F.col("j")).cast("bigint").alias(
+                "item_rank"
+            ),
             (F.col("vol_off") + F.col("j") * F.col("volume")).alias(
                 "cumulative_volume"
             ),

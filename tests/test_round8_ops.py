@@ -161,3 +161,26 @@ def test_ngram_decontaminate_empty_corpora(spark):
     assert ngram_decontaminate(empty, docs, k=3).count() == 0
     assert ngram_decontaminate(docs, empty, k=3).count() == 0
     assert ngram_decontaminate(empty, empty, k=3).count() == 0
+
+
+def test_whitespace_formatting_does_not_defeat_decontamination(spark):
+    """A line-wrapped / double-spaced copy of a single-spaced eval
+    quote still collides: tokenization is the whitespace CLASS, not
+    the literal space (the ADVICE-r7 defect class, cross-corpus
+    edition)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "t1 t2 q1 q2\nq3  q4\tq5 q6 t3"),  # wrapped + doubled
+            (2, "clean other words entirely different here"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame([(9, QUOTE)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           ngram_decontaminate(train, eval_df, k=5).collect()}
+    assert set(out) == {1}
+    assert out[1].n_collisions == 2  # q1..q5 and q2..q6

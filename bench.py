@@ -144,15 +144,18 @@ def _multi_run(n_runs: int) -> None:
     # (the children were pointed at their own temp files above, so the
     # inherited value is free for the parent to consume); the median
     # payload is ALSO written to the tracked BENCH_MEDIAN.json so
-    # round-over-round comparisons diff a committed file, not prose.
+    # round-over-round comparisons diff a committed file, not prose —
+    # but only for protocol runs: an explicit SPARK_GRAFT_BENCH_OUT
+    # marks a scratch run that must not clobber the committed artifact.
     payload_line = json.dumps(payload) + "\n"
     with open(_bench_local_path(), "w") as fh:
         fh.write(payload_line)
-    median_out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_MEDIAN.json"
-    )
-    with open(median_out, "w") as fh:
-        fh.write(payload_line)
+    if "SPARK_GRAFT_BENCH_OUT" not in os.environ:
+        median_out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_MEDIAN.json"
+        )
+        with open(median_out, "w") as fh:
+            fh.write(payload_line)
     _emit_compact(total, runs[0]["sf"], med, {
         "protocol": protocol, "run_totals": payload["run_totals"],
     })

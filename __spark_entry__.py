@@ -8177,8 +8177,10 @@ FROM canon GROUP BY canonical_url HAVING count(*) >= 2
         # mirrors functions/text.py::gopher_quality_flags step by step
         # (same whitespace-class word split, same integer counts, one
         # double division per ratio, coalesce(cond, false) rule
-        # booleans; repetition axes: same non-empty-segment dup counts
-        # and the same (count, gram-chars) top-n-gram tie rule)
+        # booleans; repetition axes: same non-empty-segment dup
+        # counts/char sums, the same (count, gram-chars) top-n-gram
+        # tie rule for n=2..4, and the same sum((c-1)*chars)
+        # duplicate-gram mass for n=5..10)
         "gopher_quality_flags": """
 WITH w AS (
   SELECT doc_id, text,
@@ -8199,7 +8201,8 @@ WITH w AS (
              ELSE CAST([] AS BIGINT[]) END,
         p -> array_to_string(
                list_slice(words, p, p + tn.n - 1), ' '))) AS g
-    FROM w, (VALUES (2), (3), (4)) tn(n)) t
+    FROM w, (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10))
+      tn(n)) t
   GROUP BY doc_id, n, g
 ), ngbest AS (
   SELECT doc_id, n, c, CAST(len(g) AS BIGINT) AS l,
@@ -8212,6 +8215,19 @@ WITH w AS (
     coalesce(max(CASE WHEN n = 3 THEN c * l END), 0) AS t3,
     coalesce(max(CASE WHEN n = 4 THEN c * l END), 0) AS t4
   FROM ngbest WHERE rn = 1 GROUP BY doc_id
+), dupg AS (
+  SELECT doc_id,
+    coalesce(max(CASE WHEN n = 5 THEN dc END), 0) AS d5,
+    coalesce(max(CASE WHEN n = 6 THEN dc END), 0) AS d6,
+    coalesce(max(CASE WHEN n = 7 THEN dc END), 0) AS d7,
+    coalesce(max(CASE WHEN n = 8 THEN dc END), 0) AS d8,
+    coalesce(max(CASE WHEN n = 9 THEN dc END), 0) AS d9,
+    coalesce(max(CASE WHEN n = 10 THEN dc END), 0) AS d10
+  FROM (
+    SELECT doc_id, n,
+      sum((c - 1) * CAST(len(g) AS BIGINT)) AS dc
+    FROM ngx WHERE n >= 5 GROUP BY doc_id, n) t
+  GROUP BY doc_id
 ), c AS (
   SELECT w.doc_id,
     CAST(len(words) AS BIGINT) AS n_words,
@@ -8237,11 +8253,23 @@ WITH w AS (
     CAST(len(paras_ne) AS BIGINT) AS n_paras_ne,
     CAST(len(paras_ne) - len(list_distinct(paras_ne)) AS BIGINT)
       AS n_dup_paras,
+    CAST(coalesce(list_sum(list_transform(lines_ne, x -> len(x))), 0)
+      - coalesce(list_sum(list_transform(list_distinct(lines_ne),
+                                         x -> len(x))), 0)
+      AS BIGINT) AS dup_line_chars,
+    CAST(coalesce(list_sum(list_transform(paras_ne, x -> len(x))), 0)
+      - coalesce(list_sum(list_transform(list_distinct(paras_ne),
+                                         x -> len(x))), 0)
+      AS BIGINT) AS dup_para_chars,
     CAST(len(text) AS BIGINT) AS n_chars,
     coalesce(rep.t2, 0) AS t2,
     coalesce(rep.t3, 0) AS t3,
-    coalesce(rep.t4, 0) AS t4
+    coalesce(rep.t4, 0) AS t4,
+    coalesce(dupg.d5, 0) AS d5, coalesce(dupg.d6, 0) AS d6,
+    coalesce(dupg.d7, 0) AS d7, coalesce(dupg.d8, 0) AS d8,
+    coalesce(dupg.d9, 0) AS d9, coalesce(dupg.d10, 0) AS d10
   FROM w LEFT JOIN rep ON w.doc_id = rep.doc_id
+  LEFT JOIN dupg ON w.doc_id = dupg.doc_id
 ), r AS (
   SELECT doc_id, n_words,
     word_chars / CAST(nullif(n_words, 0) AS DOUBLE) AS mean_wl,
@@ -8256,14 +8284,22 @@ WITH w AS (
       AS dup_line_frac,
     n_dup_paras / CAST(nullif(n_paras_ne, 0) AS DOUBLE)
       AS dup_para_frac,
+    dup_line_chars / CAST(nullif(n_chars, 0) AS DOUBLE)
+      AS dup_line_char_frac,
+    dup_para_chars / CAST(nullif(n_chars, 0) AS DOUBLE)
+      AS dup_para_char_frac,
     t2 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top2_frac,
     t3 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top3_frac,
-    t4 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top4_frac
+    t4 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top4_frac,
+    d5 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup5_frac,
+    d6 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup6_frac,
+    d7 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup7_frac,
+    d8 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup8_frac,
+    d9 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup9_frac,
+    d10 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup10_frac
   FROM c
 ), f AS (
-  SELECT doc_id, n_words, mean_wl, symbol_ratio, bullet_frac,
-    ellipsis_frac, alpha_frac, n_stop, dup_line_frac, dup_para_frac,
-    top2_frac, top3_frac, top4_frac,
+  SELECT *,
     coalesce(n_words >= 50 AND n_words <= 100000, false) AS r_words,
     coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0, false) AS r_wlen,
     coalesce(symbol_ratio <= 0.1, false) AS r_symbol,
@@ -8273,9 +8309,17 @@ WITH w AS (
     coalesce(n_stop >= 2, false) AS r_stop,
     coalesce(dup_line_frac <= 0.3, false) AS r_dup_line,
     coalesce(dup_para_frac <= 0.3, false) AS r_dup_para,
+    coalesce(dup_line_char_frac <= 0.2, false) AS r_dup_line_ch,
+    coalesce(dup_para_char_frac <= 0.2, false) AS r_dup_para_ch,
     coalesce(top2_frac <= 0.20, false) AS r_top2,
     coalesce(top3_frac <= 0.18, false) AS r_top3,
-    coalesce(top4_frac <= 0.16, false) AS r_top4
+    coalesce(top4_frac <= 0.16, false) AS r_top4,
+    coalesce(dup5_frac <= 0.15, false) AS r_d5,
+    coalesce(dup6_frac <= 0.14, false) AS r_d6,
+    coalesce(dup7_frac <= 0.13, false) AS r_d7,
+    coalesce(dup8_frac <= 0.12, false) AS r_d8,
+    coalesce(dup9_frac <= 0.11, false) AS r_d9,
+    coalesce(dup10_frac <= 0.10, false) AS r_d10
   FROM r
 )
 SELECT doc_id, n_words,
@@ -8287,19 +8331,33 @@ SELECT doc_id, n_words,
   n_stop AS n_stopwords_present,
   round(dup_line_frac, 6) AS dup_line_frac,
   round(dup_para_frac, 6) AS dup_para_frac,
+  round(dup_line_char_frac, 6) AS dup_line_char_frac,
+  round(dup_para_char_frac, 6) AS dup_para_char_frac,
   round(top2_frac, 6) AS top_2gram_char_frac,
   round(top3_frac, 6) AS top_3gram_char_frac,
   round(top4_frac, 6) AS top_4gram_char_frac,
+  round(dup5_frac, 6) AS dup_5gram_char_frac,
+  round(dup6_frac, 6) AS dup_6gram_char_frac,
+  round(dup7_frac, 6) AS dup_7gram_char_frac,
+  round(dup8_frac, 6) AS dup_8gram_char_frac,
+  round(dup9_frac, 6) AS dup_9gram_char_frac,
+  round(dup10_frac, 6) AS dup_10gram_char_frac,
   r_words AS ok_word_count, r_wlen AS ok_mean_word_len,
   r_symbol AS ok_symbol_ratio, r_bullet AS ok_bullet_lines,
   r_ellipsis AS ok_ellipsis_lines, r_alpha AS ok_alpha_words,
   r_stop AS ok_stopwords,
   r_dup_line AS ok_dup_lines, r_dup_para AS ok_dup_paras,
+  r_dup_line_ch AS ok_dup_line_chars,
+  r_dup_para_ch AS ok_dup_para_chars,
   r_top2 AS ok_top_2gram, r_top3 AS ok_top_3gram,
   r_top4 AS ok_top_4gram,
+  r_d5 AS ok_dup_5gram, r_d6 AS ok_dup_6gram, r_d7 AS ok_dup_7gram,
+  r_d8 AS ok_dup_8gram, r_d9 AS ok_dup_9gram, r_d10 AS ok_dup_10gram,
   (r_words AND r_wlen AND r_symbol AND r_bullet AND r_ellipsis
    AND r_alpha AND r_stop AND r_dup_line AND r_dup_para
-   AND r_top2 AND r_top3 AND r_top4) AS keep
+   AND r_dup_line_ch AND r_dup_para_ch
+   AND r_top2 AND r_top3 AND r_top4
+   AND r_d5 AND r_d6 AND r_d7 AND r_d8 AND r_d9 AND r_d10) AS keep
 FROM f
 """,
         # mirrors operators/dedup.py::ngram_decontaminate over the

@@ -1094,45 +1094,65 @@ def gopher_quality_flags(
     min_stopwords: int = 2,
     max_dup_line_frac: float = 0.3,
     max_dup_para_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_dup_para_char_frac: float = 0.2,
     max_top_2gram_frac: float = 0.20,
     max_top_3gram_frac: float = 0.18,
     max_top_4gram_frac: float = 0.16,
+    max_dup_5gram_frac: float = 0.15,
+    max_dup_6gram_frac: float = 0.14,
+    max_dup_7gram_frac: float = 0.13,
+    max_dup_8gram_frac: float = 0.12,
+    max_dup_9gram_frac: float = 0.11,
+    max_dup_10gram_frac: float = 0.10,
 ) -> DataFrame:
-    """The Gopher quality gate (Rae et al. 2021 §A1.1 — the standard
-    CommonCrawl pre-filter) as per-document rule FLAGS plus the
-    composite ``keep`` decision. Quality axes: word-count bounds,
-    mean-word-length bounds, symbol-to-word ratio ('#' chars and '...'
-    runs), bullet / ellipsis line fractions, alphabetic-word fraction,
-    and a distinct-stopword witness count. Repetition axes (the
-    section's other half): duplicate-line and duplicate-paragraph
-    fractions (occurrences beyond the first, over NON-EMPTY segments —
-    blank separators are structure, not content) and the top word
-    n-gram character fraction for n = 2, 3, 4 (chars of the most
-    frequent n-gram × its count over total chars; ties break toward
-    the higher count then the longer n-gram, which pins the statistic
-    without pinning an arbitrary winner). Emitting every rule's
-    boolean (not just the verdict) is what makes the gate tunable: a
-    data card reports per-rule kill rates, and threshold changes
-    re-filter from the flags without re-scanning the corpus.
+    """The Gopher quality gate — the COMPLETE Rae et al. 2021 §A1.1
+    rule table (the standard CommonCrawl pre-filter) as per-document
+    rule FLAGS plus the composite ``keep`` decision.
+
+    Quality axes: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio ('#' chars and '...' runs), bullet / ellipsis
+    line fractions, alphabetic-word fraction, and a distinct-stopword
+    witness count.
+
+    Repetition axes (the section's other half, every rule):
+    duplicate-line and duplicate-paragraph fractions plus their
+    CHARACTER-mass twins (occurrences beyond the first, over NON-EMPTY
+    segments — blank separators are structure, not content; char
+    fractions are over total document chars), the top word n-gram
+    character fraction for n = 2, 3, 4 (chars of the most frequent
+    n-gram × its count over total chars; ties break toward the higher
+    count then the longer n-gram, which pins the statistic without
+    pinning an arbitrary winner), and the duplicate n-gram character
+    fraction for n = 5..10 (Σ over grams occurring more than once of
+    (count − 1) × gram chars, over total chars — the declarative,
+    order-independent form of the paper's duplicate-char measure: the
+    sequential skip-ahead scan implementations use is
+    evaluation-order-dependent and cannot be mirrored across engines).
+    Emitting every rule's boolean (not just the verdict) is what makes
+    the gate tunable: a data card reports per-rule kill rates, and
+    threshold changes re-filter from the flags without re-scanning
+    the corpus.
 
     Words split on a whitespace CLASS ([ \\t\\n\\r]+), not a literal
     space — one-word-per-line prose must count every word (Gopher's
     rules are whitespace-split; ADVICE r7).
 
-    Scale: the quality axes and the duplicate-segment fractions are
-    scan-side projections — one split per axis reused across rules via
-    short per-row lambdas (documents are KB-scale; interpreted
-    higher-order functions are noise next to the scan). The top-n-gram
-    axes add ONE token-scale explode → (doc, n, gram) count →
-    doc-grain max, joined back on the document key: token-scale rows,
-    doc-grain shuffles, output row-per-doc — the same grain discipline
-    as every text operator here. Ratios are single divisions of exact
-    integer counts, so the rule booleans are bit-identical in any IEEE
-    engine; try_divide + coalesce(false) keep empty/whitespace
-    documents as loud all-false rows instead of ANSI crashes (their
-    top-n-gram fractions are 0 over a nonzero char count, so only
-    zero-char documents null out). Mirrored step for step in the
-    DuckDB oracle."""
+    Scale: the quality axes and all four duplicate-segment fractions
+    are scan-side projections — one split per axis reused across rules
+    via short per-row lambdas (documents are KB-scale; interpreted
+    higher-order functions are noise next to the scan). The n-gram
+    axes (top 2..4, dup 5..10) share ONE codegen'd position explode
+    and ONE (doc, n, gram) count aggregate, reduced to the doc grain
+    and joined back on the document key: token-scale rows, doc-grain
+    shuffles, output row-per-doc — the same grain discipline as every
+    text operator here. Ratios are single divisions of exact integer
+    counts, so the rule booleans are bit-identical in any IEEE engine;
+    try_divide + coalesce(false) keep empty/whitespace documents as
+    loud all-false rows instead of ANSI crashes (their n-gram
+    fractions are 0 over a nonzero char count, so only zero-char
+    documents null out). Mirrored step for step in the DuckDB
+    oracle."""
     words = F.filter(
         F.split(F.col(col_text), "[ \\t\\n\\r]+"), lambda x: x != ""
     )
@@ -1196,19 +1216,37 @@ def gopher_quality_flags(
         F.size(paras_ne).cast("bigint"),
     )
     n_chars = F.length(col_text).cast("bigint")
+    # duplicate-segment CHARACTER mass (chars of occurrences beyond
+    # the first = total segment chars − distinct segment chars), over
+    # total document chars
 
-    # top word-n-gram character mass per document for n = 2, 3, 4:
-    # token-scale explode -> (doc, n, gram) counts -> per-(doc, n) max
-    # by (count, gram chars) -> one row per doc. The struct max IS the
-    # tie rule (higher count, then longer gram); equal (count, length)
+    def _seg_chars(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        )
+
+    dup_line_char_frac = F.try_divide(
+        _seg_chars(lines_ne) - _seg_chars(F.array_distinct(lines_ne)),
+        n_chars,
+    )
+    dup_para_char_frac = F.try_divide(
+        _seg_chars(paras_ne) - _seg_chars(F.array_distinct(paras_ne)),
+        n_chars,
+    )
+
+    # word-n-gram repetition per document, n = 2..10 from ONE position
+    # explode and ONE (doc, n, gram) count: top-gram char mass for
+    # n = 2, 3, 4 (max by (count, gram chars) — the struct max IS the
+    # tie rule: higher count, then longer gram; equal (count, length)
     # ties yield the same count*chars product, so the statistic is
-    # deterministic without ranking gram strings. Construction is the
-    # word_shingles codegen pattern — ONE posexplode over the 2-gram
-    # start positions plus try_element_at lookups, the 3/4-gram
-    # emitted from the same position row behind a validity guard
-    # (concat_ws skips NULLs, so the guard, not the concat, decides) —
-    # measured ~2.5x faster cold than the equivalent interpreted
-    # nested transform/slice lambdas on the same 772k grams at sf0.1.
+    # deterministic without ranking gram strings) and duplicate-gram
+    # char mass Σ (count−1)·chars for n = 5..10. Construction is the
+    # word_shingles codegen pattern — posexplode over the 2-gram start
+    # positions plus try_element_at lookups, each longer gram emitted
+    # from the same position row behind a validity guard (concat_ws
+    # skips NULLs, so the guard, not the concat, decides) — measured
+    # ~2.5x faster cold than the equivalent interpreted nested
+    # transform/slice lambdas at sf0.1.
     toks = df.select(F.col(col_id).alias("__gid"), words.alias("__w"))
     pos_df = toks.select(
         "__gid",
@@ -1221,56 +1259,76 @@ def gopher_quality_flags(
     def _lk(i: int):
         return F.expr(f"try_element_at(__w, pos + {i})")
 
-    g2 = F.concat_ws(" ", _lk(0), _lk(1))
-    g3 = F.when(
-        F.expr("pos + 2 <= size(__w)"),
-        F.concat_ws(" ", _lk(0), _lk(1), _lk(2)),
-    )
-    g4 = F.when(
-        F.expr("pos + 3 <= size(__w)"),
-        F.concat_ws(" ", _lk(0), _lk(1), _lk(2), _lk(3)),
-    )
+    def _gram(n: int):
+        g = F.concat_ws(" ", *[_lk(i) for i in range(n)])
+        if n == 2:  # every emitted position is a valid 2-gram start
+            return g
+        return F.when(F.expr(f"pos + {n - 1} <= size(__w)"), g)
+
+    top_ns = (2, 3, 4)
+    dup_ns = (5, 6, 7, 8, 9, 10)
     grams = (
         pos_df.select(
             "__gid",
             F.explode(
                 F.array(
-                    F.struct(F.lit(2).alias("n"), g2.alias("g")),
-                    F.struct(F.lit(3).alias("n"), g3.alias("g")),
-                    F.struct(F.lit(4).alias("n"), g4.alias("g")),
+                    *[
+                        F.struct(
+                            F.lit(n).alias("n"), _gram(n).alias("g")
+                        )
+                        for n in top_ns + dup_ns
+                    ]
                 )
             ).alias("x"),
         )
         .filter(F.col("x.g").isNotNull())
         .select("__gid", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
     )
-    best = (
-        grams.groupBy("__gid", "n", "g")
+    # skip the map-side combine: gram keys are mostly unique (2.2M
+    # rows / ~2M distinct (doc, n, gram) keys at sf0.1), so the
+    # partial hash table is pure overhead — the explicit repartition
+    # shuffles raw rows and aggregates once on the reduce side
+    # (measured 2.7s vs 4.0s warm; the item_cooccurrence_pairs rule)
+    stats = (
+        grams.repartition("__gid", "n", "g")
+        .groupBy("__gid", "n", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("__gid", "n")
         .agg(
             F.max(
                 F.struct(F.col("c"), F.length("g").cast("bigint").alias("l"))
-            ).alias("m")
+            ).alias("m"),
+            F.sum(
+                (F.col("c") - 1) * F.length("g").cast("bigint")
+            ).alias("dc"),
         )
     )
-    rep = best.groupBy("__gid").agg(
-        *[
-            F.max(
-                F.when(F.col("n") == n, F.col("m.c") * F.col("m.l"))
-            ).alias(f"__t{n}")
-            for n in (2, 3, 4)
-        ]
+    rep = stats.groupBy("__gid").agg(
+        *(
+            [
+                F.max(
+                    F.when(F.col("n") == n, F.col("m.c") * F.col("m.l"))
+                ).alias(f"__t{n}")
+                for n in top_ns
+            ]
+            + [
+                F.max(F.when(F.col("n") == n, F.col("dc"))).alias(
+                    f"__d{n}"
+                )
+                for n in dup_ns
+            ]
+        )
     )
     base = df.join(rep, F.col(col_id) == F.col("__gid"), "left")
 
-    def top_frac(n: int):
+    def _frac(col_name: str):
         # 0 for documents with no n-grams; NULL only at zero chars
         return F.try_divide(
-            F.coalesce(F.col(f"__t{n}"), F.lit(0).cast("bigint")), n_chars
+            F.coalesce(F.col(col_name), F.lit(0).cast("bigint")), n_chars
         )
 
-    top2_frac, top3_frac, top4_frac = (top_frac(n) for n in (2, 3, 4))
+    top2_frac, top3_frac, top4_frac = (_frac(f"__t{n}") for n in top_ns)
+    dup_gram_fracs = {n: _frac(f"__d{n}") for n in dup_ns}
 
     mean_wl = F.try_divide(word_chars, n_words)
     symbol_ratio = F.try_divide(n_hash + n_ellipsis, n_words)
@@ -1292,9 +1350,31 @@ def gopher_quality_flags(
     r_stop = ok(n_stop >= min_stopwords)
     r_dup_line = ok(dup_line_frac <= max_dup_line_frac)
     r_dup_para = ok(dup_para_frac <= max_dup_para_frac)
+    r_dup_line_ch = ok(dup_line_char_frac <= max_dup_line_char_frac)
+    r_dup_para_ch = ok(dup_para_char_frac <= max_dup_para_char_frac)
     r_top2 = ok(top2_frac <= max_top_2gram_frac)
     r_top3 = ok(top3_frac <= max_top_3gram_frac)
     r_top4 = ok(top4_frac <= max_top_4gram_frac)
+    dup_limits = {
+        5: max_dup_5gram_frac,
+        6: max_dup_6gram_frac,
+        7: max_dup_7gram_frac,
+        8: max_dup_8gram_frac,
+        9: max_dup_9gram_frac,
+        10: max_dup_10gram_frac,
+    }
+    r_dup_gram = {
+        n: ok(dup_gram_fracs[n] <= dup_limits[n]) for n in dup_ns
+    }
+
+    keep = (
+        r_words & r_wlen & r_symbol & r_bullet & r_ellipsis
+        & r_alpha & r_stop & r_dup_line & r_dup_para
+        & r_dup_line_ch & r_dup_para_ch
+        & r_top2 & r_top3 & r_top4
+    )
+    for n in dup_ns:
+        keep = keep & r_dup_gram[n]
 
     return base.select(
         F.col(col_id),
@@ -1307,9 +1387,17 @@ def gopher_quality_flags(
         n_stop.alias("n_stopwords_present"),
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
         F.round(dup_para_frac, 6).alias("dup_para_frac"),
+        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
+        F.round(dup_para_char_frac, 6).alias("dup_para_char_frac"),
         F.round(top2_frac, 6).alias("top_2gram_char_frac"),
         F.round(top3_frac, 6).alias("top_3gram_char_frac"),
         F.round(top4_frac, 6).alias("top_4gram_char_frac"),
+        *[
+            F.round(dup_gram_fracs[n], 6).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in dup_ns
+        ],
         r_words.alias("ok_word_count"),
         r_wlen.alias("ok_mean_word_len"),
         r_symbol.alias("ok_symbol_ratio"),
@@ -1319,12 +1407,13 @@ def gopher_quality_flags(
         r_stop.alias("ok_stopwords"),
         r_dup_line.alias("ok_dup_lines"),
         r_dup_para.alias("ok_dup_paras"),
+        r_dup_line_ch.alias("ok_dup_line_chars"),
+        r_dup_para_ch.alias("ok_dup_para_chars"),
         r_top2.alias("ok_top_2gram"),
         r_top3.alias("ok_top_3gram"),
         r_top4.alias("ok_top_4gram"),
-        (
-            r_words & r_wlen & r_symbol & r_bullet & r_ellipsis
-            & r_alpha & r_stop & r_dup_line & r_dup_para
-            & r_top2 & r_top3 & r_top4
-        ).alias("keep"),
+        *[
+            r_dup_gram[n].alias(f"ok_dup_{n}gram") for n in dup_ns
+        ],
+        keep.alias("keep"),
     )

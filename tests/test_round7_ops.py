@@ -237,3 +237,40 @@ def test_gopher_repetition_rules_hand_cases(spark):
         and r3.top_4gram_char_frac == 0.0
     )
     assert r3.ok_top_2gram and r3.ok_dup_lines and r3.ok_dup_paras
+
+
+def test_gopher_full_repetition_table_hand_cases(spark):
+    """The remaining A1.1 repetition rules: dup line/para CHAR
+    fractions and duplicate 5..10-gram char mass, hand-computed."""
+    from recmetrics_pyspark_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    rows = [
+        # lines_ne chars 8+8+4+5+5=30, distinct 17 -> dup 13 over 36
+        # text chars; paras 21+5+5=31, distinct 26 -> dup 5 over 36
+        (1, "dup line\ndup line\nuniq\n\npp qq\n\npp qq"),
+        # 'v w x y z' 5-gram repeats: every 5-gram window of the
+        # repeated block recurs; no 10-gram repeats (text too short)
+        (2, "v w x y z v w x y z and tail words here now"),
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+
+    r1 = out[1]
+    assert r1.dup_line_char_frac == round(13 / 36, 6)
+    assert r1.dup_para_char_frac == round(5 / 36, 6)
+    assert not r1.ok_dup_line_chars  # 0.361 > 0.2
+    assert r1.ok_dup_para_chars  # 0.139 <= 0.2
+
+    r2 = out[2]
+    # only 'v w x y z' occurs twice among 5-grams: (2-1)*9 = 9 chars
+    # over len(text) = 43
+    assert r2.dup_5gram_char_frac == round(9 / 43, 6)
+    assert r2.dup_10gram_char_frac == 0.0
+    assert not r2.ok_dup_5gram  # 0.2045 > 0.15
+    assert r2.ok_dup_10gram
+
+    r3 = out[3]
+    assert r3.dup_5gram_char_frac == 0.0 and r3.ok_dup_5gram

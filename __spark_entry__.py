@@ -3575,6 +3575,47 @@ def _gopher_quality_flags(spark, sf_dir):
     return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
 
 
+def _c4_clean(spark, sf_dir):
+    """C4 line-level cleaner (functions/text.py::c4_clean) over
+    synthetic pages built deterministically from doc_id + text (the
+    corpus itself is single-line and punctuation-free, so the page
+    builder — mirrored VERBATIM in the oracle's ``u`` CTE — plants
+    kept/dropped lines, varying sentence counts, and lorem/brace
+    tells): line-ending punctuation + min-words retention, sentence
+    minimum, placeholder/code page kills."""
+    from recmetrics_pyspark_spark.functions.text import c4_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    page = F.concat(
+        F.concat(F.lit("Intro sentence number "),
+                 F.col("doc_id").cast("string"), F.lit(".")),
+        nl,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("short.")).otherwise(
+            F.lit("This kept line has plenty of words.")
+        ),
+        nl,
+        F.concat(F.lit("no terminal punct here "),
+                 F.substring(F.col("text"), 1, 20)),
+        nl,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("One more. And another! Plus a third? Then four."
+                  " Finally five."),
+        ).otherwise(F.lit("Just one more here.")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(nl, F.lit("Filler Lorem Ipsum paragraph.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(nl, F.lit("Contains a { brace in code.")),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return c4_clean(pages)
+
+
 def _ngram_decontaminate(spark, sf_dir):
     """Cross-corpus eval decontamination
     (operators/dedup.py::ngram_decontaminate): the src0 documents play
@@ -3622,12 +3663,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (last driver row r2) so union coverage stays fresh, not merely
     closed.
 
-    ROUND-9 ROTATION NOTE: still r2-vintage and worth rotating in
-    next round: q_events_resampled, q_json_props,
+    ROUND-9 ROTATION NOTE: rotate in c4_clean (round-8 LATE addition,
+    post-window; verified at sf0.001/0.01/0.1 on arrival), then the
+    still-r2-vintage rows: q_events_resampled, q_json_props,
     q_user_event_type_sets, quality_score, recommendations_topk,
     repetition_stats, text_stats, tfidf_top_terms,
     token_count_by_lang, value_histogram (plus media_features, the
     permanent rows-only waiver lane, and the r3 cohort after those).
+    gopher_quality_flags' schema grew twice INSIDE round 8 (repetition
+    axes, then the full A1.1 table) — it sits in the round-8 window
+    and was re-witnessed at all 3 SFs after each change.
     Round-8 median-of-3 bench payload is committed as
     BENCH_MEDIAN.json (bench.py multi-run writes it alongside
     BENCH_LOCAL.json).
@@ -3907,6 +3952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 additions
         "ngram_decontaminate": _ngram_decontaminate,
         "long_tail_stats_salted": _long_tail_salted,
+        # --- round-8 late additions (window full at 50; verified at
+        # sf0.001/0.01/0.1 on arrival; rotate into the round-9 window)
+        "c4_clean": _c4_clean,
     }
     ordered = {k: base[k] for k in _ROUND8_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -8359,6 +8407,56 @@ SELECT doc_id, n_words,
    AND r_top2 AND r_top3 AND r_top4
    AND r_d5 AND r_d6 AND r_d7 AND r_d8 AND r_d9 AND r_d10) AS keep
 FROM f
+""",
+        # mirrors functions/text.py::c4_clean over the same
+        # deterministic page builder (u CTE == the Spark-side page
+        # expression, token for token)
+        "c4_clean": """
+WITH u AS (
+  SELECT doc_id,
+    'Intro sentence number ' || CAST(doc_id AS VARCHAR) || '.'
+    || chr(10)
+    || CASE WHEN doc_id % 3 = 0 THEN 'short.'
+            ELSE 'This kept line has plenty of words.' END
+    || chr(10)
+    || 'no terminal punct here ' || substr(text, 1, 20)
+    || chr(10)
+    || CASE WHEN doc_id % 2 = 0
+            THEN 'One more. And another! Plus a third? Then four.'
+                 || ' Finally five.'
+            ELSE 'Just one more here.' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || 'Filler Lorem Ipsum paragraph.'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN chr(10) || 'Contains a { brace in code.'
+            ELSE '' END AS text
+  FROM documents
+), k AS (
+  SELECT doc_id, text,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)),
+      x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')
+       AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3)
+      AS kept
+  FROM u
+), c AS (
+  SELECT doc_id, text,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    array_to_string(kept, chr(10)) AS clean_text
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines,
+  CAST(len(clean_text) - len(translate(clean_text, '.!?', ''))
+       AS BIGINT) AS n_sentences,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{') AS has_curly_brace,
+  (len(clean_text) - len(translate(clean_text, '.!?', '')) >= 5
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{')) AS keep,
+  clean_text
+FROM c
 """,
         # mirrors operators/dedup.py::ngram_decontaminate over the
         # src0-eval / rest-train split (word-5-gram shingles over the

@@ -1417,3 +1417,62 @@ def gopher_quality_flags(
         ],
         keep.alias("keep"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """The C4 line-level cleaner (Raffel et al. 2020 §2.2 — the other
+    canonical web-corpus filter next to the Gopher gate): per document,
+    keep only lines that end in terminal punctuation (. ! ? or a
+    closing double quote, after trailing-space trim) AND contain at
+    least ``min_line_words`` words; then judge the page on its CLEANED
+    text — keep iff it has at least ``min_sentences`` sentences
+    (terminal-punctuation marks in the kept lines) and the ORIGINAL
+    page contains neither the string "lorem ipsum" (case-insensitive
+    placeholder-text tell) nor a curly brace (code tell). The paper's
+    bad-words list is deliberately NOT bundled (policy, not
+    mechanics); compose with a blocklist filter upstream if needed.
+    Output: (id, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum,
+    has_curly_brace, keep, clean_text) — both the audit counters and
+    the cleaned text, so a pipeline filters AND rewrites in one pass.
+
+    Scale: pure scan-side projection — one line split reused across
+    rules via short per-row lambdas (documents are KB-scale), zero
+    shuffles, output row-per-doc. All rule inputs are exact integer
+    counts or substring tests, bit-identical in any engine; mirrored
+    step for step in the DuckDB oracle."""
+    lines = F.split(F.col(col_text), "\n")
+    kept = F.filter(
+        lines,
+        lambda x: F.substring(F.rtrim(x), -1, 1).isin(
+            ".", "!", "?", '"'
+        )
+        & (
+            F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+            >= min_line_words
+        ),
+    )
+    clean_text = F.array_join(kept, "\n")
+    n_sentences = (
+        F.length(clean_text)
+        - F.length(F.translate(clean_text, ".!?", ""))
+    ).cast("bigint")
+    has_lorem = F.contains(F.lower(F.col(col_text)), F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col(col_text), F.lit("{"))
+    return df.select(
+        F.col(col_id),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        (
+            (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+        clean_text.alias("clean_text"),
+    )

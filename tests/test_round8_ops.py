@@ -184,3 +184,39 @@ def test_whitespace_formatting_does_not_defeat_decontamination(spark):
            ngram_decontaminate(train, eval_df, k=5).collect()}
     assert set(out) == {1}
     assert out[1].n_collisions == 2  # q1..q5 and q2..q6
+
+
+def test_c4_clean_hand_cases(spark):
+    """Raffel et al. 2020 §2.2 line rules, hand-computed."""
+    from recmetrics_pyspark_spark.functions.text import c4_clean
+
+    rows = [
+        # 5 lines: kept are the 4-word '.', the multi-sentence, and
+        # the quote-terminated line; 'short.' (1 word) and the
+        # punct-less line drop. Sentences in kept text: 1+4+1 = 6.
+        (1, 'Good line one here.\nshort.\nno punct line at all\n'
+            'Another full sentence ends here! Also this. And this.'
+            ' Plus one more?\nQuote line ends well."'),
+        (2, "Has lorem Ipsum inside. One. Two. Three. Four. Five."),
+        (3, "code { brace } here. One. Two. Three. Four. Five."),
+        (4, ""),
+        # enough words per line but only 4 sentences -> dropped page
+        (5, "First one here now.\nSecond one here too.\n"
+            "Third one here still.\nFourth one here also."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+
+    r1 = out[1]
+    assert (r1.n_lines, r1.n_kept_lines, r1.n_sentences) == (5, 3, 6)
+    assert r1.keep
+    assert r1.clean_text.startswith("Good line one here.")
+    assert "short." not in r1.clean_text
+    assert "no punct" not in r1.clean_text
+
+    assert out[2].has_lorem_ipsum and not out[2].keep  # case-folded
+    assert out[3].has_curly_brace and not out[3].keep
+    assert out[4].n_kept_lines == 0 and not out[4].keep
+    r5 = out[5]
+    assert r5.n_kept_lines == 4 and r5.n_sentences == 4
+    assert not r5.keep  # 4 < 5 sentences

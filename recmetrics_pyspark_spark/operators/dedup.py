@@ -1366,6 +1366,7 @@ def ngram_decontaminate(
     eval_col_text: str = "text",
     k: int = 13,
     broadcast_eval_limit: int = 5_000_000,
+    normalize: bool = False,
 ) -> DataFrame:
     """Cross-corpus eval decontamination: flag every TRAIN document
     that shares at least one word k-gram with the EVAL corpus — the
@@ -1373,7 +1374,12 @@ def ngram_decontaminate(
     pipeline runs so benchmark answers don't leak into the training
     set (Brown et al. 2020 appendix C; the within-corpus twins are
     split_leakage_audit for exact-hash and dup_ngram_fraction for
-    repetition). Output: one row per CONTAMINATED train document —
+    repetition). ``normalize=True`` applies the paper's
+    normalization before shingling — lowercase, punctuation stripped
+    to spaces ([^a-z0-9] → ' ') — so 'The Answer!' and 'the answer'
+    collide; default off because the raw-token scan is what the
+    declared oracle pins (reported collisions are then verbatim
+    substrings, which auditors prefer). Output: one row per CONTAMINATED train document —
     (train id, n_collisions = distinct colliding shingles,
     n_eval_docs = distinct eval documents hit, sample_shingle = the
     lexicographically smallest collision as an audit witness). Clean
@@ -1401,6 +1407,17 @@ def ngram_decontaminate(
     broadcast-join, and only COLLISION-scale rows reach the one
     doc-grain aggregate shuffle. Counts are exact integers; the
     sample witness is a deterministic min."""
+    if normalize:
+        def _norm(d: DataFrame, cid: str, ctext: str) -> DataFrame:
+            return d.select(
+                F.col(cid),
+                F.regexp_replace(
+                    F.lower(F.col(ctext)), "[^a-z0-9]", " "
+                ).alias(ctext),
+            )
+
+        train_df = _norm(train_df, col_id, col_text)
+        eval_df = _norm(eval_df, eval_col_id, eval_col_text)
     ev = _shingle_rows(
         eval_df, eval_col_id, eval_col_text, k, whitespace=True
     ).persist()

@@ -220,3 +220,66 @@ def test_c4_clean_hand_cases(spark):
     r5 = out[5]
     assert r5.n_kept_lines == 4 and r5.n_sentences == 4
     assert not r5.keep  # 4 < 5 sentences
+
+
+def test_normalize_mode_collides_across_case_and_punct(spark):
+    """normalize=True applies the GPT-3-style lowercase +
+    punctuation-strip before shingling."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "prefix The Quick, Brown Fox; Jumps! suffix")],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    # raw tokens differ (case + punctuation) -> no collision
+    assert ngram_decontaminate(train, eval_df, k=5).count() == 0
+    out = ngram_decontaminate(train, eval_df, k=5, normalize=True)
+    rows = out.collect()
+    assert [(r.doc_id, r.n_collisions) for r in rows] == [(1, 1)]
+    assert rows[0].sample_shingle == "the quick brown fox jumps"
+
+
+def test_decontaminate_monotonicity_laws(spark):
+    """(a) eval-superset monotonicity: adding eval docs never
+    un-flags a train doc; (b) k-monotonicity: a (k+1)-gram collision
+    implies a k-gram collision, so flagged(k+1) is a subset of
+    flagged(k)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "totally unrelated words in this training document"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev_small = spark.createDataFrame(
+        [(10, "beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    ev_big = spark.createDataFrame(
+        [
+            (10, "beta gamma delta epsilon zeta"),
+            (11, "three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def flagged(tr, ev, k):
+        return {
+            r.doc_id for r in ngram_decontaminate(tr, ev, k=k).collect()
+        }
+
+    # (a) superset eval flags a superset of train docs
+    assert flagged(train, ev_small, 5) <= flagged(train, ev_big, 5)
+    assert flagged(train, ev_big, 5) == {1, 2}
+    # (b) flagged at k+1 is a subset of flagged at k
+    for k in (3, 4, 5):
+        assert flagged(train, ev_big, k + 1) <= flagged(train, ev_big, k)

@@ -3633,6 +3633,21 @@ def _ngram_decontaminate(spark, sf_dir):
     return ngram_decontaminate(tr, ev, k=5)
 
 
+def _eval_contamination_report(spark, sf_dir):
+    """Eval-grain flip side of ngram_decontaminate
+    (operators/dedup.py::eval_contamination_report): which src0
+    benchmark docs leaked into the train sources, and how widely —
+    same collision join, eval-keyed aggregate."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        eval_contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    tr = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    return eval_contamination_report(tr, ev, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-8 window (`_ROUND8_WINDOW`
@@ -3663,8 +3678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (last driver row r2) so union coverage stays fresh, not merely
     closed.
 
-    ROUND-9 ROTATION NOTE: rotate in c4_clean (round-8 LATE addition,
-    post-window; verified at sf0.001/0.01/0.1 on arrival), then the
+    ROUND-9 ROTATION NOTE: rotate in c4_clean and
+    eval_contamination_report (round-8 LATE additions, post-window;
+    each verified at sf0.001/0.01/0.1 on arrival), then the
     still-r2-vintage rows: q_events_resampled, q_json_props,
     q_user_event_type_sets, quality_score, recommendations_topk,
     repetition_stats, text_stats, tfidf_top_terms,
@@ -3955,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 late additions (window full at 50; verified at
         # sf0.001/0.01/0.1 on arrival; rotate into the round-9 window)
         "c4_clean": _c4_clean,
+        "eval_contamination_report": _eval_contamination_report,
     }
     ordered = {k: base[k] for k in _ROUND8_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -8485,6 +8502,31 @@ SELECT tr.doc_id AS doc_id,
   min(tr.shingle) AS sample_shingle
 FROM tr JOIN ev USING (shingle)
 GROUP BY tr.doc_id
+""",
+        # eval-grain twin: same collision join, grouped by the eval
+        # document (operators/dedup.py::eval_contamination_report)
+        "eval_contamination_report": """
+WITH d AS (
+  SELECT doc_id, source,
+    list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+    array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 4, 1))) u(i)
+), ev AS (
+  SELECT DISTINCT shingle, doc_id AS eval_id FROM sh
+  WHERE source = 'src0'
+), tr AS (
+  SELECT doc_id, shingle FROM sh WHERE source <> 'src0'
+)
+SELECT ev.eval_id AS eval_id,
+  CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_collisions,
+  CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+  min(tr.shingle) AS sample_shingle
+FROM tr JOIN ev USING (shingle)
+GROUP BY ev.eval_id
 """,
         "peak_concurrency": """
 WITH s AS (

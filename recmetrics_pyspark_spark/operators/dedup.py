@@ -1407,6 +1407,32 @@ def ngram_decontaminate(
     broadcast-join, and only COLLISION-scale rows reach the one
     doc-grain aggregate shuffle. Counts are exact integers; the
     sample witness is a deterministic min."""
+    hits = _decontamination_hits(
+        train_df, eval_df, col_id, col_text, eval_col_id,
+        eval_col_text, k, broadcast_eval_limit, normalize,
+    )
+    return hits.groupBy(F.col(col_id)).agg(
+        F.countDistinct("shingle").cast("bigint").alias("n_collisions"),
+        F.countDistinct("__eval_id").cast("bigint").alias("n_eval_docs"),
+        F.min("shingle").alias("sample_shingle"),
+    )
+
+
+def _decontamination_hits(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    col_id: str,
+    col_text: str,
+    eval_col_id: str,
+    eval_col_text: str,
+    k: int,
+    broadcast_eval_limit: int,
+    normalize: bool,
+) -> DataFrame:
+    """(train id, __eval_id, shingle) collision rows — the shared
+    join behind ngram_decontaminate (train-grain report) and
+    eval_contamination_report (eval-grain report). Plan shape is
+    documented on ngram_decontaminate."""
     if normalize:
         def _norm(d: DataFrame, cid: str, ctext: str) -> DataFrame:
             return d.select(
@@ -1429,9 +1455,37 @@ def ngram_decontaminate(
         train_df, col_id, col_text, k, distinct=False, whitespace=True
     )
     ev_side = F.broadcast(ev) if ev_rows <= broadcast_eval_limit else ev
-    hits = tr.join(ev_side, "shingle")
-    return hits.groupBy(F.col(col_id)).agg(
+    return tr.join(ev_side, "shingle")
+
+
+def eval_contamination_report(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    eval_col_id: str = "doc_id",
+    eval_col_text: str = "text",
+    k: int = 13,
+    broadcast_eval_limit: int = 5_000_000,
+    normalize: bool = False,
+) -> DataFrame:
+    """The eval-grain flip side of ngram_decontaminate: one row per
+    BURNED eval document — (eval id, n_collisions = distinct leaked
+    shingles, n_train_docs = distinct train documents carrying them,
+    sample_shingle = deterministic min witness). This is the report a
+    benchmark owner reads ("which eval items leaked into training and
+    how widely?") while ngram_decontaminate is the one the data
+    curator acts on; both ride the IDENTICAL collision join
+    (_decontamination_hits — same tokenization, same size-guarded
+    broadcast, same shuffle-free train side), so a session computing
+    both reuses the persisted eval shingle table and pays one extra
+    collision-scale aggregate, nothing corpus-scale."""
+    hits = _decontamination_hits(
+        train_df, eval_df, col_id, col_text, eval_col_id,
+        eval_col_text, k, broadcast_eval_limit, normalize,
+    )
+    return hits.groupBy(F.col("__eval_id").alias("eval_id")).agg(
         F.countDistinct("shingle").cast("bigint").alias("n_collisions"),
-        F.countDistinct("__eval_id").cast("bigint").alias("n_eval_docs"),
+        F.countDistinct(col_id).cast("bigint").alias("n_train_docs"),
         F.min("shingle").alias("sample_shingle"),
     )

@@ -283,3 +283,29 @@ def test_decontaminate_monotonicity_laws(spark):
     # (b) flagged at k+1 is a subset of flagged at k
     for k in (3, 4, 5):
         assert flagged(train, ev_big, k + 1) <= flagged(train, ev_big, k)
+
+
+def test_eval_contamination_report_flip_side(spark):
+    """The eval-grain report agrees with the train-grain scan on the
+    same collision set (conservation: distinct (train, eval) doc-pair
+    coverage matches from both directions)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        eval_contamination_report,
+        ngram_decontaminate,
+    )
+
+    train, eval_df = _corpora(spark)
+    ev_rep = {
+        r.eval_id: r
+        for r in eval_contamination_report(train, eval_df, k=5).collect()
+    }
+    # only eval doc 1 (the quote) is burned, by exactly one train doc
+    assert set(ev_rep) == {1}
+    assert ev_rep[1].n_train_docs == 1
+    assert ev_rep[1].n_collisions == 2
+    assert ev_rep[1].sample_shingle == "q1 q2 q3 q4 q5"
+    # conservation vs the train-grain view
+    tr_rep = ngram_decontaminate(train, eval_df, k=5).collect()
+    assert sum(r.n_eval_docs for r in tr_rep) == sum(
+        r.n_train_docs for r in ev_rep.values()
+    )

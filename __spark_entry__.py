@@ -3616,6 +3616,15 @@ def _c4_clean(spark, sf_dir):
     return c4_clean(pages)
 
 
+def _corpus_datacard(spark, sf_dir):
+    """Per-source corpus data card (functions/text.py::corpus_datacard):
+    volumes, mean doc length, language mix, DECIMAL-exact mean quality,
+    exact-duplicate pressure — one row per source."""
+    from recmetrics_pyspark_spark.functions.text import corpus_datacard
+
+    return corpus_datacard(load_table(spark, sf_dir, "documents"))
+
+
 def _ngram_decontaminate(spark, sf_dir):
     """Cross-corpus eval decontamination
     (operators/dedup.py::ngram_decontaminate): the src0 documents play
@@ -3678,9 +3687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (last driver row r2) so union coverage stays fresh, not merely
     closed.
 
-    ROUND-9 ROTATION NOTE: rotate in c4_clean and
-    eval_contamination_report (round-8 LATE additions, post-window;
-    each verified at sf0.001/0.01/0.1 on arrival), then the
+    ROUND-9 ROTATION NOTE: rotate in c4_clean,
+    eval_contamination_report, and corpus_datacard (round-8 LATE
+    additions, post-window; each verified at sf0.001/0.01/0.1 on
+    arrival), then the
     still-r2-vintage rows: q_events_resampled, q_json_props,
     q_user_event_type_sets, quality_score, recommendations_topk,
     repetition_stats, text_stats, tfidf_top_terms,
@@ -3972,6 +3982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.001/0.01/0.1 on arrival; rotate into the round-9 window)
         "c4_clean": _c4_clean,
         "eval_contamination_report": _eval_contamination_report,
+        "corpus_datacard": _corpus_datacard,
     }
     ordered = {k: base[k] for k in _ROUND8_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -8424,6 +8435,71 @@ SELECT doc_id, n_words,
    AND r_top2 AND r_top3 AND r_top4
    AND r_d5 AND r_d6 AND r_d7 AND r_d8 AND r_d9 AND r_d10) AS keep
 FROM f
+""",
+        # mirrors functions/text.py::corpus_datacard: same per-doc
+        # primitives (single-space tokens, lexicon argmax, the
+        # quality_score formula pre-rounded DECIMAL(18,9)), one
+        # source-grain aggregate + the (source, md5) dup sub-aggregate
+        "corpus_datacard": f"""
+WITH per AS (
+  SELECT source,
+    CAST(len(text) AS BIGINT) AS chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+    md5(text) AS h,
+    CAST(round(
+      least(CAST(len(string_split(text, ' ')) AS BIGINT) / 50.0, 1.0)
+        * 0.4
+      + (len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         / CAST(nullif(len(text), 0) AS DOUBLE)) * 0.4
+      + least((len(list_filter(string_split(text, ' '),
+                 x -> x IN {_sqlset(T.STOPWORDS_EN)}))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0,
+              1.0) * 0.2,
+      9) AS DECIMAL(18,9)) AS q,
+    CASE
+      WHEN len(list_filter(string_split(text, ' '),
+             x -> x IN {_sqlset(T.LEX_EN)}))
+           >= len(list_filter(string_split(text, ' '),
+                x -> x IN {_sqlset(T.LEX_ES)}))
+       AND len(list_filter(string_split(text, ' '),
+             x -> x IN {_sqlset(T.LEX_EN)}))
+           >= len(list_filter(string_split(text, ' '),
+                x -> x IN {_sqlset(T.LEX_DE)}))
+      THEN 'en'
+      WHEN len(list_filter(string_split(text, ' '),
+             x -> x IN {_sqlset(T.LEX_ES)}))
+           >= len(list_filter(string_split(text, ' '),
+                x -> x IN {_sqlset(T.LEX_DE)}))
+      THEN 'es' ELSE 'de' END AS lang
+  FROM documents
+), base AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(chars) AS BIGINT) AS total_chars,
+    CAST(sum(toks) AS BIGINT) AS total_tokens,
+    round(CAST(sum(toks) AS DOUBLE) / count(*), 6)
+      AS mean_doc_tokens,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lang_en,
+    CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lang_es,
+    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lang_de,
+    round(CAST(sum(q) AS DOUBLE)
+          / CAST(nullif(count(q), 0) AS DOUBLE), 6) AS mean_quality
+  FROM per GROUP BY source
+), dups AS (
+  SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, h, count(*) AS c FROM per GROUP BY source, h) t
+  GROUP BY source
+)
+SELECT base.source, n_docs, total_chars, total_tokens,
+  mean_doc_tokens, n_lang_en, n_lang_es, n_lang_de, mean_quality,
+  n_dup_docs,
+  round(n_dup_docs / CAST(nullif(n_docs, 0) AS DOUBLE), 6)
+    AS exact_dup_rate
+FROM base JOIN dups ON base.source = dups.source
+ORDER BY base.source
 """,
         # mirrors functions/text.py::c4_clean over the same
         # deterministic page builder (u CTE == the Spark-side page

@@ -1476,3 +1476,120 @@ def c4_clean(
         ).alias("keep"),
         clean_text.alias("clean_text"),
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    col_source: str = "source",
+) -> DataFrame:
+    """Per-source corpus data card — the one-table summary every
+    training-data release ships (doc/char/token volumes, mean document
+    length, language mix, mean quality score, exact-duplicate
+    pressure), composed from the same deterministic primitives the
+    per-document operators use (single-space tokens, the language_id
+    lexicon argmax, the quality_score formula, md5 content identity).
+    One row per source, source-ordered (source grain is tiny — this is
+    a report, not a join input).
+
+    Determinism: count/char/token columns are exact integers; mean
+    quality follows the house float rule — the per-doc score is
+    pre-rounded to DECIMAL(18,9), summed exactly, divided once, cast
+    double at 6 — so partial-aggregation order cannot move a digit.
+    Zero-length documents contribute NULL quality and are excluded
+    from the mean (loudly countable as total_chars = 0 contributions).
+
+    Scale: one corpus scan computing all per-doc metrics → ONE
+    source-grain aggregate; the duplicate axis adds one
+    (source, content-hash)-grain aggregate collapsing to the source
+    grain (the text itself never shuffles — only its md5). The two
+    source-grain tables join broadcast-small."""
+    t = f"split({col_text}, ' ')"
+    n_tokens = F.expr(f"size({t})").cast("bigint")
+    alpha = F.try_divide(
+        F.length(
+            F.regexp_replace(F.col(col_text), "[^a-zA-Z]", "")
+        ).cast("bigint"),
+        F.length(col_text).cast("bigint"),
+    )
+    stop_ratio = F.try_divide(
+        count_in_lexicon(t, STOPWORDS_EN).cast("bigint"), n_tokens
+    )
+    q = F.round(
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.4
+        + alpha * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2,
+        9,
+    ).cast("decimal(18,9)")
+    s_en = count_in_lexicon(t, LEX_EN)
+    s_es = count_in_lexicon(t, LEX_ES)
+    s_de = count_in_lexicon(t, LEX_DE)
+    lang = (
+        F.when((s_en >= s_es) & (s_en >= s_de), "en")
+        .when(s_es >= s_de, "es")
+        .otherwise("de")
+    )
+    per_doc = df.select(
+        F.col(col_source).alias("source"),
+        F.length(col_text).cast("bigint").alias("chars"),
+        n_tokens.alias("toks"),
+        lang.alias("lang"),
+        q.alias("q"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.try_divide(F.sum("toks"), F.count(F.lit(1))), 6
+        ).alias("mean_doc_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lang_en"),
+        F.sum(F.when(F.col("lang") == "es", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lang_es"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lang_de"),
+        # exact DECIMAL sum, ONE double division (cast before divide,
+        # matching the oracle's CAST(sum AS DOUBLE) / count exactly)
+        F.round(
+            F.try_divide(
+                F.sum("q").cast("double"), F.count("q").cast("double")
+            ),
+            6,
+        ).alias("mean_quality"),
+    )
+    dups = (
+        df.select(
+            F.col(col_source).alias("source"),
+            F.md5(F.col(col_text)).alias("h"),
+        )
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("c") - 1).cast("bigint").alias("n_dup_docs")
+        )
+    )
+    return (
+        base.join(F.broadcast(dups), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "mean_doc_tokens",
+            "n_lang_en",
+            "n_lang_es",
+            "n_lang_de",
+            "mean_quality",
+            "n_dup_docs",
+            F.round(
+                F.try_divide(F.col("n_dup_docs"), F.col("n_docs")), 6
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -309,3 +309,54 @@ def test_eval_contamination_report_flip_side(spark):
     assert sum(r.n_eval_docs for r in tr_rep) == sum(
         r.n_train_docs for r in ev_rep.values()
     )
+
+
+def test_c4_clean_idempotent_on_clean_text(spark):
+    """Cleaning the cleaned text is a fixed point: every kept line
+    still ends in terminal punctuation with >= 3 words, so
+    n_kept_lines and clean_text are invariant under a second pass."""
+    from recmetrics_pyspark_spark.functions.text import c4_clean
+
+    df = spark.createDataFrame(
+        [
+            (1, 'Good line one here.\nshort.\nno punct\n'
+                'Second keeper sentence here!'),
+            (2, "All of these words stay.\nAnd these words stay too."),
+        ],
+        ["doc_id", "text"],
+    )
+    once = c4_clean(df).select("doc_id", "clean_text")
+    twice = c4_clean(
+        once.withColumnRenamed("clean_text", "text")
+    ).select("doc_id", "clean_text")
+    a = {r.doc_id: r.clean_text for r in once.collect()}
+    b = {r.doc_id: r.clean_text for r in twice.collect()}
+    assert a == b
+
+
+def test_corpus_datacard_hand_fixture(spark):
+    """Per-source card over a fixture with known language mix, exact
+    duplicates, and a zero-length doc (NULL quality excluded)."""
+    from recmetrics_pyspark_spark.functions.text import corpus_datacard
+
+    rows = [
+        (1, "the cat and the dog", "a"),     # en (3 EN lexicon hits)
+        (2, "the cat and the dog", "a"),     # exact dup of doc 1
+        (3, "el que de la y", "a"),          # es
+        (4, "", "a"),                        # zero-length: NULL quality
+        (5, "der das und ist die", "b"),     # de
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in corpus_datacard(df).collect()}
+
+    a = out["a"]
+    assert a.n_docs == 4 and a.n_dup_docs == 1
+    assert a.exact_dup_rate == 0.25
+    assert (a.n_lang_en, a.n_lang_es, a.n_lang_de) == (3, 1, 0)
+    # ties go en: the empty doc scores 0 hits everywhere -> 'en'
+    assert a.total_tokens == 5 + 5 + 5 + 1  # split('') is ['']
+    assert a.mean_quality is not None  # 3 non-null quality docs
+
+    b = out["b"]
+    assert (b.n_lang_en, b.n_lang_es, b.n_lang_de) == (0, 0, 1)
+    assert b.n_dup_docs == 0 and b.exact_dup_rate == 0.0

@@ -5,6 +5,8 @@ import pytest
 
 F = pytest.importorskip("pyspark.sql.functions")
 
+from recmetrics_pyspark_spark.sources.io import load_table  # noqa: E402
+
 
 QUOTE = "q1 q2 q3 q4 q5 q6"
 
@@ -360,3 +362,53 @@ def test_corpus_datacard_hand_fixture(spark):
     b = out["b"]
     assert (b.n_lang_en, b.n_lang_es, b.n_lang_de) == (0, 0, 1)
     assert b.n_dup_docs == 0 and b.exact_dup_rate == 0.0
+
+
+def test_c4_clean_runs_in_structured_streaming(spark, tmp_path):
+    """c4_clean is a pure scan-side projection, so it applies to a
+    readStream source unchanged and matches its batch output."""
+    rows = [
+        (1, "Kept sentence number one.\nno punct here\nAnd two more."
+            " Also three. Then four! Finally five?"),
+        (2, "short.\nnothing kept here at all"),
+    ]
+    from recmetrics_pyspark_spark.functions.text import c4_clean
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = tmp_path / "docs_stream"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(src)
+    )
+    q = (
+        c4_clean(stream)
+        .writeStream.format("memory")
+        .queryName("c4_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r)
+            for r in spark.sql("SELECT * FROM c4_stream").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(tuple(r) for r in c4_clean(df).collect())
+    assert got == want
+
+
+def test_corpus_datacard_conservation(spark):
+    """Volumes are conserved: per-source doc/char/token totals sum to
+    the corpus totals, and language counts partition n_docs."""
+    from recmetrics_pyspark_spark.functions.text import corpus_datacard
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    card = corpus_datacard(docs).collect()
+    assert sum(r.n_docs for r in card) == docs.count()
+    total_chars = docs.selectExpr("sum(length(text))").collect()[0][0]
+    assert sum(r.total_chars for r in card) == total_chars
+    for r in card:
+        assert r.n_lang_en + r.n_lang_es + r.n_lang_de == r.n_docs
+        assert 0 <= r.exact_dup_rate <= 1

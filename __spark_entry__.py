@@ -8256,7 +8256,9 @@ FROM canon GROUP BY canonical_url HAVING count(*) >= 2
         # booleans; repetition axes: same non-empty-segment dup
         # counts/char sums, the same (count, gram-chars) top-n-gram
         # tie rule for n=2..4, and the same sum((c-1)*chars)
-        # duplicate-gram mass for n=5..10)
+        # duplicate-gram mass for n=5..10 — the gram aggregate groups
+        # on md5(g) + len(g), the identical collision classes the
+        # Spark side shuffles as unhex(md5(gram)))
         "gopher_quality_flags": """
 WITH w AS (
   SELECT doc_id, text,
@@ -8269,7 +8271,8 @@ WITH w AS (
       AS paras_ne
   FROM documents
 ), ngx AS (
-  SELECT doc_id, n, g, count(*) AS c FROM (
+  SELECT doc_id, n, md5(g) AS h, CAST(len(g) AS BIGINT) AS l,
+    count(*) AS c FROM (
     SELECT w.doc_id, tn.n AS n,
       unnest(list_transform(
         CASE WHEN len(words) >= tn.n
@@ -8279,11 +8282,11 @@ WITH w AS (
                list_slice(words, p, p + tn.n - 1), ' '))) AS g
     FROM w, (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10))
       tn(n)) t
-  GROUP BY doc_id, n, g
+  GROUP BY doc_id, n, md5(g), len(g)
 ), ngbest AS (
-  SELECT doc_id, n, c, CAST(len(g) AS BIGINT) AS l,
+  SELECT doc_id, n, c, l,
     row_number() OVER (PARTITION BY doc_id, n
-                       ORDER BY c DESC, len(g) DESC, g) AS rn
+                       ORDER BY c DESC, l DESC, h) AS rn
   FROM ngx
 ), rep AS (
   SELECT doc_id,
@@ -8301,7 +8304,7 @@ WITH w AS (
     coalesce(max(CASE WHEN n = 10 THEN dc END), 0) AS d10
   FROM (
     SELECT doc_id, n,
-      sum((c - 1) * CAST(len(g) AS BIGINT)) AS dc
+      sum((c - 1) * l) AS dc
     FROM ngx WHERE n >= 5 GROUP BY doc_id, n) t
   GROUP BY doc_id
 ), c AS (

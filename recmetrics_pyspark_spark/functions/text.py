@@ -1129,6 +1129,15 @@ def gopher_quality_flags(
     order-independent form of the paper's duplicate-char measure: the
     sequential skip-ahead scan implementations use is
     evaluation-order-dependent and cannot be mirrored across engines).
+    NOTE: because overlapping occurrences each contribute their full
+    (count − 1) × chars mass, the dup-n-gram statistic counts a
+    character once PER duplicated gram covering it and can exceed 1.0
+    on highly repetitive text — it is strictly harsher than Rae et
+    al.'s character-coverage measure that the verbatim 0.15..0.10
+    thresholds were calibrated for, so kill rates on repetitive
+    documents will exceed the paper's (tune the thresholds up if
+    coverage-calibrated behavior is wanted; a data card over the
+    flags makes the gap visible per corpus).
     Emitting every rule's boolean (not just the verdict) is what makes
     the gate tunable: a data card reports per-rule kill rates, and
     threshold changes re-filter from the flags without re-scanning
@@ -1146,8 +1155,16 @@ def gopher_quality_flags(
     and ONE (doc, n, gram) count aggregate, reduced to the doc grain
     and joined back on the document key: token-scale rows, doc-grain
     shuffles, output row-per-doc — the same grain discipline as every
-    text operator here. Ratios are single divisions of exact integer
-    counts, so the rule booleans are bit-identical in any IEEE engine;
+    text operator here. The (doc, n, gram) exchange carries
+    ``(unhex(md5(gram)), length(gram))`` — 16 fixed bytes + one
+    bigint — NEVER the raw gram string: the downstream statistics
+    need only counts and char masses, never a winning gram's text,
+    and across n = 2..10 the raw strings would push ~50× the
+    corpus's word bytes through one shuffle at 100 TB (md5 is the
+    house cross-engine hash, so the DuckDB oracle groups on the
+    identical collision classes). Ratios are single divisions of
+    exact integer counts, so the rule booleans are bit-identical in
+    any IEEE engine;
     try_divide + coalesce(false) keep empty/whitespace documents as
     loud all-false rows instead of ANSI crashes (their n-gram
     fractions are 0 over a nonzero char count, so only zero-char
@@ -1282,7 +1299,16 @@ def gopher_quality_flags(
             ).alias("x"),
         )
         .filter(F.col("x.g").isNotNull())
-        .select("__gid", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+        # hash BEFORE the exchange: the aggregate only needs the
+        # gram's identity (collision class) and char length — 16
+        # md5 bytes + a bigint per row instead of the raw 2..10-gram
+        # string (~5x fewer shuffle bytes across the nine n values)
+        .select(
+            "__gid",
+            F.col("x.n").alias("n"),
+            F.unhex(F.md5(F.col("x.g"))).alias("h"),
+            F.length(F.col("x.g")).cast("bigint").alias("l"),
+        )
     )
     # skip the map-side combine: gram keys are mostly unique (2.2M
     # rows / ~2M distinct (doc, n, gram) keys at sf0.1), so the
@@ -1290,17 +1316,13 @@ def gopher_quality_flags(
     # shuffles raw rows and aggregates once on the reduce side
     # (measured 2.7s vs 4.0s warm; the item_cooccurrence_pairs rule)
     stats = (
-        grams.repartition("__gid", "n", "g")
-        .groupBy("__gid", "n", "g")
+        grams.repartition("__gid", "n", "h")
+        .groupBy("__gid", "n", "h", "l")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("__gid", "n")
         .agg(
-            F.max(
-                F.struct(F.col("c"), F.length("g").cast("bigint").alias("l"))
-            ).alias("m"),
-            F.sum(
-                (F.col("c") - 1) * F.length("g").cast("bigint")
-            ).alias("dc"),
+            F.max(F.struct(F.col("c"), F.col("l"))).alias("m"),
+            F.sum((F.col("c") - 1) * F.col("l")).alias("dc"),
         )
     )
     rep = stats.groupBy("__gid").agg(

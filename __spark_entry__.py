@@ -8533,14 +8533,16 @@ WITH u AS (
     string_split(text, chr(10)) AS lines,
     list_filter(string_split(text, chr(10)),
       x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')
-       AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3)
+       AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5)
       AS kept
   FROM u
 ), c AS (
   SELECT doc_id, text,
     CAST(len(lines) AS BIGINT) AS n_lines,
     CAST(len(kept) AS BIGINT) AS n_kept_lines,
-    array_to_string(kept, chr(10)) AS clean_text
+    -- DuckDB array_to_string([]) is NULL where Spark array_join([])
+    -- is '' — reachable now that a page can keep zero lines
+    coalesce(array_to_string(kept, chr(10)), '') AS clean_text
   FROM k
 )
 SELECT doc_id, n_lines, n_kept_lines,
@@ -8548,7 +8550,7 @@ SELECT doc_id, n_lines, n_kept_lines,
        AS BIGINT) AS n_sentences,
   contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
   contains(text, '{') AS has_curly_brace,
-  (len(clean_text) - len(translate(clean_text, '.!?', '')) >= 5
+  (len(clean_text) - len(translate(clean_text, '.!?', '')) >= 3
    AND NOT contains(lower(text), 'lorem ipsum')
    AND NOT contains(text, '{')) AS keep,
   clean_text

@@ -1445,16 +1445,18 @@ def c4_clean(
     df: DataFrame,
     col_id: str = "doc_id",
     col_text: str = "text",
-    min_line_words: int = 3,
-    min_sentences: int = 5,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
 ) -> DataFrame:
     """The C4 line-level cleaner (Raffel et al. 2020 §2.2 — the other
     canonical web-corpus filter next to the Gopher gate): per document,
     keep only lines that end in terminal punctuation (. ! ? or a
     closing double quote, after trailing-space trim) AND contain at
-    least ``min_line_words`` words; then judge the page on its CLEANED
+    least ``min_line_words`` words (the paper keeps lines of >= 5
+    words); then judge the page on its CLEANED
     text — keep iff it has at least ``min_sentences`` sentences
-    (terminal-punctuation marks in the kept lines) and the ORIGINAL
+    (terminal-punctuation marks in the kept lines; the paper keeps
+    pages of >= 3 sentences) and the ORIGINAL
     page contains neither the string "lorem ipsum" (case-insensitive
     placeholder-text tell) nor a curly brace (code tell). The paper's
     bad-words list is deliberately NOT bundled (policy, not

@@ -193,35 +193,39 @@ def test_c4_clean_hand_cases(spark):
     from recmetrics_pyspark_spark.functions.text import c4_clean
 
     rows = [
-        # 5 lines: kept are the 4-word '.', the multi-sentence, and
-        # the quote-terminated line; 'short.' (1 word) and the
-        # punct-less line drop. Sentences in kept text: 1+4+1 = 6.
-        (1, 'Good line one here.\nshort.\nno punct line at all\n'
+        # 6 lines: kept are the 5-word '.', the multi-sentence, and
+        # the quote-terminated 5-word line; 'short.' (1 word), the
+        # 4-word '.' line (paper keeps >= 5 words), and the punct-less
+        # line drop. Sentences in kept text: 1+4+1 = 6.
+        (1, 'Good line number one here.\nshort.\nFour words drop'
+            ' now.\nno punct line at all\n'
             'Another full sentence ends here! Also this. And this.'
-            ' Plus one more?\nQuote line ends well."'),
+            ' Plus one more?\nQuote line ends so well."'),
         (2, "Has lorem Ipsum inside. One. Two. Three. Four. Five."),
         (3, "code { brace } here. One. Two. Three. Four. Five."),
         (4, ""),
-        # enough words per line but only 4 sentences -> dropped page
-        (5, "First one here now.\nSecond one here too.\n"
-            "Third one here still.\nFourth one here also."),
+        # >= 5 words per line but only 2 sentences -> dropped page
+        # (paper keeps pages of >= 3 sentences)
+        (5, "First sentence has five words.\n"
+            "Second sentence has five words."),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r for r in c4_clean(df).collect()}
 
     r1 = out[1]
-    assert (r1.n_lines, r1.n_kept_lines, r1.n_sentences) == (5, 3, 6)
+    assert (r1.n_lines, r1.n_kept_lines, r1.n_sentences) == (6, 3, 6)
     assert r1.keep
-    assert r1.clean_text.startswith("Good line one here.")
+    assert r1.clean_text.startswith("Good line number one here.")
     assert "short." not in r1.clean_text
+    assert "Four words drop" not in r1.clean_text
     assert "no punct" not in r1.clean_text
 
     assert out[2].has_lorem_ipsum and not out[2].keep  # case-folded
     assert out[3].has_curly_brace and not out[3].keep
     assert out[4].n_kept_lines == 0 and not out[4].keep
     r5 = out[5]
-    assert r5.n_kept_lines == 4 and r5.n_sentences == 4
-    assert not r5.keep  # 4 < 5 sentences
+    assert r5.n_kept_lines == 2 and r5.n_sentences == 2
+    assert not r5.keep  # 2 < 3 sentences
 
 
 def test_normalize_mode_collides_across_case_and_punct(spark):
@@ -315,14 +319,14 @@ def test_eval_contamination_report_flip_side(spark):
 
 def test_c4_clean_idempotent_on_clean_text(spark):
     """Cleaning the cleaned text is a fixed point: every kept line
-    still ends in terminal punctuation with >= 3 words, so
+    still ends in terminal punctuation with >= 5 words, so
     n_kept_lines and clean_text are invariant under a second pass."""
     from recmetrics_pyspark_spark.functions.text import c4_clean
 
     df = spark.createDataFrame(
         [
-            (1, 'Good line one here.\nshort.\nno punct\n'
-                'Second keeper sentence here!'),
+            (1, 'Good line number one here.\nshort.\nno punct\n'
+                'Second keeper sentence lives here!'),
             (2, "All of these words stay.\nAnd these words stay too."),
         ],
         ["doc_id", "text"],

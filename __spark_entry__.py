@@ -8560,22 +8560,38 @@ FROM c
         # src0-eval / rest-train split (word-5-gram shingles over the
         # WHITESPACE-CLASS token split — cross-corpus formatting noise
         # must not defeat collisions — positions
-        # 1..greatest(len-k+1, 1), distinct per doc)
+        # 1..greatest(len-k+1, 1), distinct per doc; zero-token docs
+        # dropped on both sides; the train side additionally emits
+        # full n-grams at each distinct sub-k eval-doc length — the
+        # GPT-3 min(k, len) containment rule — INERT at every test SF
+        # (min doc length 10 words > k=5; the live-regime cross-engine
+        # pin is tests/test_round9_ops.py)
         "ngram_decontaminate": """
 WITH d AS (
   SELECT doc_id, source,
     list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
                 x -> x <> '') AS toks
   FROM documents
+), dn AS (
+  SELECT * FROM d WHERE len(toks) > 0
 ), sh AS (
   SELECT DISTINCT doc_id, source,
     array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
-  FROM d, unnest(generate_series(1, greatest(len(toks) - 4, 1))) u(i)
+  FROM dn, unnest(generate_series(1, greatest(len(toks) - 4, 1))) u(i)
 ), ev AS (
   SELECT DISTINCT shingle, doc_id AS eval_id FROM sh
   WHERE source = 'src0'
+), shortn AS (
+  SELECT DISTINCT len(toks) AS n FROM dn
+  WHERE source = 'src0' AND len(toks) < 5
 ), tr AS (
   SELECT doc_id, shingle FROM sh WHERE source <> 'src0'
+  UNION ALL
+  SELECT dn.doc_id,
+    array_to_string(list_slice(toks, i, i + n - 1), ' ') AS shingle
+  FROM dn, shortn,
+    unnest(generate_series(1, len(toks) - n + 1)) u(i)
+  WHERE dn.source <> 'src0' AND len(dn.toks) >= shortn.n
 )
 SELECT tr.doc_id AS doc_id,
   CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_collisions,
@@ -8584,7 +8600,8 @@ SELECT tr.doc_id AS doc_id,
 FROM tr JOIN ev USING (shingle)
 GROUP BY tr.doc_id
 """,
-        # eval-grain twin: same collision join, grouped by the eval
+        # eval-grain twin: same collision join (incl. the short-eval
+        # containment grams + zero-token filter), grouped by the eval
         # document (operators/dedup.py::eval_contamination_report)
         "eval_contamination_report": """
 WITH d AS (
@@ -8592,15 +8609,26 @@ WITH d AS (
     list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
                 x -> x <> '') AS toks
   FROM documents
+), dn AS (
+  SELECT * FROM d WHERE len(toks) > 0
 ), sh AS (
   SELECT DISTINCT doc_id, source,
     array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
-  FROM d, unnest(generate_series(1, greatest(len(toks) - 4, 1))) u(i)
+  FROM dn, unnest(generate_series(1, greatest(len(toks) - 4, 1))) u(i)
 ), ev AS (
   SELECT DISTINCT shingle, doc_id AS eval_id FROM sh
   WHERE source = 'src0'
+), shortn AS (
+  SELECT DISTINCT len(toks) AS n FROM dn
+  WHERE source = 'src0' AND len(toks) < 5
 ), tr AS (
   SELECT doc_id, shingle FROM sh WHERE source <> 'src0'
+  UNION ALL
+  SELECT dn.doc_id,
+    array_to_string(list_slice(toks, i, i + n - 1), ' ') AS shingle
+  FROM dn, shortn,
+    unnest(generate_series(1, len(toks) - n + 1)) u(i)
+  WHERE dn.source <> 'src0' AND len(dn.toks) >= shortn.n
 )
 SELECT ev.eval_id AS eval_id,
   CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_collisions,

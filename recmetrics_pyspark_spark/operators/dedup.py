@@ -68,6 +68,7 @@ def _shingle_rows(
     k: int,
     distinct: bool = True,
     whitespace: bool = False,
+    skip_empty: bool = False,
 ) -> DataFrame:
     """Unpersisted word-k-gram rows — the shared construction behind
     word_shingles (which adds persist for fan-out consumers) and
@@ -81,7 +82,14 @@ def _shingle_rows(
     consumers need it (a line-wrapped copy of a single-spaced quote
     must still collide); the single-space default is the pinned
     within-corpus tokenization every existing shingle oracle
-    mirrors."""
+    mirrors. ``skip_empty=True`` drops zero-token documents BEFORE
+    the position explode — without it an empty/whitespace-only doc
+    still emits one empty-string partial shingle (greatest(..., 1)
+    forces position 1 and concat_ws over all-NULL lookups yields '');
+    the decontamination path needs the filter so two whitespace-only
+    docs across corpora don't read as a contamination hit, while
+    word_shingles keeps the historical partial-shingle semantics its
+    oracles pin."""
     lookups = [
         F.expr(f"try_element_at(__toks, pos + {i})") for i in range(k)
     ]
@@ -91,8 +99,11 @@ def _shingle_rows(
         )
     else:
         toks = F.split(F.col(col_text), " ")
+    base = df.select(F.col(col_id), toks.alias("__toks"))
+    if skip_empty:
+        base = base.filter(F.size("__toks") > 0)
     out = (
-        df.select(F.col(col_id), toks.alias("__toks"))
+        base
         .select(
             F.col(col_id),
             "__toks",
@@ -1367,6 +1378,7 @@ def ngram_decontaminate(
     k: int = 13,
     broadcast_eval_limit: int = 5_000_000,
     normalize: bool = False,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus eval decontamination: flag every TRAIN document
     that shares at least one word k-gram with the EVAL corpus — the
@@ -1386,6 +1398,18 @@ def ngram_decontaminate(
     documents emit nothing; callers drop contamination with one
     anti-join of the train table against this output.
 
+    Short eval documents follow GPT-3's min(k, len) rule in BOTH
+    directions: an eval doc with fewer than k words contributes its
+    whole text as one partial shingle, AND the train side emits full
+    n-grams at each distinct short-eval length so a sub-k-word
+    benchmark answer QUOTED INSIDE a long training page still
+    collides (the distinct short lengths — at most k−1 values — are
+    probed from the benchmark-sized eval side before the train scan
+    and compiled into the same single-pass gram emitter).
+    Zero-token documents are excluded on both sides: without the
+    filter a whitespace-only train doc would collide with any
+    whitespace-only eval doc through the empty partial shingle.
+
     Tokenization is the WHITESPACE-CLASS split (empty tokens
     dropped), not the single-space split the within-corpus shingle
     family pins: a line-wrapped or double-spaced copy of a
@@ -1395,26 +1419,166 @@ def ngram_decontaminate(
     gopher_quality_flags; the DuckDB oracle mirrors the class split).
 
     Scale: the eval side is benchmark-sized (thousands of documents
-    against a 100 TB train corpus), so its distinct shingles persist
-    and BROADCAST under the house size guard — the deciding count
-    doubles as the cache fill, and past ``broadcast_eval_limit`` rows
-    the join falls back to a plain shuffle hash join rather than
-    OOMing the executors. The train side streams SHUFFLE-FREE: raw
-    un-deduplicated shingle rows (_shingle_rows(distinct=False) —
-    never a materialized or even set-deduplicated corpus-scale table;
-    the per-doc distinct would cost a token-scale exchange the final
-    countDistinct makes redundant) flow scan → explode →
-    broadcast-join, and only COLLISION-scale rows reach the one
-    doc-grain aggregate shuffle. Counts are exact integers; the
-    sample witness is a deterministic min."""
+    against a 100 TB train corpus); its distinct shingles BROADCAST
+    under the house size guard, and past ``broadcast_eval_limit``
+    rows the join falls back to a plain shuffle hash join rather
+    than OOMing the executors. Nothing is persisted by default —
+    the guard count and short-length probe re-derive the cheap eval
+    stream instead of leaking a cached table into the session per
+    call; a session sweeping many benchmarks passes
+    ``eval_shingles=build_eval_shingles(...)`` to both grains and
+    owns that one cache (unpersist when done). The train side
+    streams SHUFFLE-FREE: raw un-deduplicated gram rows
+    (_train_collision_shingles — never a materialized or even
+    set-deduplicated corpus-scale table; the per-doc distinct would
+    cost a token-scale exchange the final countDistinct makes
+    redundant) flow scan → explode → broadcast-join, and only
+    COLLISION-scale rows reach the one doc-grain aggregate shuffle.
+    Counts are exact integers; the sample witness is a
+    deterministic min."""
     hits = _decontamination_hits(
         train_df, eval_df, col_id, col_text, eval_col_id,
         eval_col_text, k, broadcast_eval_limit, normalize,
+        eval_shingles,
     )
     return hits.groupBy(F.col(col_id)).agg(
         F.countDistinct("shingle").cast("bigint").alias("n_collisions"),
         F.countDistinct("__eval_id").cast("bigint").alias("n_eval_docs"),
         F.min("shingle").alias("sample_shingle"),
+    )
+
+
+def build_eval_shingles(
+    eval_df: DataFrame,
+    eval_col_id: str = "doc_id",
+    eval_col_text: str = "text",
+    k: int = 13,
+    normalize: bool = False,
+) -> DataFrame:
+    """Persisted distinct eval-corpus shingle rows
+    ``(eval_col_id, shingle)`` for the decontamination pair —
+    benchmark-sized, whitespace-class tokenized, zero-token docs
+    dropped, eval docs shorter than ``k`` contributing their
+    whole-doc partial shingle (the GPT-3 min(k, len) rule's eval
+    side). Pass the result to BOTH ``ngram_decontaminate`` and
+    ``eval_contamination_report`` via their ``eval_shingles``
+    parameter so a session sweeping many benchmarks fills the
+    (benchmark-sized) table once. THE CALLER OWNS THE CACHE: call
+    ``.unpersist()`` when done — the default (no injection) path
+    builds an unpersisted stream per call and leaks nothing."""
+    if normalize:
+        eval_df = _decontamination_normalize(
+            eval_df, eval_col_id, eval_col_text
+        )
+    out = _shingle_rows(
+        eval_df, eval_col_id, eval_col_text, k,
+        whitespace=True, skip_empty=True,
+    ).persist()
+    out.count()
+    return out
+
+
+def _decontamination_normalize(
+    d: DataFrame, cid: str, ctext: str
+) -> DataFrame:
+    """GPT-3-style normalization: lowercase, punctuation to spaces."""
+    return d.select(
+        F.col(cid),
+        F.regexp_replace(
+            F.lower(F.col(ctext)), "[^a-z0-9]", " "
+        ).alias(ctext),
+    )
+
+
+def _train_collision_shingles(
+    train_df: DataFrame,
+    col_id: str,
+    col_text: str,
+    k: int,
+    extra_ns: list,
+) -> DataFrame:
+    """Raw (un-deduplicated) train-side gram rows for the
+    decontamination join: the k-level stream (full k-grams, plus the
+    whole-doc partial for docs shorter than k — mirroring the eval
+    side's min(k, len) emission) UNION the full n-gram streams for
+    each n in ``extra_ns`` (the distinct lengths of eval docs shorter
+    than k — a sub-k-word benchmark answer quoted inside a long train
+    page must still collide, so the train side emits grams at exactly
+    those lengths too). All levels share ONE whitespace-class
+    tokenization and ONE position explode over
+    1..greatest(size - min_n + 1, 1) (codegen'd posexplode +
+    try_element_at, the house gram pattern); per-level validity
+    guards decide emission, so the scan stays single-pass and
+    shuffle-free. Zero-token docs are dropped before the explode.
+    Duplicate (doc, shingle) rows across levels (a doc of exactly n
+    tokens emits its whole text at both the k-partial and the n
+    level) are harmless: every downstream aggregate counts
+    DISTINCT."""
+    ns = sorted({int(n) for n in extra_ns if 0 < int(n) < k})
+    toks = F.filter(
+        F.split(F.col(col_text), "[ \\t\\n\\r]+"), lambda x: x != ""
+    )
+    base = (
+        train_df.select(F.col(col_id), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+    )
+    if not ns:
+        lookups = [
+            F.expr(f"try_element_at(__toks, pos + {i})")
+            for i in range(k)
+        ]
+        return (
+            base.select(
+                F.col(col_id),
+                "__toks",
+                F.posexplode(
+                    F.expr(
+                        f"sequence(1, greatest(size(__toks) - {k - 1}, 1))"
+                    )
+                ).alias("__i", "pos"),
+            )
+            .select(
+                F.col(col_id),
+                F.concat_ws(" ", *lookups).alias("shingle"),
+            )
+        )
+    n_min = ns[0]
+    pos_df = base.select(
+        F.col(col_id),
+        "__toks",
+        F.posexplode(
+            F.expr(f"sequence(1, greatest(size(__toks) - {n_min - 1}, 1))")
+        ).alias("__i", "pos"),
+    )
+
+    def _gram(n: int, partial: bool):
+        g = F.concat_ws(
+            " ",
+            *[
+                F.expr(f"try_element_at(__toks, pos + {i})")
+                for i in range(n)
+            ],
+        )
+        if partial:
+            # full n-grams, plus the whole-doc partial at position 1
+            # for docs shorter than n (the k-level's min(k, len) rule)
+            cond = F.expr(
+                f"pos + {n - 1} <= size(__toks)"
+                f" or (pos = 1 and size(__toks) < {n})"
+            )
+        else:
+            cond = F.expr(f"pos + {n - 1} <= size(__toks)")
+        return F.when(cond, g)
+
+    levels = [_gram(k, partial=True)] + [
+        _gram(n, partial=False) for n in ns
+    ]
+    return (
+        pos_df.select(
+            F.col(col_id),
+            F.explode(F.array(*levels)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -1428,31 +1592,52 @@ def _decontamination_hits(
     k: int,
     broadcast_eval_limit: int,
     normalize: bool,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(train id, __eval_id, shingle) collision rows — the shared
     join behind ngram_decontaminate (train-grain report) and
     eval_contamination_report (eval-grain report). Plan shape is
-    documented on ngram_decontaminate."""
-    if normalize:
-        def _norm(d: DataFrame, cid: str, ctext: str) -> DataFrame:
-            return d.select(
-                F.col(cid),
-                F.regexp_replace(
-                    F.lower(F.col(ctext)), "[^a-z0-9]", " "
-                ).alias(ctext),
+    documented on ngram_decontaminate. Nothing is persisted here:
+    the eval side is benchmark-sized, so the guard count, the
+    short-length probe, and the join each re-derive it from a cheap
+    scan rather than leaking a cached table into the session per
+    call (pass ``eval_shingles`` from build_eval_shingles to share
+    one persisted fill across both grains — the caller unpersists)."""
+    if eval_shingles is not None:
+        ev = eval_shingles.select(
+            F.col(eval_col_id), F.col("shingle")
+        )
+    else:
+        if normalize:
+            eval_df = _decontamination_normalize(
+                eval_df, eval_col_id, eval_col_text
             )
-
-        train_df = _norm(train_df, col_id, col_text)
-        eval_df = _norm(eval_df, eval_col_id, eval_col_text)
-    ev = _shingle_rows(
-        eval_df, eval_col_id, eval_col_text, k, whitespace=True
-    ).persist()
-    # the deciding count doubles as the cache fill: the guard decision
-    # and the join read the same materialized eval shingles
+        ev = _shingle_rows(
+            eval_df, eval_col_id, eval_col_text, k,
+            whitespace=True, skip_empty=True,
+        )
+    if normalize:
+        train_df = _decontamination_normalize(
+            train_df, col_id, col_text
+        )
+    # the guard count and the short-eval length probe are two
+    # benchmark-scale jobs (the eval corpus is thousands of docs
+    # against a 100 TB train side — re-deriving it is noise; a
+    # persisted fill is only worth sharing across grains, which is
+    # what build_eval_shingles is for)
     ev_rows = ev.count()
+    short_ns = [
+        r[0]
+        for r in ev.select(
+            F.size(F.split("shingle", " ")).alias("__n")
+        )
+        .filter(F.col("__n") < k)
+        .distinct()
+        .collect()
+    ]
     ev = ev.select(F.col(eval_col_id).alias("__eval_id"), "shingle")
-    tr = _shingle_rows(
-        train_df, col_id, col_text, k, distinct=False, whitespace=True
+    tr = _train_collision_shingles(
+        train_df, col_id, col_text, k, short_ns
     )
     ev_side = F.broadcast(ev) if ev_rows <= broadcast_eval_limit else ev
     return tr.join(ev_side, "shingle")
@@ -1468,6 +1653,7 @@ def eval_contamination_report(
     k: int = 13,
     broadcast_eval_limit: int = 5_000_000,
     normalize: bool = False,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The eval-grain flip side of ngram_decontaminate: one row per
     BURNED eval document — (eval id, n_collisions = distinct leaked
@@ -1476,13 +1662,16 @@ def eval_contamination_report(
     benchmark owner reads ("which eval items leaked into training and
     how widely?") while ngram_decontaminate is the one the data
     curator acts on; both ride the IDENTICAL collision join
-    (_decontamination_hits — same tokenization, same size-guarded
-    broadcast, same shuffle-free train side), so a session computing
-    both reuses the persisted eval shingle table and pays one extra
-    collision-scale aggregate, nothing corpus-scale."""
+    (_decontamination_hits — same tokenization, same min(k, len)
+    short-eval rule, same size-guarded broadcast, same shuffle-free
+    train side). A session computing both grains passes the same
+    ``eval_shingles=build_eval_shingles(...)`` table to share one
+    benchmark-sized cache fill (caller unpersists); the default path
+    persists nothing."""
     hits = _decontamination_hits(
         train_df, eval_df, col_id, col_text, eval_col_id,
         eval_col_text, k, broadcast_eval_limit, normalize,
+        eval_shingles,
     )
     return hits.groupBy(F.col("__eval_id").alias("eval_id")).agg(
         F.countDistinct("shingle").cast("bigint").alias("n_collisions"),

@@ -1,0 +1,227 @@
+"""Round-9 decontamination hardening: the GPT-3 min(k, len)
+short-eval containment rule, the zero-token filter, and the
+no-persist-leak contract (operators/dedup.py)."""
+
+import pytest
+
+F = pytest.importorskip("pyspark.sql.functions")
+
+
+def _collect_map(df):
+    return {r[0]: r for r in df.collect()}
+
+
+def test_short_eval_doc_embedded_in_long_train_doc_is_flagged(spark):
+    """An eval doc with fewer than k words quoted inside a longer
+    train doc must collide: the train side emits full n-grams at the
+    eval doc's length (GPT-3 matches min(13, len)-grams against the
+    full training text)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (101, "a b c SHORT EVAL ANSWER d e f g h i j k l m n"),
+            (102, "no quoted material anywhere in this page at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(1, "SHORT EVAL ANSWER")], ["doc_id", "text"]
+    )
+    out = _collect_map(ngram_decontaminate(train, eval_df, k=13))
+    assert set(out) == {101}
+    assert out[101].n_collisions == 1
+    assert out[101].n_eval_docs == 1
+    assert out[101].sample_shingle == "SHORT EVAL ANSWER"
+
+
+def test_short_eval_rule_covers_multiple_lengths_and_eval_grain(spark):
+    """Two short eval docs of DIFFERENT lengths both collide (the
+    train emitter compiles one gram level per distinct short length),
+    and the eval-grain report sees the same hits."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        eval_contamination_report,
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (101, "x1 x2 TWO WORDS x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+            (102, "y1 A THREE WORD y2 y3 y4 y5 y6 y7 y8 y9 y10 y11"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(1, "TWO WORDS"), (2, "A THREE WORD"), (3, "NOWHERE AT ALL")],
+        ["doc_id", "text"],
+    )
+    tr_out = _collect_map(ngram_decontaminate(train, eval_df, k=13))
+    assert set(tr_out) == {101, 102}
+    assert tr_out[101].sample_shingle == "TWO WORDS"
+    assert tr_out[102].sample_shingle == "A THREE WORD"
+    ev_out = _collect_map(
+        eval_contamination_report(train, eval_df, k=13)
+    )
+    assert set(ev_out) == {1, 2}
+    assert ev_out[1].n_train_docs == 1
+    assert ev_out[2].n_train_docs == 1
+
+
+def test_short_train_doc_still_matches_whole_doc_equality(spark):
+    """A train doc SHORTER than k keeps the historical min(k, len)
+    emission: its whole text is its shingle, so an identical short
+    eval doc still collides (and a short train doc that merely
+    CONTAINS a shorter eval doc now collides via the extra levels)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (201, "THE EXACT SHORT DOC"),      # equality match (len 4)
+            (202, "pre TINY ANSWER post end"),  # containment (len 5)
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(1, "THE EXACT SHORT DOC"), (2, "TINY ANSWER")],
+        ["doc_id", "text"],
+    )
+    out = _collect_map(ngram_decontaminate(train, eval_df, k=13))
+    assert set(out) == {201, 202}
+    assert out[201].sample_shingle == "THE EXACT SHORT DOC"
+    assert out[202].sample_shingle == "TINY ANSWER"
+
+
+def test_zero_token_docs_never_collide(spark):
+    """Whitespace-only documents emit NO shingles on either side:
+    without the filter, the empty partial shingle would report any
+    whitespace-only train doc as contaminated by any whitespace-only
+    eval doc (ADVICE r8)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        eval_contamination_report,
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "   \t  \n "), (2, ""), (3, "real words in here now")],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(9, " \n\t "), (10, "")], ["doc_id", "text"]
+    )
+    assert ngram_decontaminate(train, eval_df, k=5).count() == 0
+    assert eval_contamination_report(train, eval_df, k=5).count() == 0
+
+
+def test_default_path_persists_nothing(spark):
+    """The default (no-injection) decontamination path must not leak
+    a cached table into the session (round-8 verdict residual #2)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        eval_contamination_report,
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m")], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "c d e f g")], ["doc_id", "text"]
+    )
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    ngram_decontaminate(train, eval_df, k=5).collect()
+    eval_contamination_report(train, eval_df, k=5).collect()
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_injected_eval_shingles_match_default_and_unpersist(spark):
+    """build_eval_shingles + injection returns the identical result
+    to the default path; the caller-owned cache unpersists cleanly."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        build_eval_shingles,
+        eval_contamination_report,
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (101, "t1 t2 q1 q2 q3 q4 q5 q6 t3 t4 t5 t6 t7"),
+            (102, "pad SHORT ONE pad2 pad3 pad4 pad5 pad6 pad7 pad8"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(1, "q1 q2 q3 q4 q5 q6"), (2, "SHORT ONE")],
+        ["doc_id", "text"],
+    )
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base_tr = _rows(ngram_decontaminate(train, eval_df, k=5))
+    base_ev = _rows(eval_contamination_report(train, eval_df, k=5))
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    shingles = build_eval_shingles(eval_df, k=5)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    got_tr = _rows(
+        ngram_decontaminate(
+            train, eval_df, k=5, eval_shingles=shingles
+        )
+    )
+    got_ev = _rows(
+        eval_contamination_report(
+            train, eval_df, k=5, eval_shingles=shingles
+        )
+    )
+    shingles.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == before
+    assert got_tr == base_tr
+    assert got_ev == base_ev
+
+
+def test_short_eval_containment_matches_duckdb_mirror_when_live(spark):
+    """Live-regime cross-engine pin: the declared oracle's short-eval
+    CTEs are INERT at every test SF (min corpus doc is 10 words > the
+    query's k=5), so run the same SQL shape in DuckDB on synthetic
+    rows where the rule bites and diff against Spark (the
+    test_basket_cap pattern)."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    rows = [
+        (1, "src0", "PLANTED SHORT"),                       # eval, len 2
+        (2, "src0", "e1 e2 e3 e4 e5 e6"),                   # eval, len 6
+        (3, "src1", "w1 PLANTED SHORT w2 w3 w4 w5 w6 w7"),  # containment
+        (4, "src1", "e2 e3 e4 e5 e6 tail1 tail2 tail3"),    # 5-gram hit
+        (5, "src1", "clean page with nothing quoted here"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    import __spark_entry__ as e
+
+    oracle = con.execute(e.oracle_sql()["ngram_decontaminate"]).df()
+    want = sorted(
+        (int(r.doc_id), int(r.n_collisions), int(r.n_eval_docs),
+         r.sample_shingle)
+        for r in oracle.itertuples()
+    )
+
+    docs = spark.createDataFrame(pdf)
+    ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    tr = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    got = sorted(
+        (r.doc_id, r.n_collisions, r.n_eval_docs, r.sample_shingle)
+        for r in ngram_decontaminate(tr, ev, k=5).collect()
+    )
+    assert got == want
+    assert {g[0] for g in got} == {3, 4}

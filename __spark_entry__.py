@@ -3186,6 +3186,25 @@ def _kcore_items(spark, sf_dir):
     return k_core_decompose(pairs, k=3, rounds=8)
 
 
+def _kcore_items_converged(spark, sf_dir):
+    """k_core_decompose's opt-in ``until_converged=True`` mode over
+    the same 3-core input as kcore_items: the loop peels to the fixed
+    point (one checkpointed-block count per round decides the exit)
+    instead of running a fixed 8 rounds. PRECONDITION pinning the
+    shared oracle: on every test corpus the peel converges within 8
+    rounds (property-pinned by test_kcore_peel_idempotent_past_
+    convergence), so the fixed-8-round CTE chain IS the fixed point
+    this mode must land on — the driver row therefore exercises the
+    loop-exit logic against the exact same expected output."""
+    from recmetrics_pyspark_spark.operators.graph import k_core_decompose
+
+    inter = R.interactions(spark, sf_dir)
+    pairs = M.item_similarity_pairs(
+        inter, "user", "item", min_common=2, max_basket=MAX_BASKET
+    )
+    return k_core_decompose(pairs, k=3, until_converged=True)
+
+
 def _corpus_entropy(spark, sf_dir):
     """Unigram/bigram/conditional entropy rates of the document token
     stream (functions/text.py::corpus_entropy_rates): DECIMAL-exact
@@ -3983,6 +4002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _c4_clean,
         "eval_contamination_report": _eval_contamination_report,
         "corpus_datacard": _corpus_datacard,
+        # --- round-9 additions
+        "kcore_items_converged": _kcore_items_converged,
     }
     ordered = {k: base[k] for k in _ROUND8_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -7798,6 +7819,11 @@ SELECT bucket, cum_tokens, cum_vocab, heaps_beta
 FROM pts CROSS JOIN fit ORDER BY bucket
 """,
         "kcore_items": _kcore_oracle(),
+        # until_converged mode lands on the SAME fixed point the
+        # 8-round chain reaches (the peel converges within 8 on every
+        # test corpus — fixture precondition documented on the query),
+        # so the fixed-round CTE chain is its exact expected output
+        "kcore_items_converged": _kcore_oracle(),
         "pq_distortion": _pq_distortion_oracle(),
         "degree_distribution": ORACLE_BASE + ITEM_SIMS_SQL + """
 , dboth AS (

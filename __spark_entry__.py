@@ -3676,6 +3676,104 @@ def _eval_contamination_report(spark, sf_dir):
     return eval_contamination_report(tr, ev, k=5)
 
 
+def _web_curation_pipeline(spark, sf_dir):
+    """The canonical web-curation stack end-to-end, as ONE declared
+    query with ONE composed oracle: C4 line cleaning (paper defaults)
+    → Gopher gate keep-filter on the CLEANED text (corpus-tuned
+    min_words=20 / min_stopwords=1 — the synthetic vocabulary carries
+    one Gopher stopword, and gate thresholds are corpus policy) →
+    exact dedup (canonical survivor per md5 of cleaned text) →
+    ngram_decontaminate anti-join (eval corpus = RAW src0 texts, k=5,
+    same convention as the declared decontamination queries) →
+    corpus_datacard over what ships. Green pins stage COMPOSITION —
+    schema handoffs, keep-flag filtering, the clean-text rewrite
+    feeding downstream hashing/shingling — which the per-operator
+    oracles cannot see.
+
+    The corpus is single-line and punctuation-free, so pages are
+    built deterministically from each document (mirrored VERBATIM in
+    the oracle's ``p`` CTE) — keyed on length(text), NOT doc_id, so
+    exact-duplicate documents remain exact-duplicate pages and the
+    dedup stage keeps its bite. Scale: every stage is the declared
+    operator itself (scan-side c4 + gopher's hashed gram aggregate +
+    one md5-grain agg + the broadcast decontamination join + the
+    source-grain card) — composition adds two doc-grain semi/anti
+    joins and nothing else.
+
+    Stage bite by SF (measured, oracle funnel): sf0.1 = 5000 docs →
+    1944 after C4 → 1774 after gopher → 1772 after dedup → 1694
+    train-side → 52 decontaminated → 1642 shipped (every stage
+    live). At sf0.001/0.01 the corpus carries no exact-dup texts and
+    no SURVIVING src0 containments, so the dedup/decontamination
+    stages pass everything through — inert-but-mirrored there, live
+    at sf0.1 (the same convention as the basket cap / shingle
+    df-cap; sf0.1 is judge-verified each round)."""
+    from recmetrics_pyspark_spark.functions.text import (
+        c4_clean,
+        corpus_datacard,
+        gopher_quality_flags,
+    )
+    from recmetrics_pyspark_spark.operators.dedup import (
+        exact_dedup,
+        ngram_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    ln = F.length("text")
+    page = F.concat(
+        F.col("text"), F.lit("."),
+        nl, F.lit("short."),
+        nl, F.concat(F.lit("no punct line here "),
+                     F.substring("text", 1, 12)),
+        F.when(
+            ln % 2 == 0,
+            F.concat(nl, F.lit("One more. And another! Plus a third?"
+                               " Then four. Finally five.")),
+        ).otherwise(
+            F.concat(nl, F.lit("Just a little more text arrives here."))
+        ),
+        F.when(
+            ln % 7 == 0,
+            F.concat(nl, F.lit("Filler Lorem Ipsum paragraph appears.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ln % 11 == 0,
+            F.concat(nl, F.lit("Contains a { brace in code block.")),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", "source", page.alias("text"))
+    # stage 1: C4 clean + keep-filter + rewrite to the cleaned text
+    cleaned = pages.select("doc_id", "source").join(
+        c4_clean(pages).filter("keep").select("doc_id", "clean_text"),
+        "doc_id",
+    ).select("doc_id", "source", F.col("clean_text").alias("text"))
+    # stage 2: Gopher gate on the cleaned text (tuned thresholds)
+    gated = cleaned.join(
+        gopher_quality_flags(cleaned, min_words=20, min_stopwords=1)
+        .filter("keep")
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    # stage 3: exact dedup — canonical survivor per cleaned-text hash
+    deduped = gated.join(
+        exact_dedup(gated).filter(~F.col("is_dup")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    # stage 4: decontamination anti-join (train = non-src0 survivors,
+    # eval = RAW src0 documents)
+    ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    tr = deduped.filter(F.col("source") != "src0")
+    bad = ngram_decontaminate(
+        tr.select("doc_id", "text"), ev, k=5
+    ).select("doc_id")
+    shipped = tr.join(bad, "doc_id", "left_anti")
+    # stage 5: the data card over what ships
+    return corpus_datacard(shipped)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
     evaluates the FIRST 50 entries. Round-8 window (`_ROUND8_WINDOW`
@@ -4004,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": _corpus_datacard,
         # --- round-9 additions
         "kcore_items_converged": _kcore_items_converged,
+        "web_curation_pipeline": _web_curation_pipeline,
     }
     ordered = {k: base[k] for k in _ROUND8_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -4251,6 +4350,373 @@ _COS_SQL = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+
+
+# ---------------------------------------------------------------------------
+# Parameterized oracle fragments shared by the standalone queries and the
+# composed web_curation_pipeline oracle (single source of truth: the
+# pipeline's gopher/datacard stages are the SAME SQL the standalone
+# queries pin, re-targeted at an upstream CTE).
+
+_GOPHER_CTES_TEMPLATE = """w AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                x -> x <> '') AS words,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), x -> x <> '')
+      AS lines_ne,
+    list_filter(regexp_split_to_array(text, '\n\n+'), x -> x <> '')
+      AS paras_ne
+  FROM {src}
+), ngx AS (
+  SELECT doc_id, n, md5(g) AS h, CAST(len(g) AS BIGINT) AS l,
+    count(*) AS c FROM (
+    SELECT w.doc_id, tn.n AS n,
+      unnest(list_transform(
+        CASE WHEN len(words) >= tn.n
+             THEN generate_series(1, len(words) - tn.n + 1)
+             ELSE CAST([] AS BIGINT[]) END,
+        p -> array_to_string(
+               list_slice(words, p, p + tn.n - 1), ' '))) AS g
+    FROM w, (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10))
+      tn(n)) t
+  GROUP BY doc_id, n, md5(g), len(g)
+), ngbest AS (
+  SELECT doc_id, n, c, l,
+    row_number() OVER (PARTITION BY doc_id, n
+                       ORDER BY c DESC, l DESC, h) AS rn
+  FROM ngx
+), rep AS (
+  SELECT doc_id,
+    coalesce(max(CASE WHEN n = 2 THEN c * l END), 0) AS t2,
+    coalesce(max(CASE WHEN n = 3 THEN c * l END), 0) AS t3,
+    coalesce(max(CASE WHEN n = 4 THEN c * l END), 0) AS t4
+  FROM ngbest WHERE rn = 1 GROUP BY doc_id
+), dupg AS (
+  SELECT doc_id,
+    coalesce(max(CASE WHEN n = 5 THEN dc END), 0) AS d5,
+    coalesce(max(CASE WHEN n = 6 THEN dc END), 0) AS d6,
+    coalesce(max(CASE WHEN n = 7 THEN dc END), 0) AS d7,
+    coalesce(max(CASE WHEN n = 8 THEN dc END), 0) AS d8,
+    coalesce(max(CASE WHEN n = 9 THEN dc END), 0) AS d9,
+    coalesce(max(CASE WHEN n = 10 THEN dc END), 0) AS d10
+  FROM (
+    SELECT doc_id, n,
+      sum((c - 1) * l) AS dc
+    FROM ngx WHERE n >= 5 GROUP BY doc_id, n) t
+  GROUP BY doc_id
+), c AS (
+  SELECT w.doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+         AS BIGINT) AS word_chars,
+    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+    CAST((len(text) - len(replace(text, '...', ''))) // 3
+         AS BIGINT) AS n_ellipsis,
+    CAST(len(list_filter(lines,
+      x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))
+         AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(lines, x -> x LIKE '%...'))
+         AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+      ['the','be','to','of','and','that','have','with']))
+         AS BIGINT) AS n_stop,
+    CAST(len(lines_ne) AS BIGINT) AS n_lines_ne,
+    CAST(len(lines_ne) - len(list_distinct(lines_ne)) AS BIGINT)
+      AS n_dup_lines,
+    CAST(len(paras_ne) AS BIGINT) AS n_paras_ne,
+    CAST(len(paras_ne) - len(list_distinct(paras_ne)) AS BIGINT)
+      AS n_dup_paras,
+    CAST(coalesce(list_sum(list_transform(lines_ne, x -> len(x))), 0)
+      - coalesce(list_sum(list_transform(list_distinct(lines_ne),
+                                         x -> len(x))), 0)
+      AS BIGINT) AS dup_line_chars,
+    CAST(coalesce(list_sum(list_transform(paras_ne, x -> len(x))), 0)
+      - coalesce(list_sum(list_transform(list_distinct(paras_ne),
+                                         x -> len(x))), 0)
+      AS BIGINT) AS dup_para_chars,
+    CAST(len(text) AS BIGINT) AS n_chars,
+    coalesce(rep.t2, 0) AS t2,
+    coalesce(rep.t3, 0) AS t3,
+    coalesce(rep.t4, 0) AS t4,
+    coalesce(dupg.d5, 0) AS d5, coalesce(dupg.d6, 0) AS d6,
+    coalesce(dupg.d7, 0) AS d7, coalesce(dupg.d8, 0) AS d8,
+    coalesce(dupg.d9, 0) AS d9, coalesce(dupg.d10, 0) AS d10
+  FROM w LEFT JOIN rep ON w.doc_id = rep.doc_id
+  LEFT JOIN dupg ON w.doc_id = dupg.doc_id
+), r AS (
+  SELECT doc_id, n_words,
+    word_chars / CAST(nullif(n_words, 0) AS DOUBLE) AS mean_wl,
+    (n_hash + n_ellipsis) / CAST(nullif(n_words, 0) AS DOUBLE)
+      AS symbol_ratio,
+    n_bullet_lines / CAST(nullif(n_lines, 0) AS DOUBLE) AS bullet_frac,
+    n_ellipsis_lines / CAST(nullif(n_lines, 0) AS DOUBLE)
+      AS ellipsis_frac,
+    n_alpha_words / CAST(nullif(n_words, 0) AS DOUBLE) AS alpha_frac,
+    n_stop,
+    n_dup_lines / CAST(nullif(n_lines_ne, 0) AS DOUBLE)
+      AS dup_line_frac,
+    n_dup_paras / CAST(nullif(n_paras_ne, 0) AS DOUBLE)
+      AS dup_para_frac,
+    dup_line_chars / CAST(nullif(n_chars, 0) AS DOUBLE)
+      AS dup_line_char_frac,
+    dup_para_chars / CAST(nullif(n_chars, 0) AS DOUBLE)
+      AS dup_para_char_frac,
+    t2 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top2_frac,
+    t3 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top3_frac,
+    t4 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top4_frac,
+    d5 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup5_frac,
+    d6 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup6_frac,
+    d7 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup7_frac,
+    d8 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup8_frac,
+    d9 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup9_frac,
+    d10 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup10_frac
+  FROM c
+), f AS (
+  SELECT *,
+    coalesce(n_words >= {min_words} AND n_words <= 100000, false) AS r_words,
+    coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0, false) AS r_wlen,
+    coalesce(symbol_ratio <= 0.1, false) AS r_symbol,
+    coalesce(bullet_frac <= 0.9, false) AS r_bullet,
+    coalesce(ellipsis_frac <= 0.3, false) AS r_ellipsis,
+    coalesce(alpha_frac >= 0.8, false) AS r_alpha,
+    coalesce(n_stop >= {min_stopwords}, false) AS r_stop,
+    coalesce(dup_line_frac <= 0.3, false) AS r_dup_line,
+    coalesce(dup_para_frac <= 0.3, false) AS r_dup_para,
+    coalesce(dup_line_char_frac <= 0.2, false) AS r_dup_line_ch,
+    coalesce(dup_para_char_frac <= 0.2, false) AS r_dup_para_ch,
+    coalesce(top2_frac <= 0.20, false) AS r_top2,
+    coalesce(top3_frac <= 0.18, false) AS r_top3,
+    coalesce(top4_frac <= 0.16, false) AS r_top4,
+    coalesce(dup5_frac <= 0.15, false) AS r_d5,
+    coalesce(dup6_frac <= 0.14, false) AS r_d6,
+    coalesce(dup7_frac <= 0.13, false) AS r_d7,
+    coalesce(dup8_frac <= 0.12, false) AS r_d8,
+    coalesce(dup9_frac <= 0.11, false) AS r_d9,
+    coalesce(dup10_frac <= 0.10, false) AS r_d10
+  FROM r
+)"""
+
+# the A1.1 keep conjunction over the f CTE's rule booleans
+_GOPHER_KEEP = """r_words AND r_wlen AND r_symbol AND r_bullet AND r_ellipsis
+   AND r_alpha AND r_stop AND r_dup_line AND r_dup_para
+   AND r_dup_line_ch AND r_dup_para_ch
+   AND r_top2 AND r_top3 AND r_top4
+   AND r_d5 AND r_d6 AND r_d7 AND r_d8 AND r_d9 AND r_d10"""
+
+_GOPHER_FLAGS_SELECT = """SELECT doc_id, n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_line_frac,
+  round(ellipsis_frac, 6) AS ellipsis_line_frac,
+  round(alpha_frac, 6) AS alpha_word_frac,
+  n_stop AS n_stopwords_present,
+  round(dup_line_frac, 6) AS dup_line_frac,
+  round(dup_para_frac, 6) AS dup_para_frac,
+  round(dup_line_char_frac, 6) AS dup_line_char_frac,
+  round(dup_para_char_frac, 6) AS dup_para_char_frac,
+  round(top2_frac, 6) AS top_2gram_char_frac,
+  round(top3_frac, 6) AS top_3gram_char_frac,
+  round(top4_frac, 6) AS top_4gram_char_frac,
+  round(dup5_frac, 6) AS dup_5gram_char_frac,
+  round(dup6_frac, 6) AS dup_6gram_char_frac,
+  round(dup7_frac, 6) AS dup_7gram_char_frac,
+  round(dup8_frac, 6) AS dup_8gram_char_frac,
+  round(dup9_frac, 6) AS dup_9gram_char_frac,
+  round(dup10_frac, 6) AS dup_10gram_char_frac,
+  r_words AS ok_word_count, r_wlen AS ok_mean_word_len,
+  r_symbol AS ok_symbol_ratio, r_bullet AS ok_bullet_lines,
+  r_ellipsis AS ok_ellipsis_lines, r_alpha AS ok_alpha_words,
+  r_stop AS ok_stopwords,
+  r_dup_line AS ok_dup_lines, r_dup_para AS ok_dup_paras,
+  r_dup_line_ch AS ok_dup_line_chars,
+  r_dup_para_ch AS ok_dup_para_chars,
+  r_top2 AS ok_top_2gram, r_top3 AS ok_top_3gram,
+  r_top4 AS ok_top_4gram,
+  r_d5 AS ok_dup_5gram, r_d6 AS ok_dup_6gram, r_d7 AS ok_dup_7gram,
+  r_d8 AS ok_dup_8gram, r_d9 AS ok_dup_9gram, r_d10 AS ok_dup_10gram,
+  (r_words AND r_wlen AND r_symbol AND r_bullet AND r_ellipsis
+   AND r_alpha AND r_stop AND r_dup_line AND r_dup_para
+   AND r_dup_line_ch AND r_dup_para_ch
+   AND r_top2 AND r_top3 AND r_top4
+   AND r_d5 AND r_d6 AND r_d7 AND r_d8 AND r_d9 AND r_d10) AS keep
+FROM f
+"""
+
+
+def _gopher_ctes(src: str = "documents", min_words: int = 50,
+                 min_stopwords: int = 2) -> str:
+    """w->ngx->ngbest->rep->dupg->c->r->f CTE chain mirroring
+    functions/text.py::gopher_quality_flags over ``src`` (doc_id,
+    text); consumers SELECT from f (keep = _GOPHER_KEEP). Only the
+    two thresholds the declared queries tune are parameterized."""
+    return _GOPHER_CTES_TEMPLATE.format(
+        src=src, min_words=min_words, min_stopwords=min_stopwords
+    )
+
+
+
+def _datacard_ctes(src: str = "documents") -> str:
+    """per->base->dups CTE chain mirroring
+    functions/text.py::corpus_datacard over ``src`` (doc_id, source,
+    text); consumers run _DATACARD_SELECT against it."""
+    return f"""per AS (
+  SELECT source,
+    CAST(len(text) AS BIGINT) AS chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+    md5(text) AS h,
+    CAST(round(
+      least(CAST(len(string_split(text, ' ')) AS BIGINT) / 50.0, 1.0)
+        * 0.4
+      + (len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         / CAST(nullif(len(text), 0) AS DOUBLE)) * 0.4
+      + least((len(list_filter(string_split(text, ' '),
+                 x -> x IN {_sqlset(T.STOPWORDS_EN)}))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0,
+              1.0) * 0.2,
+      9) AS DECIMAL(18,9)) AS q,
+    CASE
+      WHEN len(list_filter(string_split(text, ' '),
+             x -> x IN {_sqlset(T.LEX_EN)}))
+           >= len(list_filter(string_split(text, ' '),
+                x -> x IN {_sqlset(T.LEX_ES)}))
+       AND len(list_filter(string_split(text, ' '),
+             x -> x IN {_sqlset(T.LEX_EN)}))
+           >= len(list_filter(string_split(text, ' '),
+                x -> x IN {_sqlset(T.LEX_DE)}))
+      THEN 'en'
+      WHEN len(list_filter(string_split(text, ' '),
+             x -> x IN {_sqlset(T.LEX_ES)}))
+           >= len(list_filter(string_split(text, ' '),
+                x -> x IN {_sqlset(T.LEX_DE)}))
+      THEN 'es' ELSE 'de' END AS lang
+  FROM {src}
+), base AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(chars) AS BIGINT) AS total_chars,
+    CAST(sum(toks) AS BIGINT) AS total_tokens,
+    round(CAST(sum(toks) AS DOUBLE) / count(*), 6)
+      AS mean_doc_tokens,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lang_en,
+    CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lang_es,
+    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lang_de,
+    round(CAST(sum(q) AS DOUBLE)
+          / CAST(nullif(count(q), 0) AS DOUBLE), 6) AS mean_quality
+  FROM per GROUP BY source
+), dups AS (
+  SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, h, count(*) AS c FROM per GROUP BY source, h) t
+  GROUP BY source
+)"""
+
+
+_DATACARD_SELECT = """SELECT base.source, n_docs, total_chars, total_tokens,
+  mean_doc_tokens, n_lang_en, n_lang_es, n_lang_de, mean_quality,
+  n_dup_docs,
+  round(n_dup_docs / CAST(nullif(n_docs, 0) AS DOUBLE), 6)
+    AS exact_dup_rate
+FROM base JOIN dups ON base.source = dups.source
+ORDER BY base.source
+"""
+
+
+def _web_curation_oracle() -> str:
+    """Composed mirror of _web_curation_pipeline: page builder →
+    C4 clean/keep/rewrite → the SHARED gopher CTE chain
+    (_gopher_ctes over the cleaned corpus, min_words=20 /
+    min_stopwords=1) → md5 canonical dedup → the SHARED
+    decontamination shingle CTEs (raw src0 eval side, k=5, zero-token
+    filter + short-eval containment levels) → the SHARED datacard
+    chain (_datacard_ctes over what ships). Each stage is the SAME
+    SQL its standalone oracle pins, so a pipeline mismatch isolates
+    to composition (schema handoff / filter semantics), not stage
+    math. chr(123) is the literal '{' (kept out of Python f-string
+    braces)."""
+    return f"""WITH p AS (
+  SELECT doc_id, source,
+    text || '.' || chr(10) || 'short.'
+    || chr(10) || 'no punct line here ' || substr(text, 1, 12)
+    || CASE WHEN len(text) % 2 = 0
+            THEN chr(10) || 'One more. And another! Plus a third?'
+                 || ' Then four. Finally five.'
+            ELSE chr(10) || 'Just a little more text arrives here.'
+       END
+    || CASE WHEN len(text) % 7 = 0
+            THEN chr(10) || 'Filler Lorem Ipsum paragraph appears.'
+            ELSE '' END
+    || CASE WHEN len(text) % 11 = 0
+            THEN chr(10) || 'Contains a ' || chr(123)
+                 || ' brace in code block.'
+            ELSE '' END AS text
+  FROM documents
+), c4k AS (
+  SELECT doc_id, source,
+    coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+      x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')
+       AND len(list_filter(string_split(x, ' '), w2 -> w2 <> '')) >= 5),
+      chr(10)), '') AS clean_text,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    contains(text, chr(123)) AS has_brace
+  FROM p
+), cleaned AS (
+  SELECT doc_id, source, clean_text AS text FROM c4k
+  WHERE len(clean_text) - len(translate(clean_text, '.!?', '')) >= 3
+    AND NOT has_lorem AND NOT has_brace
+), {_gopher_ctes(src="cleaned", min_words=20, min_stopwords=1)}, gated AS (
+  SELECT cleaned.* FROM cleaned
+  JOIN (SELECT doc_id FROM f WHERE {_GOPHER_KEEP}) gk USING (doc_id)
+), canon AS (
+  SELECT md5(text) AS hsh, min(doc_id) AS keep_id
+  FROM gated GROUP BY md5(text)
+), deduped AS (
+  SELECT gated.* FROM gated JOIN canon ON gated.doc_id = canon.keep_id
+), tr0 AS (
+  SELECT * FROM deduped WHERE source <> 'src0'
+), evd AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                x -> x <> '') AS toks
+  FROM documents WHERE source = 'src0'
+), evn AS (
+  SELECT * FROM evd WHERE len(toks) > 0
+), evsh AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 4), ' ')
+    AS shingle
+  FROM evn, unnest(generate_series(1, greatest(len(toks) - 4, 1))) u(i)
+), shortn AS (
+  SELECT DISTINCT len(toks) AS n FROM evn WHERE len(toks) < 5
+), trd AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                x -> x <> '') AS toks
+  FROM tr0
+), trn AS (
+  SELECT * FROM trd WHERE len(toks) > 0
+), trsh AS (
+  SELECT doc_id,
+    array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
+  FROM trn, unnest(generate_series(1, greatest(len(toks) - 4, 1))) u(i)
+  UNION ALL
+  SELECT trn.doc_id,
+    array_to_string(list_slice(toks, i, i + n - 1), ' ') AS shingle
+  FROM trn, shortn,
+    unnest(generate_series(1, len(toks) - n + 1)) u(i)
+  WHERE len(trn.toks) >= shortn.n
+), bad AS (
+  SELECT DISTINCT trsh.doc_id FROM trsh JOIN evsh USING (shingle)
+), shipped AS (
+  SELECT * FROM tr0
+  WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+), {_datacard_ctes(src="shipped")}
+{_DATACARD_SELECT}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8285,251 +8751,17 @@ FROM canon GROUP BY canonical_url HAVING count(*) >= 2
         # duplicate-gram mass for n=5..10 — the gram aggregate groups
         # on md5(g) + len(g), the identical collision classes the
         # Spark side shuffles as unhex(md5(gram)))
-        "gopher_quality_flags": """
-WITH w AS (
-  SELECT doc_id, text,
-    list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
-                x -> x <> '') AS words,
-    string_split(text, chr(10)) AS lines,
-    list_filter(string_split(text, chr(10)), x -> x <> '')
-      AS lines_ne,
-    list_filter(regexp_split_to_array(text, '\n\n+'), x -> x <> '')
-      AS paras_ne
-  FROM documents
-), ngx AS (
-  SELECT doc_id, n, md5(g) AS h, CAST(len(g) AS BIGINT) AS l,
-    count(*) AS c FROM (
-    SELECT w.doc_id, tn.n AS n,
-      unnest(list_transform(
-        CASE WHEN len(words) >= tn.n
-             THEN generate_series(1, len(words) - tn.n + 1)
-             ELSE CAST([] AS BIGINT[]) END,
-        p -> array_to_string(
-               list_slice(words, p, p + tn.n - 1), ' '))) AS g
-    FROM w, (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10))
-      tn(n)) t
-  GROUP BY doc_id, n, md5(g), len(g)
-), ngbest AS (
-  SELECT doc_id, n, c, l,
-    row_number() OVER (PARTITION BY doc_id, n
-                       ORDER BY c DESC, l DESC, h) AS rn
-  FROM ngx
-), rep AS (
-  SELECT doc_id,
-    coalesce(max(CASE WHEN n = 2 THEN c * l END), 0) AS t2,
-    coalesce(max(CASE WHEN n = 3 THEN c * l END), 0) AS t3,
-    coalesce(max(CASE WHEN n = 4 THEN c * l END), 0) AS t4
-  FROM ngbest WHERE rn = 1 GROUP BY doc_id
-), dupg AS (
-  SELECT doc_id,
-    coalesce(max(CASE WHEN n = 5 THEN dc END), 0) AS d5,
-    coalesce(max(CASE WHEN n = 6 THEN dc END), 0) AS d6,
-    coalesce(max(CASE WHEN n = 7 THEN dc END), 0) AS d7,
-    coalesce(max(CASE WHEN n = 8 THEN dc END), 0) AS d8,
-    coalesce(max(CASE WHEN n = 9 THEN dc END), 0) AS d9,
-    coalesce(max(CASE WHEN n = 10 THEN dc END), 0) AS d10
-  FROM (
-    SELECT doc_id, n,
-      sum((c - 1) * l) AS dc
-    FROM ngx WHERE n >= 5 GROUP BY doc_id, n) t
-  GROUP BY doc_id
-), c AS (
-  SELECT w.doc_id,
-    CAST(len(words) AS BIGINT) AS n_words,
-    CAST(len(lines) AS BIGINT) AS n_lines,
-    CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
-         AS BIGINT) AS word_chars,
-    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
-    CAST((len(text) - len(replace(text, '...', ''))) // 3
-         AS BIGINT) AS n_ellipsis,
-    CAST(len(list_filter(lines,
-      x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))
-         AS BIGINT) AS n_bullet_lines,
-    CAST(len(list_filter(lines, x -> x LIKE '%...'))
-         AS BIGINT) AS n_ellipsis_lines,
-    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
-         AS BIGINT) AS n_alpha_words,
-    CAST(len(list_intersect(list_transform(words, x -> lower(x)),
-      ['the','be','to','of','and','that','have','with']))
-         AS BIGINT) AS n_stop,
-    CAST(len(lines_ne) AS BIGINT) AS n_lines_ne,
-    CAST(len(lines_ne) - len(list_distinct(lines_ne)) AS BIGINT)
-      AS n_dup_lines,
-    CAST(len(paras_ne) AS BIGINT) AS n_paras_ne,
-    CAST(len(paras_ne) - len(list_distinct(paras_ne)) AS BIGINT)
-      AS n_dup_paras,
-    CAST(coalesce(list_sum(list_transform(lines_ne, x -> len(x))), 0)
-      - coalesce(list_sum(list_transform(list_distinct(lines_ne),
-                                         x -> len(x))), 0)
-      AS BIGINT) AS dup_line_chars,
-    CAST(coalesce(list_sum(list_transform(paras_ne, x -> len(x))), 0)
-      - coalesce(list_sum(list_transform(list_distinct(paras_ne),
-                                         x -> len(x))), 0)
-      AS BIGINT) AS dup_para_chars,
-    CAST(len(text) AS BIGINT) AS n_chars,
-    coalesce(rep.t2, 0) AS t2,
-    coalesce(rep.t3, 0) AS t3,
-    coalesce(rep.t4, 0) AS t4,
-    coalesce(dupg.d5, 0) AS d5, coalesce(dupg.d6, 0) AS d6,
-    coalesce(dupg.d7, 0) AS d7, coalesce(dupg.d8, 0) AS d8,
-    coalesce(dupg.d9, 0) AS d9, coalesce(dupg.d10, 0) AS d10
-  FROM w LEFT JOIN rep ON w.doc_id = rep.doc_id
-  LEFT JOIN dupg ON w.doc_id = dupg.doc_id
-), r AS (
-  SELECT doc_id, n_words,
-    word_chars / CAST(nullif(n_words, 0) AS DOUBLE) AS mean_wl,
-    (n_hash + n_ellipsis) / CAST(nullif(n_words, 0) AS DOUBLE)
-      AS symbol_ratio,
-    n_bullet_lines / CAST(nullif(n_lines, 0) AS DOUBLE) AS bullet_frac,
-    n_ellipsis_lines / CAST(nullif(n_lines, 0) AS DOUBLE)
-      AS ellipsis_frac,
-    n_alpha_words / CAST(nullif(n_words, 0) AS DOUBLE) AS alpha_frac,
-    n_stop,
-    n_dup_lines / CAST(nullif(n_lines_ne, 0) AS DOUBLE)
-      AS dup_line_frac,
-    n_dup_paras / CAST(nullif(n_paras_ne, 0) AS DOUBLE)
-      AS dup_para_frac,
-    dup_line_chars / CAST(nullif(n_chars, 0) AS DOUBLE)
-      AS dup_line_char_frac,
-    dup_para_chars / CAST(nullif(n_chars, 0) AS DOUBLE)
-      AS dup_para_char_frac,
-    t2 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top2_frac,
-    t3 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top3_frac,
-    t4 / CAST(nullif(n_chars, 0) AS DOUBLE) AS top4_frac,
-    d5 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup5_frac,
-    d6 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup6_frac,
-    d7 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup7_frac,
-    d8 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup8_frac,
-    d9 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup9_frac,
-    d10 / CAST(nullif(n_chars, 0) AS DOUBLE) AS dup10_frac
-  FROM c
-), f AS (
-  SELECT *,
-    coalesce(n_words >= 50 AND n_words <= 100000, false) AS r_words,
-    coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0, false) AS r_wlen,
-    coalesce(symbol_ratio <= 0.1, false) AS r_symbol,
-    coalesce(bullet_frac <= 0.9, false) AS r_bullet,
-    coalesce(ellipsis_frac <= 0.3, false) AS r_ellipsis,
-    coalesce(alpha_frac >= 0.8, false) AS r_alpha,
-    coalesce(n_stop >= 2, false) AS r_stop,
-    coalesce(dup_line_frac <= 0.3, false) AS r_dup_line,
-    coalesce(dup_para_frac <= 0.3, false) AS r_dup_para,
-    coalesce(dup_line_char_frac <= 0.2, false) AS r_dup_line_ch,
-    coalesce(dup_para_char_frac <= 0.2, false) AS r_dup_para_ch,
-    coalesce(top2_frac <= 0.20, false) AS r_top2,
-    coalesce(top3_frac <= 0.18, false) AS r_top3,
-    coalesce(top4_frac <= 0.16, false) AS r_top4,
-    coalesce(dup5_frac <= 0.15, false) AS r_d5,
-    coalesce(dup6_frac <= 0.14, false) AS r_d6,
-    coalesce(dup7_frac <= 0.13, false) AS r_d7,
-    coalesce(dup8_frac <= 0.12, false) AS r_d8,
-    coalesce(dup9_frac <= 0.11, false) AS r_d9,
-    coalesce(dup10_frac <= 0.10, false) AS r_d10
-  FROM r
-)
-SELECT doc_id, n_words,
-  round(mean_wl, 6) AS mean_word_len,
-  round(symbol_ratio, 6) AS symbol_ratio,
-  round(bullet_frac, 6) AS bullet_line_frac,
-  round(ellipsis_frac, 6) AS ellipsis_line_frac,
-  round(alpha_frac, 6) AS alpha_word_frac,
-  n_stop AS n_stopwords_present,
-  round(dup_line_frac, 6) AS dup_line_frac,
-  round(dup_para_frac, 6) AS dup_para_frac,
-  round(dup_line_char_frac, 6) AS dup_line_char_frac,
-  round(dup_para_char_frac, 6) AS dup_para_char_frac,
-  round(top2_frac, 6) AS top_2gram_char_frac,
-  round(top3_frac, 6) AS top_3gram_char_frac,
-  round(top4_frac, 6) AS top_4gram_char_frac,
-  round(dup5_frac, 6) AS dup_5gram_char_frac,
-  round(dup6_frac, 6) AS dup_6gram_char_frac,
-  round(dup7_frac, 6) AS dup_7gram_char_frac,
-  round(dup8_frac, 6) AS dup_8gram_char_frac,
-  round(dup9_frac, 6) AS dup_9gram_char_frac,
-  round(dup10_frac, 6) AS dup_10gram_char_frac,
-  r_words AS ok_word_count, r_wlen AS ok_mean_word_len,
-  r_symbol AS ok_symbol_ratio, r_bullet AS ok_bullet_lines,
-  r_ellipsis AS ok_ellipsis_lines, r_alpha AS ok_alpha_words,
-  r_stop AS ok_stopwords,
-  r_dup_line AS ok_dup_lines, r_dup_para AS ok_dup_paras,
-  r_dup_line_ch AS ok_dup_line_chars,
-  r_dup_para_ch AS ok_dup_para_chars,
-  r_top2 AS ok_top_2gram, r_top3 AS ok_top_3gram,
-  r_top4 AS ok_top_4gram,
-  r_d5 AS ok_dup_5gram, r_d6 AS ok_dup_6gram, r_d7 AS ok_dup_7gram,
-  r_d8 AS ok_dup_8gram, r_d9 AS ok_dup_9gram, r_d10 AS ok_dup_10gram,
-  (r_words AND r_wlen AND r_symbol AND r_bullet AND r_ellipsis
-   AND r_alpha AND r_stop AND r_dup_line AND r_dup_para
-   AND r_dup_line_ch AND r_dup_para_ch
-   AND r_top2 AND r_top3 AND r_top4
-   AND r_d5 AND r_d6 AND r_d7 AND r_d8 AND r_d9 AND r_d10) AS keep
-FROM f
-""",
+        "gopher_quality_flags":
+            "WITH " + _gopher_ctes() + "\n" + _GOPHER_FLAGS_SELECT,
         # mirrors functions/text.py::corpus_datacard: same per-doc
         # primitives (single-space tokens, lexicon argmax, the
         # quality_score formula pre-rounded DECIMAL(18,9)), one
         # source-grain aggregate + the (source, md5) dup sub-aggregate
-        "corpus_datacard": f"""
-WITH per AS (
-  SELECT source,
-    CAST(len(text) AS BIGINT) AS chars,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-    md5(text) AS h,
-    CAST(round(
-      least(CAST(len(string_split(text, ' ')) AS BIGINT) / 50.0, 1.0)
-        * 0.4
-      + (len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-         / CAST(nullif(len(text), 0) AS DOUBLE)) * 0.4
-      + least((len(list_filter(string_split(text, ' '),
-                 x -> x IN {_sqlset(T.STOPWORDS_EN)}))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0,
-              1.0) * 0.2,
-      9) AS DECIMAL(18,9)) AS q,
-    CASE
-      WHEN len(list_filter(string_split(text, ' '),
-             x -> x IN {_sqlset(T.LEX_EN)}))
-           >= len(list_filter(string_split(text, ' '),
-                x -> x IN {_sqlset(T.LEX_ES)}))
-       AND len(list_filter(string_split(text, ' '),
-             x -> x IN {_sqlset(T.LEX_EN)}))
-           >= len(list_filter(string_split(text, ' '),
-                x -> x IN {_sqlset(T.LEX_DE)}))
-      THEN 'en'
-      WHEN len(list_filter(string_split(text, ' '),
-             x -> x IN {_sqlset(T.LEX_ES)}))
-           >= len(list_filter(string_split(text, ' '),
-                x -> x IN {_sqlset(T.LEX_DE)}))
-      THEN 'es' ELSE 'de' END AS lang
-  FROM documents
-), base AS (
-  SELECT source,
-    CAST(count(*) AS BIGINT) AS n_docs,
-    CAST(sum(chars) AS BIGINT) AS total_chars,
-    CAST(sum(toks) AS BIGINT) AS total_tokens,
-    round(CAST(sum(toks) AS DOUBLE) / count(*), 6)
-      AS mean_doc_tokens,
-    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-      AS n_lang_en,
-    CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
-      AS n_lang_es,
-    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
-      AS n_lang_de,
-    round(CAST(sum(q) AS DOUBLE)
-          / CAST(nullif(count(q), 0) AS DOUBLE), 6) AS mean_quality
-  FROM per GROUP BY source
-), dups AS (
-  SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
-  FROM (SELECT source, h, count(*) AS c FROM per GROUP BY source, h) t
-  GROUP BY source
-)
-SELECT base.source, n_docs, total_chars, total_tokens,
-  mean_doc_tokens, n_lang_en, n_lang_es, n_lang_de, mean_quality,
-  n_dup_docs,
-  round(n_dup_docs / CAST(nullif(n_docs, 0) AS DOUBLE), 6)
-    AS exact_dup_rate
-FROM base JOIN dups ON base.source = dups.source
-ORDER BY base.source
-""",
+        "corpus_datacard":
+            "WITH " + _datacard_ctes() + "\n" + _DATACARD_SELECT,
+        # the composed web-curation stack (each stage reuses the
+        # standalone oracles' SQL via the shared fragment builders)
+        "web_curation_pipeline": _web_curation_oracle(),
         # mirrors functions/text.py::c4_clean over the same
         # deterministic page builder (u CTE == the Spark-side page
         # expression, token for token)

@@ -4588,12 +4588,25 @@ def _datacard_ctes(src: str = "documents") -> str:
              x -> x IN {_sqlset(T.LEX_EN)}))
            >= len(list_filter(string_split(text, ' '),
                 x -> x IN {_sqlset(T.LEX_DE)}))
+       AND len(list_filter(string_split(text, ' '),
+             x -> x IN {_sqlset(T.LEX_EN)}))
+           >= len(list_filter(string_split(text, ' '),
+                x -> x IN {_sqlset(T.LEX_FR)}))
       THEN 'en'
       WHEN len(list_filter(string_split(text, ' '),
              x -> x IN {_sqlset(T.LEX_ES)}))
            >= len(list_filter(string_split(text, ' '),
                 x -> x IN {_sqlset(T.LEX_DE)}))
-      THEN 'es' ELSE 'de' END AS lang
+       AND len(list_filter(string_split(text, ' '),
+             x -> x IN {_sqlset(T.LEX_ES)}))
+           >= len(list_filter(string_split(text, ' '),
+                x -> x IN {_sqlset(T.LEX_FR)}))
+      THEN 'es'
+      WHEN len(list_filter(string_split(text, ' '),
+             x -> x IN {_sqlset(T.LEX_DE)}))
+           >= len(list_filter(string_split(text, ' '),
+                x -> x IN {_sqlset(T.LEX_FR)}))
+      THEN 'de' ELSE 'fr' END AS lang
   FROM {src}
 ), base AS (
   SELECT source,
@@ -4608,6 +4621,8 @@ def _datacard_ctes(src: str = "documents") -> str:
       AS n_lang_es,
     CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
       AS n_lang_de,
+    CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lang_fr,
     round(CAST(sum(q) AS DOUBLE)
           / CAST(nullif(count(q), 0) AS DOUBLE), 6) AS mean_quality
   FROM per GROUP BY source
@@ -4619,7 +4634,8 @@ def _datacard_ctes(src: str = "documents") -> str:
 
 
 _DATACARD_SELECT = """SELECT base.source, n_docs, total_chars, total_tokens,
-  mean_doc_tokens, n_lang_en, n_lang_es, n_lang_de, mean_quality,
+  mean_doc_tokens, n_lang_en, n_lang_es, n_lang_de, n_lang_fr,
+  mean_quality,
   n_dup_docs,
   round(n_dup_docs / CAST(nullif(n_docs, 0) AS DOUBLE), 6)
     AS exact_dup_rate
@@ -6155,15 +6171,17 @@ SELECT doc_id,
 FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 """,
         "language_id": f"""
-SELECT doc_id, s_en, s_es, s_de,
-  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
-       WHEN s_es >= s_de THEN 'es'
-       ELSE 'de' END AS lang_pred
+SELECT doc_id, s_en, s_es, s_de, s_fr,
+  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_de >= s_fr THEN 'de'
+       ELSE 'fr' END AS lang_pred
 FROM (
   SELECT doc_id,
     CAST(len(list_filter(toks, x -> x IN {_sqlset(T.LEX_EN)})) AS BIGINT) AS s_en,
     CAST(len(list_filter(toks, x -> x IN {_sqlset(T.LEX_ES)})) AS BIGINT) AS s_es,
-    CAST(len(list_filter(toks, x -> x IN {_sqlset(T.LEX_DE)})) AS BIGINT) AS s_de
+    CAST(len(list_filter(toks, x -> x IN {_sqlset(T.LEX_DE)})) AS BIGINT) AS s_de,
+    CAST(len(list_filter(toks, x -> x IN {_sqlset(T.LEX_FR)})) AS BIGINT) AS s_fr
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
 """,
         "doc_fingerprint": """
@@ -7253,14 +7271,16 @@ FROM j
         "langid_confusion": f"""
 WITH pred AS (
   SELECT doc_id,
-    CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
-         WHEN s_es >= s_de THEN 'es'
-         ELSE 'de' END AS lang_pred
+    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de >= s_fr THEN 'de'
+         ELSE 'fr' END AS lang_pred
   FROM (
     SELECT doc_id,
       len(list_filter(toks, x -> x IN {_sqlset(T.LEX_EN)})) AS s_en,
       len(list_filter(toks, x -> x IN {_sqlset(T.LEX_ES)})) AS s_es,
-      len(list_filter(toks, x -> x IN {_sqlset(T.LEX_DE)})) AS s_de
+      len(list_filter(toks, x -> x IN {_sqlset(T.LEX_DE)})) AS s_de,
+      len(list_filter(toks, x -> x IN {_sqlset(T.LEX_FR)})) AS s_fr
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
 ), cells AS (
   SELECT d.lang AS lang_true, p.lang_pred,

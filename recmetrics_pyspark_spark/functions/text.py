@@ -22,6 +22,9 @@ STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
 LEX_EN = ("the", "and", "of", "to", "is")
 LEX_ES = ("el", "la", "de", "que", "y")
 LEX_DE = ("der", "die", "und", "das", "ist")
+# deliberately disjoint from the other lexicons ("la"/"de" are
+# Spanish here; the argmax tie-break covers shared-word corpora)
+LEX_FR = ("le", "et", "les", "des", "une")
 
 
 def _sql_set(words: tuple[str, ...]) -> str:
@@ -80,21 +83,33 @@ def text_stats(df: DataFrame, col_id: str = "doc_id", col_text: str = "text") ->
 
 def language_id(df: DataFrame, col_id: str = "doc_id", col_text: str = "text") -> DataFrame:
     """N-gram-free language heuristic: argmax of lexicon hit counts,
-    deterministic tie-break en > es > de."""
+    deterministic tie-break en > es > de > fr."""
     t = f"split({col_text}, ' ')"
     s_en = count_in_lexicon(t, LEX_EN)
     s_es = count_in_lexicon(t, LEX_ES)
     s_de = count_in_lexicon(t, LEX_DE)
+    s_fr = count_in_lexicon(t, LEX_FR)
     return df.select(
         F.col(col_id),
         s_en.cast("long").alias("s_en"),
         s_es.cast("long").alias("s_es"),
         s_de.cast("long").alias("s_de"),
+        s_fr.cast("long").alias("s_fr"),
     ).withColumn(
         "lang_pred",
-        F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en")
-        .when(F.col("s_es") >= F.col("s_de"), "es")
-        .otherwise("de"),
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de"))
+            & (F.col("s_es") >= F.col("s_fr")),
+            "es",
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr"),
     )
 
 
@@ -1549,10 +1564,12 @@ def corpus_datacard(
     s_en = count_in_lexicon(t, LEX_EN)
     s_es = count_in_lexicon(t, LEX_ES)
     s_de = count_in_lexicon(t, LEX_DE)
+    s_fr = count_in_lexicon(t, LEX_FR)
     lang = (
-        F.when((s_en >= s_es) & (s_en >= s_de), "en")
-        .when(s_es >= s_de, "es")
-        .otherwise("de")
+        F.when((s_en >= s_es) & (s_en >= s_de) & (s_en >= s_fr), "en")
+        .when((s_es >= s_de) & (s_es >= s_fr), "es")
+        .when(s_de >= s_fr, "de")
+        .otherwise("fr")
     )
     per_doc = df.select(
         F.col(col_source).alias("source"),
@@ -1577,6 +1594,9 @@ def corpus_datacard(
         F.sum(F.when(F.col("lang") == "de", 1).otherwise(0))
         .cast("bigint")
         .alias("n_lang_de"),
+        F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lang_fr"),
         # exact DECIMAL sum, ONE double division (cast before divide,
         # matching the oracle's CAST(sum AS DOUBLE) / count exactly)
         F.round(
@@ -1609,6 +1629,7 @@ def corpus_datacard(
             "n_lang_en",
             "n_lang_es",
             "n_lang_de",
+            "n_lang_fr",
             "mean_quality",
             "n_dup_docs",
             F.round(

@@ -278,6 +278,7 @@ def test_langid_confusion_recall_sums_to_one(spark):
             (3, "el la de que y", "es"),
             (4, "der die und das ist", "de"),
             (5, "xyzzy qwerty asdf", "zh"),  # no lexicon hits -> 'en' tie
+            (6, "le et les des une", "fr"),
         ],
         ["doc_id", "text", "lang"],
     )
@@ -292,6 +293,7 @@ def test_langid_confusion_recall_sums_to_one(spark):
     en = {r.lang_pred: r.n_docs for r in by_true["en"]}
     assert en == {"en": 2}
     assert {r.lang_pred for r in by_true["zh"]} == {"en"}
+    assert {r.lang_pred for r in by_true["fr"]} == {"fr"}
 
 
 def test_quantile_normalize_bins_within_group(spark):

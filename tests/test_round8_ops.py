@@ -351,6 +351,7 @@ def test_corpus_datacard_hand_fixture(spark):
         (3, "el que de la y", "a"),          # es
         (4, "", "a"),                        # zero-length: NULL quality
         (5, "der das und ist die", "b"),     # de
+        (6, "le chat et les chiens", "b"),   # fr (3 FR lexicon hits)
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     out = {r.source: r for r in corpus_datacard(df).collect()}
@@ -358,13 +359,17 @@ def test_corpus_datacard_hand_fixture(spark):
     a = out["a"]
     assert a.n_docs == 4 and a.n_dup_docs == 1
     assert a.exact_dup_rate == 0.25
-    assert (a.n_lang_en, a.n_lang_es, a.n_lang_de) == (3, 1, 0)
+    assert (a.n_lang_en, a.n_lang_es, a.n_lang_de, a.n_lang_fr) == (
+        3, 1, 0, 0,
+    )
     # ties go en: the empty doc scores 0 hits everywhere -> 'en'
     assert a.total_tokens == 5 + 5 + 5 + 1  # split('') is ['']
     assert a.mean_quality is not None  # 3 non-null quality docs
 
     b = out["b"]
-    assert (b.n_lang_en, b.n_lang_es, b.n_lang_de) == (0, 0, 1)
+    assert (b.n_lang_en, b.n_lang_es, b.n_lang_de, b.n_lang_fr) == (
+        0, 0, 1, 1,
+    )
     assert b.n_dup_docs == 0 and b.exact_dup_rate == 0.0
 
 
@@ -414,5 +419,8 @@ def test_corpus_datacard_conservation(spark):
     total_chars = docs.selectExpr("sum(length(text))").collect()[0][0]
     assert sum(r.total_chars for r in card) == total_chars
     for r in card:
-        assert r.n_lang_en + r.n_lang_es + r.n_lang_de == r.n_docs
+        assert (
+            r.n_lang_en + r.n_lang_es + r.n_lang_de + r.n_lang_fr
+            == r.n_docs
+        )
         assert 0 <= r.exact_dup_rate <= 1

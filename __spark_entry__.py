@@ -3776,47 +3776,42 @@ def _web_curation_pipeline(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness harness
-    evaluates the FIRST 50 entries. Round-8 window (`_ROUND8_WINDOW`
+    evaluates the FIRST 50 entries. Round-9 window (`_ROUND9_WINDOW`
     below): the 5 stable canaries lead (coverage, personalization,
     item_item_topk, minhash_lsh_pairs, event_sessionize — they own the
     shared cache builds, so rotated-in queries show marginal bench
-    cost); then EVERY query whose code changed in round 8, each
+    cost); then EVERY query whose code changed in round 9, each
     re-verified at sf0.001/0.01/0.1 via scripts/driver_check.py after
-    its change: gopher_quality_flags (whitespace-class word split +
-    the five repetition rules — schema AND values changed),
-    canonical_url_dups (tracking-param (?i); fixture values
-    unchanged), and the 10 heavy-basket-cap riders after the cap
-    became OPT-IN (operators default max_basket=None = exact
-    reference semantics; every declared query now passes
-    max_basket=MAX_BASKET explicitly — plans and values unchanged,
-    code changed: item_item_topk is a canary, plus
-    item_based_recommendations, association_rules, pagerank_items,
-    kcore_items — which also gained the opt-in until_converged mode,
-    default path untouched — degree_distribution, adamic_adar_links,
-    common_neighbor_links, item_triangles, mmr_rerank); then the
-    round-8 NEW operators (ngram_decontaminate — cross-corpus eval
-    decontamination, the GPT-3-style k-gram collision scan — and
-    long_tail_stats_salted, the tie_buckets=8 branch whose md5-bucket
-    rank math is now oracle-pinned); then the 5 r1-vintage rows the
-    round-7 verdict named (q_sql_surface, q_string_funcs_parts,
-    q_top_parts_per_brand, q_top_tokens, q_winsorized_stats); the
-    remaining 27 slots re-witness the longest-unwitnessed queries
-    (last driver row r2) so union coverage stays fresh, not merely
-    closed.
+    its change: gopher_quality_flags (the (doc, n, gram) exchange now
+    carries unhex(md5(gram)) + length — values unchanged, code + plan
+    changed), c4_clean (defaults fixed to the paper's >= 5 words /
+    >= 3 sentences — VALUES changed), ngram_decontaminate +
+    eval_contamination_report (GPT-3 min(k, len) short-eval
+    containment, zero-token filter, no-persist default — inert at
+    test SFs, live-regime pinned in tests/test_round9_ops.py),
+    language_id + langid_confusion + corpus_datacard (French lexicon:
+    schema grew s_fr / n_lang_fr, tie-break now en > es > de > fr);
+    then the round-9 NEW queries (kcore_items_converged — the
+    until_converged k-core mode driver-pinned against the fixed-
+    8-round oracle — and web_curation_pipeline — the five-stage
+    C4 → Gopher → dedup → decontaminate → datacard composition with
+    ONE composed oracle built from the standalone stages' shared SQL
+    fragments); then the last r2-vintage rows (q_events_resampled,
+    q_json_props, q_user_event_type_sets, quality_score,
+    recommendations_topk, repetition_stats, text_stats,
+    tfidf_top_terms, token_count_by_lang, value_histogram) plus
+    media_features (the permanent rows-only waiver lane, last
+    witnessed r1); the remaining 25 slots re-witness the oldest r3
+    rows (alphabetical prefix of the r3 cohort) so union coverage
+    stays fresh, not merely closed.
 
-    ROUND-9 ROTATION NOTE: rotate in c4_clean,
-    eval_contamination_report, and corpus_datacard (round-8 LATE
-    additions, post-window; each verified at sf0.001/0.01/0.1 on
-    arrival), then the
-    still-r2-vintage rows: q_events_resampled, q_json_props,
-    q_user_event_type_sets, quality_score, recommendations_topk,
-    repetition_stats, text_stats, tfidf_top_terms,
-    token_count_by_lang, value_histogram (plus media_features, the
-    permanent rows-only waiver lane, and the r3 cohort after those).
-    gopher_quality_flags' schema grew twice INSIDE round 8 (repetition
-    axes, then the full A1.1 table) — it sits in the round-8 window
-    and was re-witnessed at all 3 SFs after each change.
-    Round-8 median-of-3 bench payload is committed as
+    ROUND-10 ROTATION NOTE: re-witness the 12 remaining r3-vintage
+    rows: quantiles_approx, ranking_metrics, rollup_incremental,
+    seqlen_histogram, session_paths, shuffle_shards,
+    simhash_near_pairs, simhash_signatures, temporal_split,
+    tokenizer_fertility, vocab_encode, wau_sliding; then the r4
+    cohort (oldest first — recompute via the CORRECTNESS_r0*.json
+    union). Round-9 median-of-3 bench payload is committed as
     BENCH_MEDIAN.json (bench.py multi-run writes it alongside
     BENCH_LOCAL.json).
     """
@@ -4104,80 +4099,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_items_converged": _kcore_items_converged,
         "web_curation_pipeline": _web_curation_pipeline,
     }
-    ordered = {k: base[k] for k in _ROUND8_WINDOW}
+    ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
 
-# The first-50 driver witness window for round 8 (see queries()
-# docstring). 5 canaries + every round-8 code change + the 2 new
-# operators + 27 freshness re-witnesses of the oldest (r2) driver
-# rows. Order within the window is bench-accounting, not correctness:
-# the canaries own the shared cache builds (interactions, shingle
-# table, events scan) so rotated-in queries show MARGINAL cost.
-_ROUND8_WINDOW = [
+# The first-50 driver witness window for round 9 (see queries()
+# docstring). 5 canaries + every round-9 code change + the 2 new
+# queries + the r2-vintage cohort + media_features (r1, rows-only
+# waiver) + 25 freshness re-witnesses of the oldest r3 driver rows.
+# Order within the window is bench-accounting, not correctness: the
+# canaries own the shared cache builds (interactions, shingle table,
+# events scan) so rotated-in queries show MARGINAL cost
+# (kcore_items_converged rides the item-pair table item_item_topk
+# fills, exactly like kcore_items).
+_ROUND9_WINDOW = [
     # 5 canaries (own the shared cache builds; green every round)
     "coverage",
     "personalization",
     "item_item_topk",
     "minhash_lsh_pairs",
     "event_sessionize",
-    # round-8 code changes: Gopher gate grew the repetition axes and
-    # the whitespace-class word split (schema + values changed)
-    "gopher_quality_flags",
-    # round-8: tracking-param (?i) fix (same fixture values; code
-    # changed, so re-witness)
-    "canonical_url_dups",
-    # round-8: heavy-basket cap became opt-in — every rider now passes
-    # max_basket=1000 explicitly (plans unchanged; code changed, so
-    # all 10 re-witness; item_item_topk is a canary above)
-    "item_based_recommendations",
-    "association_rules",
-    "pagerank_items",
-    "kcore_items",  # + until_converged mode (default path unchanged)
-    "degree_distribution",
-    "adamic_adar_links",
-    "common_neighbor_links",
-    "item_triangles",
-    "mmr_rerank",
-    # round-8 NEW operators
-    "ngram_decontaminate",
-    "long_tail_stats_salted",
-    # the 5 r1-vintage rows the round-7 verdict named for rotation
-    "q_sql_surface",
-    "q_string_funcs_parts",
-    "q_top_parts_per_brand",
-    "q_top_tokens",
-    "q_winsorized_stats",
-    # freshness re-witnesses: the longest-unwitnessed queries (last
-    # driver row r2) — union coverage stays fresh, not merely closed
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "bm25_topk",
-    "chunk_documents",
-    "contamination_check",
-    "dataset_split",
-    "decay_popularity",
-    "dedup_exact",
-    "doc_fingerprint",
-    "doc_lm_score",
-    "embedding_neardup",
-    "events_asof_purchase",
-    "events_range_pairs",
-    "events_sessions",
-    "events_sliding",
-    "events_tumbling",
-    "hourly_anomaly",
-    "ivf_ann_topk",
-    "kmeans_assignments",
-    "label_centroids",
-    "language_id",
-    "novelty",
-    "novelty_per_user",
-    "personalization_weighted",
-    "q_cohort_retention",
-    "q_conversion_funnel",
-    "q_event_gaps",
+    # round-9 code changes (values unchanged unless noted)
+    "gopher_quality_flags",      # hashed gram exchange
+    "c4_clean",                  # paper-true defaults — VALUES changed
+    "ngram_decontaminate",       # min(k,len) containment + no-persist
+    "eval_contamination_report",  # same collision join
+    "language_id",               # +s_fr, fr tie-break
+    "langid_confusion",          # rides the new chain
+    "corpus_datacard",           # +n_lang_fr
+    # round-9 NEW queries
+    "kcore_items_converged",
+    "web_curation_pipeline",
+    # the last r2-vintage rows (longest-unwitnessed oracle lanes)
+    "q_events_resampled",
+    "q_json_props",
+    "q_user_event_type_sets",
+    "quality_score",
+    "recommendations_topk",
+    "repetition_stats",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_count_by_lang",
+    "value_histogram",
+    # the rows-only waiver lane, last witnessed r1 (freshness only —
+    # the driver records a rows-only check for it, per QUERIES.md)
+    "media_features",
+    # freshness re-witnesses: oldest r3 rows (alphabetical prefix;
+    # the remaining 12 are the ROUND-10 ROTATION NOTE)
+    "attribution_last_touch",
+    "balanced_sample",
+    "bigram_lm",
+    "coverage_approx",
+    "cross_lingual_contamination",
+    "curriculum_order",
+    "doc_cooccurrence_pmi",
+    "dpo_pair_mining",
+    "embedding_gram",
+    "entity_extract_stats",
+    "events_dedup_hourly",
+    "freshness_decay_sample",
+    "loss_mask_spans",
+    "mixture_sample",
+    "normalized_dedup",
+    "pack_sequences",
+    "q_data_quality",
+    "q_event_transitions",
+    "q_first_last_orders",
+    "q_recursive_bfs",
+    "q_revenue_streaks",
+    "q_salted_user_spend",
+    "q_unpivot_lineitem",
+    "q_variant_props",
+    "q_window_dedup_rank",
 ]
 
 

@@ -1470,10 +1470,27 @@ def build_eval_shingles(
         eval_df = _decontamination_normalize(
             eval_df, eval_col_id, eval_col_text
         )
-    out = _shingle_rows(
-        eval_df, eval_col_id, eval_col_text, k,
-        whitespace=True, skip_empty=True,
-    ).persist()
+    out = (
+        _shingle_rows(
+            eval_df, eval_col_id, eval_col_text, k,
+            whitespace=True, skip_empty=True,
+        )
+        .select(
+            F.col(eval_col_id),
+            # the (k, normalize) stamp rides the SCHEMA (no extra
+            # column, no extra job): the consuming grains refuse a
+            # mismatched injection instead of silently reporting a
+            # clean corpus through a join that can never collide
+            F.col("shingle").alias(
+                "shingle",
+                metadata={
+                    "decontam_k": int(k),
+                    "decontam_normalize": bool(normalize),
+                },
+            ),
+        )
+        .persist()
+    )
     out.count()
     return out
 
@@ -1515,6 +1532,14 @@ def _train_collision_shingles(
     level) are harmless: every downstream aggregate counts
     DISTINCT."""
     ns = sorted({int(n) for n in extra_ns if 0 < int(n) < k})
+    if not ns:
+        # the k-level stream IS the house gram construction — one
+        # definition (tokenization, zero-token filter, partial rule)
+        # shared with the eval side it must collide with
+        return _shingle_rows(
+            train_df, col_id, col_text, k,
+            distinct=False, whitespace=True, skip_empty=True,
+        )
     toks = F.filter(
         F.split(F.col(col_text), "[ \\t\\n\\r]+"), lambda x: x != ""
     )
@@ -1522,26 +1547,6 @@ def _train_collision_shingles(
         train_df.select(F.col(col_id), toks.alias("__toks"))
         .filter(F.size("__toks") > 0)
     )
-    if not ns:
-        lookups = [
-            F.expr(f"try_element_at(__toks, pos + {i})")
-            for i in range(k)
-        ]
-        return (
-            base.select(
-                F.col(col_id),
-                "__toks",
-                F.posexplode(
-                    F.expr(
-                        f"sequence(1, greatest(size(__toks) - {k - 1}, 1))"
-                    )
-                ).alias("__i", "pos"),
-            )
-            .select(
-                F.col(col_id),
-                F.concat_ws(" ", *lookups).alias("shingle"),
-            )
-        )
     n_min = ns[0]
     pos_df = base.select(
         F.col(col_id),
@@ -1598,12 +1603,34 @@ def _decontamination_hits(
     join behind ngram_decontaminate (train-grain report) and
     eval_contamination_report (eval-grain report). Plan shape is
     documented on ngram_decontaminate. Nothing is persisted here:
-    the eval side is benchmark-sized, so the guard count, the
-    short-length probe, and the join each re-derive it from a cheap
-    scan rather than leaking a cached table into the session per
-    call (pass ``eval_shingles`` from build_eval_shingles to share
-    one persisted fill across both grains — the caller unpersists)."""
+    the eval side is benchmark-sized, so the combined guard/probe
+    job and the join each re-derive it from a cheap scan rather
+    than leaking a cached table into the session per call (pass
+    ``eval_shingles`` from build_eval_shingles to share one
+    persisted fill across both grains — the caller unpersists; a
+    stamped-mismatched injection raises instead of silently
+    reporting a clean corpus)."""
     if eval_shingles is not None:
+        meta = (
+            eval_shingles.schema["shingle"].metadata
+            if "shingle" in eval_shingles.columns
+            else None
+        ) or {}
+        if "decontam_k" in meta and (
+            int(meta["decontam_k"]) != int(k)
+            or bool(meta.get("decontam_normalize", False))
+            != bool(normalize)
+        ):
+            raise ValueError(
+                "eval_shingles was built with k="
+                f"{meta['decontam_k']}, normalize="
+                f"{meta.get('decontam_normalize', False)} but this "
+                f"call uses k={k}, normalize={normalize} — the train "
+                "side would emit grams the injected shingles can "
+                "never collide with, silently reporting a clean "
+                "corpus. Rebuild with build_eval_shingles(..., k="
+                f"{k}, normalize={normalize})."
+            )
         ev = eval_shingles.select(
             F.col(eval_col_id), F.col("shingle")
         )
@@ -1620,21 +1647,31 @@ def _decontamination_hits(
         train_df = _decontamination_normalize(
             train_df, col_id, col_text
         )
-    # the guard count and the short-eval length probe are two
-    # benchmark-scale jobs (the eval corpus is thousands of docs
-    # against a 100 TB train side — re-deriving it is noise; a
-    # persisted fill is only worth sharing across grains, which is
-    # what build_eval_shingles is for)
-    ev_rows = ev.count()
-    short_ns = [
-        r[0]
-        for r in ev.select(
-            F.size(F.split("shingle", " ")).alias("__n")
-        )
-        .filter(F.col("__n") < k)
-        .distinct()
+    # ONE benchmark-scale job yields the guard count (sum of group
+    # counts), the short-eval length probe (keys < k), and — for
+    # injected shingles without the build_eval_shingles metadata
+    # stamp — a length sanity check (the eval corpus is thousands of
+    # docs against a 100 TB train side, so re-deriving the stream is
+    # noise; a persisted fill is only worth sharing across grains,
+    # which is what build_eval_shingles is for)
+    len_counts = (
+        ev.select(F.size(F.split("shingle", " ")).alias("__n"))
+        .groupBy("__n")
+        .count()
         .collect()
-    ]
+    )
+    ev_rows = sum(r["count"] for r in len_counts)
+    short_ns = [r["__n"] for r in len_counts if r["__n"] < k]
+    if eval_shingles is not None:
+        over = [r["__n"] for r in len_counts if r["__n"] > k]
+        if over:
+            raise ValueError(
+                f"eval_shingles carries {max(over)}-token shingles "
+                f"but this call uses k={k} — they were built with a "
+                "larger k and can never collide with the train "
+                f"side's grams. Rebuild with build_eval_shingles(..., "
+                f"k={k})."
+            )
     ev = ev.select(F.col(eval_col_id).alias("__eval_id"), "shingle")
     tr = _train_collision_shingles(
         train_df, col_id, col_text, k, short_ns

@@ -225,3 +225,61 @@ def test_short_eval_containment_matches_duckdb_mirror_when_live(spark):
     )
     assert got == want
     assert {g[0] for g in got} == {3, 4}
+
+
+def test_mismatched_injected_shingles_raise(spark):
+    """An eval_shingles table built with a different (k, normalize)
+    than the consuming call can never collide with the train side's
+    grams — the operator must refuse it rather than silently report
+    a clean corpus (round-9 review finding)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        build_eval_shingles,
+        eval_contamination_report,
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p")], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "c d e f g h i j k l m n o")], ["doc_id", "text"]
+    )
+    shingles = build_eval_shingles(eval_df, k=13)
+    try:
+        with pytest.raises(ValueError, match="k=13"):
+            ngram_decontaminate(
+                train, eval_df, k=5, eval_shingles=shingles
+            )
+        with pytest.raises(ValueError, match="normalize"):
+            eval_contamination_report(
+                train,
+                eval_df,
+                k=13,
+                normalize=True,
+                eval_shingles=shingles,
+            )
+    finally:
+        shingles.unpersist(blocking=True)
+
+
+def test_unstamped_overlength_injected_shingles_raise(spark):
+    """A caller-built shingle table without the metadata stamp still
+    trips the free length sanity check when its shingles are longer
+    than k (they were built with a larger k and cannot match)."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "c d e f g h i")], ["doc_id", "text"]
+    )
+    handmade = spark.createDataFrame(
+        [(9, "c d e f g h i")], ["doc_id", "shingle"]
+    )
+    with pytest.raises(ValueError, match="7-token"):
+        ngram_decontaminate(
+            train, eval_df, k=5, eval_shingles=handmade
+        ).collect()

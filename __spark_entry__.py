@@ -3676,6 +3676,61 @@ def _eval_contamination_report(spark, sf_dir):
     return eval_contamination_report(tr, ev, k=5)
 
 
+def _synthetic_pages(docs):
+    """Deterministic multi-line 'web page' builder over the single-line
+    punctuation-free corpus — shared by web_curation_pipeline and
+    line_dedup_pages (mirrored VERBATIM by the oracle-side _PAGE_CTE).
+    Keyed on length(text), NOT doc_id, so exact-duplicate documents
+    remain exact-duplicate pages; the fixed lines ('short.', the
+    parity/filler lines) repeat across ALL pages, giving the
+    line-grain operators cross-document boilerplate to bite on."""
+    nl = F.lit("\n")
+    ln = F.length("text")
+    page = F.concat(
+        F.col("text"), F.lit("."),
+        nl, F.lit("short."),
+        nl, F.concat(F.lit("no punct line here "),
+                     F.substring("text", 1, 12)),
+        F.when(
+            ln % 2 == 0,
+            F.concat(nl, F.lit("One more. And another! Plus a third?"
+                               " Then four. Finally five.")),
+        ).otherwise(
+            F.concat(nl, F.lit("Just a little more text arrives here."))
+        ),
+        F.when(
+            ln % 7 == 0,
+            F.concat(nl, F.lit("Filler Lorem Ipsum paragraph appears.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ln % 11 == 0,
+            F.concat(nl, F.lit("Contains a { brace in code block.")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", page.alias("text"))
+
+
+def _line_dedup_pages(spark, sf_dir):
+    """CCNet/RefinedWeb-style cross-document line dedup with document
+    rewrite (operators/dedup.py::line_dedup, keep_first mode): the
+    synthetic pages share their boilerplate lines ('short.', the
+    parity and filler lines) across every document, so the operator
+    keeps one canonical occurrence of each normalized duplicate line
+    and rewrites every other page without it — live at ALL SFs
+    (unlike the doc-grain dedup stages, which only bite at sf0.1).
+    The page-text lead line is unique per distinct text, so pages
+    survive with their content intact. Oracle: same page CTE, same
+    normalization (lowercase, digits stripped, whitespace collapsed,
+    trimmed), DuckDB window row_number for the first occurrence
+    (the Spark side uses a partial-aggregable min-of-struct instead —
+    same result, skew-safe plan)."""
+    from recmetrics_pyspark_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = _synthetic_pages(docs).select("doc_id", "text")
+    return line_dedup(pages, min_df=2, mode="keep_first")
+
+
 def _web_curation_pipeline(spark, sf_dir):
     """The canonical web-curation stack end-to-end, as ONE declared
     query with ONE composed oracle: C4 line cleaning (paper defaults)
@@ -3724,30 +3779,7 @@ def _web_curation_pipeline(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    nl = F.lit("\n")
-    ln = F.length("text")
-    page = F.concat(
-        F.col("text"), F.lit("."),
-        nl, F.lit("short."),
-        nl, F.concat(F.lit("no punct line here "),
-                     F.substring("text", 1, 12)),
-        F.when(
-            ln % 2 == 0,
-            F.concat(nl, F.lit("One more. And another! Plus a third?"
-                               " Then four. Finally five.")),
-        ).otherwise(
-            F.concat(nl, F.lit("Just a little more text arrives here."))
-        ),
-        F.when(
-            ln % 7 == 0,
-            F.concat(nl, F.lit("Filler Lorem Ipsum paragraph appears.")),
-        ).otherwise(F.lit("")),
-        F.when(
-            ln % 11 == 0,
-            F.concat(nl, F.lit("Contains a { brace in code block.")),
-        ).otherwise(F.lit("")),
-    )
-    pages = docs.select("doc_id", "source", page.alias("text"))
+    pages = _synthetic_pages(docs)
     # stage 1: C4 clean + keep-filter + rewrite to the cleaned text
     cleaned = pages.select("doc_id", "source").join(
         c4_clean(pages).filter("keep").select("doc_id", "clean_text"),
@@ -3820,8 +3852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows (alphabetical prefix of the r3 cohort) so union coverage
     stays fresh, not merely closed.
 
-    ROUND-10 ROTATION NOTE: re-witness the 12 remaining r3-vintage
-    rows: quantiles_approx, ranking_metrics, rollup_incremental,
+    ROUND-10 ROTATION NOTE: first the round-9 post-window addition
+    line_dedup_pages (verified at 3 SFs on arrival); then re-witness
+    the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
     simhash_near_pairs, simhash_signatures, temporal_split,
     tokenizer_fertility, vocab_encode, wau_sliding; then the r4
@@ -4113,6 +4146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 additions
         "kcore_items_converged": _kcore_items_converged,
         "web_curation_pipeline": _web_curation_pipeline,
+        # post-window round-9 addition (window full at 50; verified
+        # at sf0.001/0.01/0.1 on arrival; rotate into round 10)
+        "line_dedup_pages": _line_dedup_pages,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -4653,19 +4689,10 @@ ORDER BY base.source
 """
 
 
-def _web_curation_oracle() -> str:
-    """Composed mirror of _web_curation_pipeline: page builder →
-    C4 clean/keep/rewrite → the SHARED gopher CTE chain
-    (_gopher_ctes over the cleaned corpus, min_words=20 /
-    min_stopwords=1) → md5 canonical dedup → the SHARED
-    decontamination shingle CTEs (raw src0 eval side, k=5, zero-token
-    filter + short-eval containment levels) → the SHARED datacard
-    chain (_datacard_ctes over what ships). Each stage is the SAME
-    SQL its standalone oracle pins, so a pipeline mismatch isolates
-    to composition (schema handoff / filter semantics), not stage
-    math. chr(123) is the literal '{' (kept out of Python f-string
-    braces)."""
-    return f"""WITH p AS (
+# the synthetic multi-line page over the single-line corpus —
+# verbatim mirror of _synthetic_pages, shared by the
+# web_curation_pipeline and line_dedup_pages oracles
+_PAGE_CTE_BODY = """
   SELECT doc_id, source,
     text || '.' || chr(10) || 'short.'
     || chr(10) || 'no punct line here ' || substr(text, 1, 12)
@@ -4682,7 +4709,68 @@ def _web_curation_oracle() -> str:
                  || ' brace in code block.'
             ELSE '' END AS text
   FROM documents
-), c4k AS (
+"""
+
+
+def _line_dedup_oracle() -> str:
+    """Mirror of line_dedup(min_df=2, keep_first) over the shared
+    page CTE: lateral unnest(generate_series) to line grain, the
+    identical normalization (regexp_replace needs the 'g' flag here —
+    Spark's is global by default), distinct-doc counts per md5 key,
+    first occurrence via row_number (the Spark side's min-of-struct
+    aggregate computes the same (doc, pos) minimum skew-safely),
+    string_agg ORDER BY pos to rebuild."""
+    return f"""WITH p AS ({_PAGE_CTE_BODY}), s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM p
+), l AS (
+  SELECT doc_id, u.i AS pos, parts[CAST(u.i AS INT)] AS line
+  FROM s, unnest(generate_series(1, len(parts))) u(i)
+), l2 AS (
+  SELECT doc_id, pos, line,
+    trim(regexp_replace(regexp_replace(lower(line), '[0-9]', '', 'g'),
+                        '[ \t]+', ' ', 'g')) AS norm
+  FROM l
+), st AS (
+  SELECT md5(norm) AS key, count(DISTINCT doc_id) AS n_docs
+  FROM l2 WHERE norm <> '' GROUP BY md5(norm)
+), fst AS (
+  SELECT key, doc_id AS f_doc, pos AS f_pos FROM (
+    SELECT md5(norm) AS key, doc_id, pos,
+      row_number() OVER (PARTITION BY md5(norm)
+                         ORDER BY doc_id, pos) AS rn
+    FROM l2 WHERE norm <> '') t WHERE rn = 1
+), k AS (
+  SELECT l2.doc_id, l2.pos, l2.line,
+    (norm = '' OR st.n_docs < 2
+     OR (l2.doc_id = fst.f_doc AND l2.pos = fst.f_pos)) AS keep
+  FROM l2
+  LEFT JOIN st ON norm <> '' AND md5(norm) = st.key
+  LEFT JOIN fst ON norm <> '' AND md5(norm) = fst.key
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                      ORDER BY pos), '') AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lines_kept,
+  round((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))
+        / CAST(count(*) AS DOUBLE), 6) AS frac_lines_dropped
+FROM k GROUP BY doc_id"""
+
+
+def _web_curation_oracle() -> str:
+    """Composed mirror of _web_curation_pipeline: page builder →
+    C4 clean/keep/rewrite → the SHARED gopher CTE chain
+    (_gopher_ctes over the cleaned corpus, min_words=20 /
+    min_stopwords=1) → md5 canonical dedup → the SHARED
+    decontamination shingle CTEs (raw src0 eval side, k=5, zero-token
+    filter + short-eval containment levels) → the SHARED datacard
+    chain (_datacard_ctes over what ships). Each stage is the SAME
+    SQL its standalone oracle pins, so a pipeline mismatch isolates
+    to composition (schema handoff / filter semantics), not stage
+    math. chr(123) is the literal '{' (kept out of Python f-string
+    braces)."""
+    return f"""WITH p AS ({_PAGE_CTE_BODY}), c4k AS (
   SELECT doc_id, source,
     coalesce(array_to_string(list_filter(string_split(text, chr(10)),
       x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')
@@ -8791,6 +8879,7 @@ FROM canon GROUP BY canonical_url HAVING count(*) >= 2
         # the composed web-curation stack (each stage reuses the
         # standalone oracles' SQL via the shared fragment builders)
         "web_curation_pipeline": _web_curation_oracle(),
+        "line_dedup_pages": _line_dedup_oracle(),
         # mirrors functions/text.py::c4_clean over the same
         # deterministic page builder (u CTE == the Spark-side page
         # expression, token for token)

@@ -1715,3 +1715,119 @@ def eval_contamination_report(
         F.countDistinct(col_id).cast("bigint").alias("n_train_docs"),
         F.min("shingle").alias("sample_shingle"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    min_df: int = 2,
+    mode: str = "keep_first",
+) -> DataFrame:
+    """Cross-document LINE-grain deduplication with document rewrite —
+    the CCNet / RefinedWeb curation staple the doc-grain family
+    (exact_dedup, minhash) and the within-doc measures
+    (gopher_quality_flags' dup-line fractions) both miss: navigation
+    chrome, cookie banners, and share buttons repeat VERBATIM across
+    millions of pages that are otherwise distinct documents, and the
+    fix is to drop the duplicated LINES and keep the pages.
+
+    One row per input document: ``(col_id, clean_text, n_lines,
+    n_lines_kept, frac_lines_dropped)`` where clean_text is the
+    surviving lines re-joined by ``\\n`` in original order ('' when
+    nothing survives). A line participates in dedup under a
+    CCNet-style normalization (lowercase, digits stripped,
+    whitespace runs collapsed, trimmed — "Page 1 of 20" and
+    "page 2 of 20" are the same banner); lines whose normalization
+    is empty are always kept (blank separators are structure, not
+    boilerplate). A normalized line occurring in >= ``min_df``
+    DISTINCT documents is duplicated: ``mode='keep_first'`` (CCNet's
+    global paragraph dedup) keeps exactly the one occurrence with
+    the smallest (doc id, position) and drops every other;
+    ``mode='drop_all'`` (RefinedWeb-style boilerplate removal) drops
+    every occurrence. Within-ONE-doc repeats never trip the gate
+    (distinct-doc counting) — that axis belongs to the Gopher gate.
+
+    Plan (scale: corpus line count L, line vocabulary V): one
+    scan-side posexplode to line grain; ONE (md5-key) aggregate for
+    the distinct-doc count AND the first occurrence — min over
+    struct(id, pos), a partial-aggregable min, NOT a per-key window,
+    so a banner line occurring in billions of documents combines
+    map-side instead of single-tasking one executor; one L-scale
+    join back on the 16-byte key (the stats side is V-scale —
+    broadcastable for real vocabularies, left to AQE); one doc-grain
+    rebuild aggregate (collect_list bounded by lines-per-document,
+    array_sort by position — never a corpus-wide sort). Shuffles:
+    stats agg + join + rebuild = 3, all on linear grains.
+    """
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(
+            f"mode must be 'keep_first' or 'drop_all', got {mode!r}"
+        )
+    lines = df.select(
+        F.col(col_id),
+        F.posexplode(F.split(F.col(col_text), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("line")), "[0-9]", ""),
+            "[ \\t]+",
+            " ",
+        )
+    )
+    keyed = lines.select(
+        F.col(col_id),
+        "pos",
+        "line",
+        F.when(norm != "", F.md5(norm)).alias("__key"),
+    )
+    stats = (
+        keyed.filter(F.col("__key").isNotNull())
+        .groupBy("__key")
+        .agg(
+            F.countDistinct(col_id).alias("__n_docs"),
+            F.min(F.struct(F.col(col_id), F.col("pos"))).alias(
+                "__first"
+            ),
+        )
+    )
+    joined = keyed.join(stats, "__key", "left")
+    keep = F.col("__key").isNull() | (F.col("__n_docs") < min_df)
+    if mode == "keep_first":
+        keep = keep | (
+            (F.col(col_id) == F.col(f"__first.{col_id}"))
+            & (F.col("pos") == F.col("__first.pos"))
+        )
+    return (
+        joined.groupBy(col_id)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(keep.cast("int")).cast("bigint").alias(
+                "n_lines_kept"
+            ),
+        )
+        .select(
+            col_id,
+            "clean_text",
+            "n_lines",
+            "n_lines_kept",
+            F.round(
+                (F.col("n_lines") - F.col("n_lines_kept"))
+                / F.col("n_lines").cast("double"),
+                6,
+            ).alias("frac_lines_dropped"),
+        )
+    )

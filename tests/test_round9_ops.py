@@ -283,3 +283,53 @@ def test_unstamped_overlength_injected_shingles_raise(spark):
         ngram_decontaminate(
             train, eval_df, k=5, eval_shingles=handmade
         ).collect()
+
+
+def test_line_dedup_keep_first_and_drop_all(spark):
+    """Hand fixture: boilerplate shared across docs is dropped
+    (canonical copy survives in keep_first, nobody in drop_all);
+    normalization unifies case/digits/whitespace; blank lines and
+    within-single-doc repeats are always kept."""
+    from recmetrics_pyspark_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Unique alpha\nShare on Facebook\n\nPage 1 of 20\nself\nself"),
+            (2, "Share   on FACEBOOK\nUnique beta\nPage 9 of 20"),
+            (3, "Unique gamma\nShare on Facebook"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = _collect_map(line_dedup(df))
+    assert got[1].clean_text == (
+        "Unique alpha\nShare on Facebook\n\nPage 1 of 20\nself\nself"
+    )
+    assert (got[1].n_lines, got[1].n_lines_kept) == (6, 6)
+    # doc 2's banner AND its "Page N of M" normalize into doc 1's
+    assert got[2].clean_text == "Unique beta"
+    assert got[2].frac_lines_dropped == 0.666667
+    assert got[3].clean_text == "Unique gamma"
+
+    dropped = _collect_map(line_dedup(df, mode="drop_all"))
+    assert dropped[1].clean_text == "Unique alpha\n\nself\nself"
+    assert dropped[3].clean_text == "Unique gamma"
+
+
+def test_line_dedup_doc_losing_everything_and_min_df(spark):
+    from recmetrics_pyspark_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "only line"), (2, "only line"), (3, "only line")],
+        ["doc_id", "text"],
+    )
+    got = _collect_map(line_dedup(df, mode="drop_all"))
+    assert all(
+        (r.clean_text, r.n_lines, r.n_lines_kept,
+         r.frac_lines_dropped) == ("", 1, 0, 1.0)
+        for r in got.values()
+    )
+    # min_df above the occurrence count -> untouched
+    loose = _collect_map(line_dedup(df, min_df=4))
+    assert all(r.clean_text == "only line" for r in loose.values())
+    with pytest.raises(ValueError, match="mode"):
+        line_dedup(df, mode="bogus")

@@ -3734,16 +3734,21 @@ def _line_dedup_pages(spark, sf_dir):
 def _web_curation_pipeline(spark, sf_dir):
     """The canonical web-curation stack end-to-end, as ONE declared
     query with ONE composed oracle: C4 line cleaning (paper defaults)
-    → Gopher gate keep-filter on the CLEANED text (corpus-tuned
-    min_words=20 / min_stopwords=1 — the synthetic vocabulary carries
-    one Gopher stopword, and gate thresholds are corpus policy) →
-    exact dedup (canonical survivor per md5 of cleaned text) →
-    ngram_decontaminate anti-join (eval corpus = RAW src0 texts, k=5,
-    same convention as the declared decontamination queries) →
-    corpus_datacard over what ships. Green pins stage COMPOSITION —
-    schema handoffs, keep-flag filtering, the clean-text rewrite
-    feeding downstream hashing/shingling — which the per-operator
-    oracles cannot see.
+    → exact document dedup (canonical survivor per md5 of cleaned
+    text — BEFORE line dedup, the RefinedWeb ordering: a full-doc
+    duplicate is a set of corpus-duplicated lines, so keep_first
+    line dedup run first would empty copies 2..n itself and leave
+    this stage inert) → cross-document line dedup with rewrite
+    (line_dedup keep_first — CCNet's global paragraph dedup) →
+    Gopher gate keep-filter on the line-deduplicated text
+    (corpus-tuned min_words=20 / min_stopwords=1 — the synthetic
+    vocabulary carries one Gopher stopword, and gate thresholds are
+    corpus policy) → ngram_decontaminate anti-join (eval corpus =
+    RAW src0 texts, k=5, same convention as the declared
+    decontamination queries) → corpus_datacard over what ships.
+    Green pins stage COMPOSITION — schema handoffs, keep-flag
+    filtering, the two clean-text rewrites feeding downstream
+    hashing/shingling — which the per-operator oracles cannot see.
 
     The corpus is single-line and punctuation-free, so pages are
     built deterministically from each document (mirrored VERBATIM in
@@ -3761,13 +3766,18 @@ def _web_curation_pipeline(spark, sf_dir):
     checkpoint is the in-session analogue and is doc-grain-sized).
 
     Stage bite by SF (measured, oracle funnel): sf0.1 = 5000 docs →
-    1944 after C4 → 1774 after gopher → 1772 after dedup → 1694
-    train-side → 52 decontaminated → 1642 shipped (every stage
-    live). At sf0.001/0.01 the corpus carries no exact-dup texts and
-    no SURVIVING src0 containments, so the dedup/decontamination
-    stages pass everything through — inert-but-mirrored there, live
-    at sf0.1 (the same convention as the basket cap / shingle
-    df-cap; sf0.1 is judge-verified each round)."""
+    1944 after C4 → 1941 after exact dedup → 1941 docs after line
+    dedup with 1940 of them REWRITTEN (mean 50% of lines dropped —
+    the stage's bite is the rewrite: the downstream gopher gate
+    kills 644 docs here vs 170 on un-line-deduped text) → 1297
+    after gopher → 1241 train-side → 45 decontaminated → 1196
+    shipped (every stage live). At sf0.001/0.01 the corpus carries
+    no exact-dup texts and no SURVIVING src0 containments, so the
+    exact-dedup/decontamination stages pass everything through —
+    inert-but-mirrored there, live at sf0.1 (the same convention as
+    the basket cap / shingle df-cap; sf0.1 is judge-verified each
+    round); line dedup is live at EVERY SF (the boilerplate lines
+    repeat across all pages)."""
     from recmetrics_pyspark_spark.functions.text import (
         c4_clean,
         corpus_datacard,
@@ -3775,49 +3785,71 @@ def _web_curation_pipeline(spark, sf_dir):
     )
     from recmetrics_pyspark_spark.operators.dedup import (
         exact_dedup,
+        line_dedup,
         ngram_decontaminate,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     pages = _synthetic_pages(docs)
     # stage 1: C4 clean + keep-filter + rewrite to the cleaned text
+    # (materialized: the line-dedup stage consumes it twice
+    # internally and the source re-join makes a third)
     cleaned = pages.select("doc_id", "source").join(
         c4_clean(pages).filter("keep").select("doc_id", "clean_text"),
         "doc_id",
-    ).select("doc_id", "source", F.col("clean_text").alias("text"))
-    # stage 2: Gopher gate on the cleaned text (tuned thresholds).
+    ).select(
+        "doc_id", "source", F.col("clean_text").alias("text")
+    ).localCheckpoint(eager=False)
+    # stage 2: exact document dedup — canonical survivor per
+    # cleaned-text hash. MUST run before line dedup: a full-document
+    # duplicate is a set of corpus-duplicated lines, so keep_first
+    # line dedup would otherwise empty copies 2..n itself and leave
+    # this stage inert (observed at sf0.1) — document-grain dedup
+    # first, then line-grain, is the RefinedWeb ordering
+    deduped = cleaned.join(
+        exact_dedup(cleaned).filter(~F.col("is_dup")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint(eager=False)
+    # stage 3: cross-document line dedup (CCNet global paragraph
+    # dedup, keep_first) — boilerplate lines the C4 rules keep
+    # (well-formed sentences repeated on every page) are dropped
+    # corpus-wide, one canonical copy survives; docs losing every
+    # line leave the funnel here
+    ld = line_dedup(
+        deduped.select("doc_id", "text"), min_df=2, mode="keep_first"
+    )
+    cleaned2 = (
+        ld.filter(F.col("n_lines_kept") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(deduped.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "text")
+    ).localCheckpoint(eager=False)
+    # stage 4: Gopher gate on the deduplicated text (tuned thresholds).
     # The gate's token-scale gram aggregate is the pipeline's heavy
-    # stage, and every later stage consumes its survivor set MORE
-    # THAN ONCE (dedup's hash-group self-join, the decontamination
-    # train side, the anti-join, the data card) — so the doc-grain
-    # survivor table is MATERIALIZED here as a stage boundary
-    # (localCheckpoint truncates the lineage; in a production run
-    # each stage writes parquet and this is the in-session
-    # analogue). Without it the gram aggregate re-runs 4-5x
-    # (measured 149.5s -> 17.5s cold at sf0.1).
-    gated = cleaned.join(
-        gopher_quality_flags(cleaned, min_words=20, min_stopwords=1)
+    # stage, and the survivor set feeds the decontamination train
+    # side, the anti-join, and the data card — so it is MATERIALIZED
+    # as a stage boundary (localCheckpoint truncates the lineage; in
+    # a production run each stage writes parquet and this is the
+    # in-session analogue). Without boundaries the gram aggregate
+    # re-ran per consumer (measured 149.5s -> 17.5s cold at sf0.1
+    # for the original five-stage DAG).
+    gated = cleaned2.join(
+        gopher_quality_flags(cleaned2, min_words=20, min_stopwords=1)
         .filter("keep")
         .select("doc_id"),
         "doc_id",
         "left_semi",
     ).localCheckpoint(eager=False)
-    # stage 3: exact dedup — canonical survivor per cleaned-text
-    # hash; also a materialized boundary (three downstream consumers)
-    deduped = gated.join(
-        exact_dedup(gated).filter(~F.col("is_dup")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    ).localCheckpoint(eager=False)
-    # stage 4: decontamination anti-join (train = non-src0 survivors,
+    # stage 5: decontamination anti-join (train = non-src0 survivors,
     # eval = RAW src0 documents)
     ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
-    tr = deduped.filter(F.col("source") != "src0")
+    tr = gated.filter(F.col("source") != "src0")
     bad = ngram_decontaminate(
         tr.select("doc_id", "text"), ev, k=5
     ).select("doc_id")
     shipped = tr.join(bad, "doc_id", "left_anti")
-    # stage 5: the data card over what ships
+    # stage 6: the data card over what ships
     return corpus_datacard(shipped)
 
 
@@ -3840,10 +3872,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     schema grew s_fr / n_lang_fr, tie-break now en > es > de > fr);
     then the round-9 NEW queries (kcore_items_converged — the
     until_converged k-core mode driver-pinned against the fixed-
-    8-round oracle — and web_curation_pipeline — the five-stage
-    C4 → Gopher → dedup → decontaminate → datacard composition with
-    ONE composed oracle built from the standalone stages' shared SQL
-    fragments); then the last r2-vintage rows (q_events_resampled,
+    8-round oracle — and web_curation_pipeline — the six-stage
+    C4 → exact dedup → line dedup → Gopher → decontaminate →
+    datacard composition with ONE composed oracle built from the
+    standalone stages' shared SQL fragments, re-verified at 3 SFs
+    when the line-dedup stage landed); then the last r2-vintage
+    rows (q_events_resampled,
     q_json_props, q_user_event_type_sets, quality_score,
     recommendations_topk, repetition_stats, text_stats,
     tfidf_top_terms, token_count_by_lang, value_histogram) plus
@@ -4712,63 +4746,78 @@ _PAGE_CTE_BODY = """
 """
 
 
-def _line_dedup_oracle() -> str:
-    """Mirror of line_dedup(min_df=2, keep_first) over the shared
-    page CTE: lateral unnest(generate_series) to line grain, the
-    identical normalization (regexp_replace needs the 'g' flag here —
-    Spark's is global by default), distinct-doc counts per md5 key,
-    first occurrence via row_number (the Spark side's min-of-struct
+def _line_dedup_ctes(src: str) -> str:
+    """Parameterized CTE chain mirroring line_dedup(min_df=2,
+    keep_first) over ``src`` (doc_id, text): lateral
+    unnest(generate_series) to line grain, the identical
+    normalization (regexp_replace needs the 'g' flag here — Spark's
+    is global by default), distinct-doc counts per md5 key, first
+    occurrence via row_number (the Spark side's min-of-struct
     aggregate computes the same (doc, pos) minimum skew-safely),
-    string_agg ORDER BY pos to rebuild."""
-    return f"""WITH p AS ({_PAGE_CTE_BODY}), s AS (
-  SELECT doc_id, string_split(text, chr(10)) AS parts FROM p
-), l AS (
+    string_agg ORDER BY pos to rebuild. Terminal CTE ``ldout`` has
+    (doc_id, clean_text, n_lines, n_lines_kept). Shared by the
+    standalone line_dedup_pages oracle and the composed
+    web_curation_pipeline oracle (ld-prefixed names stay clear of
+    the gopher/datacard fragments)."""
+    return f"""lds AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM {src}
+), ldl AS (
   SELECT doc_id, u.i AS pos, parts[CAST(u.i AS INT)] AS line
-  FROM s, unnest(generate_series(1, len(parts))) u(i)
-), l2 AS (
+  FROM lds, unnest(generate_series(1, len(parts))) u(i)
+), ldl2 AS (
   SELECT doc_id, pos, line,
     trim(regexp_replace(regexp_replace(lower(line), '[0-9]', '', 'g'),
                         '[ \t]+', ' ', 'g')) AS norm
-  FROM l
-), st AS (
+  FROM ldl
+), ldst AS (
   SELECT md5(norm) AS key, count(DISTINCT doc_id) AS n_docs
-  FROM l2 WHERE norm <> '' GROUP BY md5(norm)
-), fst AS (
+  FROM ldl2 WHERE norm <> '' GROUP BY md5(norm)
+), ldfst AS (
   SELECT key, doc_id AS f_doc, pos AS f_pos FROM (
     SELECT md5(norm) AS key, doc_id, pos,
       row_number() OVER (PARTITION BY md5(norm)
                          ORDER BY doc_id, pos) AS rn
-    FROM l2 WHERE norm <> '') t WHERE rn = 1
-), k AS (
-  SELECT l2.doc_id, l2.pos, l2.line,
-    (norm = '' OR st.n_docs < 2
-     OR (l2.doc_id = fst.f_doc AND l2.pos = fst.f_pos)) AS keep
-  FROM l2
-  LEFT JOIN st ON norm <> '' AND md5(norm) = st.key
-  LEFT JOIN fst ON norm <> '' AND md5(norm) = fst.key
-)
-SELECT doc_id,
-  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
-                      ORDER BY pos), '') AS clean_text,
-  CAST(count(*) AS BIGINT) AS n_lines,
-  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_lines_kept,
-  round((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))
-        / CAST(count(*) AS DOUBLE), 6) AS frac_lines_dropped
-FROM k GROUP BY doc_id"""
+    FROM ldl2 WHERE norm <> '') t WHERE rn = 1
+), ldk AS (
+  SELECT ldl2.doc_id, ldl2.pos, ldl2.line,
+    (norm = '' OR ldst.n_docs < 2
+     OR (ldl2.doc_id = ldfst.f_doc AND ldl2.pos = ldfst.f_pos))
+      AS keep
+  FROM ldl2
+  LEFT JOIN ldst ON norm <> '' AND md5(norm) = ldst.key
+  LEFT JOIN ldfst ON norm <> '' AND md5(norm) = ldfst.key
+), ldout AS (
+  SELECT doc_id,
+    coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                        ORDER BY pos), '') AS clean_text,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lines_kept
+  FROM ldk GROUP BY doc_id
+)"""
+
+
+def _line_dedup_oracle() -> str:
+    return f"""WITH p AS ({_PAGE_CTE_BODY}), {_line_dedup_ctes(src="p")}
+SELECT doc_id, clean_text, n_lines, n_lines_kept,
+  round((n_lines - n_lines_kept) / CAST(n_lines AS DOUBLE), 6)
+    AS frac_lines_dropped
+FROM ldout"""
 
 
 def _web_curation_oracle() -> str:
     """Composed mirror of _web_curation_pipeline: page builder →
-    C4 clean/keep/rewrite → the SHARED gopher CTE chain
-    (_gopher_ctes over the cleaned corpus, min_words=20 /
-    min_stopwords=1) → md5 canonical dedup → the SHARED
-    decontamination shingle CTEs (raw src0 eval side, k=5, zero-token
-    filter + short-eval containment levels) → the SHARED datacard
-    chain (_datacard_ctes over what ships). Each stage is the SAME
-    SQL its standalone oracle pins, so a pipeline mismatch isolates
-    to composition (schema handoff / filter semantics), not stage
-    math. chr(123) is the literal '{' (kept out of Python f-string
+    C4 clean/keep/rewrite → md5 canonical dedup → the SHARED
+    line-dedup CTE chain (_line_dedup_ctes over the deduped corpus,
+    keep_first rewrite + empty-doc exit) → the SHARED gopher CTE
+    chain (_gopher_ctes over the line-deduplicated corpus,
+    min_words=20 / min_stopwords=1) → the SHARED decontamination
+    shingle CTEs (raw src0 eval side, k=5, zero-token filter +
+    short-eval containment levels) → the SHARED datacard chain
+    (_datacard_ctes over what ships). Each stage is the SAME SQL its
+    standalone oracle pins, so a pipeline mismatch isolates to
+    composition (schema handoff / filter semantics), not stage math.
+    chr(123) is the literal '{' (kept out of Python f-string
     braces)."""
     return f"""WITH p AS ({_PAGE_CTE_BODY}), c4k AS (
   SELECT doc_id, source,
@@ -4783,16 +4832,21 @@ def _web_curation_oracle() -> str:
   SELECT doc_id, source, clean_text AS text FROM c4k
   WHERE len(clean_text) - len(translate(clean_text, '.!?', '')) >= 3
     AND NOT has_lorem AND NOT has_brace
-), {_gopher_ctes(src="cleaned", min_words=20, min_stopwords=1)}, gated AS (
-  SELECT cleaned.* FROM cleaned
-  JOIN (SELECT doc_id FROM f WHERE {_GOPHER_KEEP}) gk USING (doc_id)
 ), canon AS (
   SELECT md5(text) AS hsh, min(doc_id) AS keep_id
-  FROM gated GROUP BY md5(text)
+  FROM cleaned GROUP BY md5(text)
 ), deduped AS (
-  SELECT gated.* FROM gated JOIN canon ON gated.doc_id = canon.keep_id
+  SELECT cleaned.* FROM cleaned
+  JOIN canon ON cleaned.doc_id = canon.keep_id
+), {_line_dedup_ctes(src="deduped")}, cleaned2 AS (
+  SELECT ldout.doc_id, deduped.source, ldout.clean_text AS text
+  FROM ldout JOIN deduped USING (doc_id)
+  WHERE ldout.n_lines_kept > 0
+), {_gopher_ctes(src="cleaned2", min_words=20, min_stopwords=1)}, gated AS (
+  SELECT cleaned2.* FROM cleaned2
+  JOIN (SELECT doc_id FROM f WHERE {_GOPHER_KEEP}) gk USING (doc_id)
 ), tr0 AS (
-  SELECT * FROM deduped WHERE source <> 'src0'
+  SELECT * FROM gated WHERE source <> 'src0'
 ), evd AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),

@@ -3731,6 +3731,21 @@ def _line_dedup_pages(spark, sf_dir):
     return line_dedup(pages, min_df=2, mode="keep_first")
 
 
+def _line_dedup_pages_dropall(spark, sf_dir):
+    """The drop_all branch of line_dedup (RefinedWeb-style
+    boilerplate removal: EVERY occurrence of a cross-document
+    duplicated line is dropped, no canonical survivor) over the same
+    synthetic pages — driver-pins the mode the standalone keep_first
+    query (line_dedup_pages) and the pipeline composition cannot
+    reach. Oracle: the shared _line_dedup_ctes fragment with the
+    first-occurrence exemption compiled out."""
+    from recmetrics_pyspark_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = _synthetic_pages(docs).select("doc_id", "text")
+    return line_dedup(pages, min_df=2, mode="drop_all")
+
+
 def _web_curation_pipeline(spark, sf_dir):
     """The canonical web-curation stack end-to-end, as ONE declared
     query with ONE composed oracle: C4 line cleaning (paper defaults)
@@ -3886,8 +3901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows (alphabetical prefix of the r3 cohort) so union coverage
     stays fresh, not merely closed.
 
-    ROUND-10 ROTATION NOTE: first the round-9 post-window addition
-    line_dedup_pages (verified at 3 SFs on arrival); then re-witness
+    ROUND-10 ROTATION NOTE: first the round-9 post-window additions
+    line_dedup_pages + line_dedup_pages_dropall (verified at 3 SFs
+    on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
     simhash_near_pairs, simhash_signatures, temporal_split,
@@ -4180,9 +4196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 additions
         "kcore_items_converged": _kcore_items_converged,
         "web_curation_pipeline": _web_curation_pipeline,
-        # post-window round-9 addition (window full at 50; verified
+        # post-window round-9 additions (window full at 50; verified
         # at sf0.001/0.01/0.1 on arrival; rotate into round 10)
         "line_dedup_pages": _line_dedup_pages,
+        "line_dedup_pages_dropall": _line_dedup_pages_dropall,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -4746,9 +4763,9 @@ _PAGE_CTE_BODY = """
 """
 
 
-def _line_dedup_ctes(src: str) -> str:
+def _line_dedup_ctes(src: str, mode: str = "keep_first") -> str:
     """Parameterized CTE chain mirroring line_dedup(min_df=2,
-    keep_first) over ``src`` (doc_id, text): lateral
+    mode) over ``src`` (doc_id, text): lateral
     unnest(generate_series) to line grain, the identical
     normalization (regexp_replace needs the 'g' flag here — Spark's
     is global by default), distinct-doc counts per md5 key, first
@@ -4756,9 +4773,33 @@ def _line_dedup_ctes(src: str) -> str:
     aggregate computes the same (doc, pos) minimum skew-safely),
     string_agg ORDER BY pos to rebuild. Terminal CTE ``ldout`` has
     (doc_id, clean_text, n_lines, n_lines_kept). Shared by the
-    standalone line_dedup_pages oracle and the composed
-    web_curation_pipeline oracle (ld-prefixed names stay clear of
-    the gopher/datacard fragments)."""
+    standalone line_dedup_pages / line_dedup_pages_dropall oracles
+    and the composed web_curation_pipeline oracle (ld-prefixed names
+    stay clear of the gopher/datacard fragments). ``drop_all`` skips
+    the first-occurrence exemption (and its CTE entirely)."""
+    first_clause = (
+        """
+     OR (ldl2.doc_id = ldfst.f_doc AND ldl2.pos = ldfst.f_pos)"""
+        if mode == "keep_first"
+        else ""
+    )
+    first_cte = (
+        """ldfst AS (
+  SELECT key, doc_id AS f_doc, pos AS f_pos FROM (
+    SELECT md5(norm) AS key, doc_id, pos,
+      row_number() OVER (PARTITION BY md5(norm)
+                         ORDER BY doc_id, pos) AS rn
+    FROM ldl2 WHERE norm <> '') t WHERE rn = 1
+), """
+        if mode == "keep_first"
+        else ""
+    )
+    first_join = (
+        """
+  LEFT JOIN ldfst ON norm <> '' AND md5(norm) = ldfst.key"""
+        if mode == "keep_first"
+        else ""
+    )
     return f"""lds AS (
   SELECT doc_id, string_split(text, chr(10)) AS parts FROM {src}
 ), ldl AS (
@@ -4772,20 +4813,12 @@ def _line_dedup_ctes(src: str) -> str:
 ), ldst AS (
   SELECT md5(norm) AS key, count(DISTINCT doc_id) AS n_docs
   FROM ldl2 WHERE norm <> '' GROUP BY md5(norm)
-), ldfst AS (
-  SELECT key, doc_id AS f_doc, pos AS f_pos FROM (
-    SELECT md5(norm) AS key, doc_id, pos,
-      row_number() OVER (PARTITION BY md5(norm)
-                         ORDER BY doc_id, pos) AS rn
-    FROM ldl2 WHERE norm <> '') t WHERE rn = 1
-), ldk AS (
+), {first_cte}ldk AS (
   SELECT ldl2.doc_id, ldl2.pos, ldl2.line,
-    (norm = '' OR ldst.n_docs < 2
-     OR (ldl2.doc_id = ldfst.f_doc AND ldl2.pos = ldfst.f_pos))
+    (norm = '' OR ldst.n_docs < 2{first_clause})
       AS keep
   FROM ldl2
-  LEFT JOIN ldst ON norm <> '' AND md5(norm) = ldst.key
-  LEFT JOIN ldfst ON norm <> '' AND md5(norm) = ldfst.key
+  LEFT JOIN ldst ON norm <> '' AND md5(norm) = ldst.key{first_join}
 ), ldout AS (
   SELECT doc_id,
     coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
@@ -4797,8 +4830,9 @@ def _line_dedup_ctes(src: str) -> str:
 )"""
 
 
-def _line_dedup_oracle() -> str:
-    return f"""WITH p AS ({_PAGE_CTE_BODY}), {_line_dedup_ctes(src="p")}
+def _line_dedup_oracle(mode: str = "keep_first") -> str:
+    ctes = _line_dedup_ctes(src="p", mode=mode)
+    return f"""WITH p AS ({_PAGE_CTE_BODY}), {ctes}
 SELECT doc_id, clean_text, n_lines, n_lines_kept,
   round((n_lines - n_lines_kept) / CAST(n_lines AS DOUBLE), 6)
     AS frac_lines_dropped
@@ -8934,6 +8968,7 @@ FROM canon GROUP BY canonical_url HAVING count(*) >= 2
         # standalone oracles' SQL via the shared fragment builders)
         "web_curation_pipeline": _web_curation_oracle(),
         "line_dedup_pages": _line_dedup_oracle(),
+        "line_dedup_pages_dropall": _line_dedup_oracle(mode="drop_all"),
         # mirrors functions/text.py::c4_clean over the same
         # deterministic page builder (u CTE == the Spark-side page
         # expression, token for token)

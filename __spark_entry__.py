@@ -3807,8 +3807,8 @@ def _web_curation_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pages = _synthetic_pages(docs)
     # stage 1: C4 clean + keep-filter + rewrite to the cleaned text
-    # (materialized: the line-dedup stage consumes it twice
-    # internally and the source re-join makes a third)
+    # (materialized: stage 2 consumes it twice — exact_dedup's
+    # internal hash-group self-join plus the left-semi probe side)
     cleaned = pages.select("doc_id", "source").join(
         c4_clean(pages).filter("keep").select("doc_id", "clean_text"),
         "doc_id",
@@ -3826,6 +3826,8 @@ def _web_curation_pipeline(spark, sf_dir):
         "doc_id",
         "left_semi",
     ).localCheckpoint(eager=False)
+    # (deduped is materialized: stage 3 consumes it twice inside
+    # line_dedup and a third time in the source re-join below)
     # stage 3: cross-document line dedup (CCNet global paragraph
     # dedup, keep_first) — boilerplate lines the C4 rules keep
     # (well-formed sentences repeated on every page) are dropped
@@ -4801,7 +4803,8 @@ def _line_dedup_ctes(src: str, mode: str = "keep_first") -> str:
         else ""
     )
     return f"""lds AS (
-  SELECT doc_id, string_split(text, chr(10)) AS parts FROM {src}
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts
+  FROM {src}
 ), ldl AS (
   SELECT doc_id, u.i AS pos, parts[CAST(u.i AS INT)] AS line
   FROM lds, unnest(generate_series(1, len(parts))) u(i)

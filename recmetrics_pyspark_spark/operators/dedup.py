@@ -1732,10 +1732,11 @@ def line_dedup(
     millions of pages that are otherwise distinct documents, and the
     fix is to drop the duplicated LINES and keep the pages.
 
-    One row per input document: ``(col_id, clean_text, n_lines,
-    n_lines_kept, frac_lines_dropped)`` where clean_text is the
-    surviving lines re-joined by ``\\n`` in original order ('' when
-    nothing survives). A line participates in dedup under a
+    One row per input document — including NULL-text documents,
+    which read as empty text (one empty line, kept): ``(col_id,
+    clean_text, n_lines, n_lines_kept, frac_lines_dropped)`` where
+    clean_text is the surviving lines re-joined by ``\\n`` in
+    original order ('' when nothing survives). A line participates in dedup under a
     CCNet-style normalization (lowercase, digits stripped,
     whitespace runs collapsed, trimmed — "Page 1 of 20" and
     "page 2 of 20" are the same banner); lines whose normalization
@@ -1764,11 +1765,14 @@ def line_dedup(
         raise ValueError(
             f"mode must be 'keep_first' or 'drop_all', got {mode!r}"
         )
+    # NULL text reads as empty text (one empty line, always kept):
+    # split(NULL) would explode to ZERO rows and silently drop the
+    # document from the output, breaking the one-row-per-doc contract
     lines = df.select(
         F.col(col_id),
-        F.posexplode(F.split(F.col(col_text), "\n")).alias(
-            "pos", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(col_text), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     norm = F.trim(
         F.regexp_replace(
@@ -1781,7 +1785,9 @@ def line_dedup(
         F.col(col_id),
         "pos",
         "line",
-        F.when(norm != "", F.md5(norm)).alias("__key"),
+        # unhex(md5): the key that crosses the wire twice (stats agg
+        # + join-back) is 16 BINARY bytes, not the 32-char hex string
+        F.when(norm != "", F.unhex(F.md5(norm))).alias("__key"),
     )
     stats = (
         keyed.filter(F.col("__key").isNotNull())

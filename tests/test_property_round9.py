@@ -25,7 +25,10 @@ _POOL = [
 def _norm(line: str) -> str:
     s = re.sub(r"[0-9]", "", line.lower())
     s = re.sub(r"[ \t]+", " ", s)
-    return s.strip()
+    # strip SPACES only: Spark's F.trim and DuckDB's trim are
+    # space-only, while Python's bare .strip() would also eat
+    # \r/\f/\v and unicode whitespace the engines keep
+    return s.strip(" ")
 
 
 def _replay(docs, min_df=2, mode="keep_first"):
@@ -62,7 +65,7 @@ _corpus = st.lists(
             st.one_of(
                 st.sampled_from(_POOL),
                 st.text(
-                    alphabet="ab 3\t", min_size=0, max_size=8
+                    alphabet="ab 3\t\r", min_size=0, max_size=8
                 ).filter(lambda s: "\n" not in s),
             ),
             min_size=1,

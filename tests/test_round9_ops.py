@@ -333,3 +333,31 @@ def test_line_dedup_doc_losing_everything_and_min_df(spark):
     assert all(r.clean_text == "only line" for r in loose.values())
     with pytest.raises(ValueError, match="mode"):
         line_dedup(df, mode="bogus")
+
+
+def test_line_dedup_null_text_keeps_the_document(spark):
+    """NULL text must not vanish from the output (split(NULL) explodes
+    to zero rows without the coalesce guard) — it reads as empty
+    text: one empty line, kept."""
+    from pyspark.sql import types as T
+    from recmetrics_pyspark_spark.operators.dedup import line_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, None), (3, "")], schema
+    )
+    got = _collect_map(line_dedup(df))
+    assert set(got) == {1, 2, 3}
+    for d in (2, 3):
+        r = got[d]
+        assert (
+            r.clean_text,
+            r.n_lines,
+            r.n_lines_kept,
+            r.frac_lines_dropped,
+        ) == ("", 1, 1, 0.0)

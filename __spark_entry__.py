@@ -3770,7 +3770,7 @@ def _web_curation_pipeline(spark, sf_dir):
     the oracle's ``p`` CTE) — keyed on length(text), NOT doc_id, so
     exact-duplicate documents remain exact-duplicate pages and the
     dedup stage keeps its bite. Scale: every stage is the declared
-    operator itself (scan-side c4 + gopher's hashed gram aggregate +
+    operator itself (scan-side c4 + gopher's gram aggregate +
     one md5-grain agg + the broadcast decontamination join + the
     source-grain card) — composition adds two doc-grain semi/anti
     joins plus two doc-grain localCheckpoint stage boundaries (the
@@ -3878,9 +3878,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cache builds, so rotated-in queries show marginal bench
     cost); then EVERY query whose code changed in round 9, each
     re-verified at sf0.001/0.01/0.1 via scripts/driver_check.py after
-    its change: gopher_quality_flags (the (doc, n, gram) exchange now
-    carries unhex(md5(gram)) + length — values unchanged, code + plan
-    changed), c4_clean (defaults fixed to the paper's >= 5 words /
+    its change: gopher_quality_flags (the (doc, n, gram) exchange was
+    hashed to unhex(md5(gram)) + length, then REVERTED to raw grams
+    on an 8-variant noop-sink measurement — SCALE.md round-9 bench
+    note; values unchanged in both directions, code + plan changed
+    twice), c4_clean (defaults fixed to the paper's >= 5 words /
     >= 3 sentences — VALUES changed), ngram_decontaminate +
     eval_contamination_report (GPT-3 min(k, len) short-eval
     containment, zero-token filter, no-persist default — inert at
@@ -4225,7 +4227,7 @@ _ROUND9_WINDOW = [
     "minhash_lsh_pairs",
     "event_sessionize",
     # round-9 code changes (values unchanged unless noted)
-    "gopher_quality_flags",      # hashed gram exchange
+    "gopher_quality_flags",      # gram exchange hashed then reverted
     "c4_clean",                  # paper-true defaults — VALUES changed
     "ngram_decontaminate",       # min(k,len) containment + no-persist
     "eval_contamination_report",  # same collision join
@@ -4468,7 +4470,7 @@ _GOPHER_CTES_TEMPLATE = """w AS (
       AS paras_ne
   FROM {src}
 ), ngx AS (
-  SELECT doc_id, n, md5(g) AS h, CAST(len(g) AS BIGINT) AS l,
+  SELECT doc_id, n, g AS h, CAST(len(g) AS BIGINT) AS l,
     count(*) AS c FROM (
     SELECT w.doc_id, tn.n AS n,
       unnest(list_transform(
@@ -4479,7 +4481,7 @@ _GOPHER_CTES_TEMPLATE = """w AS (
                list_slice(words, p, p + tn.n - 1), ' '))) AS g
     FROM w, (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10))
       tn(n)) t
-  GROUP BY doc_id, n, md5(g), len(g)
+  GROUP BY doc_id, n, g, len(g)
 ), ngbest AS (
   SELECT doc_id, n, c, l,
     row_number() OVER (PARTITION BY doc_id, n
@@ -8956,9 +8958,8 @@ FROM canon GROUP BY canonical_url HAVING count(*) >= 2
         # booleans; repetition axes: same non-empty-segment dup
         # counts/char sums, the same (count, gram-chars) top-n-gram
         # tie rule for n=2..4, and the same sum((c-1)*chars)
-        # duplicate-gram mass for n=5..10 — the gram aggregate groups
-        # on md5(g) + len(g), the identical collision classes the
-        # Spark side shuffles as unhex(md5(gram)))
+        # duplicate-gram mass for n=5..10 — the gram aggregate
+        # groups on the raw (doc, n, gram), same as the Spark side)
         "gopher_quality_flags":
             "WITH " + _gopher_ctes() + "\n" + _GOPHER_FLAGS_SELECT,
         # mirrors functions/text.py::corpus_datacard: same per-doc

@@ -1170,14 +1170,17 @@ def gopher_quality_flags(
     and ONE (doc, n, gram) count aggregate, reduced to the doc grain
     and joined back on the document key: token-scale rows, doc-grain
     shuffles, output row-per-doc — the same grain discipline as every
-    text operator here. The (doc, n, gram) exchange carries
-    ``(unhex(md5(gram)), length(gram))`` — 16 fixed bytes + one
-    bigint — NEVER the raw gram string: the downstream statistics
-    need only counts and char masses, never a winning gram's text,
-    and across n = 2..10 the raw strings would push ~50× the
-    corpus's word bytes through one shuffle at 100 TB (md5 is the
-    house cross-engine hash, so the DuckDB oracle groups on the
-    identical collision classes). Ratios are single divisions of
+    text operator here. The (doc, n, gram) exchange carries the raw
+    gram string — a measured reversal of the hashed-exchange idea:
+    an 8-variant matrix at sf0.1 (SCALE.md round-9 bench note) put
+    the raw shape at 3.9s warm against 6.1s for unconditional
+    unhex(md5)+length and ~10s for every hash-only-long-grams
+    conditional, while lz4 had already flattened the byte saving to
+    −5% (md5 output is incompressible by construction). The
+    statistics do need only counts and char masses, so on a corpus
+    with adversarial URL-length "words" (unbounded row width) a
+    hashed exchange becomes the right trade at 100 TB — re-measure
+    there before paying the CPU here. Ratios are single divisions of
     exact integer counts, so the rule booleans are bit-identical in
     any IEEE engine;
     try_divide + coalesce(false) keep empty/whitespace documents as
@@ -1314,15 +1317,20 @@ def gopher_quality_flags(
             ).alias("x"),
         )
         .filter(F.col("x.g").isNotNull())
-        # hash BEFORE the exchange: the aggregate only needs the
-        # gram's identity (collision class) and char length — 16
-        # md5 bytes + a bigint per row instead of the raw 2..10-gram
-        # string (~5x fewer shuffle bytes across the nine n values)
+        # the exchange carries the RAW gram string — a deliberate,
+        # twice-measured reversal of the hash-the-exchange idea
+        # (round-9 prescription): an 8-variant noop-sink matrix at
+        # sf0.1 (SCALE.md round-9 bench note) put the r8 raw shape
+        # at 3.9s warm vs 6.1s for unconditional unhex(md5)+length
+        # and ~10s for every hash-only-long-grams conditional —
+        # while the byte saving was -5% (lz4 already flattens gram
+        # text; md5 output is incompressible by construction). At
+        # 100 TB with adversarial URL-length "words" the raw row
+        # width is unbounded and re-introducing a hashed exchange
+        # is the right trade — do it WITH the measurement, the
+        # conditional forms measured slowest of all here.
         .select(
-            "__gid",
-            F.col("x.n").alias("n"),
-            F.unhex(F.md5(F.col("x.g"))).alias("h"),
-            F.length(F.col("x.g")).cast("bigint").alias("l"),
+            "__gid", F.col("x.n").alias("n"), F.col("x.g").alias("g")
         )
     )
     # skip the map-side combine: gram keys are mostly unique (2.2M
@@ -1331,13 +1339,17 @@ def gopher_quality_flags(
     # shuffles raw rows and aggregates once on the reduce side
     # (measured 2.7s vs 4.0s warm; the item_cooccurrence_pairs rule)
     stats = (
-        grams.repartition("__gid", "n", "h")
-        .groupBy("__gid", "n", "h", "l")
+        grams.repartition("__gid", "n", "g")
+        .groupBy("__gid", "n", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("__gid", "n")
         .agg(
-            F.max(F.struct(F.col("c"), F.col("l"))).alias("m"),
-            F.sum((F.col("c") - 1) * F.col("l")).alias("dc"),
+            F.max(
+                F.struct(F.col("c"), F.length("g").cast("bigint").alias("l"))
+            ).alias("m"),
+            F.sum(
+                (F.col("c") - 1) * F.length("g").cast("bigint")
+            ).alias("dc"),
         )
     )
     rep = stats.groupBy("__gid").agg(

@@ -3746,6 +3746,28 @@ def _line_dedup_pages_dropall(spark, sf_dir):
     return line_dedup(pages, min_df=2, mode="drop_all")
 
 
+def _incremental_line_dedup_pages(spark, sf_dir):
+    """Batch-vs-state line dedup (operators/dedup.py::
+    incremental_line_dedup): pages with doc_id % 5 == 0 arrive as the
+    new batch; the rest are the accumulated corpus whose line-hash
+    state (line_stats_table) is already built. Stream-consistent
+    keep_first: a batch line duplicated in HISTORY is always dropped
+    (the shipped copy is immutable); a line first duplicated within
+    the batch keeps its smallest (id, pos) occurrence. Live at all
+    SFs — the page boilerplate lines sit in the history state with
+    n_docs >= min_df, so every batch page gets rewritten."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        incremental_line_dedup,
+        line_stats_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = _synthetic_pages(docs).select("doc_id", "text")
+    batch = pages.filter(F.col("doc_id") % 5 == 0)
+    hist = pages.filter(F.col("doc_id") % 5 != 0)
+    return incremental_line_dedup(batch, line_stats_table(hist))
+
+
 def _web_curation_pipeline(spark, sf_dir):
     """The canonical web-curation stack end-to-end, as ONE declared
     query with ONE composed oracle: C4 line cleaning (paper defaults)
@@ -3906,8 +3928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stays fresh, not merely closed.
 
     ROUND-10 ROTATION NOTE: first the round-9 post-window additions
-    line_dedup_pages + line_dedup_pages_dropall (verified at 3 SFs
-    on arrival); then re-witness
+    line_dedup_pages + line_dedup_pages_dropall +
+    incremental_line_dedup_pages (each verified at 3 SFs on
+    arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
     simhash_near_pairs, simhash_signatures, temporal_split,
@@ -4204,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at sf0.001/0.01/0.1 on arrival; rotate into round 10)
         "line_dedup_pages": _line_dedup_pages,
         "line_dedup_pages_dropall": _line_dedup_pages_dropall,
+        "incremental_line_dedup_pages": _incremental_line_dedup_pages,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -4842,6 +4866,68 @@ SELECT doc_id, clean_text, n_lines, n_lines_kept,
   round((n_lines - n_lines_kept) / CAST(n_lines AS DOUBLE), 6)
     AS frac_lines_dropped
 FROM ldout"""
+
+
+_LINE_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[0-9]', '', 'g'),"
+    " '[ \t]+', ' ', 'g'))"
+)
+
+
+def _incremental_line_dedup_oracle() -> str:
+    """Mirror of incremental_line_dedup(min_df=2) over the shared page
+    CTE: batch = doc_id % 5 = 0, history = the rest; history state is
+    distinct-doc counts per normalized-line md5; keep = blank norm OR
+    batch+history df < 2 OR (never in history AND batch-first
+    occurrence by (doc_id, pos))."""
+    norm = _LINE_NORM_SQL.format(c="line")
+    return f"""WITH p AS ({_PAGE_CTE_BODY}), bs AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts
+  FROM p WHERE doc_id % 5 = 0
+), hs AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts
+  FROM p WHERE doc_id % 5 <> 0
+), hl AS (
+  SELECT doc_id,
+    {_LINE_NORM_SQL.format(c="parts[CAST(u.i AS INT)]")} AS norm
+  FROM hs, unnest(generate_series(1, len(parts))) u(i)
+), hstat AS (
+  SELECT md5(norm) AS key, count(DISTINCT doc_id) AS hn
+  FROM hl WHERE norm <> '' GROUP BY md5(norm)
+), bl AS (
+  SELECT doc_id, u.i AS pos, parts[CAST(u.i AS INT)] AS line
+  FROM bs, unnest(generate_series(1, len(parts))) u(i)
+), bl2 AS (
+  SELECT doc_id, pos, line, {norm} AS norm FROM bl
+), bstat AS (
+  SELECT md5(norm) AS key, count(DISTINCT doc_id) AS bn
+  FROM bl2 WHERE norm <> '' GROUP BY md5(norm)
+), bfst AS (
+  SELECT key, doc_id AS f_doc, pos AS f_pos FROM (
+    SELECT md5(norm) AS key, doc_id, pos,
+      row_number() OVER (PARTITION BY md5(norm)
+                         ORDER BY doc_id, pos) AS rn
+    FROM bl2 WHERE norm <> '') t WHERE rn = 1
+), k AS (
+  SELECT bl2.doc_id, bl2.pos, bl2.line,
+    (norm = '' OR bstat.bn + coalesce(hstat.hn, 0) < 2
+     OR (coalesce(hstat.hn, 0) = 0
+         AND bl2.doc_id = bfst.f_doc AND bl2.pos = bfst.f_pos))
+      AS keep
+  FROM bl2
+  LEFT JOIN bstat ON norm <> '' AND md5(norm) = bstat.key
+  LEFT JOIN hstat ON norm <> '' AND md5(norm) = hstat.key
+  LEFT JOIN bfst ON norm <> '' AND md5(norm) = bfst.key
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                      ORDER BY pos), '') AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lines_kept,
+  round((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))
+        / CAST(count(*) AS DOUBLE), 6) AS frac_lines_dropped
+FROM k GROUP BY doc_id"""
 
 
 def _web_curation_oracle() -> str:
@@ -8973,6 +9059,7 @@ FROM canon GROUP BY canonical_url HAVING count(*) >= 2
         "web_curation_pipeline": _web_curation_oracle(),
         "line_dedup_pages": _line_dedup_oracle(),
         "line_dedup_pages_dropall": _line_dedup_oracle(mode="drop_all"),
+        "incremental_line_dedup_pages": _incremental_line_dedup_oracle(),
         # mirrors functions/text.py::c4_clean over the same
         # deterministic page builder (u CTE == the Spark-side page
         # expression, token for token)

@@ -1717,6 +1717,45 @@ def eval_contamination_report(
     )
 
 
+def _line_rows(
+    df: DataFrame,
+    col_id: str,
+    col_text: str,
+    binary_key: bool,
+) -> DataFrame:
+    """Line-grain rows ``(col_id, pos, line, __key)`` shared by the
+    line-dedup family: split on newline (NULL text reads as empty
+    text — split(NULL) would explode to ZERO rows and silently drop
+    the document, breaking the one-row-per-doc contract), CCNet-style
+    normalization (lowercase, digits stripped, [ \\t] runs collapsed,
+    space-trimmed), ``__key`` = md5 of the normalization (16-byte
+    binary for in-query exchanges, 32-char hex for keys that land in
+    a persisted state table), NULL key for empty normalizations
+    (blank/whitespace lines never participate in dedup)."""
+    lines = df.select(
+        F.col(col_id),
+        F.posexplode(
+            F.split(F.coalesce(F.col(col_text), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("line")), "[0-9]", ""),
+            "[ \\t]+",
+            " ",
+        )
+    )
+    key = F.md5(norm)
+    if binary_key:
+        key = F.unhex(key)
+    return lines.select(
+        F.col(col_id),
+        "pos",
+        "line",
+        F.when(norm != "", key).alias("__key"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     col_id: str = "doc_id",
@@ -1765,30 +1804,9 @@ def line_dedup(
         raise ValueError(
             f"mode must be 'keep_first' or 'drop_all', got {mode!r}"
         )
-    # NULL text reads as empty text (one empty line, always kept):
-    # split(NULL) would explode to ZERO rows and silently drop the
-    # document from the output, breaking the one-row-per-doc contract
-    lines = df.select(
-        F.col(col_id),
-        F.posexplode(
-            F.split(F.coalesce(F.col(col_text), F.lit("")), "\n")
-        ).alias("pos", "line"),
-    )
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("line")), "[0-9]", ""),
-            "[ \\t]+",
-            " ",
-        )
-    )
-    keyed = lines.select(
-        F.col(col_id),
-        "pos",
-        "line",
-        # unhex(md5): the key that crosses the wire twice (stats agg
-        # + join-back) is 16 BINARY bytes, not the 32-char hex string
-        F.when(norm != "", F.unhex(F.md5(norm))).alias("__key"),
-    )
+    # unhex(md5): the key that crosses the wire twice (stats agg
+    # + join-back) is 16 BINARY bytes, not the 32-char hex string
+    keyed = _line_rows(df, col_id, col_text, binary_key=True)
     stats = (
         keyed.filter(F.col("__key").isNotNull())
         .groupBy("__key")
@@ -1806,6 +1824,14 @@ def line_dedup(
             (F.col(col_id) == F.col(f"__first.{col_id}"))
             & (F.col("pos") == F.col("__first.pos"))
         )
+    return _rebuild_docs(joined, keep, col_id)
+
+
+def _rebuild_docs(joined, keep, col_id: str) -> DataFrame:
+    """Doc-grain rewrite shared by the line-dedup family: surviving
+    lines re-joined by newline in original position order (bounded
+    collect_list — lines-per-document, never corpus-wide), plus the
+    line accounting columns."""
     return (
         joined.groupBy(col_id)
         .agg(
@@ -1837,3 +1863,101 @@ def line_dedup(
             ).alias("frac_lines_dropped"),
         )
     )
+
+
+def line_stats_table(
+    df: DataFrame, col_id: str = "doc_id", col_text: str = "text"
+) -> DataFrame:
+    """The persistent STATE of incremental line dedup: one row per
+    distinct normalized line — ``(line_key, n_docs)`` where line_key
+    is the 32-char hex md5 of the normalization (hex, not binary:
+    this table lands in parquet and gets read by later ingests) and
+    n_docs the count of DISTINCT documents carrying it. Append-merge
+    per accepted batch via ``merge_line_stats`` — documents arrive in
+    exactly one batch, so distinct-doc counts ADD across batches and
+    the historical corpus is never re-split. Line-vocabulary-sized."""
+    return (
+        _line_rows(df, col_id, col_text, binary_key=False)
+        .filter(F.col("__key").isNotNull())
+        .groupBy(F.col("__key").alias("line_key"))
+        .agg(F.countDistinct(col_id).cast("bigint").alias("n_docs"))
+    )
+
+
+def merge_line_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold one batch's ``line_stats_table`` into the accumulated
+    state: union + sum on the 16-byte-hex key — a vocabulary-scale
+    aggregate, the only state maintenance incremental line dedup
+    needs."""
+    return (
+        a.unionByName(b)
+        .groupBy("line_key")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+    )
+
+
+def incremental_line_dedup(
+    new_batch: DataFrame,
+    line_stats: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Rewrite an incoming batch against the accumulated line-hash
+    state — the steady-state shape of boilerplate removal in a
+    production ingest pipeline, where re-splitting the historical
+    corpus per batch is off the table (the incremental twin of
+    ``line_dedup``, same family as incremental_dedup /
+    incremental_neardup + lsh_index).
+
+    Semantics are the STREAM-consistent keep_first: a line's
+    duplication count is history ``n_docs`` + the batch's distinct-doc
+    count, and when that total reaches ``min_df`` the only occurrence
+    kept is the earliest one that can still be kept — the history's
+    copy if the line was ever seen before (already shipped; history
+    is immutable), else the batch's smallest (id, pos) occurrence.
+    This equals batch ``line_dedup(mode='keep_first')`` over
+    history ∪ batch restricted to batch documents whenever history
+    precedes the batch in id order (the property tests pin that
+    equivalence); ``drop_all`` has NO incremental form — a batch
+    line duplicating a history line would require rewriting the
+    already-shipped history copy, so it is deliberately absent here.
+
+    Output: the ``line_dedup`` doc-grain schema over the batch.
+    Cost model at 100 TB: only the BATCH is split and shuffled (one
+    md5-key aggregate at batch-line scale); the state contributes one
+    hash-key join whose probe side is batch-scale — with ``line_stats``
+    bucketed by line_key the join is exchange-free, and a runtime
+    bloom filter prunes the state scan to candidate keys. The caller
+    appends ``line_stats_table(new_batch)`` via ``merge_line_stats``
+    to roll the state forward."""
+    keyed = _line_rows(new_batch, col_id, col_text, binary_key=False)
+    batch_stats = (
+        keyed.filter(F.col("__key").isNotNull())
+        .groupBy("__key")
+        .agg(
+            F.countDistinct(col_id).alias("__bn"),
+            F.min(F.struct(F.col(col_id), F.col("pos"))).alias(
+                "__first"
+            ),
+        )
+    )
+    hist = line_stats.select(
+        F.col("line_key").alias("__key"),
+        F.col("n_docs").alias("__hn"),
+    )
+    joined = (
+        keyed.join(batch_stats, "__key", "left")
+        .join(hist, "__key", "left")
+        .withColumn("__hn", F.coalesce(F.col("__hn"), F.lit(0)))
+    )
+    keep = (
+        F.col("__key").isNull()
+        | (F.col("__bn") + F.col("__hn") < min_df)
+        | (
+            (F.col("__hn") == 0)
+            & (F.col(col_id) == F.col(f"__first.{col_id}"))
+            & (F.col("pos") == F.col("__first.pos"))
+        )
+    )
+    return _rebuild_docs(joined, keep, col_id)

@@ -126,3 +126,43 @@ def test_line_dedup_idempotent_and_conservative(spark, corpus, mode):
         df2 = spark.createDataFrame(redocs, ["doc_id", "text"])
         again = line_dedup(df2, mode=mode).collect()
         assert all(r2.frac_lines_dropped == 0.0 for r2 in again)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_corpus)
+def test_incremental_line_dedup_equals_batch_when_history_precedes(
+    spark, corpus
+):
+    """Stream-consistency law: when every history id is smaller than
+    every batch id (history arrived first), incremental_line_dedup
+    over the state equals batch line_dedup(keep_first) over
+    history ∪ batch restricted to the batch documents."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        incremental_line_dedup,
+        line_dedup,
+        line_stats_table,
+    )
+
+    docs = [(d, "\n".join(lines)) for d, lines in corpus]
+    hist = [(d, t) for d, t in docs if d < 10]
+    batch = [(d + 100, t) for d, t in docs if d >= 10]
+    if not batch:
+        return
+    bdf = spark.createDataFrame(batch, ["doc_id", "text"])
+    if hist:
+        hdf = spark.createDataFrame(hist, ["doc_id", "text"])
+        stats = line_stats_table(hdf)
+        union = hdf.unionByName(bdf)
+    else:
+        stats = line_stats_table(bdf.limit(0))
+        union = bdf
+    inc = sorted(
+        map(tuple, incremental_line_dedup(bdf, stats).collect())
+    )
+    batch_ids = {d for d, _ in batch}
+    full = sorted(
+        tuple(r)
+        for r in line_dedup(union).collect()
+        if r.doc_id in batch_ids
+    )
+    assert inc == full

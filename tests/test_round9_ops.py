@@ -361,3 +361,59 @@ def test_line_dedup_null_text_keeps_the_document(spark):
             r.n_lines_kept,
             r.frac_lines_dropped,
         ) == ("", 1, 1, 0.0)
+
+
+def test_incremental_line_dedup_hand_fixture(spark):
+    """History-duplicated lines are always dropped from the batch
+    (the shipped copy is immutable); a line first duplicated WITHIN
+    the batch keeps its smallest (id, pos) occurrence; unseen unique
+    lines pass through."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        incremental_line_dedup,
+        line_stats_table,
+        merge_line_stats,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "Share on Facebook\nold body"),
+         (2, "Share on Facebook\nother old")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, "Share   on FACEBOOK\nNew banner\nfresh ten"),
+         (11, "New banner\nfresh eleven")],
+        ["doc_id", "text"],
+    )
+    stats = line_stats_table(hist)
+    got = _collect_map(incremental_line_dedup(batch, stats))
+    # history copy wins: batch's facebook line dropped everywhere;
+    # "New banner" never in history -> doc 10 (smaller id) keeps it
+    assert got[10].clean_text == "New banner\nfresh ten"
+    assert got[11].clean_text == "fresh eleven"
+    assert (got[10].n_lines, got[10].n_lines_kept) == (3, 2)
+    # state roll-forward: merged stats equal stats over the union
+    merged = merge_line_stats(stats, line_stats_table(batch))
+    full = line_stats_table(hist.unionByName(batch))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_incremental_line_dedup_no_history_equals_batch_keep_first(
+    spark,
+):
+    """With an empty state the incremental form IS batch keep_first."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        incremental_line_dedup,
+        line_dedup,
+        line_stats_table,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "dup line\na"), (2, "dup line\nb"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    empty = line_stats_table(batch.limit(0))
+    inc = sorted(map(tuple, incremental_line_dedup(batch, empty).collect()))
+    full = sorted(map(tuple, line_dedup(batch).collect()))
+    assert inc == full

@@ -4791,20 +4791,67 @@ _PAGE_CTE_BODY = """
 """
 
 
+_LINE_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[0-9]', '', 'g'),"
+    " '[ \t]+', ' ', 'g'))"
+)
+
+
+def _line_split_ctes(src: str, prefix: str) -> str:
+    """ONE definition of the oracle-side line grain, shared by every
+    line-dedup oracle: ``{prefix}s`` splits on newline (coalesce
+    mirrors the Spark side's NULL-text-reads-as-empty contract),
+    ``{prefix}l`` lateral-unnests to (doc_id, pos, line),
+    ``{prefix}l2`` adds the normalization (_LINE_NORM_SQL — the
+    regexp_replace 'g' flags matter: Spark's is global by default)."""
+    norm = _LINE_NORM_SQL.format(c="line")
+    return f"""{prefix}s AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts
+  FROM {src}
+), {prefix}l AS (
+  SELECT doc_id, u.i AS pos, parts[CAST(u.i AS INT)] AS line
+  FROM {prefix}s, unnest(generate_series(1, len(parts))) u(i)
+), {prefix}l2 AS (
+  SELECT doc_id, pos, line, {norm} AS norm FROM {prefix}l
+)"""
+
+
+def _line_first_cte(lines: str, name: str) -> str:
+    """First occurrence of each normalized line by (doc_id, pos) via
+    row_number (the Spark side's min-of-struct aggregate computes
+    the same minimum skew-safely)."""
+    return f"""{name} AS (
+  SELECT key, doc_id AS f_doc, pos AS f_pos FROM (
+    SELECT md5(norm) AS key, doc_id, pos,
+      row_number() OVER (PARTITION BY md5(norm)
+                         ORDER BY doc_id, pos) AS rn
+    FROM {lines} WHERE norm <> '') t WHERE rn = 1
+)"""
+
+
+def _line_rebuild_sql(src: str) -> str:
+    """Doc-grain rewrite over ``src`` (doc_id, pos, line, keep) —
+    the oracle twin of operators/dedup.py::_rebuild_docs."""
+    return f"""SELECT doc_id,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                      ORDER BY pos), '') AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lines_kept,
+  round((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))
+        / CAST(count(*) AS DOUBLE), 6) AS frac_lines_dropped
+FROM {src} GROUP BY doc_id"""
+
+
 def _line_dedup_ctes(src: str, mode: str = "keep_first") -> str:
-    """Parameterized CTE chain mirroring line_dedup(min_df=2,
-    mode) over ``src`` (doc_id, text): lateral
-    unnest(generate_series) to line grain, the identical
-    normalization (regexp_replace needs the 'g' flag here — Spark's
-    is global by default), distinct-doc counts per md5 key, first
-    occurrence via row_number (the Spark side's min-of-struct
-    aggregate computes the same (doc, pos) minimum skew-safely),
-    string_agg ORDER BY pos to rebuild. Terminal CTE ``ldout`` has
-    (doc_id, clean_text, n_lines, n_lines_kept). Shared by the
-    standalone line_dedup_pages / line_dedup_pages_dropall oracles
-    and the composed web_curation_pipeline oracle (ld-prefixed names
-    stay clear of the gopher/datacard fragments). ``drop_all`` skips
-    the first-occurrence exemption (and its CTE entirely)."""
+    """Parameterized CTE chain mirroring line_dedup(min_df=2, mode)
+    over ``src`` (doc_id, text), assembled from the shared fragments
+    above. Terminal CTE ``ldout`` carries the full line_dedup output
+    schema. Shared by the standalone line_dedup_pages /
+    line_dedup_pages_dropall oracles and the composed
+    web_curation_pipeline oracle (ld-prefixed names stay clear of
+    the gopher/datacard fragments). ``drop_all`` skips the
+    first-occurrence exemption (and its CTE entirely)."""
     first_clause = (
         """
      OR (ldl2.doc_id = ldfst.f_doc AND ldl2.pos = ldfst.f_pos)"""
@@ -4812,13 +4859,7 @@ def _line_dedup_ctes(src: str, mode: str = "keep_first") -> str:
         else ""
     )
     first_cte = (
-        """ldfst AS (
-  SELECT key, doc_id AS f_doc, pos AS f_pos FROM (
-    SELECT md5(norm) AS key, doc_id, pos,
-      row_number() OVER (PARTITION BY md5(norm)
-                         ORDER BY doc_id, pos) AS rn
-    FROM ldl2 WHERE norm <> '') t WHERE rn = 1
-), """
+        _line_first_cte("ldl2", "ldfst") + ", "
         if mode == "keep_first"
         else ""
     )
@@ -4828,18 +4869,7 @@ def _line_dedup_ctes(src: str, mode: str = "keep_first") -> str:
         if mode == "keep_first"
         else ""
     )
-    return f"""lds AS (
-  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts
-  FROM {src}
-), ldl AS (
-  SELECT doc_id, u.i AS pos, parts[CAST(u.i AS INT)] AS line
-  FROM lds, unnest(generate_series(1, len(parts))) u(i)
-), ldl2 AS (
-  SELECT doc_id, pos, line,
-    trim(regexp_replace(regexp_replace(lower(line), '[0-9]', '', 'g'),
-                        '[ \t]+', ' ', 'g')) AS norm
-  FROM ldl
-), ldst AS (
+    return f"""{_line_split_ctes(src, "ld")}, ldst AS (
   SELECT md5(norm) AS key, count(DISTINCT doc_id) AS n_docs
   FROM ldl2 WHERE norm <> '' GROUP BY md5(norm)
 ), {first_cte}ldk AS (
@@ -4849,29 +4879,15 @@ def _line_dedup_ctes(src: str, mode: str = "keep_first") -> str:
   FROM ldl2
   LEFT JOIN ldst ON norm <> '' AND md5(norm) = ldst.key{first_join}
 ), ldout AS (
-  SELECT doc_id,
-    coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
-                        ORDER BY pos), '') AS clean_text,
-    CAST(count(*) AS BIGINT) AS n_lines,
-    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-      AS n_lines_kept
-  FROM ldk GROUP BY doc_id
+  {_line_rebuild_sql("ldk")}
 )"""
 
 
 def _line_dedup_oracle(mode: str = "keep_first") -> str:
     ctes = _line_dedup_ctes(src="p", mode=mode)
     return f"""WITH p AS ({_PAGE_CTE_BODY}), {ctes}
-SELECT doc_id, clean_text, n_lines, n_lines_kept,
-  round((n_lines - n_lines_kept) / CAST(n_lines AS DOUBLE), 6)
-    AS frac_lines_dropped
+SELECT doc_id, clean_text, n_lines, n_lines_kept, frac_lines_dropped
 FROM ldout"""
-
-
-_LINE_NORM_SQL = (
-    "trim(regexp_replace(regexp_replace(lower({c}), '[0-9]', '', 'g'),"
-    " '[ \t]+', ' ', 'g'))"
-)
 
 
 def _incremental_line_dedup_oracle() -> str:
@@ -4879,36 +4895,20 @@ def _incremental_line_dedup_oracle() -> str:
     CTE: batch = doc_id % 5 = 0, history = the rest; history state is
     distinct-doc counts per normalized-line md5; keep = blank norm OR
     batch+history df < 2 OR (never in history AND batch-first
-    occurrence by (doc_id, pos))."""
-    norm = _LINE_NORM_SQL.format(c="line")
-    return f"""WITH p AS ({_PAGE_CTE_BODY}), bs AS (
-  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts
-  FROM p WHERE doc_id % 5 = 0
-), hs AS (
-  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts
-  FROM p WHERE doc_id % 5 <> 0
-), hl AS (
-  SELECT doc_id,
-    {_LINE_NORM_SQL.format(c="parts[CAST(u.i AS INT)]")} AS norm
-  FROM hs, unnest(generate_series(1, len(parts))) u(i)
-), hstat AS (
+    occurrence by (doc_id, pos)). Built from the SAME split/norm/
+    first-occurrence/rebuild fragments as the batch oracles — one
+    normalization definition across the family."""
+    return f"""WITH p AS ({_PAGE_CTE_BODY}), bp AS (
+  SELECT doc_id, text FROM p WHERE doc_id % 5 = 0
+), hp AS (
+  SELECT doc_id, text FROM p WHERE doc_id % 5 <> 0
+), {_line_split_ctes("hp", "h")}, hstat AS (
   SELECT md5(norm) AS key, count(DISTINCT doc_id) AS hn
-  FROM hl WHERE norm <> '' GROUP BY md5(norm)
-), bl AS (
-  SELECT doc_id, u.i AS pos, parts[CAST(u.i AS INT)] AS line
-  FROM bs, unnest(generate_series(1, len(parts))) u(i)
-), bl2 AS (
-  SELECT doc_id, pos, line, {norm} AS norm FROM bl
-), bstat AS (
+  FROM hl2 WHERE norm <> '' GROUP BY md5(norm)
+), {_line_split_ctes("bp", "b")}, bstat AS (
   SELECT md5(norm) AS key, count(DISTINCT doc_id) AS bn
   FROM bl2 WHERE norm <> '' GROUP BY md5(norm)
-), bfst AS (
-  SELECT key, doc_id AS f_doc, pos AS f_pos FROM (
-    SELECT md5(norm) AS key, doc_id, pos,
-      row_number() OVER (PARTITION BY md5(norm)
-                         ORDER BY doc_id, pos) AS rn
-    FROM bl2 WHERE norm <> '') t WHERE rn = 1
-), k AS (
+), {_line_first_cte("bl2", "bfst")}, k AS (
   SELECT bl2.doc_id, bl2.pos, bl2.line,
     (norm = '' OR bstat.bn + coalesce(hstat.hn, 0) < 2
      OR (coalesce(hstat.hn, 0) = 0
@@ -4919,15 +4919,7 @@ def _incremental_line_dedup_oracle() -> str:
   LEFT JOIN hstat ON norm <> '' AND md5(norm) = hstat.key
   LEFT JOIN bfst ON norm <> '' AND md5(norm) = bfst.key
 )
-SELECT doc_id,
-  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
-                      ORDER BY pos), '') AS clean_text,
-  CAST(count(*) AS BIGINT) AS n_lines,
-  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_lines_kept,
-  round((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))
-        / CAST(count(*) AS DOUBLE), 6) AS frac_lines_dropped
-FROM k GROUP BY doc_id"""
+{_line_rebuild_sql("k")}"""
 
 
 def _web_curation_oracle() -> str:

@@ -1174,8 +1174,10 @@ def gopher_quality_flags(
     gram string — a measured reversal of the hashed-exchange idea:
     an 8-variant matrix at sf0.1 (SCALE.md round-9 bench note) put
     the raw shape at 3.9s warm against 6.1s for unconditional
-    unhex(md5)+length and ~10s for every hash-only-long-grams
-    conditional, while lz4 had already flattened the byte saving to
+    unhex(md5)+length and ~10s for every conditional form that also
+    carries the length column the stats need (the conditional
+    WITHOUT length reads 4.7s but cannot feed the char masses),
+    while lz4 had already flattened the byte saving to
     −5% (md5 output is incompressible by construction). The
     statistics do need only counts and char masses, so on a corpus
     with adversarial URL-length "words" (unbounded row width) a
@@ -1322,13 +1324,15 @@ def gopher_quality_flags(
         # (round-9 prescription): an 8-variant noop-sink matrix at
         # sf0.1 (SCALE.md round-9 bench note) put the r8 raw shape
         # at 3.9s warm vs 6.1s for unconditional unhex(md5)+length
-        # and ~10s for every hash-only-long-grams conditional —
-        # while the byte saving was -5% (lz4 already flattens gram
-        # text; md5 output is incompressible by construction). At
-        # 100 TB with adversarial URL-length "words" the raw row
-        # width is unbounded and re-introducing a hashed exchange
-        # is the right trade — do it WITH the measurement, the
-        # conditional forms measured slowest of all here.
+        # and ~10s for every conditional form that also carries the
+        # length column these stats need (conditional WITHOUT
+        # length: 4.7s — but the char masses require l) — while the
+        # byte saving was -5% (lz4 already flattens gram text; md5
+        # output is incompressible by construction). At 100 TB with
+        # adversarial URL-length "words" the raw row width is
+        # unbounded and re-introducing a hashed exchange is the
+        # right trade — do it WITH the matrix in hand; here the
+        # unconditional form was the cheapest width-bounded one.
         .select(
             "__gid", F.col("x.n").alias("n"), F.col("x.g").alias("g")
         )

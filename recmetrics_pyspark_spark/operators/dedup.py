@@ -1886,9 +1886,9 @@ def line_stats_table(
 
 def merge_line_stats(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold one batch's ``line_stats_table`` into the accumulated
-    state: union + sum on the 16-byte-hex key — a vocabulary-scale
-    aggregate, the only state maintenance incremental line dedup
-    needs."""
+    state: union + sum on the 32-char hex line_key — a
+    vocabulary-scale aggregate, the only state maintenance
+    incremental line dedup needs."""
     return (
         a.unionByName(b)
         .groupBy("line_key")

@@ -417,3 +417,76 @@ def test_incremental_line_dedup_no_history_equals_batch_keep_first(
     inc = sorted(map(tuple, incremental_line_dedup(batch, empty).collect()))
     full = sorted(map(tuple, line_dedup(batch).collect()))
     assert inc == full
+
+
+def test_incremental_line_dedup_runs_under_foreach_batch(
+    spark, tmp_path
+):
+    """The streaming shape of boilerplate removal: each micro-batch is
+    rewritten against the accumulated line-hash state inside
+    foreachBatch, then the state rolls forward via merge_line_stats —
+    and the stream's outputs equal the sequential batch-API replay.
+    A banner introduced by batch 1 must be dropped from batch 2."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        incremental_line_dedup,
+        line_stats_table,
+        merge_line_stats,
+    )
+
+    b1 = [(1, "Subscribe now\nalpha body"), (2, "beta body")]
+    b2 = [(10, "Subscribe now\ngamma body"), (11, "delta body")]
+    schema = "doc_id bigint, text string"
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    state = {"stats_rows": []}
+    got = []
+
+    def handle(bdf, _bid):
+        bdf = bdf.select("doc_id", "text")
+        if state["stats_rows"]:
+            stats = spark.createDataFrame(
+                state["stats_rows"], "line_key string, n_docs bigint"
+            )
+        else:
+            stats = line_stats_table(bdf.limit(0))
+        got.extend(tuple(r) for r in
+                   incremental_line_dedup(bdf, stats).collect())
+        state["stats_rows"] = [
+            tuple(r)
+            for r in merge_line_stats(
+                stats, line_stats_table(bdf)
+            ).collect()
+        ]
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .start()
+    )
+    try:
+        spark.createDataFrame(b1, ["doc_id", "text"]).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        spark.createDataFrame(b2, ["doc_id", "text"]).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # sequential batch-API replay
+    d1 = spark.createDataFrame(b1, ["doc_id", "text"])
+    d2 = spark.createDataFrame(b2, ["doc_id", "text"])
+    s0 = line_stats_table(d1.limit(0))
+    want = [tuple(r) for r in incremental_line_dedup(d1, s0).collect()]
+    s1 = merge_line_stats(s0, line_stats_table(d1))
+    want += [tuple(r) for r in incremental_line_dedup(d2, s1).collect()]
+    assert sorted(got) == sorted(want)
+    by_id = {t[0]: t for t in got}
+    # batch 1 keeps its banner (first sighting); batch 2 loses it
+    assert by_id[1][1] == "Subscribe now\nalpha body"
+    assert by_id[10][1] == "gamma body"

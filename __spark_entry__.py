@@ -3402,6 +3402,17 @@ def _token_budget_plan(spark, sf_dir):
     )
 
 
+def _temperature_mixture_plan(spark, sf_dir):
+    """Temperature-scaled mixture allocator (functions/curation.py::
+    temperature_mixture_plan): the GPT-3 / XLM-R T=0.7 flattening of
+    natural source shares — w_i = p_i^0.7 / Σ p_j^0.7 — with per-
+    source allocations, keep rates, and epoch factors over a 10M
+    token budget."""
+    return C.temperature_mixture_plan(
+        load_table(spark, sf_dir, "documents"), 10_000_000, 0.7
+    )
+
+
 def _bot_activity_flags(spark, sf_dir):
     """Bot/abuse screen (operators/funnel.py::bot_activity_flags):
     per-user sustained rate + max 10-second burst over the event
@@ -3929,8 +3940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROUND-10 ROTATION NOTE: first the round-9 post-window additions
     line_dedup_pages + line_dedup_pages_dropall +
-    incremental_line_dedup_pages (each verified at 3 SFs on
-    arrival); then re-witness
+    incremental_line_dedup_pages + temperature_mixture_plan (each
+    verified at 3 SFs on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
     simhash_near_pairs, simhash_signatures, temporal_split,
@@ -4228,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_pages": _line_dedup_pages,
         "line_dedup_pages_dropall": _line_dedup_pages_dropall,
         "incremental_line_dedup_pages": _incremental_line_dedup_pages,
+        "temperature_mixture_plan": _temperature_mixture_plan,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -8857,6 +8869,38 @@ SELECT source, n_docs, n_tokens,
         / nullif(CAST(n_tokens AS DOUBLE), 0), 6) AS epochs
 FROM per CROSS JOIN ns
 ORDER BY source
+""",
+        # mirrors functions/curation.py::temperature_mixture_plan:
+        # the only libm term p^0.7 is pre-rounded to 9 decimals and
+        # summed as exact DECIMAL(18,9) on BOTH engines, so the
+        # normalizer and every downstream floor/round agree bitwise
+        "temperature_mixture_plan": """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+p1 AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p,
+    CAST(round(pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE),
+                   0.7), 9) AS DECIMAL(18,9)) AS pt
+  FROM per CROSS JOIN tot
+), z AS (SELECT sum(pt) AS z FROM p1),
+w AS (
+  SELECT source, n_docs, n_tokens, p,
+    round(CAST(pt AS DOUBLE) / CAST(z AS DOUBLE), 9) AS w9
+  FROM p1 CROSS JOIN z
+)
+SELECT source, n_docs, n_tokens,
+  round(p, 6) AS natural_share,
+  round(w9, 6) AS weight,
+  CAST(floor(10000000 * w9) AS BIGINT) AS allocated_tokens,
+  round(least(1.0, floor(10000000 * w9)
+              / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate,
+  round(floor(10000000 * w9) / CAST(n_tokens AS DOUBLE), 6)
+    AS epochs
+FROM w
 """,
         "bot_activity_flags": """
 WITH base AS (

@@ -1004,6 +1004,90 @@ def token_budget_plan(
     )
 
 
+def temperature_mixture_plan(
+    df: DataFrame,
+    total_budget_tokens: int,
+    temperature: float = 0.7,
+    col_source: str = "source",
+    col_text: str = "text",
+) -> DataFrame:
+    """Temperature-scaled training-mixture allocator — the GPT-3 /
+    XLM-R data-mixing rule that ``token_budget_plan``'s equal-weight
+    target cannot express: each source's natural share p_i =
+    tokens_i / Σ tokens is flattened to w_i = p_i^T / Σ_j p_j^T, so
+    T = 1 samples proportionally, T → 0 approaches uniform, and the
+    canonical T = 0.7 upsamples the tail without letting a dominant
+    crawl swamp the mixture. Emits per source the inventory, the
+    natural share, the temperature weight, the allocated budget
+    floor(budget · w_i), the sampler keep rate (capped at 1), and the
+    epoch (repeat) factor when the allocation exceeds the inventory.
+
+    Cross-engine determinism (the house transcendental rules): p_i is
+    a BIGINT/BIGINT double division (IEEE-identical); the only libm
+    term p_i^T is pre-rounded to 9 decimals and summed as exact
+    DECIMAL(18,9) (order-independent), so the normalizing constant is
+    bit-identical in any engine; w_i re-rounds the double division to
+    9; floor(budget · w_i) multiplies an integer by an identical
+    double — identical floor. Zero-token sources get weight 0 and a
+    NULL keep rate via try_divide (T = 0 would resurrect them:
+    pow(0, 0) = 1 in both engines — documented, not guarded).
+
+    Scale shape: one scan-side token projection, one source-scale
+    aggregate, one one-row normalizer broadcast back — output rows =
+    number of sources, nothing corpus-scale crosses the wire."""
+    t = float(temperature)
+    n_tok = F.expr(f"size(split({col_text}, ' '))").cast("long")
+    per = (
+        df.select(F.col(col_source).alias("source"), n_tok.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("__tot")
+    )
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__p",
+        F.col("n_tokens").cast("double")
+        / F.col("__tot").cast("double"),
+    )
+    pt9 = F.round(F.pow(F.col("__p"), F.lit(t)), 9).cast(
+        "decimal(18,9)"
+    )
+    keyed = shared.withColumn("__pt", pt9)
+    norm = keyed.agg(F.sum("__pt").alias("__z"))
+    w = F.round(
+        F.col("__pt").cast("double") / F.col("__z").cast("double"), 9
+    )
+    out = (
+        keyed.crossJoin(F.broadcast(norm))
+        .withColumn("weight", w)
+        .withColumn(
+            "allocated_tokens",
+            F.floor(
+                F.lit(int(total_budget_tokens)).cast("double")
+                * F.col("weight")
+            ).cast("bigint"),
+        )
+    )
+    rate = F.try_divide(
+        F.col("allocated_tokens").cast("double"),
+        F.col("n_tokens").cast("double"),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("__p"), 6).alias("natural_share"),
+        F.round(F.col("weight"), 6).alias("weight"),
+        "allocated_tokens",
+        F.round(F.least(F.lit(1.0), rate), 6).alias("sample_rate"),
+        F.round(rate, 6).alias("epochs"),
+    )
+
+
 # Multi-part public suffixes the -lite registrable-domain rule knows
 # (the high-traffic entries of the public-suffix list; a full PSL
 # would arrive as a broadcast lookup table with the same CASE shape).

@@ -490,3 +490,45 @@ def test_incremental_line_dedup_runs_under_foreach_batch(
     # batch 1 keeps its banner (first sighting); batch 2 loses it
     assert by_id[1][1] == "Subscribe now\nalpha body"
     assert by_id[10][1] == "gamma body"
+
+
+def test_temperature_mixture_plan_flattens_toward_uniform(spark):
+    """T=1 reproduces the natural shares; T=0 is uniform; 0<T<1 lifts
+    the tail source above its natural share and pulls the dominant
+    one below — the XLM-R flattening property. Allocations never
+    exceed the budget (floor) and weights sum to 1."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        temperature_mixture_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [("big", "w " * 89 + "w"), ("small", "w " * 9 + "w")],
+        ["source", "text"],
+    )
+    # "w " * 89 + "w" splits to 90 tokens; the small source to 10
+    nat = {
+        r.source: r
+        for r in temperature_mixture_plan(docs, 1000, 1.0).collect()
+    }
+    assert nat["big"].weight == nat["big"].natural_share == 0.9
+    assert nat["small"].weight == 0.1
+    assert nat["big"].allocated_tokens == 900
+
+    uni = {
+        r.source: r
+        for r in temperature_mixture_plan(docs, 1000, 0.0).collect()
+    }
+    assert uni["big"].weight == uni["small"].weight == 0.5
+
+    t7 = {
+        r.source: r
+        for r in temperature_mixture_plan(docs, 1000, 0.7).collect()
+    }
+    assert t7["small"].weight > 0.1  # tail upsampled
+    assert t7["big"].weight < 0.9    # head flattened
+    assert abs(t7["big"].weight + t7["small"].weight - 1.0) < 2e-6
+    total = t7["big"].allocated_tokens + t7["small"].allocated_tokens
+    assert total <= 1000
+    # epochs > sample_rate cap only when allocation exceeds inventory
+    assert t7["small"].epochs > 1.0  # 10 tokens, ~33% of 1000
+    assert t7["small"].sample_rate == 1.0

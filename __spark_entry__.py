@@ -2939,6 +2939,44 @@ def _qa_eval_docs(spark, sf_dir):
     return qa_token_f1(t, "doc_id", "pred", "ref")
 
 
+def _rouge2_eval_docs(spark, sf_dir):
+    """ROUGE-2 per example (functions/evals.py::rouge_n): candidates
+    = first 12 tokens of each doc, references = tokens 7-18 —
+    deterministic partial overlap, so precision/recall/F1 spread
+    across the whole [0, 1] range. Scan-local array lambdas, zero
+    shuffles."""
+    from recmetrics_pyspark_spark.functions.evals import rouge_n
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.expr("array_join(slice(split(text, ' '), 1, 12), ' ')").alias(
+            "pred"
+        ),
+        F.expr("array_join(slice(split(text, ' '), 7, 12), ' ')").alias(
+            "ref"
+        ),
+    )
+    return rouge_n(t, "doc_id", "pred", "ref", n=2)
+
+
+def _nb_source_classifier(spark, sf_dir):
+    """GPT-3-style quality classifier (functions/curation.py::
+    nb_quality_classifier): multinomial Naive Bayes trained in one
+    aggregation pass with sources src0-src3 as the 'curated' positive
+    class, then every document scored by its smoothed log-odds.
+    Token-grain + doc-grain shuffles only; the vocabulary-scale LLR
+    table broadcasts."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_hq", F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    return nb_quality_classifier(docs, "is_hq")
+
+
 def _pass_at_k_items(spark, sf_dir):
     """Unbiased pass@k per part (functions/evals.py::pass_at_k):
     n = purchases capped at 10, c = returned among them."""
@@ -3940,7 +3978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROUND-10 ROTATION NOTE: first the round-9 post-window additions
     line_dedup_pages + line_dedup_pages_dropall +
-    incremental_line_dedup_pages + temperature_mixture_plan (each
+    incremental_line_dedup_pages + temperature_mixture_plan +
+    rouge2_eval_docs + nb_source_classifier (each
     verified at 3 SFs on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
@@ -4240,6 +4279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_pages_dropall": _line_dedup_pages_dropall,
         "incremental_line_dedup_pages": _incremental_line_dedup_pages,
         "temperature_mixture_plan": _temperature_mixture_plan,
+        "rouge2_eval_docs": _rouge2_eval_docs,
+        "nb_source_classifier": _nb_source_classifier,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -8163,6 +8204,89 @@ SELECT id, ptoks = rtoks AS em,
           / ((common / CAST(len(ptoks) AS DOUBLE))
              + (common / CAST(len(rtoks) AS DOUBLE))), 6) END AS f1
 FROM c
+""",
+        # mirrors functions/evals.py::rouge_n (n=2): bigrams built by
+        # a list_transform over positions, clipped multiset overlap by
+        # the same distinct-gram least() rule as qa_eval_docs
+        "rouge2_eval_docs": r"""
+WITH t AS (
+  SELECT doc_id AS id,
+    list_slice(string_split(text, ' '), 1, 12) AS p,
+    list_slice(string_split(text, ' '), 7, 18) AS r
+  FROM documents),
+g AS (
+  SELECT id,
+    CASE WHEN len(p) < 2 THEN [] ELSE
+      list_transform(generate_series(1, len(p) - 1),
+                     i -> array_to_string(p[i:i+1], ' ')) END AS pg,
+    CASE WHEN len(r) < 2 THEN [] ELSE
+      list_transform(generate_series(1, len(r) - 1),
+                     i -> array_to_string(r[i:i+1], ' ')) END AS rg
+  FROM t),
+c AS (
+  SELECT id, pg, rg,
+    CAST(coalesce(list_sum(list_transform(list_distinct(pg), gm ->
+      least(len(list_filter(pg, x1 -> x1 = gm)),
+            len(list_filter(rg, x2 -> x2 = gm))))), 0) AS BIGINT)
+      AS overlap
+  FROM g)
+SELECT id, CAST(len(pg) AS BIGINT) AS n_pred_grams,
+  CAST(len(rg) AS BIGINT) AS n_ref_grams, overlap,
+  CASE WHEN len(pg) = 0 THEN 0.0
+    ELSE round(overlap / CAST(len(pg) AS DOUBLE), 6) END AS rouge_p,
+  CASE WHEN len(rg) = 0 THEN 0.0
+    ELSE round(overlap / CAST(len(rg) AS DOUBLE), 6) END AS rouge_r,
+  CASE WHEN overlap = 0 THEN 0.0 ELSE
+    round(2 * (overlap / CAST(len(pg) AS DOUBLE))
+            * (overlap / CAST(len(rg) AS DOUBLE))
+          / ((overlap / CAST(len(pg) AS DOUBLE))
+             + (overlap / CAST(len(rg) AS DOUBLE))), 6) END
+    AS rouge_f1
+FROM c
+""",
+        # mirrors functions/curation.py::nb_quality_classifier:
+        # per-class Laplace token likelihoods; each ln() rounded to 9
+        # decimals as DECIMAL(18,9) BEFORE the per-doc sum (the
+        # doc_perplexity house rule), prior nullif-guarded
+        "nb_source_classifier": """
+WITH lab AS (
+  SELECT doc_id,
+    CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+         THEN 1 ELSE 0 END AS INT) AS y, text
+  FROM documents),
+toks AS (
+  SELECT doc_id, y, unnest(string_split(text, ' ')) AS w FROM lab),
+st AS (
+  SELECT w, CAST(sum(y) AS BIGINT) AS c_pos,
+    CAST(sum(1 - y) AS BIGINT) AS c_neg
+  FROM toks GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+    CAST(sum(c_neg) AS BIGINT) AS n_neg,
+    CAST(count(*) AS BIGINT) AS v
+  FROM st),
+llr AS (
+  SELECT w,
+    CAST(round(ln((c_pos + 1) / CAST(n_pos + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9))
+  - CAST(round(ln((c_neg + 1) / CAST(n_neg + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9)) AS llr9
+  FROM st CROSS JOIN tot),
+pri AS (
+  SELECT CAST(round(ln(CAST(sum(y) AS DOUBLE)
+    / nullif(CAST(sum(1 - y) AS DOUBLE), 0.0)), 9)
+    AS DECIMAL(18,9)) AS prior9
+  FROM lab),
+per AS (
+  SELECT doc_id, any_value(y) AS is_labeled_pos,
+    CAST(count(*) AS BIGINT) AS n_tokens, sum(llr9) AS s
+  FROM toks JOIN llr USING (w) GROUP BY 1)
+SELECT doc_id, is_labeled_pos, n_tokens,
+  round(CAST(prior9 + s AS DOUBLE), 6) AS nb_log_odds,
+  CAST(CASE WHEN CAST(prior9 + s AS DOUBLE) > 0 THEN 1
+            WHEN CAST(prior9 + s AS DOUBLE) <= 0 THEN 0
+       END AS INT) AS predicted_pos
+FROM per CROSS JOIN pri
 """,
         "pass_at_k_items": """
 WITH per AS (

@@ -1505,3 +1505,119 @@ def domain_neardup_rates(
             ).alias("dup_doc_share"),
         )
     )
+
+
+def nb_quality_classifier(
+    df: DataFrame,
+    col_label: str,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    alpha: int = 1,
+) -> DataFrame:
+    """Multinomial Naive Bayes quality classifier — the GPT-3-style
+    curation filter (Brown et al. 2020 §A trained a classifier on
+    WebText-positive vs CommonCrawl-negative and kept high-scoring CC
+    documents; NB is its closed-form, fully aggregation-expressible
+    cousin). Train and score in ONE pass over the corpus: documents
+    labeled ``col_label`` = true are the positive class, the rest
+    negative; every document is then scored by its log-odds under the
+    two class-conditional unigram models with Laplace ``alpha``
+    smoothing plus the class log-prior.
+
+    score(d) = ln(D_pos/D_neg)
+             + Σ_{w∈d} [ ln((c_pos(w)+α)/(N_pos+αV))
+                       − ln((c_neg(w)+α)/(N_neg+αV)) ]
+
+    Cross-engine determinism: each ln() output is rounded to 9
+    decimals and cast to DECIMAL(18,9) BEFORE the per-document sum
+    (the doc_perplexity / adamic_adar house rule), so the sum is
+    partition-order independent and bitwise equal in any engine; the
+    ln() operands are IEEE-exact integer-ratio divisions, identical
+    on both sides.
+
+    Scale shape (100 TB): ONE token-grain shuffle builds the
+    per-class vocabulary counts (map-side combined — the key space is
+    the vocabulary, not the corpus); class totals and doc priors are
+    one-row broadcasts; the vocabulary-scale log-likelihood-ratio
+    table hash-joins back onto the token stream (broadcastable under
+    AQE when the vocabulary fits); ONE doc-grain shuffle sums the
+    scores. No driver actions, no quadratic anywhere.
+
+    Degenerate classes: if either class has zero documents the prior
+    is NULL (nullif-guarded, not ±inf) and every score is NULL — a
+    loud signal, not a silent wrong answer.
+
+    Output: (id, is_labeled_pos, n_tokens, nb_log_odds,
+    predicted_pos). Zero-token documents cannot occur (split always
+    yields >= 1 token); both engines tokenize identically.
+    """
+    lab = df.select(
+        F.col(col_id),
+        F.col(col_label).cast("int").alias("y"),
+        F.col(col_text).alias("__text"),
+    )
+    toks = lab.select(
+        col_id, "y", F.explode(F.split("__text", " ")).alias("w")
+    )
+    stats = toks.groupBy("w").agg(
+        F.sum("y").cast("bigint").alias("c_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("c_neg"),
+    )
+    totals = stats.agg(
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    # one-row broadcast: the class token totals + vocabulary size
+    a = F.lit(alpha)
+
+    def _ln9(num, den):
+        return F.round(F.log(num / den), 9).cast("decimal(18,9)")
+
+    llr = stats.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            _ln9(
+                (F.col("c_pos") + a),
+                (F.col("n_pos") + a * F.col("v")).cast("double"),
+            )
+            - _ln9(
+                (F.col("c_neg") + a),
+                (F.col("n_neg") + a * F.col("v")).cast("double"),
+            )
+        ).alias("llr9"),
+    )
+    # doc-count prior, nullif-guarded against a one-class corpus
+    prior = lab.agg(
+        F.round(
+            F.log(
+                F.sum("y").cast("double")
+                / F.nullif(
+                    F.sum(1 - F.col("y")).cast("double"), F.lit(0.0)
+                )
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("prior9")
+    )
+    per = (
+        toks.join(llr, "w")
+        .groupBy(col_id)
+        .agg(
+            F.any_value("y").alias("is_labeled_pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("llr9").alias("s"),
+        )
+    )
+    score = (F.col("prior9") + F.col("s")).cast("double")
+    return per.crossJoin(F.broadcast(prior)).select(
+        col_id,
+        "is_labeled_pos",
+        "n_tokens",
+        F.round(score, 6).alias("nb_log_odds"),
+        F.when(score > 0, 1)
+        .when(score <= 0, 0)
+        .cast("int")
+        .alias("predicted_pos"),
+    )

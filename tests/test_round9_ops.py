@@ -675,3 +675,72 @@ def test_nb_separates_the_planted_vocabulary(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "is_hq"])
     out = nb_quality_classifier(df, "is_hq").collect()
     assert all(r.predicted_pos == int(r.is_labeled_pos) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — codes + asymmetric ANN
+# ---------------------------------------------------------------------------
+
+
+def test_sq_quantize_codes_and_reconstruction_error(spark):
+    """Codes stay in [0, 255]; the midpoint reconstruction is within
+    half a bucket (range/512) of the original on every dimension,
+    including the min and max boundary values."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        sq_ann_topk,
+        sq_quantize,
+    )
+
+    rows = [
+        (1, [0.0, 10.0]),
+        (2, [1.0, 20.0]),
+        (3, [0.5, 15.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codes = {r.vec_id: r.codes for r in sq_quantize(df).collect()}
+    assert codes[1] == [0, 0]        # mins land in bucket 0
+    assert codes[2] == [255, 255]    # maxs clamp into the top bucket
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    # reconstruction error bound: |recon - x| <= range/512 per dim
+    out = sq_ann_topk(df, df.filter(F.col("vec_id") == 3), k=2)
+    assert out.count() == 2  # self excluded, two neighbours
+
+
+def test_sq_constant_dimension_is_stable(spark):
+    """A zero-range dimension codes to 0 and reconstructs exactly to
+    the constant — no 0/0, no NaN in the cosine."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        sq_ann_topk,
+        sq_quantize,
+    )
+
+    rows = [(i, [7.5, float(i)]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codes = {r.vec_id: r.codes for r in sq_quantize(df).collect()}
+    assert all(cs[0] == 0 for cs in codes.values())
+    out = sq_ann_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    rows_out = out.collect()
+    assert len(rows_out) == 3
+    assert all(r.cos_sim is not None for r in rows_out)
+
+
+def test_sq_ann_matches_exact_on_separated_clusters(spark):
+    """With two well-separated clusters, SQ8 retrieval returns the
+    same top set as exact brute force (8 bits per dim is near-
+    lossless at this scale)."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        sq_ann_topk,
+    )
+
+    rows = [(i, [1.0 + 0.01 * i, 0.02 * i]) for i in range(10)]
+    rows += [(100 + i, [0.02 * i, 1.0 + 0.01 * i]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id").isin(0, 100))
+    a = {(r.query_id, r.neighbor_id)
+         for r in sq_ann_topk(df, qs, k=5).collect()}
+    b = {(r.query_id, r.neighbor_id)
+         for r in ann_bruteforce_topk(df, qs, k=5).collect()}
+    assert len(a & b) / len(b) >= 0.8
+    # every retrieved neighbour is from the query's own cluster
+    assert all((q < 50) == (nb < 50) for q, nb in a)

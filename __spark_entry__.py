@@ -2988,6 +2988,25 @@ def _nb_source_classifier(spark, sf_dir):
     return nb_quality_classifier(docs, "is_hq")
 
 
+def _nb_score_holdout(spark, sf_dir):
+    """Train-offline / score-online NB split (functions/curation.py::
+    nb_train + nb_score): the model is trained on the 80% of
+    documents with doc_id % 5 != 0 and scores the held-out 20% —
+    out-of-vocabulary tokens take the model's constant unseen_llr9,
+    driver-pinning the Laplace fallback path the in-corpus classifier
+    never exercises."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_hq", F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    model = nb_train(docs.filter(F.col("doc_id") % 5 != 0), "is_hq")
+    return nb_score(model, docs.filter(F.col("doc_id") % 5 == 0))
+
+
 def _pass_at_k_items(spark, sf_dir):
     """Unbiased pass@k per part (functions/evals.py::pass_at_k):
     n = purchases capped at 10, c = returned among them."""
@@ -3990,7 +4009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND-10 ROTATION NOTE: first the round-9 post-window additions
     line_dedup_pages + line_dedup_pages_dropall +
     incremental_line_dedup_pages + temperature_mixture_plan +
-    rouge2_eval_docs + nb_source_classifier + sq_ann_topk (each
+    rouge2_eval_docs + nb_source_classifier + nb_score_holdout +
+    sq_ann_topk (each
     verified at 3 SFs on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
@@ -4293,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_plan": _temperature_mixture_plan,
         "rouge2_eval_docs": _rouge2_eval_docs,
         "nb_source_classifier": _nb_source_classifier,
+        "nb_score_holdout": _nb_score_holdout,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -8334,6 +8355,58 @@ SELECT doc_id, is_labeled_pos, n_tokens,
             WHEN CAST(prior9 + s AS DOUBLE) <= 0 THEN 0
        END AS INT) AS predicted_pos
 FROM per CROSS JOIN pri
+""",
+        # mirrors functions/curation.py::nb_train + nb_score: model
+        # trained on doc_id % 5 != 0, held-out 20% scored with the
+        # Laplace unseen-token constant via a LEFT join + coalesce
+        "nb_score_holdout": """
+WITH lab AS (
+  SELECT doc_id,
+    CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+         THEN 1 ELSE 0 END AS INT) AS y, text
+  FROM documents WHERE doc_id % 5 != 0),
+toks AS (
+  SELECT y, unnest(string_split(text, ' ')) AS w FROM lab),
+st AS (
+  SELECT w, CAST(sum(y) AS BIGINT) AS c_pos,
+    CAST(sum(1 - y) AS BIGINT) AS c_neg
+  FROM toks GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+    CAST(sum(c_neg) AS BIGINT) AS n_neg,
+    CAST(count(*) AS BIGINT) AS v
+  FROM st),
+model AS (
+  SELECT w,
+    CAST(round(ln((c_pos + 1) / CAST(n_pos + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9))
+  - CAST(round(ln((c_neg + 1) / CAST(n_neg + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9)) AS llr9
+  FROM st CROSS JOIN tot),
+consts AS (
+  SELECT
+    (SELECT CAST(round(ln(CAST(sum(y) AS DOUBLE)
+       / nullif(CAST(sum(1 - y) AS DOUBLE), 0.0)), 9)
+       AS DECIMAL(18,9)) FROM lab) AS prior9,
+    CAST(round(ln(1 / CAST(n_pos + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9))
+  - CAST(round(ln(1 / CAST(n_neg + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9)) AS unseen_llr9
+  FROM tot),
+held AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 5 = 0),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    sum(coalesce(llr9, unseen_llr9)) AS s
+  FROM held LEFT JOIN model USING (w) CROSS JOIN consts
+  GROUP BY 1)
+SELECT doc_id, n_tokens,
+  round(CAST(prior9 + s AS DOUBLE), 6) AS nb_log_odds,
+  CAST(CASE WHEN CAST(prior9 + s AS DOUBLE) > 0 THEN 1
+            WHEN CAST(prior9 + s AS DOUBLE) <= 0 THEN 0
+       END AS INT) AS predicted_pos
+FROM per CROSS JOIN consts
 """,
         "pass_at_k_items": """
 WITH per AS (

@@ -1621,3 +1621,139 @@ def nb_quality_classifier(
         .cast("int")
         .alias("predicted_pos"),
     )
+
+
+def nb_train(
+    df: DataFrame,
+    col_label: str,
+    col_text: str = "text",
+    alpha: int = 1,
+) -> DataFrame:
+    """Train the multinomial Naive Bayes model of
+    :func:`nb_quality_classifier` and return it as ONE persistable
+    DataFrame — the deployable artifact of the train-offline /
+    score-online split: (w, llr9) per vocabulary token, plus the two
+    corpus constants repeated on every row (prior9, and unseen_llr9 =
+    the log-likelihood ratio every OUT-OF-VOCABULARY token receives
+    at scoring time, ln((N_neg+αV)/(N_pos+αV)) under Laplace α).
+    Write it to parquet and ship it to any scorer; vocabulary-scale.
+
+    Same determinism rule as the one-pass classifier: every ln() is
+    rounded to 9 decimals into DECIMAL(18,9) at train time, so any
+    scorer's sum is partition-order independent and engine-portable.
+    """
+    lab = df.select(
+        F.col(col_label).cast("int").alias("y"),
+        F.col(col_text).alias("__text"),
+    )
+    toks = lab.select("y", F.explode(F.split("__text", " ")).alias("w"))
+    stats = toks.groupBy("w").agg(
+        F.sum("y").cast("bigint").alias("c_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("c_neg"),
+    )
+    a = F.lit(alpha)
+    totals = stats.agg(
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    prior = lab.agg(
+        F.round(
+            F.log(
+                F.sum("y").cast("double")
+                / F.nullif(
+                    F.sum(1 - F.col("y")).cast("double"), F.lit(0.0)
+                )
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("prior9")
+    )
+
+    def _ln9(num, den):
+        return F.round(F.log(num / den), 9).cast("decimal(18,9)")
+
+    return (
+        stats.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "w",
+            (
+                _ln9(
+                    (F.col("c_pos") + a),
+                    (F.col("n_pos") + a * F.col("v")).cast("double"),
+                )
+                - _ln9(
+                    (F.col("c_neg") + a),
+                    (F.col("n_neg") + a * F.col("v")).cast("double"),
+                )
+            ).alias("llr9"),
+            "prior9",
+            (
+                _ln9(
+                    a.cast("bigint"),
+                    (F.col("n_pos") + a * F.col("v")).cast("double"),
+                )
+                - _ln9(
+                    a.cast("bigint"),
+                    (F.col("n_neg") + a * F.col("v")).cast("double"),
+                )
+            ).alias("unseen_llr9"),
+        )
+    )
+
+
+def nb_score(
+    model: DataFrame,
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+) -> DataFrame:
+    """Score documents against a trained :func:`nb_train` model —
+    the online half of the split. Tokens LEFT-join the vocabulary
+    (out-of-vocabulary tokens fall back to the model's constant
+    unseen_llr9, the standard Laplace treatment), so held-out text
+    with novel words scores correctly instead of silently dropping.
+
+    On the training corpus itself this reproduces
+    :func:`nb_quality_classifier` log-odds exactly (every token is
+    in-vocabulary; pytest-pinned equivalence).
+
+    Scale shape: the model is vocabulary-scale and broadcastable
+    (AQE) or hash-joinable; constants ride one one-row broadcast;
+    ONE doc-grain shuffle sums the scores. In streaming, call this
+    inside foreachBatch with the model read once — the model is
+    static state, the batch is the only moving data."""
+    consts = model.agg(
+        F.first("prior9").alias("prior9"),
+        F.first("unseen_llr9").alias("unseen_llr9"),
+    )
+    toks = df.select(
+        F.col(col_id), F.explode(F.split(F.col(col_text), " ")).alias("w")
+    )
+    per = (
+        toks.join(model.select("w", "llr9"), "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            col_id,
+            F.coalesce("llr9", "unseen_llr9").alias("t9"),
+            "prior9",
+        )
+        .groupBy(col_id)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("t9").alias("s"),
+            F.first("prior9").alias("prior9"),
+        )
+    )
+    score = (F.col("prior9") + F.col("s")).cast("double")
+    return per.select(
+        col_id,
+        "n_tokens",
+        F.round(score, 6).alias("nb_log_odds"),
+        F.when(score > 0, 1)
+        .when(score <= 0, 0)
+        .cast("int")
+        .alias("predicted_pos"),
+    )

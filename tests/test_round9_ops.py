@@ -744,3 +744,98 @@ def test_sq_ann_matches_exact_on_separated_clusters(spark):
     assert len(a & b) / len(b) >= 0.8
     # every retrieved neighbour is from the query's own cluster
     assert all((q < 50) == (nb < 50) for q, nb in a)
+
+
+# ---------------------------------------------------------------------------
+# nb_train / nb_score — the deployable train-offline / score-online split
+# ---------------------------------------------------------------------------
+
+
+def test_nb_split_reproduces_one_pass_on_training_corpus(spark):
+    """score(train(df), df) equals the one-pass classifier exactly:
+    every token is in-vocabulary, so the LEFT join never takes the
+    unseen fallback and the DECIMAL sums are identical."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_quality_classifier,
+        nb_score,
+        nb_train,
+    )
+
+    df = spark.createDataFrame(_NB_DOCS, ["doc_id", "text", "is_hq"])
+    one = {r.doc_id: (r.nb_log_odds, r.predicted_pos)
+           for r in nb_quality_classifier(df, "is_hq").collect()}
+    two = {r.doc_id: (r.nb_log_odds, r.predicted_pos)
+           for r in nb_score(nb_train(df, "is_hq"), df).collect()}
+    assert one == two
+
+
+def test_nb_score_unseen_tokens_take_the_laplace_constant(spark):
+    """A held-out doc of entirely novel words scores n * unseen_llr9
+    + prior — the standard Laplace OOV treatment, with the known NB
+    artifact that unseen mass favors the smaller class."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_score,
+        nb_train,
+    )
+
+    df = spark.createDataFrame(_NB_DOCS, ["doc_id", "text", "is_hq"])
+    model = nb_train(df, "is_hq")
+    m0 = model.select("prior9", "unseen_llr9").first()
+    held = spark.createDataFrame(
+        [(99, "novel words only here")], ["doc_id", "text"]
+    )
+    r = nb_score(model, held).collect()[0]
+    assert r.n_tokens == 4
+    want = round(
+        float(m0.prior9) + 4 * float(m0.unseen_llr9), 6
+    )
+    assert abs(r.nb_log_odds - want) < 1e-6
+
+
+def test_nb_score_runs_under_foreach_batch(spark, tmp_path):
+    """Streaming scoring: the model is static state read once; each
+    micro-batch scores through nb_score inside foreachBatch, and the
+    union of micro-batch outputs equals the one-shot batch score."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_score,
+        nb_train,
+    )
+
+    df = spark.createDataFrame(_NB_DOCS, ["doc_id", "text", "is_hq"])
+    model = nb_train(df, "is_hq").cache()
+    model.count()
+
+    b1 = [(10, "good fine"), (11, "bad awful")]
+    b2 = [(12, "nice good good"), (13, "unseen mystery")]
+    schema = "doc_id bigint, text string"
+    src = tmp_path / "nb_stream_src"
+    src.mkdir()
+    got = []
+
+    def handle(bdf, _bid):
+        got.extend(
+            tuple(r)
+            for r in nb_score(model, bdf.select("doc_id", "text"))
+            .collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .start()
+    )
+    try:
+        for batch in (b1, b2):
+            spark.createDataFrame(batch, ["doc_id", "text"]).coalesce(
+                1
+            ).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    allb = spark.createDataFrame(b1 + b2, ["doc_id", "text"])
+    want = [tuple(r) for r in nb_score(model, allb).collect()]
+    model.unpersist()
+    assert sorted(got) == sorted(want)

@@ -3007,6 +3007,32 @@ def _nb_score_holdout(spark, sf_dir):
     return nb_score(model, docs.filter(F.col("doc_id") % 5 == 0))
 
 
+def _nb_holdout_eval(spark, sf_dir):
+    """Classifier quality report (functions/evals.py::
+    classifier_eval) over the nb_score_holdout pipeline: confusion
+    matrix at threshold 0, precision/recall/F1, and tie-aware
+    rank-sum ROC AUC of the held-out 20% against their true source
+    labels — the evaluate stage of train -> score -> evaluate."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_score,
+        nb_train,
+    )
+    from recmetrics_pyspark_spark.functions.evals import (
+        classifier_eval,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_hq", F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    model = nb_train(docs.filter(F.col("doc_id") % 5 != 0), "is_hq")
+    scored = nb_score(model, docs.filter(F.col("doc_id") % 5 == 0))
+    labeled = scored.join(
+        docs.select("doc_id", F.col("is_hq").cast("int").alias("y")),
+        "doc_id",
+    )
+    return classifier_eval(labeled, "y", "nb_log_odds")
+
+
 def _pass_at_k_items(spark, sf_dir):
     """Unbiased pass@k per part (functions/evals.py::pass_at_k):
     n = purchases capped at 10, c = returned among them."""
@@ -4010,7 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     line_dedup_pages + line_dedup_pages_dropall +
     incremental_line_dedup_pages + temperature_mixture_plan +
     rouge2_eval_docs + nb_source_classifier + nb_score_holdout +
-    sq_ann_topk (each
+    nb_holdout_eval + sq_ann_topk (each
     verified at 3 SFs on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
@@ -4314,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge2_eval_docs": _rouge2_eval_docs,
         "nb_source_classifier": _nb_source_classifier,
         "nb_score_holdout": _nb_score_holdout,
+        "nb_holdout_eval": _nb_holdout_eval,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -4554,6 +4581,61 @@ _SIMHASH_HS_SQL = (
     "SELECT doc_id, list_transform(string_split(text, ' '),"
     " x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM documents"
 )
+
+
+# mirrors functions/curation.py::nb_train + nb_score (model trained on
+# doc_id % 5 != 0, held-out 20% scored with the Laplace unseen-token
+# constant via a LEFT join + coalesce); shared verbatim between the
+# nb_score_holdout oracle and nb_holdout_eval's scored subquery
+_NB_HOLDOUT_SQL = """
+WITH lab AS (
+  SELECT doc_id,
+    CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+         THEN 1 ELSE 0 END AS INT) AS y, text
+  FROM documents WHERE doc_id % 5 != 0),
+toks AS (
+  SELECT y, unnest(string_split(text, ' ')) AS w FROM lab),
+st AS (
+  SELECT w, CAST(sum(y) AS BIGINT) AS c_pos,
+    CAST(sum(1 - y) AS BIGINT) AS c_neg
+  FROM toks GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+    CAST(sum(c_neg) AS BIGINT) AS n_neg,
+    CAST(count(*) AS BIGINT) AS v
+  FROM st),
+model AS (
+  SELECT w,
+    CAST(round(ln((c_pos + 1) / CAST(n_pos + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9))
+  - CAST(round(ln((c_neg + 1) / CAST(n_neg + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9)) AS llr9
+  FROM st CROSS JOIN tot),
+consts AS (
+  SELECT
+    (SELECT CAST(round(ln(CAST(sum(y) AS DOUBLE)
+       / nullif(CAST(sum(1 - y) AS DOUBLE), 0.0)), 9)
+       AS DECIMAL(18,9)) FROM lab) AS prior9,
+    CAST(round(ln(1 / CAST(n_pos + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9))
+  - CAST(round(ln(1 / CAST(n_neg + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9)) AS unseen_llr9
+  FROM tot),
+held AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 5 = 0),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    sum(coalesce(llr9, unseen_llr9)) AS s
+  FROM held LEFT JOIN model USING (w) CROSS JOIN consts
+  GROUP BY 1)
+SELECT doc_id, n_tokens,
+  round(CAST(prior9 + s AS DOUBLE), 6) AS nb_log_odds,
+  CAST(CASE WHEN CAST(prior9 + s AS DOUBLE) > 0 THEN 1
+            WHEN CAST(prior9 + s AS DOUBLE) <= 0 THEN 0
+       END AS INT) AS predicted_pos
+FROM per CROSS JOIN consts
+"""
 
 
 _COS_SQL = (
@@ -8359,54 +8441,53 @@ FROM per CROSS JOIN pri
         # mirrors functions/curation.py::nb_train + nb_score: model
         # trained on doc_id % 5 != 0, held-out 20% scored with the
         # Laplace unseen-token constant via a LEFT join + coalesce
-        "nb_score_holdout": """
-WITH lab AS (
-  SELECT doc_id,
-    CAST(CASE WHEN source IN ('src0','src1','src2','src3')
-         THEN 1 ELSE 0 END AS INT) AS y, text
-  FROM documents WHERE doc_id % 5 != 0),
-toks AS (
-  SELECT y, unnest(string_split(text, ' ')) AS w FROM lab),
-st AS (
-  SELECT w, CAST(sum(y) AS BIGINT) AS c_pos,
-    CAST(sum(1 - y) AS BIGINT) AS c_neg
-  FROM toks GROUP BY 1),
-tot AS (
-  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
-    CAST(sum(c_neg) AS BIGINT) AS n_neg,
-    CAST(count(*) AS BIGINT) AS v
-  FROM st),
-model AS (
-  SELECT w,
-    CAST(round(ln((c_pos + 1) / CAST(n_pos + v AS DOUBLE)), 9)
-         AS DECIMAL(18,9))
-  - CAST(round(ln((c_neg + 1) / CAST(n_neg + v AS DOUBLE)), 9)
-         AS DECIMAL(18,9)) AS llr9
-  FROM st CROSS JOIN tot),
-consts AS (
-  SELECT
-    (SELECT CAST(round(ln(CAST(sum(y) AS DOUBLE)
-       / nullif(CAST(sum(1 - y) AS DOUBLE), 0.0)), 9)
-       AS DECIMAL(18,9)) FROM lab) AS prior9,
-    CAST(round(ln(1 / CAST(n_pos + v AS DOUBLE)), 9)
-         AS DECIMAL(18,9))
-  - CAST(round(ln(1 / CAST(n_neg + v AS DOUBLE)), 9)
-         AS DECIMAL(18,9)) AS unseen_llr9
-  FROM tot),
-held AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w
-  FROM documents WHERE doc_id % 5 = 0),
-per AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-    sum(coalesce(llr9, unseen_llr9)) AS s
-  FROM held LEFT JOIN model USING (w) CROSS JOIN consts
-  GROUP BY 1)
-SELECT doc_id, n_tokens,
-  round(CAST(prior9 + s AS DOUBLE), 6) AS nb_log_odds,
-  CAST(CASE WHEN CAST(prior9 + s AS DOUBLE) > 0 THEN 1
-            WHEN CAST(prior9 + s AS DOUBLE) <= 0 THEN 0
-       END AS INT) AS predicted_pos
-FROM per CROSS JOIN consts
+        "nb_score_holdout": _NB_HOLDOUT_SQL,
+        # mirrors functions/evals.py::classifier_eval over the
+        # nb_score_holdout pipeline: distinct-score-grain average
+        # ranks (DECIMAL(28,1) rank mass), rank-sum AUC, confusion at
+        # threshold 0 — the holdout SQL is reused verbatim as the
+        # scored subquery (single source of truth)
+        "nb_holdout_eval": f"""
+WITH j AS (
+  SELECT d.y, sc.nb_log_odds AS s
+  FROM ({_NB_HOLDOUT_SQL}) sc
+  JOIN (
+    SELECT doc_id,
+      CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+           THEN 1 ELSE 0 END AS INT) AS y
+    FROM documents) d USING (doc_id)
+  WHERE sc.nb_log_odds IS NOT NULL),
+g AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS np
+  FROM j GROUP BY 1),
+r AS (
+  SELECT n, np, s,
+    CAST(np * (coalesce(sum(n) OVER (ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (n + 1) / 2.0) AS DECIMAL(28,1)) AS prm
+  FROM g),
+a AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+    CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+    CAST(sum(CASE WHEN s > 0.0 THEN np ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN s > 0.0 THEN n - np ELSE 0 END) AS BIGINT)
+      AS fp,
+    sum(prm) AS spr
+  FROM r)
+SELECT n_pos, n_neg, tp, fp,
+  CAST(n_pos - tp AS BIGINT) AS fn,
+  CAST(n_neg - fp AS BIGINT) AS tn,
+  round(tp / nullif(CAST(tp + fp AS DOUBLE), 0.0), 6) AS precision,
+  round(tp / nullif(CAST(n_pos AS DOUBLE), 0.0), 6) AS recall,
+  round(2 * (tp / nullif(CAST(tp + fp AS DOUBLE), 0.0))
+          * (tp / nullif(CAST(n_pos AS DOUBLE), 0.0))
+        / nullif((tp / nullif(CAST(tp + fp AS DOUBLE), 0.0))
+               + (tp / nullif(CAST(n_pos AS DOUBLE), 0.0)), 0.0), 6)
+    AS f1,
+  round((CAST(spr AS DOUBLE) - n_pos * (n_pos + 1) / 2.0)
+        / nullif(CAST(n_pos * n_neg AS DOUBLE), 0.0), 6) AS auc
+FROM a
 """,
         "pass_at_k_items": """
 WITH per AS (

@@ -179,3 +179,99 @@ def pass_at_k(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def classifier_eval(
+    df: DataFrame,
+    col_label: str,
+    col_score: str,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Binary-classifier quality report in ONE row: confusion matrix
+    at ``threshold`` (predict positive iff score > threshold),
+    precision/recall/F1, and ROC AUC via the rank-sum identity
+    AUC = (Σ ranks of positives − n_pos(n_pos+1)/2) / (n_pos·n_neg)
+    with AVERAGE ranks for tied scores (the Mann-Whitney U
+    convention — ties contribute 0.5, so an all-constant scorer
+    lands at exactly 0.5).
+
+    Scale shape: one aggregate to the DISTINCT-SCORE grain, one
+    running count over that grain (the long_tail distinct-volume
+    pattern — the window is score-catalog-sized, never row-scale),
+    one final one-row reduction. Rank mass per score group is exact
+    in DECIMAL(28,1) (integer + .5 fractions only), so the sum is
+    partition-order independent and engine-portable. NULL scores and
+    NULL labels are excluded up front (both engines agree).
+
+    Output: (n_pos, n_neg, tp, fp, fn, tn, precision, recall, f1,
+    auc). Degenerate one-class inputs yield NULL auc (division
+    nullif-guarded), never a silent 0."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(col_label).cast("int").alias("y"),
+        F.col(col_score).cast("double").alias("s"),
+    ).filter(F.col("y").isNotNull() & F.col("s").isNotNull())
+    g = base.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("np"),
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # average rank of a tie group = rows before it + (n+1)/2; the
+    # group's positive rank mass is np * that — a .0/.5 fraction,
+    # exact in DECIMAL(28,1)
+    ranked = g.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint"),
+    ).select(
+        "n",
+        "np",
+        "s",
+        (
+            F.col("np")
+            * (F.col("cum_before") + (F.col("n") + 1) / 2.0)
+        )
+        .cast("decimal(28,1)")
+        .alias("pos_rank_mass"),
+    )
+    thr = F.lit(threshold)
+    agg = ranked.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("s") > thr, F.col("np")).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(
+            F.when(F.col("s") > thr, F.col("n") - F.col("np")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.sum("pos_rank_mass").alias("sum_pos_ranks"),
+    )
+    fn = F.col("n_pos") - F.col("tp")
+    tn = F.col("n_neg") - F.col("fp")
+    prec = F.col("tp") / F.nullif(
+        (F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)
+    )
+    rec = F.col("tp") / F.nullif(F.col("n_pos").cast("double"), F.lit(0.0))
+    auc = (
+        F.col("sum_pos_ranks").cast("double")
+        - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / F.nullif((F.col("n_pos") * F.col("n_neg")).cast("double"), F.lit(0.0))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        fn.alias("fn"),
+        tn.alias("tn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)), 6
+        ).alias("f1"),
+        F.round(auc, 6).alias("auc"),
+    )

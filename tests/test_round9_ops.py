@@ -839,3 +839,63 @@ def test_nb_score_runs_under_foreach_batch(spark, tmp_path):
     want = [tuple(r) for r in nb_score(model, allb).collect()]
     model.unpersist()
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# classifier_eval — confusion + tie-aware rank-sum AUC
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_eval_hand_auc_and_confusion(spark):
+    """Four points with known ranks: AUC = (6 - 3)/4 = 0.75; at
+    threshold 0 all four predict positive."""
+    from recmetrics_pyspark_spark.functions.evals import (
+        classifier_eval,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1)], ["y", "s"]
+    )
+    r = classifier_eval(df, "y", "s").collect()[0]
+    assert r.auc == 0.75
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 2, 0, 0)
+    assert r.precision == 0.5 and r.recall == 1.0
+    assert r.f1 == round(2 * 0.5 * 1.0 / 1.5, 6)
+
+
+def test_classifier_eval_tie_and_degenerate_behavior(spark):
+    """All-tied scores land at exactly AUC 0.5 (average ranks);
+    perfect separation at 1.0; a one-class input yields NULL AUC,
+    never a silent 0."""
+    from recmetrics_pyspark_spark.functions.evals import (
+        classifier_eval,
+    )
+
+    tied = spark.createDataFrame(
+        [(1, 1.0), (0, 1.0), (1, 1.0), (0, 1.0)], ["y", "s"]
+    )
+    assert classifier_eval(tied, "y", "s").collect()[0].auc == 0.5
+    sep = spark.createDataFrame(
+        [(1, 5.0), (1, 4.0), (0, -1.0)], ["y", "s"]
+    )
+    assert classifier_eval(sep, "y", "s").collect()[0].auc == 1.0
+    one = spark.createDataFrame([(1, 5.0), (1, 4.0)], ["y", "s"])
+    r = classifier_eval(one, "y", "s").collect()[0]
+    assert r.auc is None and r.precision == 1.0 and r.tn == 0
+
+
+def test_classifier_eval_threshold_moves_the_confusion(spark):
+    """Raising the threshold trades recall for precision while AUC
+    (threshold-free) is unchanged."""
+    from recmetrics_pyspark_spark.functions.evals import (
+        classifier_eval,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1)], ["y", "s"]
+    )
+    lo = classifier_eval(df, "y", "s", threshold=0.0).collect()[0]
+    hi = classifier_eval(df, "y", "s", threshold=0.85).collect()[0]
+    assert hi.auc == lo.auc == 0.75
+    assert (hi.tp, hi.fp) == (1, 0) and hi.precision == 1.0
+    assert hi.recall == 0.5

@@ -937,6 +937,17 @@ def _sq_ann_topk(spark, sf_dir):
     return S.sq_ann_topk(embs, queries_df, k=10)
 
 
+def _dim_truncation_recall(spark, sf_dir):
+    """Matryoshka truncation sizing report (operators/similarity.py::
+    dim_truncation_recall): top-10 recall of prefix-truncated cosine
+    (full, half, quarter dims) against the exact full-dimension
+    ranking — the offline report that picks the stored dimensionality
+    before committing vectors at scale."""
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5)
+    return S.dim_truncation_recall(embs, queries_df, k=10)
+
+
 def _ivfpq_ann_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries_df = embs.filter(F.col("vec_id") < 5)
@@ -1962,6 +1973,62 @@ SELECT e.query_id,
 FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
+"""
+
+
+def _dim_trunc_oracle(
+    fractions: tuple[float, ...] = (1.0, 0.5, 0.25), k: int = 10
+) -> str:
+    """Mirrors operators/similarity.py::dim_truncation_recall: exact
+    full-dim top-k once, then per fraction a truncated-prefix top-k
+    (identical slice/floor/cosine kernels) LEFT-joined back; one
+    UNION ALL row per fraction."""
+    per = []
+    for frac in fractions:
+        tv = (
+            "v[1:greatest(1, CAST(floor(len(v) * {f}) AS INT))]"
+        ).format(f=repr(frac))
+        per.append(f"""
+SELECT CAST({frac!r} AS DOUBLE) AS trunc_frac,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_matched,
+  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ex LEFT JOIN (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS rnk
+    FROM (
+      SELECT q.query_id, t.neighbor_id,
+        round(list_dot_product(q.qv, t.tv)
+          / nullif(sqrt(list_dot_product(q.qv, q.qv))
+                   * sqrt(list_dot_product(t.tv, t.tv)), 0.0), 6)
+          AS cos_sim
+      FROM (SELECT vec_id AS neighbor_id, {tv} AS tv FROM e) t,
+           (SELECT vec_id AS query_id, {tv} AS qv FROM e
+            WHERE vec_id < 5) q
+      WHERE t.neighbor_id <> q.query_id) s) r
+  WHERE rnk <= {k}) a
+  ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
+""")
+    body = "\nUNION ALL\n".join(per)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+        {_COS_SQL.format(a='q.qv', b='e.v')} AS cos_sim
+      FROM e, (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < 5) q
+      WHERE e.vec_id <> q.query_id) s) r
+  WHERE rnk <= {k})
+{body}
 """
 
 
@@ -4036,7 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     line_dedup_pages + line_dedup_pages_dropall +
     incremental_line_dedup_pages + temperature_mixture_plan +
     rouge2_eval_docs + nb_source_classifier + nb_score_holdout +
-    nb_holdout_eval + sq_ann_topk (each
+    nb_holdout_eval + sq_ann_topk + dim_truncation_recall (each
     verified at 3 SFs on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
@@ -4128,6 +4195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk": _pq_rerank_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
         "sq_ann_topk": _sq_ann_topk,
+        "dim_truncation_recall": _dim_truncation_recall,
         "embedding_neardup": _embedding_neardup,
         "kmeans_assignments": _kmeans,
         "semantic_dedup": _semantic_dedup,
@@ -6849,6 +6917,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         "pq_ann_topk": _pq_oracle(),
         "pq_rerank_topk": _pq_rerank_oracle(),
         "ivfpq_ann_topk": _ivfpq_oracle(),
+        "dim_truncation_recall": _dim_trunc_oracle(),
         # mirrors operators/similarity.py::sq_ann_topk — the SQ code
         # and midpoint-reconstruction kernels are index-form CASE/floor
         # expressions shared verbatim with the Spark side (_SQ_CODE /

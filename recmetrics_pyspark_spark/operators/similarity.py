@@ -1458,3 +1458,101 @@ def sq_ann_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def dim_truncation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fractions: tuple[float, ...] = (1.0, 0.5, 0.25),
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation calibration: for each prefix
+    fraction of the embedding dimensions, how much of the exact
+    full-dimension top-k survives when similarity is computed on the
+    truncated prefix only (Kusupati et al. 2022 MRL evaluate exactly
+    this storage/recall tradeoff). One row per fraction:
+    (trunc_frac, n_exact, n_matched, recall) — recall = matched
+    exact pairs / all exact pairs, and frac 1.0 is the built-in
+    sanity row (recall 1 by construction).
+
+    This is the OFFLINE sizing report: run it on a query sample to
+    pick the stored dimensionality before committing 100 TB of
+    vectors; each fraction reuses the brute-force scoring shape
+    (broadcast query set, codegen'd cosine, bounded per-query
+    window), and the truncation is a scan-side slice — no new
+    shuffle class. Ties inside the top-k boundary follow each
+    ranking's own id tiebreak, the same rule both engines pin.
+
+    A truncated prefix can be ALL-ZERO even when the full vector is
+    not, so the truncated cosine's denominator is nullif-guarded:
+    zero-norm pairs score NULL and sort after every real score on
+    both engines (DESC puts NULLs last) instead of raising under
+    ANSI mode."""
+    exact = ann_bruteforce_topk(
+        corpus, queries, k, col_id, col_vec
+    ).select("query_id", "neighbor_id")
+    parts = []
+    for frac in fractions:
+        d_expr = (
+            f"slice(cv, 1, greatest(1, "
+            f"cast(floor(size(cv) * {frac!r}) as int)))"
+        )
+        c = corpus.select(
+            F.col(col_id).alias("neighbor_id"),
+            as_double(col_vec).alias("cv"),
+        ).select(
+            "neighbor_id", F.expr(d_expr).alias("tv")
+        ).withColumn("cn", norm(F.col("tv")))
+        q = queries.select(
+            F.col(col_id).alias("query_id"),
+            as_double(col_vec).alias("cv"),
+        ).select(
+            "query_id", F.expr(d_expr).alias("qv")
+        ).withColumn("qn", norm(F.col("qv")))
+        scored = (
+            c.crossJoin(broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    dot(F.col("qv"), F.col("tv"))
+                    / F.nullif(
+                        F.col("qn") * F.col("cn"), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc_nulls_last("cos_sim"), F.asc("neighbor_id")
+        )
+        approx = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", F.lit(1).alias("m"))
+        )
+        j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                F.sum(F.coalesce("m", F.lit(0)))
+                .cast("bigint")
+                .alias("n_matched"),
+            ).select(
+                F.lit(float(frac)).alias("trunc_frac"),
+                "n_exact",
+                "n_matched",
+                F.round(
+                    F.col("n_matched")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -899,3 +899,61 @@ def test_classifier_eval_threshold_moves_the_confusion(spark):
     assert hi.auc == lo.auc == 0.75
     assert (hi.tp, hi.fp) == (1, 0) and hi.precision == 1.0
     assert hi.recall == 0.5
+
+
+# ---------------------------------------------------------------------------
+# dim_truncation_recall — Matryoshka storage/recall sizing report
+# ---------------------------------------------------------------------------
+
+
+def test_dim_truncation_full_fraction_is_identity(spark):
+    """frac 1.0 reproduces the exact ranking (recall 1 by
+    construction), and recall is monotone in the kept fraction on a
+    corpus whose leading dims carry the signal."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        dim_truncation_recall,
+    )
+
+    # leading 2 dims carry cluster structure; trailing 2 are noise
+    rows = [
+        (i, [1.0, 0.01 * i, 0.001 * (i % 3), 0.001 * (i % 5)])
+        for i in range(8)
+    ]
+    rows += [
+        (50 + i, [0.01 * i, 1.0, 0.001 * (i % 7), 0.001 * (i % 2)])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id").isin(0, 50))
+    out = {
+        r.trunc_frac: r
+        for r in dim_truncation_recall(
+            df, qs, k=5, fractions=(1.0, 0.5, 0.25)
+        ).collect()
+    }
+    assert out[1.0].recall == 1.0
+    assert out[1.0].n_exact == out[0.5].n_exact == 10
+    # half keeps both signal dims -> still perfect; quarter keeps
+    # only dim 1, degrading at most to something <= half's recall
+    assert out[0.5].recall == 1.0
+    assert out[0.25].recall <= out[0.5].recall
+
+
+def test_dim_truncation_single_dim_floor(spark):
+    """A fraction that floors below one dimension clamps to one dim
+    (greatest guard) instead of producing empty vectors."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        dim_truncation_recall,
+    )
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id") == 0)
+    out = dim_truncation_recall(
+        df, qs, k=3, fractions=(0.1,)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # one positive dim: every cosine is exactly 1.0, ranking falls to
+    # the id tiebreak, which the exact ranking need not share
+    assert r.n_exact == 3 and 0.0 <= r.recall <= 1.0

@@ -937,6 +937,28 @@ def _sq_ann_topk(spark, sf_dir):
     return S.sq_ann_topk(embs, queries_df, k=10)
 
 
+def _hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion
+    (operators/ranking.py::rrf_fuse): the exact cosine, SQ8, and
+    multiprobe-LSH retrievers each contribute 1/(60 + rank) per
+    (query, neighbor); the fused top-10 re-ranks on the exact
+    DECIMAL sum. The RAG-era ensemble pattern — retrievers with
+    different candidate pools fused without score calibration."""
+    from recmetrics_pyspark_spark.operators.ranking import rrf_fuse
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5)
+    return rrf_fuse(
+        [
+            S.ann_bruteforce_topk(embs, queries_df, k=10),
+            S.sq_ann_topk(embs, queries_df, k=10),
+            S.ann_lsh_topk(embs, queries_df, k=10),
+        ],
+        k0=60,
+        k=10,
+    )
+
+
 def _dim_truncation_recall(spark, sf_dir):
     """Matryoshka truncation sizing report (operators/similarity.py::
     dim_truncation_recall): top-10 recall of prefix-truncated cosine
@@ -4103,7 +4125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     line_dedup_pages + line_dedup_pages_dropall +
     incremental_line_dedup_pages + temperature_mixture_plan +
     rouge2_eval_docs + nb_source_classifier + nb_score_holdout +
-    nb_holdout_eval + sq_ann_topk + dim_truncation_recall (each
+    nb_holdout_eval + sq_ann_topk + dim_truncation_recall +
+    hybrid_rrf_topk (each
     verified at 3 SFs on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
@@ -4196,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann_topk": _ivfpq_ann_topk,
         "sq_ann_topk": _sq_ann_topk,
         "dim_truncation_recall": _dim_truncation_recall,
+        "hybrid_rrf_topk": _hybrid_rrf_topk,
         "embedding_neardup": _embedding_neardup,
         "kmeans_assignments": _kmeans,
         "semantic_dedup": _semantic_dedup,
@@ -4710,6 +4734,40 @@ _COS_SQL = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+# mirrors operators/similarity.py::sq_ann_topk (shared between the
+# sq_ann_topk oracle and hybrid_rrf_topk's fused subquery)
+_SQ_ANN_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+dims AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+drow AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+  FROM dims),
+r AS (
+  SELECT vec_id AS neighbor_id,
+    list_transform(generate_series(1, len(v)), i ->
+      mins[i] + ((CASE WHEN maxs[i] - mins[i] = 0 THEN 0 ELSE
+        least(255, greatest(0,
+          floor((v[i] - mins[i]) / (maxs[i] - mins[i]) * 256))) END)
+        + 0.5) * (maxs[i] - mins[i]) / 256.0) AS rv
+  FROM e CROSS JOIN drow),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, rv)
+      / (sqrt(list_dot_product(qv, qv))
+         * sqrt(list_dot_product(rv, rv))), 6) AS cos_sim
+  FROM q, r WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+"""
 
 
 
@@ -6918,41 +6976,35 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         "pq_rerank_topk": _pq_rerank_oracle(),
         "ivfpq_ann_topk": _ivfpq_oracle(),
         "dim_truncation_recall": _dim_trunc_oracle(),
+        # mirrors operators/ranking.py::rrf_fuse over the three
+        # retriever oracles reused verbatim as subqueries; fused
+        # order compares the exact DECIMAL(18,9) sum + id tiebreak
+        "hybrid_rrf_topk": f"""
+WITH u AS (
+  SELECT query_id, neighbor_id, rnk FROM ({_ann_brute_oracle()}) b
+  UNION ALL
+  SELECT query_id, neighbor_id, rnk FROM ({_SQ_ANN_SQL}) s
+  UNION ALL
+  SELECT query_id, neighbor_id, rnk FROM ({_ann_lsh_oracle()}) l
+), a AS (
+  SELECT query_id, neighbor_id,
+    CAST(count(*) AS BIGINT) AS n_lists,
+    sum(CAST(round(1.0 / (60 + rnk), 9) AS DECIMAL(18,9))) AS s
+  FROM u GROUP BY 1, 2)
+SELECT query_id, neighbor_id, n_lists,
+  round(CAST(s AS DOUBLE), 6) AS rrf_score, rnk
+FROM (
+  SELECT query_id, neighbor_id, n_lists, s,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY s DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM a) t
+WHERE rnk <= 10
+""",
         # mirrors operators/similarity.py::sq_ann_topk — the SQ code
         # and midpoint-reconstruction kernels are index-form CASE/floor
         # expressions shared verbatim with the Spark side (_SQ_CODE /
         # _SQ_RECON), so the doubles agree bitwise before round(,6)
-        "sq_ann_topk": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-ex AS (
-  SELECT vec_id, i, v[i] AS x
-  FROM e, unnest(generate_series(1, len(v))) AS t(i)),
-dims AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
-drow AS (
-  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
-  FROM dims),
-r AS (
-  SELECT vec_id AS neighbor_id,
-    list_transform(generate_series(1, len(v)), i ->
-      mins[i] + ((CASE WHEN maxs[i] - mins[i] = 0 THEN 0 ELSE
-        least(255, greatest(0,
-          floor((v[i] - mins[i]) / (maxs[i] - mins[i]) * 256))) END)
-        + 0.5) * (maxs[i] - mins[i]) / 256.0) AS rv
-  FROM e CROSS JOIN drow),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-scored AS (
-  SELECT query_id, neighbor_id,
-    round(list_dot_product(qv, rv)
-      / (sqrt(list_dot_product(qv, qv))
-         * sqrt(list_dot_product(rv, rv))), 6) AS cos_sim
-  FROM q, r WHERE neighbor_id <> query_id)
-SELECT query_id, neighbor_id, cos_sim, rnk FROM (
-  SELECT query_id, neighbor_id, cos_sim,
-    CAST(row_number() OVER (PARTITION BY query_id
-      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
-  FROM scored) t
-WHERE rnk <= 10
-""",
+        "sq_ann_topk": _SQ_ANN_SQL,
         "embedding_neardup": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,

@@ -957,3 +957,54 @@ def test_dim_truncation_single_dim_floor(spark):
     # one positive dim: every cosine is exactly 1.0, ranking falls to
     # the id tiebreak, which the exact ranking need not share
     assert r.n_exact == 3 and 0.0 <= r.recall <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse — reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_hand_fusion_prefers_consensus(spark):
+    """An item ranked 2nd by BOTH lists outscores items ranked 1st
+    by only one (1/62+1/62 > 1/61): the RRF consensus property."""
+    from recmetrics_pyspark_spark.operators.ranking import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(1, "a", 1), (1, "c", 2)],
+        ["query_id", "neighbor_id", "rnk"],
+    )
+    l2 = spark.createDataFrame(
+        [(1, "b", 1), (1, "c", 2)],
+        ["query_id", "neighbor_id", "rnk"],
+    )
+    out = rrf_fuse([l1, l2], k0=60, k=3).collect()
+    byrank = {r.rnk: r for r in out}
+    assert byrank[1].neighbor_id == "c" and byrank[1].n_lists == 2
+    assert {byrank[2].neighbor_id, byrank[3].neighbor_id} == {"a", "b"}
+    assert byrank[1].rrf_score == round(
+        round(1 / 62, 9) + round(1 / 62, 9), 6
+    )
+
+
+def test_rrf_disjoint_pools_and_ties(spark):
+    """Items in only one list still fuse (no imputation); exact
+    decimal ties fall to the id tiebreak deterministically."""
+    from recmetrics_pyspark_spark.operators.ranking import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(1, "x", 1)], ["query_id", "neighbor_id", "rnk"]
+    )
+    l2 = spark.createDataFrame(
+        [(1, "y", 1)], ["query_id", "neighbor_id", "rnk"]
+    )
+    out = rrf_fuse([l1, l2], k0=60, k=5).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)] \
+        == ["x", "y"]  # equal scores -> id order
+    assert all(r.n_lists == 1 for r in out)
+
+
+def test_rrf_rejects_empty_input(spark):
+    from recmetrics_pyspark_spark.operators.ranking import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])

@@ -937,6 +937,20 @@ def _sq_ann_topk(spark, sf_dir):
     return S.sq_ann_topk(embs, queries_df, k=10)
 
 
+def _semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (operators/similarity.py::
+    semantic_decontaminate): vectors 25+ are the training corpus,
+    vectors 0-24 the benchmark; any train vector with cosine >= 0.4
+    to an eval vector is flagged with its hit count and best match —
+    the paraphrase-leak scrub the n-gram scan cannot see."""
+    embs = _embs(spark, sf_dir)
+    return S.semantic_decontaminate(
+        embs.filter(F.col("vec_id") >= 25),
+        embs.filter(F.col("vec_id") < 25),
+        threshold=0.4,
+    )
+
+
 def _hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval via Reciprocal Rank Fusion
     (operators/ranking.py::rrf_fuse): the exact cosine, SQ8, and
@@ -4126,7 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     incremental_line_dedup_pages + temperature_mixture_plan +
     rouge2_eval_docs + nb_source_classifier + nb_score_holdout +
     nb_holdout_eval + sq_ann_topk + dim_truncation_recall +
-    hybrid_rrf_topk (each
+    hybrid_rrf_topk + semantic_decontaminate (each
     verified at 3 SFs on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
@@ -4220,6 +4234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_ann_topk": _sq_ann_topk,
         "dim_truncation_recall": _dim_truncation_recall,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
+        "semantic_decontaminate": _semantic_decontaminate,
         "embedding_neardup": _embedding_neardup,
         "kmeans_assignments": _kmeans,
         "semantic_dedup": _semantic_dedup,
@@ -6976,6 +6991,30 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         "pq_rerank_topk": _pq_rerank_oracle(),
         "ivfpq_ann_topk": _ivfpq_oracle(),
         "dim_truncation_recall": _dim_trunc_oracle(),
+        # mirrors operators/similarity.py::semantic_decontaminate:
+        # broadcast-scale eval side, hit-filter before the per-train
+        # window, best hit by (cos DESC, eval_id) — same cosine kernel
+        # as the ANN oracles
+        "semantic_decontaminate": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+t AS (SELECT vec_id AS train_id, v AS tv FROM e WHERE vec_id >= 25),
+q AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id < 25),
+hits AS (
+  SELECT train_id, eval_id,
+    round(list_dot_product(tv, qv)
+      / nullif(sqrt(list_dot_product(tv, tv))
+               * sqrt(list_dot_product(qv, qv)), 0.0), 6) AS cos_sim
+  FROM t, q),
+flagged AS (SELECT * FROM hits WHERE cos_sim >= 0.4)
+SELECT train_id, n_eval_hits, best_eval_id, best_cos FROM (
+  SELECT train_id, eval_id AS best_eval_id, cos_sim AS best_cos,
+    row_number() OVER (PARTITION BY train_id
+      ORDER BY cos_sim DESC, eval_id) AS rnk,
+    CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT)
+      AS n_eval_hits
+  FROM flagged) f
+WHERE rnk = 1
+""",
         # mirrors operators/ranking.py::rrf_fuse over the three
         # retriever oracles reused verbatim as subqueries; fused
         # order compares the exact DECIMAL(18,9) sum + id tiebreak

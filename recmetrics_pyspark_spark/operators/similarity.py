@@ -1556,3 +1556,68 @@ def dim_truncation_recall(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-space eval decontamination — the semantic twin of
+    ngram_decontaminate: flag every TRAIN vector whose cosine to ANY
+    eval vector reaches ``threshold`` (paraphrased benchmark leakage
+    that an n-gram scan cannot see; the scrub used alongside string
+    matching in modern instruction-tuning pipelines). Output one row
+    per contaminated train vector: (train_id, n_eval_hits,
+    best_eval_id, best_cos), best = highest cosine with eval-id
+    tiebreak.
+
+    Scale shape — deliberately identical to the n-gram
+    decontamination join: the eval side is benchmark-sized and
+    BROADCASTS; the 100 TB train side is one scan (per-pair cosine
+    inside codegen), and only HIT-scale rows reach the per-train
+    window. No train-side shuffle before the filter. At very large
+    eval sets, swap the broadcast for the IVF cell router exactly as
+    ivfpq_ann_topk does."""
+    t = train.select(
+        F.col(col_id).alias("train_id"),
+        as_double(col_vec).alias("tv"),
+    ).withColumn("tn", norm(F.col("tv")))
+    q = eval_df.select(
+        F.col(col_id).alias("eval_id"),
+        as_double(col_vec).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    hits = (
+        t.crossJoin(broadcast(q))
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(
+                dot(F.col("tv"), F.col("qv"))
+                / F.nullif(F.col("tn") * F.col("qn"), F.lit(0.0)),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.desc("cos_sim"), F.asc("eval_id")
+    )
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "n_eval_hits",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("train_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            "train_id",
+            "n_eval_hits",
+            F.col("eval_id").alias("best_eval_id"),
+            F.col("cos_sim").alias("best_cos"),
+        )
+    )

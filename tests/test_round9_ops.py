@@ -1008,3 +1008,69 @@ def test_rrf_rejects_empty_input(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# semantic_decontaminate — embedding twin of ngram_decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontaminate_flags_the_planted_paraphrase(spark):
+    """A train vector nearly parallel to an eval vector is flagged
+    with the right best match; orthogonal train vectors are not."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (100, [1.0, 0.01, 0.0]),   # ~parallel to eval 1
+            (101, [0.0, 0.0, 1.0]),    # orthogonal to both
+            (102, [0.7, 0.71, 0.0]),   # between the two evals
+        ],
+        ["vec_id", "embedding"],
+    )
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r.train_id: r
+           for r in semantic_decontaminate(train, ev, 0.9).collect()}
+    assert set(out) == {100}
+    assert out[100].best_eval_id == 1 and out[100].n_eval_hits == 1
+    # lower threshold: 102 hits BOTH evals; tie-break prefers the
+    # higher cosine (eval 2, since 0.71 > 0.7 after normalization)
+    out2 = {r.train_id: r
+            for r in semantic_decontaminate(train, ev, 0.5).collect()}
+    assert set(out2) == {100, 102}
+    assert out2[102].n_eval_hits == 2
+    assert out2[102].best_eval_id == 2
+
+
+def test_semantic_decontaminate_exact_tie_prefers_low_eval_id(spark):
+    """Two eval vectors at identical cosine: the deterministic
+    tiebreak picks the lower eval id on both engines."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(100, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    r = semantic_decontaminate(train, ev, 0.5).collect()[0]
+    assert r.n_eval_hits == 2 and r.best_eval_id == 1
+
+
+def test_semantic_decontaminate_empty_eval_set_is_clean(spark):
+    from recmetrics_pyspark_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(100, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    ev = train.filter(F.col("vec_id") < 0)
+    assert semantic_decontaminate(train, ev, 0.1).count() == 0

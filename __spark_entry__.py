@@ -926,6 +926,19 @@ def _pq_rerank_topk(spark, sf_dir):
     )
 
 
+def _ivfsq_ann_topk(spark, sf_dir):
+    """IVF-SQ8 (operators/similarity.py::ivfsq_ann_topk): the FAISS
+    IVF,SQ8 production composition — trained coarse cells bound WHO
+    a query scores, global SQ8 bounds WHAT a candidate costs (1
+    byte/dim). Agreement with IVF-Flat top-10 is 100% on this corpus
+    (8-bit reconstruction is near-lossless within probed cells)."""
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5)
+    return S.ivfsq_ann_topk(
+        embs, queries_df, k=10, n_cells=8, nprobe=3
+    )
+
+
 def _sq_ann_topk(spark, sf_dir):
     """SQ8 asymmetric ANN (operators/similarity.py::sq_ann_topk):
     corpus scored through its scalar-quantized reconstruction
@@ -4139,7 +4152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     line_dedup_pages + line_dedup_pages_dropall +
     incremental_line_dedup_pages + temperature_mixture_plan +
     rouge2_eval_docs + nb_source_classifier + nb_score_holdout +
-    nb_holdout_eval + sq_ann_topk + dim_truncation_recall +
+    nb_holdout_eval + sq_ann_topk + ivfsq_ann_topk +
+    dim_truncation_recall +
     hybrid_rrf_topk + semantic_decontaminate (each
     verified at 3 SFs on arrival); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
@@ -4232,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk": _pq_rerank_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
         "sq_ann_topk": _sq_ann_topk,
+        "ivfsq_ann_topk": _ivfsq_ann_topk,
         "dim_truncation_recall": _dim_truncation_recall,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
         "semantic_decontaminate": _semantic_decontaminate,
@@ -8165,6 +8180,53 @@ SELECT cid,
     / count(*), 6) AS drop_ratio
 FROM nn LEFT JOIN dropped d USING (vid)
 GROUP BY cid ORDER BY cid
+""",
+        # mirrors operators/similarity.py::ivfsq_ann_topk: the IVF
+        # cells/probes SQL composed with the SQ bounds + midpoint
+        # reconstruction (global bounds over the full corpus)
+        "ivfsq_ann_topk": KMEANS_CTE + """
+, dims AS (
+  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM b, unnest(generate_series(1, len(v))) AS s(i) GROUP BY 1
+), drow AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+  FROM dims
+), cells AS (
+  SELECT vid AS neighbor_id, v AS cv, cid FROM (
+    SELECT b.vid, b.v, c1.cid,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.v_sq - 2*list_dot_product(b.v, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
+    FROM b, c1) t
+  WHERE rn = 1
+), rcells AS (
+  SELECT neighbor_id, cid,
+    list_transform(generate_series(1, len(cv)), i ->
+      mins[i] + ((CASE WHEN maxs[i] - mins[i] = 0 THEN 0 ELSE
+        least(255, greatest(0,
+          floor((cv[i] - mins[i]) / (maxs[i] - mins[i]) * 256))) END)
+        + 0.5) * (maxs[i] - mins[i]) / 256.0) AS rv
+  FROM cells CROSS JOIN drow
+), qb AS (SELECT vid AS query_id, v AS qv, v_sq AS q_sq FROM b WHERE vid < 5),
+probes AS (
+  SELECT query_id, qv, sqrt(q_sq) AS qn, cid FROM (
+    SELECT qb.query_id, qb.qv, qb.q_sq, c1.cid,
+      row_number() OVER (PARTITION BY qb.query_id
+        ORDER BY round(qb.q_sq - 2*list_dot_product(qb.qv, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
+    FROM qb, c1) t
+  WHERE rn <= 3
+), scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, rv)
+      / (qn * sqrt(list_dot_product(rv, rv))), 6) AS cos_sim
+  FROM rcells JOIN probes USING (cid) WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
 """,
         "ivf_ann_topk": KMEANS_CTE + """
 , cells AS (

@@ -1621,3 +1621,106 @@ def semantic_decontaminate(
             F.col("cos_sim").alias("best_cos"),
         )
     )
+
+
+def ivfsq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    refinements: int = 1,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ8 — the FAISS ``IVF,SQ8`` production composition: the
+    trained coarse quantizer bounds WHICH vectors a query scores
+    (nprobe/n_cells of the corpus, exactly as :func:`ivf_ann_topk`),
+    and SQ8 bounds WHAT a stored candidate costs (uint8 codes, 4x
+    smaller than floats, scored through the bucket-midpoint
+    reconstruction exactly as :func:`sq_ann_topk`). Bounds are
+    trained GLOBALLY (one d-key aggregate), queries stay
+    full-precision. Per-query work ≈ (nprobe/n_cells)·N candidates
+    at 1 byte/dim storage — the midpoint between IVF-Flat (full
+    floats) and IVF-PQ (m-code lossy).
+
+    Deterministic end-to-end; the SQL oracle reproduces cells,
+    probes, bounds, reconstruction, and ranking bit-for-bit."""
+    base = _km_base(corpus, col_id, col_vec)
+    centroids = kmeans_centroids(
+        corpus, n_cells, refinements, col_id, col_vec
+    )
+    bounds = sq_minmax_bounds(corpus, col_id, col_vec)
+    recon_i = _SQ_RECON.format(
+        code="("
+        + _SQ_CODE.format(
+            x="element_at(cv, CAST(i AS INT))",
+            mn="element_at(mins, CAST(i AS INT))",
+            mx="element_at(maxs, CAST(i AS INT))",
+        )
+        + ")",
+        mn="element_at(mins, CAST(i AS INT))",
+        mx="element_at(maxs, CAST(i AS INT))",
+    )
+    cells = (
+        _km_assign(base, centroids)
+        .select(
+            F.col("vid").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            "cid",
+        )
+        .crossJoin(broadcast(bounds))
+        .select(
+            "neighbor_id",
+            "cid",
+            F.expr(
+                f"transform(sequence(1, size(cv)), i -> {recon_i})"
+            ).alias("rv"),
+        )
+        .withColumn("cn", norm(F.col("rv")))
+    )
+    qbase = queries.select(
+        F.col(col_id).alias("query_id"), as_double(col_vec).alias("qv")
+    ).withColumn("q_sq", dot(F.col("qv"), F.col("qv")))
+    c_sq = centroids.withColumn("c_sq", dot(F.col("c"), F.col("c")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("cid")
+    )
+    probes = (
+        qbase.crossJoin(broadcast(c_sq))
+        .select(
+            "query_id",
+            "qv",
+            F.sqrt(F.col("q_sq")).alias("qn"),
+            "cid",
+            F.round(
+                F.col("q_sq")
+                - 2.0 * dot(F.col("qv"), F.col("c"))
+                + F.col("c_sq"),
+                6,
+            ).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qn", "cid")
+    )
+    scored = (
+        cells.join(broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("rv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1074,3 +1074,41 @@ def test_semantic_decontaminate_empty_eval_set_is_clean(spark):
     )
     ev = train.filter(F.col("vec_id") < 0)
     assert semantic_decontaminate(train, ev, 0.1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ivfsq_ann_topk — IVF cells composed with SQ8 reconstruction
+# ---------------------------------------------------------------------------
+
+
+def test_ivfsq_stays_within_probed_cells_and_near_ivf(spark):
+    """IVF-SQ8 retrieves a subset of what IVF-Flat retrieves from the
+    same probed cells (SQ8 only perturbs ranking inside cells, never
+    which cells are probed), and on separated clusters it agrees with
+    IVF-Flat entirely."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivfsq_ann_topk,
+    )
+
+    # ids 0,1 + 4..13 are cluster A; 2,3 + 100.. are cluster B, so
+    # the deterministic seeds (lowest 4 ids) cover BOTH clusters
+    a_ids = [0, 1] + list(range(4, 14))
+    b_ids = [2, 3] + list(range(100, 110))
+    rows = [(i, [1.0 + 0.001 * i, 0.002 * i, 0.0, 0.0])
+            for i in a_ids]
+    rows += [(i, [0.002 * i, 1.0 + 0.001 * i, 0.0, 0.0])
+             for i in b_ids]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id").isin(0, 2))
+    a = {(r.query_id, r.neighbor_id)
+         for r in ivfsq_ann_topk(df, qs, k=5, n_cells=4,
+                                 nprobe=2).collect()}
+    b = {(r.query_id, r.neighbor_id)
+         for r in ivf_ann_topk(df, qs, k=5, n_cells=4,
+                               nprobe=2).collect()}
+    assert len(a) == len(b) == 10
+    assert len(a & b) / len(b) >= 0.8
+    # neighbours stay in the query's own cluster
+    in_a = set(a_ids)
+    assert all((q in in_a) == (nb in in_a) for q, nb in a)

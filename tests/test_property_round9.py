@@ -166,3 +166,149 @@ def test_incremental_line_dedup_equals_batch_when_history_precedes(
         if r.doc_id in batch_ids
     )
     assert inc == full
+
+
+# ---------------------------------------------------------------------------
+# Late round-9 laws: RRF, NB, classifier_eval, semantic decontamination
+# ---------------------------------------------------------------------------
+
+_rank_lists = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_rank_lists)
+def test_rrf_is_invariant_under_list_order(spark, lists):
+    """Fusing [l1, l2, ...] in any input order gives identical
+    output: RRF is a sum over lists."""
+    from recmetrics_pyspark_spark.operators.ranking import rrf_fuse
+
+    dfs = [
+        spark.createDataFrame(
+            [(1, item, i + 1) for i, item in enumerate(lst)],
+            ["query_id", "neighbor_id", "rnk"],
+        )
+        for lst in lists
+    ]
+    fwd = sorted(tuple(r) for r in rrf_fuse(dfs, k=10).collect())
+    rev = sorted(tuple(r) for r in rrf_fuse(dfs[::-1], k=10).collect())
+    assert fwd == rev
+
+
+@settings(max_examples=5, deadline=None)
+@given(_rank_lists)
+def test_rrf_duplicate_list_preserves_that_lists_order(spark, lists):
+    """Fusing a list with itself doubles every score and reproduces
+    the list's own ranking exactly."""
+    from recmetrics_pyspark_spark.operators.ranking import rrf_fuse
+
+    lst = lists[0]
+    df = spark.createDataFrame(
+        [(1, item, i + 1) for i, item in enumerate(lst)],
+        ["query_id", "neighbor_id", "rnk"],
+    )
+    single = {r.neighbor_id: (r.rnk, r.rrf_score)
+              for r in rrf_fuse([df], k=10).collect()}
+    doubled = {r.neighbor_id: (r.rnk, r.rrf_score)
+               for r in rrf_fuse([df, df], k=10).collect()}
+    assert set(single) == set(doubled)
+    for it in single:
+        assert doubled[it][0] == single[it][0]          # same rank
+        assert abs(doubled[it][1] - 2 * single[it][1]) < 2e-6
+
+
+_nb_corpus = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["good fine", "good nice words", "bad awful", "bad sad text",
+             "neutral filler here"]
+        ),
+        st.booleans(),
+    ),
+    min_size=4,
+    max_size=10,
+).filter(lambda rows: len({y for _, y in rows}) == 2)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_nb_corpus)
+def test_nb_is_exactly_repartition_invariant(spark, rows):
+    """DECIMAL log sums make the classifier EXACTLY equal (not just
+    close) under any physical partitioning."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_quality_classifier,
+    )
+
+    docs = [(i, t, y) for i, (t, y) in enumerate(rows)]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "is_hq"])
+    a = sorted(tuple(r)
+               for r in nb_quality_classifier(df, "is_hq").collect())
+    b = sorted(
+        tuple(r)
+        for r in nb_quality_classifier(
+            df.repartition(7), "is_hq"
+        ).collect()
+    )
+    assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(-20, 20)),
+        min_size=4,
+        max_size=12,
+    ).filter(lambda rows: len({y for y, _ in rows}) == 2)
+)
+def test_auc_invariant_under_monotone_score_transform(spark, rows):
+    """ROC AUC depends only on score ORDER: s -> 3s + 7 leaves it
+    unchanged (ties map to ties)."""
+    from recmetrics_pyspark_spark.functions.evals import (
+        classifier_eval,
+    )
+
+    df = spark.createDataFrame(
+        [(int(y), float(s)) for y, s in rows], ["y", "s"]
+    )
+    a = classifier_eval(df, "y", "s").collect()[0].auc
+    df2 = df.selectExpr("y", "3.0 * s + 7.0 AS s")
+    b = classifier_eval(df2, "y", "s").collect()[0].auc
+    assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 1000))
+def test_semantic_decontaminate_threshold_monotone(spark, seed):
+    """Raising the threshold can only SHRINK the flagged set (and
+    hit counts are monotone too)."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    # deterministic pseudo-corpus from the seed (no RNG in Spark)
+    train = spark.createDataFrame(
+        [
+            (100 + i,
+             [1.0 + ((seed + i) % 7) * 0.1, ((seed + 3 * i) % 5) * 0.2])
+            for i in range(6)
+        ],
+        ["vec_id", "embedding"],
+    )
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.3, 1.0])], ["vec_id", "embedding"]
+    )
+    lo = {r.train_id: r.n_eval_hits
+          for r in semantic_decontaminate(train, ev, 0.6).collect()}
+    hi = {r.train_id: r.n_eval_hits
+          for r in semantic_decontaminate(train, ev, 0.9).collect()}
+    assert set(hi) <= set(lo)
+    for t in hi:
+        assert hi[t] <= lo[t]

@@ -1112,3 +1112,59 @@ def test_ivfsq_stays_within_probed_cells_and_near_ivf(spark):
     # neighbours stay in the query's own cluster
     in_a = set(a_ids)
     assert all((q in in_a) == (nb in in_a) for q, nb in a)
+
+
+def test_semantic_decontaminate_runs_under_foreach_batch(
+    spark, tmp_path
+):
+    """Streaming ingest scrub: the benchmark embedding set is static
+    state; each micro-batch of train vectors is scrubbed inside
+    foreachBatch, and the union of micro-batch outputs equals the
+    one-shot batch scrub."""
+    from recmetrics_pyspark_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    ).cache()
+    ev.count()
+
+    b1 = [(100, [1.0, 0.05]), (101, [0.5, 0.5])]
+    b2 = [(102, [0.05, 1.0]), (103, [-1.0, 0.0])]
+    schema = "vec_id bigint, embedding array<double>"
+    src = tmp_path / "sd_stream_src"
+    src.mkdir()
+    got = []
+
+    def handle(bdf, _bid):
+        got.extend(
+            tuple(r)
+            for r in semantic_decontaminate(
+                bdf.select("vec_id", "embedding"), ev, 0.9
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .start()
+    )
+    try:
+        for batch in (b1, b2):
+            spark.createDataFrame(
+                batch, ["vec_id", "embedding"]
+            ).coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    allb = spark.createDataFrame(b1 + b2, ["vec_id", "embedding"])
+    want = [tuple(r)
+            for r in semantic_decontaminate(allb, ev, 0.9).collect()]
+    ev.unpersist()
+    assert sorted(got) == sorted(want)
+    flagged = {t[0] for t in got}
+    assert flagged == {100, 102}  # near-parallel rows; 103 is opposite

@@ -1469,6 +1469,16 @@ def _duplicated_spans(spark, sf_dir):
     return D.duplicated_spans(_docs(spark, sf_dir))
 
 
+def _remove_duplicated_spans_docs(spark, sf_dir):
+    """Exact-substring dedup REWRITE (operators/dedup.py::
+    remove_duplicated_spans): every token inside a corpus-duplicated
+    span is deleted from every carrier and documents re-assembled in
+    token order — the Lee et al. 2022 treatment consuming
+    duplicated_spans' detection; array-local filter, no second
+    corpus pass."""
+    return D.remove_duplicated_spans(_docs(spark, sf_dir))
+
+
 def _q_data_quality(spark, sf_dir):
     """Promotion gate over the orders table: null/range/set column
     checks compiled into ONE scan, key uniqueness, and an orders→
@@ -4154,8 +4164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rouge2_eval_docs + nb_source_classifier + nb_score_holdout +
     nb_holdout_eval + sq_ann_topk + ivfsq_ann_topk +
     dim_truncation_recall +
-    hybrid_rrf_topk + semantic_decontaminate (each
-    verified at 3 SFs on arrival); then re-witness
+    hybrid_rrf_topk + semantic_decontaminate +
+    remove_duplicated_spans_docs (each
+    verified at 3 SFs on arrival — duplicated_spans itself also
+    re-verified at 3 SFs after its oracle was restructured into the
+    shared spansf CTE chain, values unchanged); then re-witness
     the 12 remaining r3-vintage rows: quantiles_approx, ranking_metrics, rollup_incremental,
     seqlen_histogram, session_paths, shuffle_shards,
     simhash_near_pairs, simhash_signatures, temporal_split,
@@ -4463,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_source_classifier": _nb_source_classifier,
         "nb_score_holdout": _nb_score_holdout,
         "nb_holdout_eval": _nb_holdout_eval,
+        "remove_duplicated_spans_docs": _remove_duplicated_spans_docs,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -4703,6 +4717,37 @@ _SIMHASH_HS_SQL = (
     "SELECT doc_id, list_transform(string_split(text, ' '),"
     " x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM documents"
 )
+
+
+# mirrors operators/dedup.py::duplicated_spans (k=3, min_run=2) as a
+# reusable CTE chain ending in `spansf`; shared verbatim between the
+# duplicated_spans oracle and remove_duplicated_spans_docs' rewrite
+_DUP_SPANS_CTES = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), shp AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(list_slice(toks, i, i+2), ' ') AS s
+  FROM d, unnest(generate_series(1, greatest(len(toks)-2, 1))) AS u(i)
+), dfreq AS (
+  SELECT s, count(DISTINCT doc_id) AS n_docs_with FROM shp GROUP BY s
+), dup_pos AS (
+  SELECT shp.doc_id, shp.pos
+  FROM shp JOIN dfreq f ON shp.s = f.s
+  WHERE f.n_docs_with >= 2
+), runs AS (
+  SELECT doc_id,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+    pos
+  FROM dup_pos
+), spansf AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+    CAST(max(pos) + 2 AS BIGINT) AS end_tok,
+    CAST(count(*) AS BIGINT) AS n_dup_shingles
+  FROM runs
+  GROUP BY doc_id, grp
+  HAVING count(*) >= 2
+)"""
 
 
 # mirrors functions/curation.py::nb_train + nb_score (model trained on
@@ -6956,31 +7001,31 @@ WHERE j.jaccard >= 0.1
         "neardup_components": _neardup_components_oracle(),
         "canonical_docs": _canonical_docs_oracle(),
         "incremental_neardup": _incr_neardup_oracle(),
-        "duplicated_spans": """
-WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-), shp AS (
-  SELECT doc_id, i AS pos,
-    array_to_string(list_slice(toks, i, i+2), ' ') AS s
-  FROM d, unnest(generate_series(1, greatest(len(toks)-2, 1))) AS u(i)
-), dfreq AS (
-  SELECT s, count(DISTINCT doc_id) AS n_docs_with FROM shp GROUP BY s
-), dup_pos AS (
-  SELECT shp.doc_id, shp.pos
-  FROM shp JOIN dfreq f ON shp.s = f.s
-  WHERE f.n_docs_with >= 2
-), runs AS (
-  SELECT doc_id,
-    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
-    pos
-  FROM dup_pos
-)
-SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
-  CAST(max(pos) + 2 AS BIGINT) AS end_tok,
-  CAST(count(*) AS BIGINT) AS n_dup_shingles
-FROM runs
-GROUP BY doc_id, grp
-HAVING count(*) >= 2
+        "duplicated_spans": _DUP_SPANS_CTES + """
+SELECT doc_id, start_tok, end_tok, n_dup_shingles FROM spansf
+""",
+        # mirrors operators/dedup.py::remove_duplicated_spans: the
+        # detector's span CTEs (shared verbatim) + a per-token
+        # anti-range filter and in-order reassembly
+        "remove_duplicated_spans_docs": _DUP_SPANS_CTES + """
+, tok AS (
+  SELECT doc_id, i, toks[i] AS t
+  FROM d, unnest(generate_series(1, len(toks))) AS u(i)
+), kept AS (
+  SELECT tok.doc_id, tok.i, tok.t FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spansf sp
+    WHERE sp.doc_id = tok.doc_id
+      AND tok.i BETWEEN sp.start_tok AND sp.end_tok)
+), agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
+    CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1)
+SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+  CAST(len(d.toks) AS BIGINT) AS n_tokens,
+  CAST(len(d.toks) - coalesce(agg.n_kept, 0) AS BIGINT)
+    AS n_tokens_removed
+FROM d LEFT JOIN agg USING (doc_id)
 """,
         "neardup_components_star": _neardup_star_oracle(),
         "mmr_rerank": _mmr_oracle(),

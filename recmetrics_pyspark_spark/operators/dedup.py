@@ -1961,3 +1961,64 @@ def incremental_line_dedup(
         )
     )
     return _rebuild_docs(joined, keep, col_id)
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    k: int = 3,
+    min_run: int = 2,
+) -> DataFrame:
+    """Span-removal rewrite — the treatment step of exact-substring
+    dedup (Lee et al. 2022 DELETE duplicated substrings from the
+    corpus; :func:`duplicated_spans` is the detector, this is the
+    consumer): every token inside any duplicated span, in every
+    document carrying one, is removed and the document re-assembled
+    in original token order (the drop-all convention, matching
+    ``line_dedup(mode='drop_all')`` at line grain). Documents with
+    no spans pass through unchanged; a fully-duplicated document
+    becomes the empty string, which a downstream length filter
+    kills explicitly.
+
+    Plan: rides the detector's shuffles, then ONE doc-grain
+    collect_list of span structs (span count is bounded by doc
+    length / min_run) joined back to the scan; the rewrite itself is
+    an array-local filter over token positions — `exists` against
+    the per-doc span array, no per-token shuffle, no second corpus
+    pass. Output: (id, clean_text, n_tokens, n_tokens_removed)."""
+    spans = duplicated_spans(df, col_id, col_text, k, min_run)
+    sp = spans.groupBy(col_id).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias(
+            "__spans"
+        )
+    )
+    kept = F.expr(
+        """
+filter(
+  transform(split(text, ' '), (t, i) -> struct(t AS t, i + 1 AS p)),
+  s -> __spans IS NULL OR NOT exists(
+    __spans, x -> s.p >= x.start_tok AND s.p <= x.end_tok))
+"""
+    )
+    return (
+        df.select(F.col(col_id), F.col(col_text).alias("text"))
+        .join(sp, col_id, "left")
+        .select(
+            col_id,
+            kept.alias("__kept"),
+            F.size(F.split(F.col("text"), " "))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(
+            col_id,
+            F.concat_ws(
+                " ", F.expr("transform(__kept, s -> s.t)")
+            ).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.size("__kept"))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -1168,3 +1168,75 @@ def test_semantic_decontaminate_runs_under_foreach_batch(
     assert sorted(got) == sorted(want)
     flagged = {t[0] for t in got}
     assert flagged == {100, 102}  # near-parallel rows; 103 is opposite
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicated_spans — the exact-substring dedup rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicated_spans_deletes_the_planted_quote(spark):
+    """A 5-token run shared by two docs is deleted from BOTH (the
+    drop-all convention); unique docs pass through untouched."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = [
+        (1, "u1 u2 COPY ME PLEASE NOW OK u3 u4"),
+        (2, "v1 COPY ME PLEASE NOW OK v2 v3 v4"),
+        (3, "totally unique content in here w9"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = _collect_map(remove_duplicated_spans(df))
+    assert out[1].clean_text == "u1 u2 u3 u4"
+    assert out[2].clean_text == "v1 v2 v3 v4"
+    assert out[1].n_tokens_removed == out[2].n_tokens_removed == 5
+    assert out[3].clean_text == docs[2][1]
+    assert out[3].n_tokens_removed == 0
+
+
+def test_remove_duplicated_spans_fully_duplicated_doc_empties(spark):
+    """A document that IS a duplicated span becomes the empty string
+    (loud, filterable), and token conservation holds everywhere."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = [
+        (1, "THE WHOLE THING IS A COPY"),
+        (2, "THE WHOLE THING IS A COPY"),
+        (3, "pre THE WHOLE THING IS A COPY post"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = _collect_map(remove_duplicated_spans(df))
+    assert out[1].clean_text == "" and out[2].clean_text == ""
+    assert out[3].clean_text == "pre post"
+    for i, (_, text) in zip(sorted(out), docs):
+        r = out[i]
+        kept = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert r.n_tokens == len(text.split(" "))
+        assert r.n_tokens - r.n_tokens_removed == kept
+
+
+def test_remove_duplicated_spans_idempotent_on_clean_output(spark):
+    """Re-running the rewrite on its own output (as a fresh corpus)
+    with the SAME partner docs removed changes nothing: within-doc
+    repeats alone never form corpus-duplicated spans."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = [
+        (1, "a b c SHARED RUN HERE d e f"),
+        (2, "x y SHARED RUN HERE z w q"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    once = remove_duplicated_spans(df).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = _collect_map(remove_duplicated_spans(once))
+    base = _collect_map(remove_duplicated_spans(df))
+    for k in base:
+        assert twice[k].clean_text == base[k].clean_text
+        assert twice[k].n_tokens_removed == 0

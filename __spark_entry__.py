@@ -3159,6 +3159,34 @@ def _nb_holdout_eval(spark, sf_dir):
     return classifier_eval(labeled, "y", "nb_log_odds")
 
 
+def _nb_calibration_bins(spark, sf_dir):
+    """Reliability diagram + ECE (functions/evals.py::
+    calibration_bins) of the NB holdout scores: log-odds squashed
+    through a sigmoid pre-rounded to 9 decimals (so binning agrees
+    across engines), fixed-width decile bins, N-weighted |gap| ECE —
+    the calibration half of the classifier report."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        nb_score,
+        nb_train,
+    )
+    from recmetrics_pyspark_spark.functions.evals import (
+        calibration_bins,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_hq", F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    model = nb_train(docs.filter(F.col("doc_id") % 5 != 0), "is_hq")
+    scored = nb_score(model, docs.filter(F.col("doc_id") % 5 == 0))
+    labeled = scored.join(
+        docs.select("doc_id", F.col("is_hq").cast("int").alias("y")),
+        "doc_id",
+    ).withColumn(
+        "p", F.round(1.0 / (1.0 + F.exp(-F.col("nb_log_odds"))), 9)
+    )
+    return calibration_bins(labeled, "y", "p")
+
+
 def _pass_at_k_items(spark, sf_dir):
     """Unbiased pass@k per part (functions/evals.py::pass_at_k):
     n = purchases capped at 10, c = returned among them."""
@@ -4165,7 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     nb_holdout_eval + sq_ann_topk + ivfsq_ann_topk +
     dim_truncation_recall +
     hybrid_rrf_topk + semantic_decontaminate +
-    remove_duplicated_spans_docs (each
+    remove_duplicated_spans_docs + nb_calibration_bins (each
     verified at 3 SFs on arrival — duplicated_spans itself also
     re-verified at 3 SFs after its oracle was restructured into the
     shared spansf CTE chain, values unchanged); then re-witness
@@ -4477,6 +4505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_score_holdout": _nb_score_holdout,
         "nb_holdout_eval": _nb_holdout_eval,
         "remove_duplicated_spans_docs": _remove_duplicated_spans_docs,
+        "nb_calibration_bins": _nb_calibration_bins,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -8709,6 +8738,48 @@ FROM per CROSS JOIN pri
         # trained on doc_id % 5 != 0, held-out 20% scored with the
         # Laplace unseen-token constant via a LEFT join + coalesce
         "nb_score_holdout": _NB_HOLDOUT_SQL,
+        # mirrors functions/evals.py::calibration_bins over the NB
+        # holdout scores: sigmoid pre-rounded to 9 (binning agrees
+        # across engines), DECIMAL bin means and gap masses, both ECE
+        # sums cast to double before dividing
+        "nb_calibration_bins": f"""
+WITH j AS (
+  SELECT d.y,
+    round(1.0 / (1.0 + exp(-sc.nb_log_odds)), 9) AS p
+  FROM ({_NB_HOLDOUT_SQL}) sc
+  JOIN (
+    SELECT doc_id,
+      CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+           THEN 1 ELSE 0 END AS INT) AS y
+    FROM documents) d USING (doc_id)
+  WHERE sc.nb_log_odds IS NOT NULL),
+b AS (
+  SELECT y, p,
+    CAST(least(9, floor(p * 10)) AS INT) AS bin
+  FROM j),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS sy,
+    sum(CAST(round(p, 9) AS DECIMAL(18,9))) AS sp9
+  FROM b GROUP BY 1),
+g AS (
+  SELECT bin, n, sy, sp9,
+    CAST(round(abs(sy / CAST(n AS DOUBLE)
+                   - CAST(sp9 AS DOUBLE) / n) * n, 9)
+         AS DECIMAL(28,9)) AS gm9
+  FROM per),
+tot AS (
+  SELECT CAST(sum(gm9) AS DOUBLE) AS sgm,
+    CAST(sum(n) AS DOUBLE) AS sn
+  FROM g)
+SELECT bin, bin / 10.0 AS bin_lo, n,
+  round(CAST(sp9 AS DOUBLE) / n, 6) AS mean_prob,
+  round(sy / CAST(n AS DOUBLE), 6) AS pos_rate,
+  round(abs(sy / CAST(n AS DOUBLE)
+            - CAST(sp9 AS DOUBLE) / n), 6) AS abs_gap,
+  round(sgm / sn, 6) AS ece
+FROM g CROSS JOIN tot
+""",
         # mirrors functions/evals.py::classifier_eval over the
         # nb_score_holdout pipeline: distinct-score-grain average
         # ranks (DECIMAL(28,1) rank mass), rank-sum AUC, confusion at

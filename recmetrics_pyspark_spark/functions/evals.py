@@ -275,3 +275,81 @@ def classifier_eval(
         ).alias("f1"),
         F.round(auc, 6).alias("auc"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    col_label: str,
+    col_prob: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error: fixed-width
+    probability bins (Guo et al. 2017's standard ECE construction);
+    per bin the mean predicted probability vs the empirical positive
+    rate, plus the N-weighted |gap| total as ``ece`` repeated on
+    every row (bins-scale output, so the repeat is free and saves
+    callers a second aggregate).
+
+    Determinism: per-row probabilities are rounded to 9 decimals
+    into DECIMAL(18,9) before the bin mean, and the bin |gap| mass
+    is re-rounded to DECIMAL before the ECE sum — both sums are
+    partition-order independent. Callers feeding a libm-derived
+    probability (e.g. a sigmoid of log-odds) should pre-round it to
+    9 decimals so binning agrees across engines. p = 1.0 clamps into
+    the top bin. NULL labels/probabilities are excluded.
+
+    Scale shape: one scan-side bin assignment + one n_bins-key
+    aggregate (map-side combined); the ECE window runs over
+    <= n_bins rows. Output: (bin, bin_lo, n, mean_prob, pos_rate,
+    abs_gap, ece)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(col_label).cast("int").alias("y"),
+        F.col(col_prob).cast("double").alias("p"),
+    ).filter(F.col("y").isNotNull() & F.col("p").isNotNull())
+    b = base.withColumn(
+        "bin",
+        F.least(
+            F.lit(n_bins - 1), F.floor(F.col("p") * n_bins)
+        ).cast("int"),
+    )
+    per = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.round("p", 9).cast("decimal(18,9)")).alias("sp9"),
+    )
+    mean_prob = F.col("sp9").cast("double") / F.col("n")
+    pos_rate = F.col("sy") / F.col("n").cast("double")
+    gap_mass = (
+        F.round(F.abs(pos_rate - mean_prob) * F.col("n"), 9)
+        .cast("decimal(28,9)")
+        .alias("gm9")
+    )
+    w = Window.partitionBy()
+    out = per.select("bin", "n", "sy", "sp9", gap_mass).select(
+        "bin",
+        (F.col("bin") / F.lit(float(n_bins))).alias("bin_lo"),
+        "n",
+        F.round(F.col("sp9").cast("double") / F.col("n"), 6).alias(
+            "mean_prob"
+        ),
+        F.round(F.col("sy") / F.col("n").cast("double"), 6).alias(
+            "pos_rate"
+        ),
+        F.round(
+            F.abs(
+                F.col("sy") / F.col("n").cast("double")
+                - F.col("sp9").cast("double") / F.col("n")
+            ),
+            6,
+        ).alias("abs_gap"),
+        # both sums cast to double BEFORE dividing: decimal-division
+        # result-scale rules differ between engines, doubles don't
+        F.round(
+            F.sum("gm9").over(w).cast("double")
+            / F.sum("n").over(w).cast("double"),
+            6,
+        ).alias("ece"),
+    )
+    return out

@@ -1240,3 +1240,54 @@ def test_remove_duplicated_spans_idempotent_on_clean_output(spark):
     for k in base:
         assert twice[k].clean_text == base[k].clean_text
         assert twice[k].n_tokens_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins — reliability diagram + ECE
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_hand_bins_and_ece(spark):
+    """Two occupied decile bins with hand-computable means, rates,
+    gaps, and the N-weighted ECE; p = 1.0 clamps into the top bin."""
+    from recmetrics_pyspark_spark.functions.evals import (
+        calibration_bins,
+    )
+
+    rows = [(1, 0.05), (0, 0.05), (0, 0.05), (0, 0.05),
+            (1, 0.95), (1, 0.95), (1, 1.0), (1, 1.0)]
+    df = spark.createDataFrame(rows, ["y", "p"])
+    out = {r.bin: r for r in calibration_bins(df, "y", "p").collect()}
+    assert set(out) == {0, 9}
+    assert out[0].mean_prob == 0.05 and out[0].pos_rate == 0.25
+    assert out[0].abs_gap == 0.2
+    assert out[9].mean_prob == 0.975 and out[9].abs_gap == 0.025
+    assert out[0].ece == out[9].ece == round(
+        (0.2 * 4 + 0.025 * 4) / 8, 6
+    )
+
+
+def test_calibration_perfectly_calibrated_scorer_has_zero_ece(spark):
+    """When each bin's positive rate equals its mean probability the
+    ECE is exactly 0."""
+    from recmetrics_pyspark_spark.functions.evals import (
+        calibration_bins,
+    )
+
+    rows = [(1, 0.25), (0, 0.25), (0, 0.25), (0, 0.25),
+            (1, 0.75), (1, 0.75), (1, 0.75), (0, 0.75)]
+    df = spark.createDataFrame(rows, ["y", "p"])
+    out = calibration_bins(df, "y", "p").collect()
+    assert all(r.ece == 0.0 and r.abs_gap == 0.0 for r in out)
+
+
+def test_calibration_null_rows_excluded_and_bins_scale(spark):
+    from recmetrics_pyspark_spark.functions.evals import (
+        calibration_bins,
+    )
+
+    rows = [(1, 0.5), (None, 0.5), (0, None), (0, 0.55)]
+    df = spark.createDataFrame(rows, ["y", "p"])
+    out = calibration_bins(df, "y", "p", n_bins=10).collect()
+    assert len(out) == 1 and out[0].n == 2
+    assert out[0].bin == 5 and out[0].pos_rate == 0.5

@@ -3159,6 +3159,23 @@ def _nb_holdout_eval(spark, sf_dir):
     return classifier_eval(labeled, "y", "nb_log_odds")
 
 
+def _excess_surprisal_docs(spark, sf_dir):
+    """Reference-model selection signal (functions/text.py::
+    excess_surprisal): every non-src0 document scored under its own
+    corpus's unigram LM minus the src0 reference LM — the RHO-loss /
+    DoReMi-family 'learnable and not yet learned' ranking at unigram
+    grain; union-vocabulary Laplace smoothing on both sides."""
+    from recmetrics_pyspark_spark.functions.text import (
+        excess_surprisal,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return excess_surprisal(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
 def _nb_calibration_bins(spark, sf_dir):
     """Reliability diagram + ECE (functions/evals.py::
     calibration_bins) of the NB holdout scores: log-odds squashed
@@ -4193,7 +4210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     nb_holdout_eval + sq_ann_topk + ivfsq_ann_topk +
     dim_truncation_recall +
     hybrid_rrf_topk + semantic_decontaminate +
-    remove_duplicated_spans_docs + nb_calibration_bins (each
+    remove_duplicated_spans_docs + nb_calibration_bins +
+    excess_surprisal_docs (each
     verified at 3 SFs on arrival — duplicated_spans itself also
     re-verified at 3 SFs after its oracle was restructured into the
     shared spansf CTE chain, values unchanged); then re-witness
@@ -4506,6 +4524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_holdout_eval": _nb_holdout_eval,
         "remove_duplicated_spans_docs": _remove_duplicated_spans_docs,
         "nb_calibration_bins": _nb_calibration_bins,
+        "excess_surprisal_docs": _excess_surprisal_docs,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -8738,6 +8757,46 @@ FROM per CROSS JOIN pri
         # trained on doc_id % 5 != 0, held-out 20% scored with the
         # Laplace unseen-token constant via a LEFT join + coalesce
         "nb_score_holdout": _NB_HOLDOUT_SQL,
+        # mirrors functions/text.py::excess_surprisal: union-vocab
+        # Laplace unigram bits under the scored corpus's own LM and
+        # the src0 reference LM, round-9 DECIMAL sums per doc
+        "excess_surprisal_docs": """
+WITH sd AS (
+  SELECT doc_id, text FROM documents WHERE source != 'src0'),
+rd AS (SELECT text FROM documents WHERE source = 'src0'),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM sd),
+sc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_self FROM toks GROUP BY 1),
+rc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_ref FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM rd) t
+  GROUP BY 1),
+vocab AS (
+  SELECT coalesce(sc.w, rc.w) AS w,
+    coalesce(c_self, 0) AS c_self, coalesce(c_ref, 0) AS c_ref
+  FROM sc FULL JOIN rc ON sc.w = rc.w),
+tot AS (
+  SELECT CAST(sum(c_self) AS BIGINT) AS n_self,
+    CAST(sum(c_ref) AS BIGINT) AS n_ref,
+    CAST(count(*) AS BIGINT) AS v
+  FROM vocab),
+bits AS (
+  SELECT w,
+    CAST(round(-log2((c_self + 1) / CAST(n_self + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9)) AS b_self9,
+    CAST(round(-log2((c_ref + 1) / CAST(n_ref + v AS DOUBLE)), 9)
+         AS DECIMAL(18,9)) AS b_ref9
+  FROM vocab CROSS JOIN tot)
+SELECT doc_id, n_tokens,
+  round(CAST(ss AS DOUBLE) / n_tokens, 6) AS bits_self,
+  round(CAST(sr AS DOUBLE) / n_tokens, 6) AS bits_ref,
+  round(CAST(ss - sr AS DOUBLE) / n_tokens, 6) AS excess_bits
+FROM (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    sum(b_self9) AS ss, sum(b_ref9) AS sr
+  FROM toks JOIN bits USING (w) GROUP BY 1) p
+""",
         # mirrors functions/evals.py::calibration_bins over the NB
         # holdout scores: sigmoid pre-rounded to 9 (binning agrees
         # across engines), DECIMAL bin means and gap masses, both ECE

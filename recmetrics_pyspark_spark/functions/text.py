@@ -1654,3 +1654,92 @@ def corpus_datacard(
         )
         .orderBy("source")
     )
+
+
+def excess_surprisal(
+    df: DataFrame,
+    ref_df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+) -> DataFrame:
+    """Reference-model data selection signal (the RHO-loss /
+    DoReMi-family heuristic at unigram grain): score every document
+    of ``df`` under TWO Laplace-smoothed unigram models — its own
+    corpus's and a reference corpus's — and report the per-token
+    bit difference. High ``excess_bits`` marks text that is typical
+    for the reference distribution but still surprising in-corpus
+    (learnable and not yet learned); very negative marks in-corpus
+    boilerplate absent from the reference. Both models smooth over
+    the UNION vocabulary, so out-of-either-vocabulary tokens are
+    well-defined on both sides.
+
+    Determinism: per-token -log2 p is rounded to 9 decimals into
+    DECIMAL(18,9) before each per-document sum (the doc_perplexity
+    rule); the final means divide exact sums.
+
+    Scale shape: TWO vocabulary-scale count tables (one per corpus,
+    map-side combined), merged into one union-vocab bits table that
+    broadcasts (or hash-joins under AQE) onto the scored corpus's
+    token stream; ONE doc-grain shuffle. The reference corpus is
+    touched once, for counts only.
+
+    Output: (id, n_tokens, bits_self, bits_ref, excess_bits)."""
+    toks = df.select(
+        F.col(col_id), F.explode(tokens_col(col_text)).alias("w")
+    )
+    self_cnt = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_self")
+    )
+    ref_cnt = (
+        ref_df.select(F.explode(tokens_col(col_text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ref"))
+    )
+    vocab = self_cnt.join(ref_cnt, "w", "full").select(
+        "w",
+        F.coalesce("c_self", F.lit(0)).cast("bigint").alias("c_self"),
+        F.coalesce("c_ref", F.lit(0)).cast("bigint").alias("c_ref"),
+    )
+    totals = vocab.agg(
+        F.sum("c_self").cast("bigint").alias("n_self"),
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+
+    def _bits9(c, n):
+        return (
+            F.round(
+                -F.log2((c + 1) / (n + F.col("v")).cast("double")), 9
+            )
+            .cast("decimal(18,9)")
+        )
+
+    bits = vocab.crossJoin(F.broadcast(totals)).select(
+        "w",
+        _bits9(F.col("c_self"), F.col("n_self")).alias("b_self9"),
+        _bits9(F.col("c_ref"), F.col("n_ref")).alias("b_ref9"),
+    )
+    per = (
+        toks.join(bits, "w")
+        .groupBy(col_id)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("b_self9").alias("ss"),
+            F.sum("b_ref9").alias("sr"),
+        )
+    )
+    return per.select(
+        col_id,
+        "n_tokens",
+        F.round(
+            F.col("ss").cast("double") / F.col("n_tokens"), 6
+        ).alias("bits_self"),
+        F.round(
+            F.col("sr").cast("double") / F.col("n_tokens"), 6
+        ).alias("bits_ref"),
+        F.round(
+            (F.col("ss") - F.col("sr")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("excess_bits"),
+    )

@@ -1291,3 +1291,53 @@ def test_calibration_null_rows_excluded_and_bins_scale(spark):
     out = calibration_bins(df, "y", "p", n_bins=10).collect()
     assert len(out) == 1 and out[0].n == 2
     assert out[0].bin == 5 and out[0].pos_rate == 0.5
+
+
+# ---------------------------------------------------------------------------
+# excess_surprisal — RHO-loss-style reference-model selection signal
+# ---------------------------------------------------------------------------
+
+
+def test_excess_surprisal_signs_and_symmetry(spark):
+    """In-corpus boilerplate absent from the reference scores
+    negative; reference-typical wording rare in-corpus scores
+    positive; identical corpora score ~0 everywhere."""
+    from recmetrics_pyspark_spark.functions.text import (
+        excess_surprisal,
+    )
+
+    train = [
+        (1, "spam spam spam spam"),
+        (2, "quality reference prose"),
+        (3, "spam spam spam spam"),
+    ]
+    ref = [(10, "quality reference prose here and more quality "
+                "reference prose")]
+    df = spark.createDataFrame(train, ["doc_id", "text"])
+    rf = spark.createDataFrame(ref, ["doc_id", "text"])
+    out = _collect_map(excess_surprisal(df, rf))
+    assert out[1].excess_bits < 0 < out[2].excess_bits
+    assert out[1].excess_bits == out[3].excess_bits  # same content
+    # self-reference: identical distributions -> zero excess
+    self_out = excess_surprisal(df, df).collect()
+    assert all(abs(r.excess_bits) < 1e-9 for r in self_out)
+
+
+def test_excess_surprisal_oov_tokens_well_defined(spark):
+    """Tokens absent from the reference (or from the corpus) take
+    the Laplace floor on that side — no NULLs, no infinities."""
+    from recmetrics_pyspark_spark.functions.text import (
+        excess_surprisal,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only corpus words")], ["doc_id", "text"]
+    )
+    rf = spark.createDataFrame(
+        [(10, "entirely different reference tokens")],
+        ["doc_id", "text"],
+    )
+    r = excess_surprisal(df, rf).collect()[0]
+    assert r.bits_self is not None and r.bits_ref is not None
+    # corpus tokens are cheap in-corpus, at the Laplace floor in ref
+    assert r.bits_ref > r.bits_self

@@ -3159,6 +3159,19 @@ def _nb_holdout_eval(spark, sf_dir):
     return classifier_eval(labeled, "y", "nb_log_odds")
 
 
+def _ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing
+    (functions/curation.py::ccnet_perplexity_buckets): tercile
+    cutoffs over the in-corpus bigram perplexity, md5-bucket keep
+    decisions at rates 1.0/0.5/0.1 — the Wenzek et al. 2020 filter
+    step as one declared query."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        ccnet_perplexity_buckets,
+    )
+
+    return ccnet_perplexity_buckets(_docs(spark, sf_dir))
+
+
 def _excess_surprisal_docs(spark, sf_dir):
     """Reference-model selection signal (functions/text.py::
     excess_surprisal): every non-src0 document scored under its own
@@ -4211,7 +4224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dim_truncation_recall +
     hybrid_rrf_topk + semantic_decontaminate +
     remove_duplicated_spans_docs + nb_calibration_bins +
-    excess_surprisal_docs (each
+    excess_surprisal_docs + ccnet_perplexity_buckets (doc_perplexity
+    also re-verified at 3 SFs after its oracle moved to the shared
+    _DOC_PPLX_SQL constant, values unchanged) (each
     verified at 3 SFs on arrival — duplicated_spans itself also
     re-verified at 3 SFs after its oracle was restructured into the
     shared spansf CTE chain, values unchanged); then re-witness
@@ -4525,6 +4540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicated_spans_docs": _remove_duplicated_spans_docs,
         "nb_calibration_bins": _nb_calibration_bins,
         "excess_surprisal_docs": _excess_surprisal_docs,
+        "ccnet_perplexity_buckets": _ccnet_perplexity_buckets,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -4850,6 +4866,34 @@ SELECT doc_id, n_tokens,
             WHEN CAST(prior9 + s AS DOUBLE) <= 0 THEN 0
        END AS INT) AS predicted_pos
 FROM per CROSS JOIN consts
+"""
+
+
+# mirrors functions/text.py::doc_perplexity; shared between its own
+# oracle and ccnet_perplexity_buckets' scorer subquery
+_DOC_PPLX_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tok AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM tok GROUP BY 1, 2
+), lm2 AS (
+  SELECT w1, w2, c12,
+    sum(c12) OVER (PARTITION BY w1) AS c1
+  FROM lm
+), sc AS (
+  SELECT t.doc_id,
+    CAST(round(-log2(CAST(l.c12 AS DOUBLE) / l.c1), 9)
+         AS DECIMAL(18,9)) AS bits
+  FROM tok t JOIN lm2 l ON t.w1 = l.w1 AND t.w2 = l.w2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS avg_bits,
+  CAST(floor(CAST(sum(bits) AS DOUBLE) / count(*)) AS INT)
+    AS bits_bucket
+FROM sc GROUP BY doc_id
 """
 
 
@@ -5705,29 +5749,27 @@ SELECT r_bin, f_bin, m_bin,
   round(CAST(sum(m_dec) AS DOUBLE) / count(*), 6) AS avg_monetary
 FROM binned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
-        "doc_perplexity": """
-WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-), tok AS (
-  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)
-), lm AS (
-  SELECT w1, w2, count(*) AS c12 FROM tok GROUP BY 1, 2
-), lm2 AS (
-  SELECT w1, w2, c12,
-    sum(c12) OVER (PARTITION BY w1) AS c1
-  FROM lm
-), sc AS (
-  SELECT t.doc_id,
-    CAST(round(-log2(CAST(l.c12 AS DOUBLE) / l.c1), 9)
-         AS DECIMAL(18,9)) AS bits
-  FROM tok t JOIN lm2 l ON t.w1 = l.w1 AND t.w2 = l.w2
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-  round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS avg_bits,
-  CAST(floor(CAST(sum(bits) AS DOUBLE) / count(*)) AS INT)
-    AS bits_bucket
-FROM sc GROUP BY doc_id
+        "doc_perplexity": _DOC_PPLX_SQL,
+        # mirrors functions/curation.py::ccnet_perplexity_buckets:
+        # the doc_perplexity SQL as the scorer subquery, round-6
+        # quantile_cont cutoffs, mixture_sample's md5-bucket keep
+        "ccnet_perplexity_buckets": f"""
+WITH px AS (
+  SELECT doc_id, avg_bits FROM ({_DOC_PPLX_SQL}) t),
+cut AS (
+  SELECT round(quantile_cont(avg_bits, 0.33), 6) AS c1,
+    round(quantile_cont(avg_bits, 0.67), 6) AS c2
+  FROM px)
+SELECT doc_id, avg_bits,
+  CASE WHEN avg_bits <= c1 THEN 'head'
+       WHEN avg_bits <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+  CASE WHEN avg_bits <= c1 THEN 1.0
+       WHEN avg_bits <= c2 THEN 0.5 ELSE 0.1 END AS keep_rate,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS BIGINT)
+      / 4096.0
+    < CASE WHEN avg_bits <= c1 THEN 1.0
+           WHEN avg_bits <= c2 THEN 0.5 ELSE 0.1 END AS keep
+FROM px CROSS JOIN cut
 """,
         "dsir_importance": """
 WITH tb AS (

@@ -1757,3 +1757,69 @@ def nb_score(
         .cast("int")
         .alias("predicted_pos"),
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    col_id: str = "doc_id",
+    col_text: str = "text",
+    cuts: tuple[float, float] = (0.33, 0.67),
+    rates: tuple[float, float, float] = (1.0, 0.5, 0.1),
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head/middle/tail by LM perplexity terciles — head
+    (lowest bits, most fluent) keeps everything, middle samples,
+    tail mostly drops — using the in-corpus bigram LM of
+    :func:`recmetrics_pyspark_spark.functions.text.doc_perplexity`
+    as the scorer. Keep decisions are the RNG-free md5-bucket rule
+    of ``mixture_sample`` (keep iff u(id) < rate(bucket)), so the
+    sample is reproducible at any scale and in plain SQL.
+
+    Cutoffs are EXACT interpolated percentiles rounded to 6 decimals
+    before the comparison (the q_quantiles_by_flag convention —
+    round-6 absorbs interpolation ULP across engines); they travel
+    as a one-row broadcast back over the doc-grain score table, so
+    the only corpus-scale work is the perplexity scorer itself.
+
+    Output: (id, avg_bits, bucket, keep_rate, keep)."""
+    from .text import doc_perplexity
+
+    px = doc_perplexity(df, col_id, col_text)
+    cutoffs = px.agg(
+        F.round(
+            F.expr(f"percentile(avg_bits, {cuts[0]!r})"), 6
+        ).alias("c1"),
+        F.round(
+            F.expr(f"percentile(avg_bits, {cuts[1]!r})"), 6
+        ).alias("c2"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(col_id).cast("string")), 1, 3),
+            16,
+            10,
+        ).cast("double")
+        / 4096.0
+    )
+    bucket = (
+        F.when(F.col("avg_bits") <= F.col("c1"), "head")
+        .when(F.col("avg_bits") <= F.col("c2"), "middle")
+        .otherwise("tail")
+    )
+    rate = (
+        F.when(F.col("bucket") == "head", F.lit(rates[0]))
+        .when(F.col("bucket") == "middle", F.lit(rates[1]))
+        .otherwise(F.lit(rates[2]))
+    )
+    return (
+        px.crossJoin(F.broadcast(cutoffs))
+        .withColumn("bucket", bucket)
+        .withColumn("keep_rate", rate)
+        .select(
+            col_id,
+            "avg_bits",
+            "bucket",
+            "keep_rate",
+            (u < F.col("keep_rate")).alias("keep"),
+        )
+    )

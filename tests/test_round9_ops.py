@@ -1341,3 +1341,37 @@ def test_excess_surprisal_oov_tokens_well_defined(spark):
     assert r.bits_self is not None and r.bits_ref is not None
     # corpus tokens are cheap in-corpus, at the Laplace floor in ref
     assert r.bits_ref > r.bits_self
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets — head/middle/tail LM filtering
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_partition_and_rates(spark):
+    """Every scored doc lands in exactly one bucket; head keeps
+    everything (rate 1.0); bucket boundaries follow the tercile
+    cutoffs; the keep decision is the deterministic md5 rule."""
+    from recmetrics_pyspark_spark.functions.curation import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    out = ccnet_perplexity_buckets(docs).collect()
+    assert len(out) == docs.count()  # every doc has >= 1 bigram here
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert all(r.keep for r in by_bucket["head"])
+    assert all(r.keep_rate == 1.0 for r in by_bucket["head"])
+    assert all(r.keep_rate == 0.1 for r in by_bucket["tail"])
+    hi_head = max(r.avg_bits for r in by_bucket["head"])
+    lo_tail = min(r.avg_bits for r in by_bucket["tail"])
+    assert hi_head <= lo_tail
+    # determinism: a rerun keeps exactly the same docs
+    again = {r.doc_id: r.keep
+             for r in ccnet_perplexity_buckets(docs).collect()}
+    assert all(again[r.doc_id] == r.keep for r in out)

@@ -1373,6 +1373,21 @@ def _canonical_docs(spark, sf_dir):
     return D.canonical_docs(_docs(spark, sf_dir))
 
 
+def _soft_dedup_weights(spark, sf_dir):
+    """Soft dedup (the SemDeDup-paper alternative to hard removal):
+    keep every near-dup cluster member but down-weight each to
+    1/cluster_size, so a cluster contributes one document's worth of
+    training mass however many copies it has. Rides canonical_docs'
+    component table; singletons weigh 1."""
+    out = D.canonical_docs(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "component_id",
+        "n_members",
+        F.round(F.lit(1.0) / F.col("n_members"), 6).alias("weight"),
+    )
+
+
 def _weighted_sample(spark, sf_dir):
     """Per-language weighted sample without replacement, 25 docs per
     stratum with inclusion ∝ n_chars (functions/curation.py::
@@ -4224,7 +4239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dim_truncation_recall +
     hybrid_rrf_topk + semantic_decontaminate +
     remove_duplicated_spans_docs + nb_calibration_bins +
-    excess_surprisal_docs + ccnet_perplexity_buckets (doc_perplexity
+    excess_surprisal_docs + ccnet_perplexity_buckets +
+    soft_dedup_weights (doc_perplexity
     also re-verified at 3 SFs after its oracle moved to the shared
     _DOC_PPLX_SQL constant, values unchanged) (each
     verified at 3 SFs on arrival — duplicated_spans itself also
@@ -4541,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_calibration_bins": _nb_calibration_bins,
         "excess_surprisal_docs": _excess_surprisal_docs,
         "ccnet_perplexity_buckets": _ccnet_perplexity_buckets,
+        "soft_dedup_weights": _soft_dedup_weights,
     }
     ordered = {k: base[k] for k in _ROUND9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
@@ -7090,6 +7107,13 @@ WHERE j.jaccard >= 0.1
 """,
         "neardup_components": _neardup_components_oracle(),
         "canonical_docs": _canonical_docs_oracle(),
+        # mirrors _soft_dedup_weights: the canonical_docs oracle
+        # reused verbatim, reduced to the 1/cluster_size weight
+        "soft_dedup_weights": f"""
+SELECT doc_id, component_id, n_members,
+  round(1.0 / n_members, 6) AS weight
+FROM ({_canonical_docs_oracle()}) t
+""",
         "incremental_neardup": _incr_neardup_oracle(),
         "duplicated_spans": _DUP_SPANS_CTES + """
 SELECT doc_id, start_tok, end_tok, n_dup_shingles FROM spansf

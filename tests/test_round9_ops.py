@@ -1375,3 +1375,31 @@ def test_ccnet_buckets_partition_and_rates(spark):
     again = {r.doc_id: r.keep
              for r in ccnet_perplexity_buckets(docs).collect()}
     assert all(again[r.doc_id] == r.keep for r in out)
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark):
+    """Each near-dup cluster's weights sum to ~1 (one document's
+    worth of training mass); singletons weigh exactly 1."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        canonical_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shingle content block one two three"),
+            (2, "shared shingle content block one two three"),
+            (3, "completely different standalone page text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = canonical_docs(docs).select(
+        "doc_id", "component_id", "n_members",
+        (F.lit(1.0) / F.col("n_members")).alias("weight"),
+    ).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for members in by_comp.values():
+        assert abs(sum(m.weight for m in members) - 1.0) < 1e-9
+    singles = [r for r in out if r.n_members == 1]
+    assert all(r.weight == 1.0 for r in singles)

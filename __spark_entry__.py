@@ -2112,12 +2112,14 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id,
-    {_COS_SQL.format(a='qv', b='e.v')} AS cos_sim
+    round(list_dot_product(qv, e.v)
+      / nullif(sqrt(list_dot_product(qv, qv))
+               * sqrt(list_dot_product(e.v, e.v)), 0), 6) AS cos_sim
   FROM q, e WHERE e.vec_id <> query_id)
 SELECT query_id, neighbor_id, cos_sim, rnk FROM (
   SELECT query_id, neighbor_id, cos_sim,
     CAST(row_number() OVER (PARTITION BY query_id
-      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+      ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS BIGINT) AS rnk
   FROM scored) t
 WHERE rnk <= 10
 """
@@ -4942,13 +4944,13 @@ q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 scored AS (
   SELECT query_id, neighbor_id,
     round(list_dot_product(qv, rv)
-      / (sqrt(list_dot_product(qv, qv))
-         * sqrt(list_dot_product(rv, rv))), 6) AS cos_sim
+      / nullif(sqrt(list_dot_product(qv, qv))
+               * sqrt(list_dot_product(rv, rv)), 0), 6) AS cos_sim
   FROM q, r WHERE neighbor_id <> query_id)
 SELECT query_id, neighbor_id, cos_sim, rnk FROM (
   SELECT query_id, neighbor_id, cos_sim,
     CAST(row_number() OVER (PARTITION BY query_id
-      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+      ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS BIGINT) AS rnk
   FROM scored) t
 WHERE rnk <= 10
 """
@@ -8378,12 +8380,12 @@ probes AS (
 ), scored AS (
   SELECT query_id, neighbor_id,
     round(list_dot_product(qv, rv)
-      / (qn * sqrt(list_dot_product(rv, rv))), 6) AS cos_sim
+      / nullif(qn * sqrt(list_dot_product(rv, rv)), 0), 6) AS cos_sim
   FROM rcells JOIN probes USING (cid) WHERE neighbor_id <> query_id)
 SELECT query_id, neighbor_id, cos_sim, rnk FROM (
   SELECT query_id, neighbor_id, cos_sim,
     CAST(row_number() OVER (PARTITION BY query_id
-      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+      ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS BIGINT) AS rnk
   FROM scored) t
 WHERE rnk <= 10
 """,
@@ -8880,7 +8882,7 @@ WITH j AS (
   WHERE sc.nb_log_odds IS NOT NULL),
 b AS (
   SELECT y, p,
-    CAST(least(9, floor(p * 10)) AS INT) AS bin
+    CAST(greatest(0, least(9, floor(p * 10))) AS INT) AS bin
   FROM j),
 per AS (
   SELECT bin, CAST(count(*) AS BIGINT) AS n,

@@ -1548,8 +1548,13 @@ def nb_quality_classifier(
     loud signal, not a silent wrong answer.
 
     Output: (id, is_labeled_pos, n_tokens, nb_log_odds,
-    predicted_pos). Zero-token documents cannot occur (split always
-    yields >= 1 token); both engines tokenize identically.
+    predicted_pos). Zero-token documents cannot occur for non-NULL
+    text (split always yields >= 1 token); both engines tokenize
+    identically. NULL-text documents contribute no tokens to the
+    model but are CONSERVED in the output with NULL n_tokens /
+    nb_log_odds / predicted_pos (the module's loud-NULL rule —
+    explode over split(NULL) would silently drop the row), via a
+    scan-side filtered union, no extra shuffle.
     """
     lab = df.select(
         F.col(col_id),
@@ -1611,7 +1616,7 @@ def nb_quality_classifier(
         )
     )
     score = (F.col("prior9") + F.col("s")).cast("double")
-    return per.crossJoin(F.broadcast(prior)).select(
+    scored = per.crossJoin(F.broadcast(prior)).select(
         col_id,
         "is_labeled_pos",
         "n_tokens",
@@ -1621,6 +1626,14 @@ def nb_quality_classifier(
         .cast("int")
         .alias("predicted_pos"),
     )
+    null_text = lab.filter(F.col("__text").isNull()).select(
+        col_id,
+        F.col("y").alias("is_labeled_pos"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("double").alias("nb_log_odds"),
+        F.lit(None).cast("int").alias("predicted_pos"),
+    )
+    return scored.unionByName(null_text)
 
 
 def nb_train(
@@ -1722,9 +1735,12 @@ def nb_score(
 
     Scale shape: the model is vocabulary-scale and broadcastable
     (AQE) or hash-joinable; constants ride one one-row broadcast;
-    ONE doc-grain shuffle sums the scores. In streaming, call this
-    inside foreachBatch with the model read once — the model is
-    static state, the batch is the only moving data."""
+    ONE doc-grain shuffle sums the scores. NULL-text documents are
+    conserved with NULL n_tokens / nb_log_odds / predicted_pos
+    (loud-NULL rule, scan-side union — explode over split(NULL)
+    would silently drop them). In streaming, call this inside
+    foreachBatch with the model read once — the model is static
+    state, the batch is the only moving data."""
     consts = model.agg(
         F.first("prior9").alias("prior9"),
         F.first("unseen_llr9").alias("unseen_llr9"),
@@ -1748,7 +1764,7 @@ def nb_score(
         )
     )
     score = (F.col("prior9") + F.col("s")).cast("double")
-    return per.select(
+    scored = per.select(
         col_id,
         "n_tokens",
         F.round(score, 6).alias("nb_log_odds"),
@@ -1757,6 +1773,15 @@ def nb_score(
         .cast("int")
         .alias("predicted_pos"),
     )
+    # conserve NULL-text documents with NULL scores (loud-NULL rule;
+    # explode over split(NULL) drops the row) — scan-side union
+    null_text = df.filter(F.col(col_text).isNull()).select(
+        F.col(col_id),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("double").alias("nb_log_odds"),
+        F.lit(None).cast("int").alias("predicted_pos"),
+    )
+    return scored.unionByName(null_text)
 
 
 def ccnet_perplexity_buckets(

@@ -186,6 +186,7 @@ def classifier_eval(
     col_label: str,
     col_score: str,
     threshold: float = 0.0,
+    score_buckets: int = 1024,
 ) -> DataFrame:
     """Binary-classifier quality report in ONE row: confusion matrix
     at ``threshold`` (predict positive iff score > threshold),
@@ -195,19 +196,33 @@ def classifier_eval(
     convention — ties contribute 0.5, so an all-constant scorer
     lands at exactly 0.5).
 
-    Scale shape: one aggregate to the DISTINCT-SCORE grain, one
-    running count over that grain (the long_tail distinct-volume
-    pattern — the window is score-catalog-sized, never row-scale),
-    one final one-row reduction. Rank mass per score group is exact
-    in DECIMAL(28,1) (integer + .5 fractions only), so the sum is
-    partition-order independent and engine-portable. NULL scores and
-    NULL labels are excluded up front (both engines agree).
+    Scale shape: one aggregate to the DISTINCT-SCORE grain, then a
+    TWO-LEVEL prefix sum instead of a single global-ordered window
+    (a continuous scorer — NB log-odds, a sigmoid — makes the
+    distinct-score grain row-scale, and a global ``orderBy(s)``
+    window would sort all of it in one task). Level 1: each distinct
+    score lands in one of ``score_buckets`` equal-width value
+    buckets over the observed [min, max] range (bucket id is
+    monotone in s, equal scores share a bucket, so bucket order IS
+    score order); per-bucket totals get their running offset from
+    one window over ≤ ``score_buckets`` rows. Level 2: the
+    within-bucket running count is a window PARTITIONED by bucket —
+    hash-distributed, each task sorts ~1/score_buckets of the
+    grain. cum_before = bucket offset + within-bucket prefix,
+    exactly the value the global window produced. Rank mass per
+    score group is exact in DECIMAL(28,1) (integer + .5 fractions
+    only), so the sum is partition-order independent and
+    engine-portable. NULL scores and NULL labels are excluded up
+    front (both engines agree); NaN scores clamp into the top
+    bucket, where the within-bucket sort places them after every
+    finite score — Spark's NaN-greatest total order, preserved.
 
     Output: (n_pos, n_neg, tp, fp, fn, tn, precision, recall, f1,
     auc). Degenerate one-class inputs yield NULL auc (division
     nullif-guarded), never a silent 0."""
     from pyspark.sql.window import Window
 
+    nb = int(score_buckets)
     base = df.select(
         F.col(col_label).cast("int").alias("y"),
         F.col(col_score).cast("double").alias("s"),
@@ -216,16 +231,53 @@ def classifier_eval(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("np"),
     )
-    w = (
-        Window.orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # level-1 bucketing: finite range from the non-NaN scores (one
+    # broadcast row); frac clamps to [0, 1] so ±inf can't overflow
+    # the floor-cast, and a constant-score corpus (range 0 → NULL
+    # frac) lands everything in bucket 0 via greatest's null-skip
+    rng = g.agg(
+        F.min(F.when(~F.isnan("s"), F.col("s"))).alias("smin"),
+        F.max(F.when(~F.isnan("s"), F.col("s"))).alias("smax"),
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            (F.col("s") - F.col("smin"))
+            / F.nullif(F.col("smax") - F.col("smin"), F.lit(0.0)),
+        ),
+    )
+    gb = g.crossJoin(F.broadcast(rng)).withColumn(
+        "bkt",
+        F.when(F.isnan("s"), F.lit(nb - 1))
+        .otherwise(F.least(F.lit(nb - 1), F.floor(frac * nb)))
+        .cast("int"),
+    )
+    wb = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boffs = (
+        gb.groupBy("bkt")
+        .agg(F.sum("n").alias("bn"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bn").over(wb), F.lit(0))
+            .cast("bigint")
+            .alias("bkt_before"),
+        )
+    )
+    ws = Window.partitionBy("bkt").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     # average rank of a tie group = rows before it + (n+1)/2; the
     # group's positive rank mass is np * that — a .0/.5 fraction,
     # exact in DECIMAL(28,1)
-    ranked = g.withColumn(
+    ranked = gb.join(F.broadcast(boffs), "bkt").withColumn(
         "cum_before",
-        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint"),
+        (
+            F.col("bkt_before")
+            + F.coalesce(F.sum("n").over(ws), F.lit(0))
+        ).cast("bigint"),
     ).select(
         "n",
         "np",
@@ -296,7 +348,10 @@ def calibration_bins(
     partition-order independent. Callers feeding a libm-derived
     probability (e.g. a sigmoid of log-odds) should pre-round it to
     9 decimals so binning agrees across engines. p = 1.0 clamps into
-    the top bin. NULL labels/probabilities are excluded.
+    the top bin; out-of-range probabilities clamp symmetrically
+    (p < 0 into bin 0, p > 1 into the top bin) instead of minting
+    negative bin ids that would silently skew the ECE weights. NULL
+    labels/probabilities are excluded.
 
     Scale shape: one scan-side bin assignment + one n_bins-key
     aggregate (map-side combined); the ECE window runs over
@@ -310,8 +365,9 @@ def calibration_bins(
     ).filter(F.col("y").isNotNull() & F.col("p").isNotNull())
     b = base.withColumn(
         "bin",
-        F.least(
-            F.lit(n_bins - 1), F.floor(F.col("p") * n_bins)
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(n_bins - 1), F.floor(F.col("p") * n_bins)),
         ).cast("int"),
     )
     per = b.groupBy("bin").agg(

@@ -179,7 +179,13 @@ def ann_bruteforce_topk(
 
     Broadcast-cross-join (|Q| small) → codegen'd cosine → per-query
     row_number. Self-matches are excluded. Ties broken by neighbour id
-    so ranks are deterministic."""
+    so ranks are deterministic. The denominator is nullif-guarded and
+    the rank window is desc_nulls_last: an all-zero vector on either
+    side scores NULL and sorts after every real score on both engines
+    (instead of raising DIVIDE_BY_ZERO under ANSI mode, or NaN-sorting
+    FIRST under Spark's NaN-greatest DESC order while DuckDB diverges)
+    — the same degenerate-vector rule as dim_truncation_recall and
+    semantic_decontaminate."""
     # norms are precomputed per side so each of the |Q|x|C| pairs does
     # one dot product, not one dot + two norms
     q = queries.select(
@@ -197,12 +203,14 @@ def ann_bruteforce_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+                dot(F.col("qv"), F.col("cv"))
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
+                6,
             ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
+        F.desc_nulls_last("cos_sim"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -1408,7 +1416,9 @@ def sq_ann_topk(
     transform off the broadcast bounds row, so at 100 TB the corpus
     scan reads uint8 codes instead of float32 vectors. Compose with
     the IVF cell router for sublinear scoring exactly as
-    ivfpq_ann_topk routes PQ."""
+    ivfpq_ann_topk routes PQ. Degenerate vectors (all-zero query or
+    reconstruction) score NULL via the nullif guard and rank last
+    (desc_nulls_last) — the ann_bruteforce_topk rule."""
     bounds = sq_minmax_bounds(corpus, col_id, col_vec)
     code_i = _SQ_CODE.format(
         x="element_at(cv, CAST(i AS INT))",
@@ -1446,13 +1456,13 @@ def sq_ann_topk(
             "neighbor_id",
             F.round(
                 dot(F.col("qv"), F.col("rv"))
-                / (F.col("qn") * F.col("cn")),
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
                 6,
             ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
+        F.desc_nulls_last("cos_sim"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -1489,7 +1499,11 @@ def dim_truncation_recall(
     not, so the truncated cosine's denominator is nullif-guarded:
     zero-norm pairs score NULL and sort after every real score on
     both engines (DESC puts NULLs last) instead of raising under
-    ANSI mode."""
+    ANSI mode. The exact baseline (``ann_bruteforce_topk``) applies
+    the SAME guard and desc_nulls_last ordering, so the frac-1.0 row
+    really is recall 1 by construction — both passes rank degenerate
+    vectors identically (k-boundary ties still break by neighbour id
+    in both)."""
     exact = ann_bruteforce_topk(
         corpus, queries, k, col_id, col_vec
     ).select("query_id", "neighbor_id")
@@ -1712,13 +1726,13 @@ def ivfsq_ann_topk(
             "neighbor_id",
             F.round(
                 dot(F.col("qv"), F.col("rv"))
-                / (F.col("qn") * F.col("cn")),
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
                 6,
             ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
+        F.desc_nulls_last("cos_sim"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -1738,3 +1738,114 @@ def ivfsq_ann_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def semantic_decontaminate_ivf(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    refinements: int = 1,
+    quantizer: DataFrame | None = None,
+    col_id: str = "vec_id",
+    col_vec: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_decontaminate` with the IVF cell router in
+    place of the eval broadcast — the declared scale-out lane the
+    broadcast path's docstring promises: when the eval set is too
+    large to broadcast-score against every train vector, train
+    vectors are bucketed into IVF cells (the :func:`kmeans_centroids`
+    coarse quantizer) and each EVAL vector probes only its ``nprobe``
+    nearest cells, so the pairwise cosine work drops from
+    N_train x N_eval to ~(nprobe/n_cells) x N_train x N_eval — the
+    exact candidate-bounding trade :func:`ivf_ann_topk` makes.
+
+    Same output contract as the broadcast path (train_id,
+    n_eval_hits, best_eval_id, best_cos), restricted to hits whose
+    train vector lies in a probed cell: a contaminated train vector
+    whose cell no eval vector probes is MISSED — the standard IVF
+    recall trade, measured against the broadcast path in
+    tests/test_round10_ops.py. ``quantizer`` (default: the train
+    side) is the corpus the coarse centroids are trained on; pass
+    the full vector table when the train side's ids don't include
+    the deterministic seed ids (seeds are vec_id < n_cells).
+
+    Scale shape: centroids are k x dim (broadcast, memoized per
+    session); cell assignment is one train-scan argmin; probes are
+    an eval-scale row_number over n_cells candidates; the hit join
+    is cell-bucketed (broadcast of the probed eval rows per cell),
+    and only HIT-scale rows reach the per-train window. Deterministic
+    end-to-end; the SQL oracle reproduces cells, probes, and ranking
+    bit-for-bit."""
+    qcorp = train if quantizer is None else quantizer
+    base = _km_base(train, col_id, col_vec)
+    centroids = kmeans_centroids(
+        qcorp, n_cells, refinements, col_id, col_vec
+    )
+    cells = (
+        _km_assign(base, centroids)
+        .select(
+            F.col("vid").alias("train_id"),
+            F.col("v").alias("tv"),
+            "cid",
+        )
+        .withColumn("tn", norm(F.col("tv")))
+    )
+    qbase = eval_df.select(
+        F.col(col_id).alias("eval_id"), as_double(col_vec).alias("qv")
+    ).withColumn("q_sq", dot(F.col("qv"), F.col("qv")))
+    c_sq = centroids.withColumn("c_sq", dot(F.col("c"), F.col("c")))
+    wq = Window.partitionBy("eval_id").orderBy(
+        F.asc("dist"), F.asc("cid")
+    )
+    probes = (
+        qbase.crossJoin(broadcast(c_sq))
+        .select(
+            "eval_id",
+            "qv",
+            F.sqrt(F.col("q_sq")).alias("qn"),
+            "cid",
+            F.round(
+                F.col("q_sq")
+                - 2.0 * dot(F.col("qv"), F.col("c"))
+                + F.col("c_sq"),
+                6,
+            ).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("eval_id", "qv", "qn", "cid")
+    )
+    hits = (
+        cells.join(broadcast(probes), "cid")
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(
+                dot(F.col("tv"), F.col("qv"))
+                / F.nullif(F.col("tn") * F.col("qn"), F.lit(0.0)),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.desc("cos_sim"), F.asc("eval_id")
+    )
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "n_eval_hits",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("train_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            "train_id",
+            "n_eval_hits",
+            F.col("eval_id").alias("best_eval_id"),
+            F.col("cos_sim").alias("best_cos"),
+        )
+    )

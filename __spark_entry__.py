@@ -756,12 +756,133 @@ def _ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
 
 
+def _lsh_recall_report(spark, sf_dir):
+    """Witnessed DEDUP recall — the sq_recall_report pattern applied
+    to the near-dup family: one row reporting how many of the exact
+    Jaccard >= 0.1 pairs (ngram_jaccard_pairs, the all-pairs truth
+    the LSH path exists to avoid) the banded MinHash path
+    (minhash_lsh_pairs, 8 hashes x 4 bands) actually surfaces, plus
+    the mean true Jaccard of the MISSED pairs (misses should
+    concentrate just above threshold — the S-curve's soft region
+    lsh_parameter_plan models). Pins banding RECALL as a driver
+    oracle row rather than a pytest-only assertion; output-scale
+    work over two already-declared pair sets."""
+    docs = _docs(spark, sf_dir)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.1).select(
+        "id_a", "id_b", "jaccard"
+    )
+    approx = D.minhash_lsh_pairs(docs, threshold=0.1).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    j = exact.join(approx, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0)))
+        .cast("bigint")
+        .alias("n_hit"),
+        F.round(
+            F.avg(F.when(F.col("hit").isNull(), F.col("jaccard"))), 6
+        ).alias("missed_mean_jaccard"),
+    ).select(
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        "missed_mean_jaccard",
+    )
+
+
+def _arena_bt_ratings(spark, sf_dir):
+    """Arena-style preference leaderboard (operators/ranking.py::
+    bradley_terry_ratings): the mined DPO preference pairs (each
+    user's top-rated item beats their bottom-rated item) feed a
+    fixed-8-round Bradley-Terry MM fit — per item its win count,
+    game count, normalized rating, and leaderboard rank. The
+    pairwise-eval aggregation every LLM arena runs, expressed as
+    deterministic DataFrame rounds with an iteration-chained SQL
+    oracle."""
+    from recmetrics_pyspark_spark.operators.ranking import (
+        bradley_terry_ratings,
+    )
+
+    pairs = C.dpo_pair_mining(
+        R.interactions(spark, sf_dir, with_rating=True), min_margin=1.0
+    )
+    games = pairs.select(
+        F.col("chosen_item").alias("winner"),
+        F.col("rejected_item").alias("loser"),
+    )
+    return bradley_terry_ratings(games, iters=8)
+
+
 def _minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.1)
 
 
 def _neardup_components(spark, sf_dir):
     return D.neardup_components(_docs(spark, sf_dir), threshold=0.5, iters=4)
+
+
+def _bt_oracle(iters: int = 8) -> str:
+    """Mirror of operators/ranking.py::bradley_terry_ratings over the
+    dpo_pair_mining games (the _DPO_PAIRS_SQL body reused verbatim):
+    pair-grain game counts, item-grain wins, then ``iters`` chained
+    MM rounds — each a MATERIALIZED q{k} (the damped MM update over
+    DECIMAL-exact pairwise sums) + r{k} (the normalization by q{k}'s
+    exact DECIMAL total). Every CTE that is referenced twice is
+    MATERIALIZED: DuckDB inlines CTEs, and an 8-round chain
+    referenced twice per round would otherwise re-evaluate 2^8
+    times (the data_mixture_pipeline lesson)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(f"""q{k} AS MATERIALIZED (
+  SELECT b.i, round((b.w + 0.5) / CAST(s.s AS DOUBLE), 9) AS r0
+  FROM base b JOIN (
+    SELECT sym.i,
+      sum(CAST(round(sym.n / (ra.r + rb.r), 9) AS DECIMAL(18,9)))
+        AS s
+    FROM sym JOIN {prev} ra ON sym.i = ra.i
+             JOIN {prev} rb ON sym.j = rb.i
+    GROUP BY sym.i) s ON b.i = s.i
+), r{k} AS MATERIALIZED (
+  SELECT i,
+    round(r0 / CAST((SELECT sum(CAST(round(r0, 9) AS DECIMAL(18,9)))
+                     FROM q{k}) AS DOUBLE), 9) AS r
+  FROM q{k}
+)""")
+        prev = f"r{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH gsrc AS MATERIALIZED (
+  SELECT chosen_item AS wi, rejected_item AS li
+  FROM ({_DPO_PAIRS_SQL}) t),
+pair AS MATERIALIZED (
+  SELECT least(wi, li) AS a, greatest(wi, li) AS b,
+    CAST(count(*) AS BIGINT) AS n
+  FROM gsrc GROUP BY 1, 2),
+sym AS MATERIALIZED (
+  SELECT a AS i, b AS j, n FROM pair
+  UNION ALL SELECT b AS i, a AS j, n FROM pair),
+wins AS (
+  SELECT wi AS i, CAST(count(*) AS BIGINT) AS w
+  FROM gsrc GROUP BY 1),
+items AS (
+  SELECT DISTINCT wi AS i FROM gsrc
+  UNION SELECT DISTINCT li AS i FROM gsrc),
+base AS MATERIALIZED (
+  SELECT items.i, CAST(coalesce(wins.w, 0) AS BIGINT) AS w
+  FROM items LEFT JOIN wins ON items.i = wins.i),
+ngames AS MATERIALIZED (
+  SELECT i, CAST(sum(n) AS BIGINT) AS n_games FROM sym GROUP BY 1),
+r0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS r FROM base),
+{chain}
+SELECT b.i AS item, b.w AS n_wins, g.n_games,
+  round(rr.r, 6) AS rating,
+  CAST(row_number() OVER (ORDER BY round(rr.r, 6) DESC, b.i)
+       AS BIGINT) AS rnk
+FROM base b JOIN {prev} rr ON b.i = rr.i
+JOIN ngames g ON b.i = g.i
+"""
 
 
 def _components_chain_sql(src: str = "documents") -> tuple[str, str]:
@@ -4436,11 +4557,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 12 remaining r3-vintage re-witnesses (quantiles_approx ...
     wau_sliding, the oldest driver rows); the last 9 slots start the
     r4 cohort, oldest-first alphabetical (attribution_linear ...
-    events_asof_next_purchase).
+    duplicated_spans), with the final slot going to the
+    degree_distribution re-witness (its histogram gained a
+    localCheckpoint stage boundary late in round 10 — values
+    identical at 3 SFs, plan changed, so it re-witnesses per the
+    code-change rule and displaces one cohort slot).
 
-    ROUND-11 ROTATION NOTE: continue the r4 cohort from
-    feature_binning (the CORRECTNESS_r0*.json union puts the
-    remaining r4-vintage rows at: feature_binning,
+    ROUND-11 ROTATION NOTE: first the two round-10 post-window
+    additions lsh_recall_report + arena_bt_ratings (each verified at
+    3 SFs on arrival, twice for arena_bt_ratings — once when
+    declared, once after its per-round normalizer moved from a
+    broadcast-agg to the single-partition window, values unchanged);
+    then continue the r4 cohort from events_asof_next_purchase (the
+    CORRECTNESS_r0*.json union puts the remaining r4-vintage rows
+    at: events_asof_next_purchase, feature_binning,
     freq_sketch_events, grouped_split, hard_negatives,
     holt_forecast_events, incremental_dedup, incremental_neardup,
     ivfpq_ann_topk, km_retention, neardup_components_star,
@@ -4528,6 +4658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup (operators/dedup.py)
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        "lsh_recall_report": _lsh_recall_report,
+        "arena_bt_ratings": _arena_bt_ratings,
         "dedup_pipeline": _dedup_pipeline,
         # --- similarity search / clustering (operators/similarity.py)
         "ann_bruteforce_topk": _ann_topk,
@@ -4833,7 +4965,11 @@ _ROUND10_WINDOW = [
     "curriculum_cuts",
     "cusum_changepoint_events",
     "duplicated_spans",
-    "events_asof_next_purchase",
+    # code-changed late round 10 (the histogram stage boundary —
+    # values identical, plan changed): re-witness displaces the last
+    # r4-cohort slot; the r4 cohort resumes at
+    # events_asof_next_purchase in round 11
+    "degree_distribution",
 ]
 
 
@@ -4866,6 +5002,71 @@ _DOC_BASE = """WITH d AS (
   JOIN sizes sb ON b.doc_id = sb.doc_id
   GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
 )"""
+
+
+# shared oracle bodies (single source of truth between the standalone
+# queries and the round-10 composed reports that reuse them verbatim)
+_DPO_PAIRS_SQL = ORACLE_BASE        + """
+, per AS (
+  SELECT user_id, item_id, avg(rating) AS r
+  FROM interactions GROUP BY user_id, item_id
+), ranked AS (
+  SELECT user_id, item_id, r,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY r DESC, item_id ASC) AS rn_top,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY r ASC, item_id DESC) AS rn_bot
+  FROM per
+), pairs AS (
+  SELECT user_id,
+    max(CASE WHEN rn_top = 1 THEN item_id END) AS chosen_item,
+    max(CASE WHEN rn_top = 1 THEN r END) AS r_chosen,
+    max(CASE WHEN rn_bot = 1 THEN item_id END) AS rejected_item,
+    max(CASE WHEN rn_bot = 1 THEN r END) AS r_rejected
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id AS "user", chosen_item, rejected_item,
+  round(r_chosen - r_rejected, 6) AS margin
+FROM pairs
+WHERE chosen_item <> rejected_item
+  AND round(r_chosen - r_rejected, 6) >= 1.0
+"""
+
+_MINHASH_LSH_SQL = (
+    _DOC_BASE
+        + """
+, sig AS (
+  SELECT doc_id,
+    """
+        + ",\n    ".join(
+            f"min(md5('{i}|' || s)) AS mh{i}" for i in range(8)
+        )
+        + """
+  FROM sh GROUP BY doc_id
+), bands AS (
+  """
+        + "\n  UNION ALL\n  ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_sig FROM sig"
+            for b in range(4)
+        )
+        + """
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+)
+SELECT j.id_a, j.id_b, j.jaccard
+FROM jac j JOIN cand USING (id_a, id_b)
+WHERE j.jaccard >= 0.1
+"""
+)
+
+_NGRAM_JACCARD_SQL = _DOC_BASE + """
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.1
+"""
+
+
 
 
 from recmetrics_pyspark_spark.functions.curation import (  # noqa: E402
@@ -6260,32 +6461,7 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         # ---- round-3 curation operators (functions/curation.py) ----
-        "dpo_pair_mining": ORACLE_BASE
-        + """
-, per AS (
-  SELECT user_id, item_id, avg(rating) AS r
-  FROM interactions GROUP BY user_id, item_id
-), ranked AS (
-  SELECT user_id, item_id, r,
-    row_number() OVER (PARTITION BY user_id
-      ORDER BY r DESC, item_id ASC) AS rn_top,
-    row_number() OVER (PARTITION BY user_id
-      ORDER BY r ASC, item_id DESC) AS rn_bot
-  FROM per
-), pairs AS (
-  SELECT user_id,
-    max(CASE WHEN rn_top = 1 THEN item_id END) AS chosen_item,
-    max(CASE WHEN rn_top = 1 THEN r END) AS r_chosen,
-    max(CASE WHEN rn_bot = 1 THEN item_id END) AS rejected_item,
-    max(CASE WHEN rn_bot = 1 THEN r END) AS r_rejected
-  FROM ranked GROUP BY user_id
-)
-SELECT user_id AS "user", chosen_item, rejected_item,
-  round(r_chosen - r_rejected, 6) AS margin
-FROM pairs
-WHERE chosen_item <> rejected_item
-  AND round(r_chosen - r_rejected, 6) >= 1.0
-""",
+        "dpo_pair_mining": _DPO_PAIRS_SQL,
         "stratified_metrics": """
 WITH per AS (
   SELECT lang, count(*) AS n_docs,
@@ -7328,37 +7504,26 @@ SELECT doc_id, h.content_hash, n_copies, canonical_id,
   doc_id <> canonical_id AS is_dup
 FROM h JOIN g USING (content_hash)
 """,
-        "ngram_jaccard_pairs": _DOC_BASE
-        + """
-SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.1
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        # dedup recall row: the exact-Jaccard and banded-LSH pair
+        # bodies reused verbatim, left-joined at the pair grain
+        "lsh_recall_report": f"""
+WITH exact AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM ({_NGRAM_JACCARD_SQL}) t),
+approx AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_MINHASH_LSH_SQL}) t)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(sum(CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END)
+        / count(*), 6) AS recall,
+  round(avg(CASE WHEN a.id_a IS NULL THEN e.jaccard END), 6)
+    AS missed_mean_jaccard
+FROM exact e LEFT JOIN approx a
+  ON e.id_a = a.id_a AND e.id_b = a.id_b
 """,
-        "minhash_lsh_pairs": _DOC_BASE
-        + """
-, sig AS (
-  SELECT doc_id,
-    """
-        + ",\n    ".join(
-            f"min(md5('{i}|' || s)) AS mh{i}" for i in range(8)
-        )
-        + """
-  FROM sh GROUP BY doc_id
-), bands AS (
-  """
-        + "\n  UNION ALL\n  ".join(
-            f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_sig FROM sig"
-            for b in range(4)
-        )
-        + """
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-   AND a.doc_id < b.doc_id
-)
-SELECT j.id_a, j.id_b, j.jaccard
-FROM jac j JOIN cand USING (id_a, id_b)
-WHERE j.jaccard >= 0.1
-""",
+        "arena_bt_ratings": _bt_oracle(iters=8),
+        "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "neardup_components": _neardup_components_oracle(),
         "canonical_docs": _canonical_docs_oracle(),
         # mirrors _soft_dedup_weights: the canonical_docs oracle

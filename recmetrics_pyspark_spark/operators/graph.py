@@ -682,7 +682,15 @@ def degree_distribution(
 
     Scale shape: one edge-scale degree aggregate, one degree-scale
     histogram aggregate (output rows = distinct degrees, bounded by
-    max degree), a constant-size fit broadcast back."""
+    max degree), a constant-size fit broadcast back. The histogram is
+    MATERIALIZED (localCheckpoint) before fanning out: it feeds the
+    output branch plus BOTH aggregates inside centered_ols_slope
+    (means, then centered products), so without the boundary the
+    edge-scale degree aggregate re-ran 3x — same-session A/B at
+    sf0.1 over the cached pair table: 9.3/7.1 s unmaterialized vs
+    4.7/2.9 s with the boundary. Same stage-boundary rule as
+    the pipeline composites; the checkpointed table is degree-scale
+    (<= max degree rows), never edge-scale."""
     both = pairs.select(F.col(col_a).alias("z")).unionAll(
         pairs.select(F.col(col_b).alias("z"))
     )
@@ -691,7 +699,7 @@ def degree_distribution(
         .agg(F.count(F.lit(1)).alias("deg"))
         .groupBy("deg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    )
+    ).localCheckpoint(eager=True)
     lx = F.expr(
         "CAST(round(log10(CAST(deg AS DOUBLE)), 9) AS DECIMAL(18,9))"
     )

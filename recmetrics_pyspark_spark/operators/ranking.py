@@ -100,3 +100,151 @@ def rrf_fuse(
             "rnk",
         )
     )
+
+
+def bradley_terry_ratings(
+    games: DataFrame,
+    col_winner: str = "winner",
+    col_loser: str = "loser",
+    iters: int = 8,
+) -> DataFrame:
+    """Bradley–Terry ratings from pairwise outcomes — the arena /
+    preference-leaderboard model (Chatbot-Arena-style eval): item i
+    beats j with probability r_i / (r_i + r_j), fitted by the classic
+    minorization-maximization update (Hunter 2004)
+
+        r_i  <-  (W_i + 0.5) / Σ_j n_ij / (r_i + r_j)
+
+    run for a FIXED ``iters`` rounds from uniform ratings, with a
+    normalization (Σ r = 1) after every round — fixed-iteration
+    semantics exactly like the k-core peel, so the output is a
+    deterministic function of the game table, not of a convergence
+    tolerance. The +0.5 pseudo-win (half a game) keeps zero-win items
+    at a small positive rating instead of collapsing to 0 and
+    poisoning later denominators — the standard regularization.
+
+    Cross-engine determinism (the house rules, applied per round):
+    each pairwise term n_ij / (r_i + r_j) is rounded to 9 decimals
+    into DECIMAL(18,9) and summed exactly (partition-order
+    independent); the MM division is double over that exact sum,
+    re-rounded to 9; the normalizer is another exact DECIMAL sum. So
+    every round's rating vector is bit-identical in any engine — the
+    SQL oracle replays the same ``iters`` chained (materialized)
+    iterations.
+
+    Scale shape: games MATERIALIZE once at the game grain (the
+    caller's mining pipeline — windows over the raw interaction
+    table in the declared query — must run exactly once, not once
+    per round: an un-truncated input lineage re-evaluated from all
+    three derived tables plus every round's pair join, measured
+    59.5 s -> 4.4 s at sf0.1 for the 8-round fit), then aggregate to
+    the (i, j) PAIR grain (n_ij, also checkpointed — it is scanned
+    every round) plus an item-grain win table. After that, every
+    round is two broadcast-scale hash joins + one item-grain
+    aggregate over the pair table, nothing row-scale. Each round's
+    rating table is item-grain and localCheckpointed (the _km_refine
+    rule: Catalyst re-analyzes the whole tree per action, so an
+    un-truncated 8-round lineage re-plans quadratically). Output:
+    one row per item — (item, n_wins, n_games, rating, rnk), ranked
+    by rating desc with id tiebreak."""
+    g1 = (
+        games.select(
+            F.col(col_winner).alias("wi"), F.col(col_loser).alias("li")
+        )
+        .filter(F.col("wi").isNotNull() & F.col("li").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    pair = (
+        g1.select(
+            F.least("wi", "li").alias("a"),
+            F.greatest("wi", "li").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    sym = pair.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "n"
+    ).unionByName(
+        pair.select(
+            F.col("b").alias("i"), F.col("a").alias("j"), "n"
+        )
+    ).coalesce(1).localCheckpoint(eager=True)
+    wins = g1.groupBy(F.col("wi").alias("i")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    items = (
+        g1.select(F.col("wi").alias("i"))
+        .unionByName(g1.select(F.col("li").alias("i")))
+        .distinct()
+    )
+    base = (
+        items.join(wins, "i", "left")
+        .select("i", F.coalesce("w", F.lit(0)).cast("bigint").alias("w"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    n_games = sym.groupBy("i").agg(
+        F.sum("n").cast("bigint").alias("n_games")
+    )
+    r = base.select("i", F.lit(1.0).alias("r"))
+    for _ in range(int(iters)):
+        terms = (
+            sym.join(r.select(F.col("i"), F.col("r").alias("ri")), "i")
+            .join(
+                r.select(
+                    F.col("i").alias("j"), F.col("r").alias("rj")
+                ),
+                "j",
+            )
+            .select(
+                "i",
+                F.round(
+                    F.col("n") / (F.col("ri") + F.col("rj")), 9
+                )
+                .cast("decimal(18,9)")
+                .alias("t9"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t9").alias("s"))
+        )
+        raw = base.join(terms, "i").select(
+            "i",
+            F.round(
+                (F.col("w") + F.lit(0.5)) / F.col("s").cast("double"),
+                9,
+            ).alias("r0"),
+        ).coalesce(1)
+        # normalizer via an unpartitioned window over the ONE-partition
+        # item-grain state: the same exact DECIMAL total as a separate
+        # agg + broadcast, without paying a per-round broadcast job
+        # (8 driver-blocking jobs measured before the rewrite)
+        wall = Window.partitionBy()
+        z = (
+            F.sum(F.round("r0", 9).cast("decimal(18,9)"))
+            .over(wall)
+            .cast("double")
+        )
+        r = (
+            raw.select(
+                "i",
+                F.round(F.col("r0") / z, 9).alias("r"),
+            )
+            # LAZY checkpoint: the plan collapses to a LogicalRDD
+            # immediately (shallow re-analysis, the _km_refine
+            # motivation) but all rounds evaluate inside the
+            # consumer's single action instead of paying 8 eager
+            # per-round job round-trips
+            .localCheckpoint(eager=False)
+        )
+    wk = Window.orderBy(F.desc("rating"), F.asc("item"))
+    return (
+        base.join(r, "i")
+        .join(n_games, "i")
+        .select(
+            F.col("i").alias("item"),
+            F.col("w").alias("n_wins"),
+            "n_games",
+            F.round(F.col("r"), 6).alias("rating"),
+        )
+        .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+    )

@@ -340,3 +340,103 @@ def test_ann_zero_norm_vectors_rank_last(spark):
     assert [r.neighbor_id for r in sorted(zout, key=lambda r: r.rnk)] == [
         1, 2, 3
     ]
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry_ratings
+# ---------------------------------------------------------------------------
+
+
+def _bt_reference(games, iters=8):
+    """Naive driver-side MM replay with the operator's exact rounding
+    rules (round-half-up at 9 via the same double arithmetic)."""
+    from collections import defaultdict
+
+    n = defaultdict(int)
+    w = defaultdict(int)
+    items = set()
+    for a, b in games:
+        n[(min(a, b), max(a, b))] += 1
+        w[a] += 1
+        items.add(a)
+        items.add(b)
+    r = {i: 1.0 for i in items}
+    for _ in range(iters):
+        raw = {}
+        for i in items:
+            s = 0.0
+            terms = []
+            for (x, y), c in n.items():
+                if i in (x, y):
+                    j = y if i == x else x
+                    terms.append(round(c / (r[i] + r[j]), 9))
+            # DECIMAL-exact sum: sort for stability, but the values
+            # are 9-dp so plain fsum of rounded terms is exact enough
+            s = round(sum(sorted(terms)), 9)
+            raw[i] = round((w.get(i, 0) + 0.5) / s, 9)
+        z = round(sum(sorted(round(v, 9) for v in raw.values())), 9)
+        r = {i: round(v / z, 9) for i, v in raw.items()}
+    return {i: round(v, 6) for i, v in r.items()}
+
+
+def test_bradley_terry_hand_fixture(spark):
+    """3-item arena: A beats B twice, B beats C twice, A beats C once
+    — ratings must order A > B > C, sum to ~1, and match the naive
+    MM replay at 6 decimals."""
+    from recmetrics_pyspark_spark.operators.ranking import (
+        bradley_terry_ratings,
+    )
+
+    games = [(1, 2), (1, 2), (2, 3), (2, 3), (1, 3)]
+    df = spark.createDataFrame(games, ["winner", "loser"])
+    rows = {r.item: r for r in bradley_terry_ratings(df).collect()}
+    assert rows[1].rating > rows[2].rating > rows[3].rating
+    assert rows[1].rnk == 1 and rows[3].rnk == 3
+    assert rows[1].n_wins == 3 and rows[3].n_wins == 0
+    assert rows[1].n_games == 3 and rows[2].n_games == 4
+    assert abs(sum(r.rating for r in rows.values()) - 1.0) < 1e-4
+    want = _bt_reference(games)
+    for i, r in rows.items():
+        assert abs(r.rating - want[i]) < 2e-6, (i, r.rating, want[i])
+
+
+def test_bradley_terry_symmetry_and_zero_wins(spark):
+    """A perfectly balanced head-to-head gives equal ratings; an
+    all-loss item still gets a small positive rating (the +0.5
+    pseudo-win), never 0 or NULL."""
+    from recmetrics_pyspark_spark.operators.ranking import (
+        bradley_terry_ratings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3)], ["winner", "loser"]
+    )
+    rows = {r.item: r for r in bradley_terry_ratings(df).collect()}
+    assert rows[1].rating == rows[2].rating
+    assert rows[3].n_wins == 0
+    assert rows[3].rating is not None and rows[3].rating > 0
+    assert rows[3].rnk == 3
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_report
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_recall_report_consistent_with_pair_queries(spark):
+    """The report's counts must equal what the two declared pair
+    queries actually return, and recall their ratio."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    n_exact = e.queries()["ngram_jaccard_pairs"](spark, sf).count()
+    n_lsh = e.queries()["minhash_lsh_pairs"](spark, sf).count()
+    row = e.queries()["lsh_recall_report"](spark, sf).collect()[0]
+    assert row.n_exact == n_exact
+    # the LSH path verifies candidates against exact Jaccard, so its
+    # pairs are a subset of the exact set and n_hit == |LSH pairs|
+    assert row.n_hit == n_lsh
+    assert row.recall == round(n_lsh / n_exact, 6)
+    if row.n_hit < row.n_exact:
+        assert row.missed_mean_jaccard is not None
+        assert 0.1 <= row.missed_mean_jaccard < 1.0

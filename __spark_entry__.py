@@ -4572,7 +4572,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3 SFs on arrival, twice for arena_bt_ratings — once when
     declared, once after its per-round normalizer moved from a
     broadcast-agg to the single-partition window, values unchanged);
-    then continue the r4 cohort from events_asof_next_purchase (the
+    then the three late-round-10 code-changed re-witnesses
+    domain_neardup_rates (pairs now handed in from the bare shared
+    projection — cache-plan hygiene, values unchanged, 3-SF
+    verified), adamic_adar_links + common_neighbor_links (the capped
+    adjacency gained a localCheckpoint boundary before the wedge
+    self-join — values unchanged, 3-SF verified); then continue the
+    r4 cohort from events_asof_next_purchase (the
     CORRECTNESS_r0*.json union puts the remaining r4-vintage rows
     at: events_asof_next_purchase, feature_binning,
     freq_sketch_events, grouped_split, hard_negatives,

@@ -775,19 +775,39 @@ def _lsh_recall_report(spark, sf_dir):
         "id_a", "id_b", F.lit(1).alias("hit")
     )
     j = exact.join(approx, ["id_a", "id_b"], "left")
+    # missed-pair mean via an exact DECIMAL sum over the already-6dp
+    # jaccards divided by the miss count (the house exact-sum rule —
+    # a double F.avg is partition-order dependent); both ratios are
+    # nullif-guarded (ANSI mode: zero exact pairs / zero misses must
+    # yield NULL, not DIVIDE_BY_ZERO), mirrored in the oracle.
     return j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
         F.sum(F.coalesce("hit", F.lit(0)))
         .cast("bigint")
         .alias("n_hit"),
-        F.round(
-            F.avg(F.when(F.col("hit").isNull(), F.col("jaccard"))), 6
-        ).alias("missed_mean_jaccard"),
+        F.sum(
+            F.when(F.col("hit").isNull(), F.col("jaccard")).cast(
+                "decimal(18,6)"
+            )
+        ).alias("miss_sum"),
+        F.sum(
+            F.when(F.col("hit").isNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_miss"),
     ).select(
         "n_exact",
         "n_hit",
-        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
-        "missed_mean_jaccard",
+        F.round(
+            F.col("n_hit")
+            / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("miss_sum").cast("double")
+            / F.nullif(F.col("n_miss").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("missed_mean_jaccard"),
     )
 
 
@@ -812,6 +832,141 @@ def _arena_bt_ratings(spark, sf_dir):
         F.col("rejected_item").alias("loser"),
     )
     return bradley_terry_ratings(games, iters=8)
+
+
+def _simhash_recall_report(spark, sf_dir):
+    """Witnessed SimHash recall — lsh_recall_report's shape applied to
+    the Hamming-banded lane: per max_hamming radius (1 and 3), how
+    many of the exact Jaccard >= 0.1 pairs (ngram_jaccard_pairs, the
+    same truth the MinHash report uses) simhash_near_pairs surfaces,
+    plus the mean true Jaccard of the missed pairs. SimHash bands are
+    pigeonhole-EXACT vs the Hamming truth (zero misses by
+    construction, pinned in tests), so this row measures the
+    signature's fidelity as a Jaccard proxy — the radius-sizing
+    report a corpus run reads before picking max_hamming.
+    Output-scale work over already-declared pair sets."""
+    docs = _docs(spark, sf_dir)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.1).select(
+        "id_a", "id_b", "jaccard"
+    ).localCheckpoint(eager=True)
+    parts = []
+    for h in (1, 3):
+        near = D.simhash_near_pairs(docs, max_hamming=h).select(
+            "id_a", "id_b", F.lit(1).alias("hit")
+        )
+        j = exact.join(near, ["id_a", "id_b"], "left")
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hit"),
+                F.sum(
+                    F.when(F.col("hit").isNull(), F.col("jaccard")).cast(
+                        "decimal(18,6)"
+                    )
+                ).alias("miss_sum"),
+                F.sum(
+                    F.when(F.col("hit").isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("bigint")
+                .alias("n_miss"),
+            ).select(
+                F.lit(h).cast("bigint").alias("max_hamming"),
+                "n_exact",
+                "n_hit",
+                F.round(
+                    F.col("n_hit")
+                    / F.nullif(
+                        F.col("n_exact").cast("double"), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("miss_sum").cast("double")
+                    / F.nullif(
+                        F.col("n_miss").cast("double"), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("missed_mean_jaccard"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def _arena_bt_sensitivity(spark, sf_dir):
+    """Witnessed iteration-sensitivity for the fixed-8-round
+    Bradley-Terry choice (the line_dedup_pages_mindf3 pattern: the
+    parameter the operator pins gets its own declared row): the same
+    mined game table fitted at iters=4 and iters=8, compared at the
+    leaderboard grain — items whose rank moved, the largest move, and
+    the top-10 overlap. All-integer output (rank deltas), so the row
+    is exact cross-engine. The two fits are snapshots of ONE MM
+    chain (operators/ranking.py::bradley_terry_rank_sensitivity —
+    an earlier fixed-iteration fit is a strict prefix of a later
+    one), so mining, pair tables, and rounds 1-4 are all shared."""
+    from recmetrics_pyspark_spark.operators.ranking import (
+        bradley_terry_rank_sensitivity,
+    )
+
+    pairs = C.dpo_pair_mining(
+        R.interactions(spark, sf_dir, with_rating=True), min_margin=1.0
+    )
+    games = pairs.select(
+        F.col("chosen_item").alias("winner"),
+        F.col("rejected_item").alias("loser"),
+    )
+    return bradley_terry_rank_sensitivity(
+        games, iters_a=4, iters_b=8, top_k=10
+    )
+
+
+def _pq_recall_report(spark, sf_dir):
+    """sq_recall_report's pattern extended to the PQ lanes (round-10
+    verdict item 8): per-query recall@10 of pq_ann_topk and
+    ivfpq_ann_topk against the exact brute-force top-k — the PQ
+    compression and the IVF routing each get a witnessed retrieval-
+    quality row instead of a pytest-only bound."""
+    embs = _embs(spark, sf_dir)
+    qset = embs.filter(F.col("vec_id") < 5)
+    exact = S.ann_bruteforce_topk(embs, qset, k=10).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    parts = []
+    for lane, approx in (
+        ("pq", S.pq_ann_topk(embs, qset, k=10, m=4, k_codes=16)),
+        (
+            "ivfpq",
+            S.ivfpq_ann_topk(
+                embs, qset, k=10, n_cells=8, nprobe=3, m=4, k_codes=16
+            ),
+        ),
+    ):
+        a = approx.select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        parts.append(
+            exact.join(a, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hit"),
+            )
+            .select(
+                F.lit(lane).alias("lane"),
+                "query_id",
+                "n_exact",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_exact"), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def _minhash_lsh(spark, sf_dir):
@@ -855,7 +1010,8 @@ def _bt_oracle(iters: int = 8) -> str:
     return f"""
 WITH gsrc AS MATERIALIZED (
   SELECT chosen_item AS wi, rejected_item AS li
-  FROM ({_DPO_PAIRS_SQL}) t),
+  FROM ({_DPO_PAIRS_SQL}) t
+  WHERE chosen_item <> rejected_item),
 pair AS MATERIALIZED (
   SELECT least(wi, li) AS a, greatest(wi, li) AS b,
     CAST(count(*) AS BIGINT) AS n
@@ -4529,72 +4685,60 @@ def _data_mixture_pipeline(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness
-    harness evaluates the FIRST 50 entries. Round-10 window
-    (`_ROUND10_WINDOW` below): the 5 stable canaries lead (coverage,
-    personalization, item_item_topk, minhash_lsh_pairs,
+    harness evaluates the FIRST 50 entries. Round-11 window
+    (`_ROUND11_WINDOW` below), executing the round-10 rotation note
+    plus this round's additions: the 5 stable canaries lead
+    (coverage, personalization, item_item_topk, minhash_lsh_pairs,
     event_sessionize — they own the shared cache builds, so
-    rotated-in queries show marginal bench cost); then the 18
-    round-9 post-window additions getting their FIRST driver witness
-    (judge-verified at sf0.01 + a 5-query sf0.1 re-check in round 9;
-    re-verified again this round at 3 SFs wherever round-10 code
-    touched them): line_dedup_pages(+_dropall),
-    incremental_line_dedup_pages, temperature_mixture_plan,
-    rouge2_eval_docs, the four nb_* lanes (NULL-text conservation +
-    the distributed classifier_eval AUC prefix sum + the
-    calibration_bins clamp landed this round — values unchanged on
-    NULL-free corpora), sq_ann_topk + ivfsq_ann_topk +
-    dim_truncation_recall (nullif-guarded cosines + desc_nulls_last
-    this round, oracles mirrored — values unchanged on the zero-free
-    test vectors), hybrid_rrf_topk, semantic_decontaminate,
-    remove_duplicated_spans_docs, excess_surprisal_docs,
-    ccnet_perplexity_buckets, soft_dedup_weights; then the two
-    ADVICE-touched round-10 re-witnesses (ann_bruteforce_topk +
-    ann_recall_report — same guard change); then the four round-10
-    NEW queries, each verified at 3 SFs on arrival:
-    semantic_decontaminate_ivf (the IVF-routed scale-out
-    decontamination lane), sq_recall_report (recall@10 oracle rows
-    for the SQ8/IVF-SQ8 lanes vs brute force), data_mixture_pipeline
-    (ccnet buckets → soft dedup weights → temperature allocation,
-    ONE composed oracle with exact BIGINT micro-unit handoffs), and
-    line_dedup_pages_mindf3 (threshold-sensitivity row, live at
-    sf0.1 where df-2 lead lines survive only under min_df=3); then
-    the 12 remaining r3-vintage re-witnesses (quantiles_approx ...
-    wau_sliding, the oldest driver rows); the last 9 slots start the
-    r4 cohort, oldest-first alphabetical (attribution_linear ...
-    duplicated_spans), with the final slot going to the
-    degree_distribution re-witness (its histogram gained a
-    localCheckpoint stage boundary late in round 10 — values
-    identical at 3 SFs, plan changed, so it re-witnesses per the
-    code-change rule and displaces one cohort slot).
+    rotated-in queries show marginal bench cost); then the two
+    round-10 post-window additions getting their FIRST driver
+    witness — lsh_recall_report (re-verified at 3 SFs this round
+    after its missed-mean moved to the exact DECIMAL sum and its
+    recall gained the nullif guard, per ADVICE) and
+    arena_bt_ratings + its new iteration-sensitivity twin
+    arena_bt_sensitivity (bradley_terry_ratings gained the
+    winner != loser gate and the size-guarded pair-grain
+    partitioning this round — values unchanged on the self-game-free
+    mined arena, 3-SF verified, equality pinned in
+    tests/test_round11_ops.py); then the three late-round-10
+    code-changed re-witnesses domain_neardup_rates,
+    adamic_adar_links, common_neighbor_links (cache-plan hygiene /
+    checkpoint boundaries, values unchanged, 3-SF verified); then
+    semantic_decontaminate_ivf re-witnessing its ADVICE fix (the
+    probe-table join is now size-guarded — broadcast under
+    broadcast_probe_limit rows, cid-shuffle above — values
+    unchanged, broadcast-vs-shuffle equality pinned in tests); then
+    the two remaining round-11 NEW rows simhash_recall_report
+    (SimHash recall vs the exact-Jaccard truth at Hamming radii 1
+    and 3 — the lsh_recall_report twin the round-10 verdict asked
+    for) and media_features (rows-only waiver lane, re-windowed
+    ahead of its r12 deadline); then the ENTIRE 30-row r4 cohort,
+    oldest-first alphabetical (events_asof_next_purchase ...
+    weighted_sample — clears r4 freshness a round early), with
+    pq_recall_report (the PQ/IVF-PQ recall twin of
+    sq_recall_report, new this round) placed directly after the
+    pq/ivfpq lanes so the memoized PQ codebooks are charged to
+    their own rows; the last 5 slots start the r5 cohort
+    (baseline_predictor_rmse ... containment_pairs).
 
-    ROUND-11 ROTATION NOTE: first the two round-10 post-window
-    additions lsh_recall_report + arena_bt_ratings (each verified at
-    3 SFs on arrival, twice for arena_bt_ratings — once when
-    declared, once after its per-round normalizer moved from a
-    broadcast-agg to the single-partition window, values unchanged);
-    then the three late-round-10 code-changed re-witnesses
-    domain_neardup_rates (pairs now handed in from the bare shared
-    projection — cache-plan hygiene, values unchanged, 3-SF
-    verified), adamic_adar_links + common_neighbor_links (the capped
-    adjacency gained a localCheckpoint boundary before the wedge
-    self-join — values unchanged, 3-SF verified); then continue the
-    r4 cohort from events_asof_next_purchase (the
-    CORRECTNESS_r0*.json union puts the remaining r4-vintage rows
-    at: events_asof_next_purchase, feature_binning,
-    freq_sketch_events, grouped_split, hard_negatives,
-    holt_forecast_events, incremental_dedup, incremental_neardup,
-    ivfpq_ann_topk, km_retention, neardup_components_star,
-    negative_sampling, next_item_examples, pq_ann_topk,
-    pq_rerank_topk, q11_important_stock,
-    q13_order_count_distribution, q15_top_supplier,
-    q16_supplier_cnt_by_part, q17_small_quantity_revenue,
-    q20_candidate_suppliers, q21_sole_latest_supplier,
-    q2_min_cost_supplier, q8_market_share, q_rollup_tree,
-    record_linkage_parts, rolling_origin_cv, semantic_dedup,
-    wau_hll_mergeable, weighted_sample — 29 rows, ~2 rounds of
-    slots), then the r5 cohort. media_features (rows-only waiver)
-    was last witnessed r9; re-window it by r12 to keep the waiver
-    lane fresh.
+    ROUND-12 ROTATION NOTE: after this window lands, the oldest
+    remaining driver vintage is r5. The r5 cohort remainder is 31
+    rows, oldest-first alphabetical: conversion_latency,
+    daily_anomaly_events, dedup_pipeline, doc_perplexity,
+    dsir_importance, dup_ngram_fraction, funnel_conversion,
+    hashing_features, ips_offline_eval, item_exposure,
+    item_trend_slope, log_odds_terms, media_decode_meta,
+    minhash_jaccard_estimate, neardup_components,
+    ngram_jaccard_pairs, ngram_novelty_by_source, pass_at_k_items,
+    prefix_dedup, qa_eval_docs, quantile_normalize,
+    repurchase_intervals, rfm_segments, sequential_rules,
+    serendipity, skipgram_pairs, source_overlap,
+    split_leakage_audit, ucb_arm_stats, user_behavior_entropy,
+    wow_trending. With 5 canaries + any round-12 additions, ~14 r6
+    slots remain after the r5 cohort (r6 rows begin at
+    als_implicit_recs per the CORRECTNESS union). media_features
+    re-ran in THIS window (r11), so its waiver-lane deadline resets
+    to r14 under the every-3-rounds rule.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -4670,6 +4814,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard,
         "lsh_recall_report": _lsh_recall_report,
         "arena_bt_ratings": _arena_bt_ratings,
+        # --- round-11 additions (per the round-10 verdict): the
+        # SimHash twin of the LSH recall row, the fixed-iteration
+        # sensitivity witness, and the PQ-lane recall report
+        "simhash_recall_report": _simhash_recall_report,
+        "arena_bt_sensitivity": _arena_bt_sensitivity,
+        "pq_recall_report": _pq_recall_report,
         "dedup_pipeline": _dedup_pipeline,
         # --- similarity search / clustering (operators/similarity.py)
         "ann_bruteforce_topk": _ann_topk,
@@ -4906,80 +5056,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": _ccnet_perplexity_buckets,
         "soft_dedup_weights": _soft_dedup_weights,
     }
-    ordered = {k: base[k] for k in _ROUND10_WINDOW}
+    ordered = {k: base[k] for k in _ROUND11_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
 
-# The first-50 driver witness window for round 10 (see queries()
-# docstring). 5 canaries + the 18 round-9 post-window additions
-# (first driver witness) + the 2 ADVICE-touched re-witnesses + the 4
-# new round-10 queries + the 12 remaining r3-vintage rows + the first
-# 9 of the r4 cohort. Order within the window is bench-accounting,
-# not correctness: the canaries own the shared cache builds, the
-# ivfsq/sq lanes precede the recall report and the RRF fusion so the
-# memoized kmeans/bounds tables are charged to their own rows.
-_ROUND10_WINDOW = [
+# The first-50 driver witness window for round 11 (see queries()
+# docstring). 5 canaries + 2 first witnesses + 3 late-r10
+# re-witnesses + the ADVICE-fixed IVF lane re-witness + 3 new
+# round-11 rows (simhash recall, arena sensitivity, pq recall)
+# + the media waiver re-run + the FULL 30-row r4 cohort + the
+# first 5 r5 rows. Order is bench-accounting: canaries own the
+# shared cache builds; arena_bt_sensitivity follows
+# arena_bt_ratings (same mined game table); pq_recall_report
+# follows the pq/ivfpq lanes so the memoized codebooks are
+# charged to their own rows.
+_ROUND11_WINDOW = [
     # 5 canaries (own the shared cache builds; green every round)
     "coverage",
     "personalization",
     "item_item_topk",
     "minhash_lsh_pairs",
     "event_sessionize",
-    # round-9 post-window additions: first driver witness
-    "line_dedup_pages",
-    "line_dedup_pages_dropall",
-    "incremental_line_dedup_pages",
-    "temperature_mixture_plan",
-    "rouge2_eval_docs",
-    "nb_source_classifier",
-    "nb_score_holdout",
-    "nb_holdout_eval",
-    "nb_calibration_bins",
-    "sq_ann_topk",
-    "ivfsq_ann_topk",
-    "dim_truncation_recall",
-    "hybrid_rrf_topk",
-    "semantic_decontaminate",
-    "remove_duplicated_spans_docs",
-    "excess_surprisal_docs",
-    "ccnet_perplexity_buckets",
-    "soft_dedup_weights",
-    # ADVICE-touched round-10 re-witnesses (nullif guard landed)
-    "ann_bruteforce_topk",
-    "ann_recall_report",
-    # round-10 NEW queries (3-SF verified on arrival)
+    # round-10 post-window additions: first driver witness
+    "lsh_recall_report",
+    "arena_bt_ratings",
+    # round-11 NEW: fixed-iteration sensitivity twin
+    "arena_bt_sensitivity",
+    # late-round-10 code-changed re-witnesses
+    "domain_neardup_rates",
+    "adamic_adar_links",
+    "common_neighbor_links",
+    # ADVICE fix re-witness (size-guarded probe join)
     "semantic_decontaminate_ivf",
-    "sq_recall_report",
-    "data_mixture_pipeline",
-    "line_dedup_pages_mindf3",
-    # freshness: the 12 remaining r3-vintage driver rows
-    "quantiles_approx",
-    "ranking_metrics",
-    "rollup_incremental",
-    "seqlen_histogram",
-    "session_paths",
-    "shuffle_shards",
-    "simhash_near_pairs",
-    "simhash_signatures",
-    "temporal_split",
-    "tokenizer_fertility",
-    "vocab_encode",
-    "wau_sliding",
-    # freshness: the r4 cohort, oldest-first alphabetical
-    "attribution_linear",
-    "bpe_merges",
-    "canonical_docs",
-    "cluster_eval",
-    "curation_pipeline",
-    "curriculum_cuts",
-    "cusum_changepoint_events",
-    "duplicated_spans",
-    # code-changed late round 10 (the histogram stage boundary —
-    # values identical, plan changed): re-witness displaces the last
-    # r4-cohort slot; the r4 cohort resumes at
-    # events_asof_next_purchase in round 11
-    "degree_distribution",
+    # round-11 NEW: SimHash recall vs the exact-Jaccard truth
+    "simhash_recall_report",
+    # rows-only waiver lane, re-windowed ahead of its deadline
+    "media_features",
+    # freshness: the full 30-row r4 cohort, oldest-first
+    "events_asof_next_purchase",
+    "feature_binning",
+    "freq_sketch_events",
+    "grouped_split",
+    "hard_negatives",
+    "holt_forecast_events",
+    "incremental_dedup",
+    "incremental_neardup",
+    "ivfpq_ann_topk",
+    "km_retention",
+    "neardup_components_star",
+    "negative_sampling",
+    "next_item_examples",
+    "pq_ann_topk",
+    "pq_rerank_topk",
+    # round-11 NEW: PQ recall twin, after the pq lanes
+    "pq_recall_report",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt_by_part",
+    "q17_small_quantity_revenue",
+    "q20_candidate_suppliers",
+    "q21_sole_latest_supplier",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q_rollup_tree",
+    "record_linkage_parts",
+    "rolling_origin_cv",
+    "semantic_dedup",
+    "wau_hll_mergeable",
+    "weighted_sample",
+    # freshness: the r5 cohort starts
+    "baseline_predictor_rmse",
+    "calibration_kl",
+    "churn_training_set",
+    "cohort_retention",
+    "containment_pairs",
 ]
 
 
@@ -7525,14 +7677,68 @@ approx AS MATERIALIZED (
 SELECT CAST(count(*) AS BIGINT) AS n_exact,
   CAST(sum(CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END)
        AS BIGINT) AS n_hit,
-  round(sum(CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END)
-        / count(*), 6) AS recall,
-  round(avg(CASE WHEN a.id_a IS NULL THEN e.jaccard END), 6)
+  round(CAST(sum(CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE)
+        / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) AS recall,
+  round(CAST(sum(CASE WHEN a.id_a IS NULL
+                 THEN CAST(e.jaccard AS DECIMAL(18,6)) END)
+             AS DOUBLE)
+        / nullif(CAST(sum(CASE WHEN a.id_a IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE), 0.0), 6)
     AS missed_mean_jaccard
 FROM exact e LEFT JOIN approx a
   ON e.id_a = a.id_a AND e.id_b = a.id_b
 """,
+        # SimHash recall vs the same exact-Jaccard truth: the all-pairs
+        # Hamming table at radius <= 3 (the banded Spark join is
+        # pigeonhole-exact vs this truth), one report row per radius
+        "simhash_recall_report": f"""
+WITH exact AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM ({_NGRAM_JACCARD_SQL}) t),
+sig AS MATERIALIZED (
+  SELECT doc_id, {_simhash_sql_expr()} AS simhash
+  FROM ({_SIMHASH_HS_SQL})),
+near AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+SELECT CAST(v.max_hamming AS BIGINT) AS max_hamming,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN n.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(CAST(sum(CASE WHEN n.id_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE)
+        / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) AS recall,
+  round(CAST(sum(CASE WHEN n.id_a IS NULL
+                 THEN CAST(e.jaccard AS DECIMAL(18,6)) END)
+             AS DOUBLE)
+        / nullif(CAST(sum(CASE WHEN n.id_a IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE), 0.0), 6)
+    AS missed_mean_jaccard
+FROM (SELECT 1 AS max_hamming UNION ALL SELECT 3) v
+CROSS JOIN exact e
+LEFT JOIN near n
+  ON e.id_a = n.id_a AND e.id_b = n.id_b
+  AND n.hamming <= v.max_hamming
+GROUP BY v.max_hamming
+""",
         "arena_bt_ratings": _bt_oracle(iters=8),
+        # iteration-sensitivity row: the iters=8 and iters=4 oracle
+        # chains nested whole, compared at the leaderboard grain
+        "arena_bt_sensitivity": f"""
+WITH b8 AS MATERIALIZED (
+  SELECT item, rnk FROM ({_bt_oracle(iters=8)}) t),
+b4 AS MATERIALIZED (
+  SELECT item, rnk FROM ({_bt_oracle(iters=4)}) t)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CASE WHEN b8.rnk <> b4.rnk THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_rank_moves,
+  CAST(max(abs(b8.rnk - b4.rnk)) AS BIGINT) AS max_rank_delta,
+  CAST(sum(CASE WHEN b8.rnk <= 10 AND b4.rnk <= 10 THEN 1 ELSE 0 END)
+       AS BIGINT) AS top10_overlap
+FROM b8 JOIN b4 USING (item)
+""",
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "neardup_components": _neardup_components_oracle(),
         "canonical_docs": _canonical_docs_oracle(),
@@ -8800,6 +9006,33 @@ SELECT 'ivfsq8' AS lane, e.query_id,
   round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
         / count(*), 6) AS recall_at_10
 FROM exact e LEFT JOIN iv a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
+        # sq_recall_report's shape over the PQ lanes (PQ-ADC and
+        # IVF-routed PQ), each oracle chain nested whole
+        "pq_recall_report": f"""
+WITH exact AS (SELECT query_id, neighbor_id
+               FROM ({_ann_brute_oracle()}) t),
+pq AS (SELECT query_id, neighbor_id FROM ({_pq_oracle()}) t),
+ivfpq AS (SELECT query_id, neighbor_id FROM ({_ivfpq_oracle()}) t)
+SELECT 'pq' AS lane, e.query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        / count(*), 6) AS recall_at_10
+FROM exact e LEFT JOIN pq a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+UNION ALL
+SELECT 'ivfpq' AS lane, e.query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        / count(*), 6) AS recall_at_10
+FROM exact e LEFT JOIN ivfpq a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """,

@@ -40,6 +40,27 @@ def _bench_local_path() -> str:
     )
 
 
+def _append_history(payload: dict) -> None:
+    """Append the FULL per-query payload to the tracked
+    BENCH_HISTORY.jsonl (one line per run, wall-clock stamped). The
+    driver's per-round BENCH_rN.json keeps only the compact stdout
+    line (top-10 slowest), so cross-round per-query archaeology
+    previously needed git spelunking through BENCH_LOCAL.json
+    overwrites — this file keeps every run's full map in-tree
+    (round-10 verdict item 8)."""
+    line = json.dumps(
+        {"ts": int(time.time()), **payload}, separators=(",", ":")
+    )
+    hist = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+    )
+    try:
+        with open(hist, "a") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"[bench] could not append {hist}: {exc}", file=sys.stderr)
+
+
 def _emit_compact(total: float, sf: str, timings: dict, extra: dict) -> None:
     """One compact JSON line on the REAL stdout. The driver keeps only
     the last ~2000 chars of stdout, so the full per-query map goes to
@@ -156,6 +177,7 @@ def _multi_run(n_runs: int) -> None:
         )
         with open(median_out, "w") as fh:
             fh.write(payload_line)
+    _append_history(payload)
     _emit_compact(total, runs[0]["sf"], med, {
         "protocol": protocol, "run_totals": payload["run_totals"],
     })
@@ -270,6 +292,20 @@ def main() -> None:
     except OSError as exc:
         print(f"[bench] could not write {out_path}: {exc}", file=sys.stderr)
 
+    # history: standalone runs only — a multi-run child (or any scratch
+    # run, marked by an explicit SPARK_GRAFT_BENCH_OUT) is aggregated
+    # into its parent's median line instead, the BENCH_MEDIAN rule
+    if "SPARK_GRAFT_BENCH_OUT" not in os.environ:
+        _append_history(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "protocol": "single-run",
+            }
+        )
     _emit_compact(total, sf, timings, {})
 
 

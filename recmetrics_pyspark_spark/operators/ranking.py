@@ -102,56 +102,30 @@ def rrf_fuse(
     )
 
 
-def bradley_terry_ratings(
+def _bt_fit(
     games: DataFrame,
-    col_winner: str = "winner",
-    col_loser: str = "loser",
-    iters: int = 8,
-) -> DataFrame:
-    """Bradley–Terry ratings from pairwise outcomes — the arena /
-    preference-leaderboard model (Chatbot-Arena-style eval): item i
-    beats j with probability r_i / (r_i + r_j), fitted by the classic
-    minorization-maximization update (Hunter 2004)
-
-        r_i  <-  (W_i + 0.5) / Σ_j n_ij / (r_i + r_j)
-
-    run for a FIXED ``iters`` rounds from uniform ratings, with a
-    normalization (Σ r = 1) after every round — fixed-iteration
-    semantics exactly like the k-core peel, so the output is a
-    deterministic function of the game table, not of a convergence
-    tolerance. The +0.5 pseudo-win (half a game) keeps zero-win items
-    at a small positive rating instead of collapsing to 0 and
-    poisoning later denominators — the standard regularization.
-
-    Cross-engine determinism (the house rules, applied per round):
-    each pairwise term n_ij / (r_i + r_j) is rounded to 9 decimals
-    into DECIMAL(18,9) and summed exactly (partition-order
-    independent); the MM division is double over that exact sum,
-    re-rounded to 9; the normalizer is another exact DECIMAL sum. So
-    every round's rating vector is bit-identical in any engine — the
-    SQL oracle replays the same ``iters`` chained (materialized)
-    iterations.
-
-    Scale shape: games MATERIALIZE once at the game grain (the
-    caller's mining pipeline — windows over the raw interaction
-    table in the declared query — must run exactly once, not once
-    per round: an un-truncated input lineage re-evaluated from all
-    three derived tables plus every round's pair join, measured
-    59.5 s -> 4.4 s at sf0.1 for the 8-round fit), then aggregate to
-    the (i, j) PAIR grain (n_ij, also checkpointed — it is scanned
-    every round) plus an item-grain win table. After that, every
-    round is two broadcast-scale hash joins + one item-grain
-    aggregate over the pair table, nothing row-scale. Each round's
-    rating table is item-grain and localCheckpointed (the _km_refine
-    rule: Catalyst re-analyzes the whole tree per action, so an
-    un-truncated 8-round lineage re-plans quadratically). Output:
-    one row per item — (item, n_wins, n_games, rating, rnk), ranked
-    by rating desc with id tiebreak."""
+    col_winner: str,
+    col_loser: str,
+    iters: int,
+    small_pair_limit: int,
+    marks: tuple[int, ...] = (),
+) -> tuple[DataFrame, DataFrame, dict[int, "DataFrame"]]:
+    """The shared Bradley-Terry MM chain (see
+    :func:`bradley_terry_ratings` for semantics and scale shape):
+    returns (base [item, wins], n_games, snaps) where ``snaps``
+    maps each requested mark round (plus ``iters`` itself) to its
+    normalized rating table — an earlier-round fit is a PREFIX of
+    a later one, so sensitivity comparisons snapshot one chain
+    instead of paying two."""
     g1 = (
         games.select(
             F.col(col_winner).alias("wi"), F.col(col_loser).alias("li")
         )
         .filter(F.col("wi").isNotNull() & F.col("li").isNotNull())
+        # a self-game is not a pairwise outcome: counting it injects
+        # an n_ii/(2*r_i) self-term into every MM denominator AND a
+        # phantom win — drop it at the gate (mirrored in the oracle)
+        .filter(F.col("wi") != F.col("li"))
         .localCheckpoint(eager=True)
     )
     pair = (
@@ -161,14 +135,29 @@ def bradley_terry_ratings(
         )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
     )
+    # The pair table is scanned every MM round, so its partitioning is
+    # the per-round join grain. Size-guarded (the house
+    # broadcast_pair_limit pattern): a leaderboard-scale pair table
+    # collapses to ONE partition (8 rounds of single-task joins beat 8
+    # rounds of 32-task scheduling overhead — measured on the sf0.1
+    # arena fit), while an arena with a huge item universe
+    # hash-distributes on i so no round runs single-task. The deciding
+    # count scans the already-checkpointed pair RDD.
+    n_pairs = pair.count()
     sym = pair.select(
         F.col("a").alias("i"), F.col("b").alias("j"), "n"
     ).unionByName(
         pair.select(
             F.col("b").alias("i"), F.col("a").alias("j"), "n"
         )
-    ).coalesce(1).localCheckpoint(eager=True)
+    )
+    sym = (
+        sym.coalesce(1)
+        if n_pairs <= small_pair_limit
+        else sym.repartition("i")
+    ).localCheckpoint(eager=True)
     wins = g1.groupBy(F.col("wi").alias("i")).agg(
         F.count(F.lit(1)).cast("bigint").alias("w")
     )
@@ -187,7 +176,8 @@ def bradley_terry_ratings(
         F.sum("n").cast("bigint").alias("n_games")
     )
     r = base.select("i", F.lit(1.0).alias("r"))
-    for _ in range(int(iters)):
+    snaps: dict[int, DataFrame] = {}
+    for k in range(1, int(iters) + 1):
         terms = (
             sym.join(r.select(F.col("i"), F.col("r").alias("ri")), "i")
             .join(
@@ -236,6 +226,68 @@ def bradley_terry_ratings(
             # per-round job round-trips
             .localCheckpoint(eager=False)
         )
+        if k in marks:
+            snaps[k] = r
+    snaps[int(iters)] = r
+    return base, n_games, snaps
+
+
+def bradley_terry_ratings(
+    games: DataFrame,
+    col_winner: str = "winner",
+    col_loser: str = "loser",
+    iters: int = 8,
+    small_pair_limit: int = 1_000_000,
+) -> DataFrame:
+    """Bradley–Terry ratings from pairwise outcomes — the arena /
+    preference-leaderboard model (Chatbot-Arena-style eval): item i
+    beats j with probability r_i / (r_i + r_j), fitted by the classic
+    minorization-maximization update (Hunter 2004)
+
+        r_i  <-  (W_i + 0.5) / Σ_j n_ij / (r_i + r_j)
+
+    run for a FIXED ``iters`` rounds from uniform ratings, with a
+    normalization (Σ r = 1) after every round — fixed-iteration
+    semantics exactly like the k-core peel, so the output is a
+    deterministic function of the game table, not of a convergence
+    tolerance. The +0.5 pseudo-win (half a game) keeps zero-win items
+    at a small positive rating instead of collapsing to 0 and
+    poisoning later denominators — the standard regularization.
+
+    Cross-engine determinism (the house rules, applied per round):
+    each pairwise term n_ij / (r_i + r_j) is rounded to 9 decimals
+    into DECIMAL(18,9) and summed exactly (partition-order
+    independent); the MM division is double over that exact sum,
+    re-rounded to 9; the normalizer is another exact DECIMAL sum. So
+    every round's rating vector is bit-identical in any engine — the
+    SQL oracle replays the same ``iters`` chained (materialized)
+    iterations.
+
+    Scale shape: games MATERIALIZE once at the game grain (the
+    caller's mining pipeline — windows over the raw interaction
+    table in the declared query — must run exactly once, not once
+    per round: an un-truncated input lineage re-evaluated from all
+    three derived tables plus every round's pair join, measured
+    59.5 s -> 4.4 s at sf0.1 for the 8-round fit), then aggregate to
+    the (i, j) PAIR grain (n_ij, also checkpointed — it is scanned
+    every round; single-partition at leaderboard scale, hash-
+    distributed on i above ``small_pair_limit`` pairs so no MM round
+    runs single-task on a large item universe) plus an item-grain
+    win table. Self-games (winner == loser) are dropped at the gate.
+    The chain itself lives in :func:`_bt_fit` so
+    :func:`bradley_terry_rank_sensitivity` can snapshot intermediate
+    rounds off ONE chain instead of fitting twice. After that, every
+    round is two broadcast-scale hash joins + one item-grain
+    aggregate over the pair table, nothing row-scale. Each round's
+    rating table is item-grain and localCheckpointed (the _km_refine
+    rule: Catalyst re-analyzes the whole tree per action, so an
+    un-truncated 8-round lineage re-plans quadratically). Output:
+    one row per item — (item, n_wins, n_games, rating, rnk), ranked
+    by rating desc with id tiebreak."""
+    base, n_games, snaps = _bt_fit(
+        games, col_winner, col_loser, iters, small_pair_limit
+    )
+    r = snaps[int(iters)]
     wk = Window.orderBy(F.desc("rating"), F.asc("item"))
     return (
         base.join(r, "i")
@@ -247,4 +299,75 @@ def bradley_terry_ratings(
             F.round(F.col("r"), 6).alias("rating"),
         )
         .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
+    )
+
+
+def bradley_terry_rank_sensitivity(
+    games: DataFrame,
+    col_winner: str = "winner",
+    col_loser: str = "loser",
+    iters_a: int = 4,
+    iters_b: int = 8,
+    top_k: int = 10,
+    small_pair_limit: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration sensitivity witness for
+    :func:`bradley_terry_ratings`: the SAME game table fitted at
+    ``iters_a`` and ``iters_b`` rounds, compared at the leaderboard
+    grain — one row with the item count, how many items changed rank,
+    the largest rank move, and the top-``top_k`` overlap. All-integer
+    output (ranks), so the row is exact cross-engine.
+
+    Because an earlier-round MM fit is a strict PREFIX of a later one
+    (fixed iteration, deterministic rounding), both rating tables are
+    snapshots of ONE :func:`_bt_fit` chain — the games mining, the
+    pair/win tables, and rounds 1..iters_a are all shared, so the
+    sensitivity row costs only iters_b - iters_a extra item-grain
+    rounds on top of the plain fit (measured: two independent fits
+    18.5 s -> one marked chain ~14 s at sf0.1). Rank semantics are
+    identical to the rating operator's output: row_number over
+    (round(r, 6) DESC, item ASC)."""
+    if not (0 < int(iters_a) < int(iters_b)):
+        raise ValueError("need 0 < iters_a < iters_b")
+    base, _n_games, snaps = _bt_fit(
+        games,
+        col_winner,
+        col_loser,
+        int(iters_b),
+        small_pair_limit,
+        marks=(int(iters_a),),
+    )
+
+    def _ranked(r: DataFrame, name: str) -> DataFrame:
+        wk = Window.orderBy(F.desc("rating"), F.asc("item"))
+        return (
+            base.join(r, "i")
+            .select(
+                F.col("i").alias("item"),
+                F.round(F.col("r"), 6).alias("rating"),
+            )
+            .withColumn(name, F.row_number().over(wk).cast("bigint"))
+            .select("item", name)
+        )
+
+    ra = _ranked(snaps[int(iters_a)], "rnk_a")
+    rb = _ranked(snaps[int(iters_b)], "rnk_b")
+    return ra.join(rb, "item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(
+            F.when(F.col("rnk_b") != F.col("rnk_a"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_rank_moves"),
+        F.max(F.abs(F.col("rnk_b") - F.col("rnk_a")))
+        .cast("bigint")
+        .alias("max_rank_delta"),
+        F.sum(
+            F.when(
+                (F.col("rnk_b") <= top_k) & (F.col("rnk_a") <= top_k),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("top10_overlap"),
     )

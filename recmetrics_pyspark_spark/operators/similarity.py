@@ -1750,6 +1750,7 @@ def semantic_decontaminate_ivf(
     quantizer: DataFrame | None = None,
     col_id: str = "vec_id",
     col_vec: str = "embedding",
+    broadcast_probe_limit: int = 2_000_000,
 ) -> DataFrame:
     """:func:`semantic_decontaminate` with the IVF cell router in
     place of the eval broadcast — the declared scale-out lane the
@@ -1774,8 +1775,19 @@ def semantic_decontaminate_ivf(
     Scale shape: centroids are k x dim (broadcast, memoized per
     session); cell assignment is one train-scan argmin; probes are
     an eval-scale row_number over n_cells candidates; the hit join
-    is cell-bucketed (broadcast of the probed eval rows per cell),
-    and only HIT-scale rows reach the per-train window. Deterministic
+    is cell-bucketed and SIZE-GUARDED (``broadcast_probe_limit``,
+    the minhash_lsh_pairs ``broadcast_pair_limit`` pattern): the
+    probe table is nprobe x N_eval rows each carrying the full eval
+    vector — nprobe x the BYTES of the plain broadcast lane — so it
+    only broadcasts when n_eval x min(nprobe, n_cells) rows fit
+    under the limit; above it both sides repartition by ``cid`` and
+    the join runs as a shuffle join, bounding MEMORY as well as the
+    pairwise-cosine compute (at that scale raise ``n_cells`` with
+    the corpus so per-cell work stays bounded — cells are the join's
+    parallelism grain). The deciding count is one eval-grain
+    ``count()`` (probe fan-out is exactly min(nprobe, n_cells) per
+    eval row, so no probe materialization is spent on it). Only
+    HIT-scale rows reach the per-train window. Deterministic
     end-to-end; the SQL oracle reproduces cells, probes, and ranking
     bit-for-bit."""
     qcorp = train if quantizer is None else quantizer
@@ -1817,8 +1829,15 @@ def semantic_decontaminate_ivf(
         .filter(F.col("rn") <= nprobe)
         .select("eval_id", "qv", "qn", "cid")
     )
+    n_probe_rows = eval_df.count() * min(int(nprobe), int(n_cells))
+    if n_probe_rows <= broadcast_probe_limit:
+        routed = cells.join(broadcast(probes), "cid")
+    else:
+        routed = cells.repartition("cid").join(
+            probes.repartition("cid"), "cid"
+        )
     hits = (
-        cells.join(broadcast(probes), "cid")
+        routed
         .select(
             "train_id",
             "eval_id",

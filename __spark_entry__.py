@@ -811,6 +811,33 @@ def _lsh_recall_report(spark, sf_dir):
     )
 
 
+_ARENA_GAMES_MEMO: dict = {}
+
+
+def _arena_games(spark, sf_dir):
+    """The mined DPO game table, memoized per (application, sf_dir) —
+    the _INTERACTIONS_MEMO pattern one level up: both arena queries
+    (ratings + iteration sensitivity) consume the SAME mining
+    pipeline (windows over the shared interactions frame), and
+    without the memo each pays it separately (bradley_terry's g1
+    localCheckpoint is per-call, so the cache manager's
+    canonicalized-plan matching never engages across queries).
+    Materialized eagerly at the game grain; session-lifetime."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    g = _ARENA_GAMES_MEMO.get(key)
+    if g is None:
+        pairs = C.dpo_pair_mining(
+            R.interactions(spark, sf_dir, with_rating=True),
+            min_margin=1.0,
+        )
+        g = pairs.select(
+            F.col("chosen_item").alias("winner"),
+            F.col("rejected_item").alias("loser"),
+        ).localCheckpoint(eager=True)
+        _ARENA_GAMES_MEMO[key] = g
+    return g
+
+
 def _arena_bt_ratings(spark, sf_dir):
     """Arena-style preference leaderboard (operators/ranking.py::
     bradley_terry_ratings): the mined DPO preference pairs (each
@@ -819,19 +846,12 @@ def _arena_bt_ratings(spark, sf_dir):
     game count, normalized rating, and leaderboard rank. The
     pairwise-eval aggregation every LLM arena runs, expressed as
     deterministic DataFrame rounds with an iteration-chained SQL
-    oracle."""
+    oracle. Games come from the shared _arena_games memo."""
     from recmetrics_pyspark_spark.operators.ranking import (
         bradley_terry_ratings,
     )
 
-    pairs = C.dpo_pair_mining(
-        R.interactions(spark, sf_dir, with_rating=True), min_margin=1.0
-    )
-    games = pairs.select(
-        F.col("chosen_item").alias("winner"),
-        F.col("rejected_item").alias("loser"),
-    )
-    return bradley_terry_ratings(games, iters=8)
+    return bradley_terry_ratings(_arena_games(spark, sf_dir), iters=8)
 
 
 def _simhash_recall_report(spark, sf_dir):
@@ -906,20 +926,15 @@ def _arena_bt_sensitivity(spark, sf_dir):
     is exact cross-engine. The two fits are snapshots of ONE MM
     chain (operators/ranking.py::bradley_terry_rank_sensitivity —
     an earlier fixed-iteration fit is a strict prefix of a later
-    one), so mining, pair tables, and rounds 1-4 are all shared."""
+    one), so mining, pair tables, and rounds 1-4 are all shared;
+    the game table itself comes from the _arena_games session memo
+    shared with arena_bt_ratings."""
     from recmetrics_pyspark_spark.operators.ranking import (
         bradley_terry_rank_sensitivity,
     )
 
-    pairs = C.dpo_pair_mining(
-        R.interactions(spark, sf_dir, with_rating=True), min_margin=1.0
-    )
-    games = pairs.select(
-        F.col("chosen_item").alias("winner"),
-        F.col("rejected_item").alias("loser"),
-    )
     return bradley_terry_rank_sensitivity(
-        games, iters_a=4, iters_b=8, top_k=10
+        _arena_games(spark, sf_dir), iters_a=4, iters_b=8, top_k=10
     )
 
 

@@ -938,6 +938,41 @@ def _arena_bt_sensitivity(spark, sf_dir):
     )
 
 
+def _ivf_recall_report(spark, sf_dir):
+    """ann_recall_report's shape over the trained-IVF lane — the one
+    approximate retriever that had no witnessed recall row (LSH got
+    it in round 8, SQ8/IVF-SQ8 in round 10, PQ/IVF-PQ this round):
+    per-query recall@10 of ivf_ann_topk (8 cells, nprobe 3) against
+    the exact brute-force top-k, so the cell-routing recall trade is
+    oracle-pinned rather than pytest-only."""
+    embs = _embs(spark, sf_dir)
+    qset = embs.filter(F.col("vec_id") < 5)
+    exact = S.ann_bruteforce_topk(embs, qset, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.ivf_ann_topk(
+        embs, qset, k=10, n_cells=8, nprobe=3
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
 def _pq_recall_report(spark, sf_dir):
     """sq_recall_report's pattern extended to the PQ lanes (round-10
     verdict item 8): per-query recall@10 of pq_ann_topk and
@@ -4734,11 +4769,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sq_recall_report, new this round) placed directly after the
     pq/ivfpq lanes so the memoized PQ codebooks are charged to
     their own rows; the last 5 slots start the r5 cohort
-    (baseline_predictor_rmse ... containment_pairs).
+    (baseline_predictor_rmse ... cohort_retention; containment_pairs
+    yields its slot to ivf_recall_report's first witness and leads
+    the r12 cohort).
 
     ROUND-12 ROTATION NOTE: after this window lands, the oldest
     remaining driver vintage is r5. The r5 cohort remainder is 31
-    rows, oldest-first alphabetical: conversion_latency,
+    rows, oldest-first alphabetical: containment_pairs,
+    conversion_latency,
     daily_anomaly_events, dedup_pipeline, doc_perplexity,
     dsir_importance, dup_ngram_fraction, funnel_conversion,
     hashing_features, ips_offline_eval, item_exposure,
@@ -4835,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall_report": _simhash_recall_report,
         "arena_bt_sensitivity": _arena_bt_sensitivity,
         "pq_recall_report": _pq_recall_report,
+        "ivf_recall_report": _ivf_recall_report,
         "dedup_pipeline": _dedup_pipeline,
         # --- similarity search / clustering (operators/similarity.py)
         "ann_bruteforce_topk": _ann_topk,
@@ -5126,6 +5165,9 @@ _ROUND11_WINDOW = [
     "pq_rerank_topk",
     # round-11 NEW: PQ recall twin, after the pq lanes
     "pq_recall_report",
+    # round-11 NEW: trained-IVF recall twin (same exact side + the
+    # memoized kmeans cells already charged above)
+    "ivf_recall_report",
     "q11_important_stock",
     "q13_order_count_distribution",
     "q15_top_supplier",
@@ -5146,7 +5188,6 @@ _ROUND11_WINDOW = [
     "calibration_kl",
     "churn_training_set",
     "cohort_retention",
-    "containment_pairs",
 ]
 
 
@@ -5536,6 +5577,37 @@ WHERE rnk <= 10
 
 # mirrors operators/similarity.py::ivfsq_ann_topk (shared between
 # the ivfsq_ann_topk oracle and sq_recall_report's fused subquery)
+_IVF_ANN_SQL = KMEANS_CTE + """
+, cells AS (
+  SELECT vid AS neighbor_id, v AS cv, sqrt(v_sq) AS cn, cid FROM (
+    SELECT b.vid, b.v, b.v_sq, c1.cid,
+      row_number() OVER (PARTITION BY b.vid
+        ORDER BY round(b.v_sq - 2*list_dot_product(b.v, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
+    FROM b, c1) t
+  WHERE rn = 1
+), qb AS (SELECT vid AS query_id, v AS qv, v_sq AS q_sq FROM b WHERE vid < 5),
+probes AS (
+  SELECT query_id, qv, sqrt(q_sq) AS qn, cid FROM (
+    SELECT qb.query_id, qb.qv, qb.q_sq, c1.cid,
+      row_number() OVER (PARTITION BY qb.query_id
+        ORDER BY round(qb.q_sq - 2*list_dot_product(qb.qv, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
+    FROM qb, c1) t
+  WHERE rn <= 3
+), scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv) / (qn * cn), 6) AS cos_sim
+  FROM cells JOIN probes USING (cid) WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+"""
+
+
 _IVFSQ_ANN_SQL = KMEANS_CTE + """
 , dims AS (
   SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
@@ -9024,6 +9096,21 @@ FROM exact e LEFT JOIN iv a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """,
+        # ann_recall_report's shape over the trained-IVF lane
+        "ivf_recall_report": f"""
+WITH exact AS (SELECT query_id, neighbor_id
+               FROM ({_ann_brute_oracle()}) t),
+iv AS (SELECT query_id, neighbor_id FROM ({_IVF_ANN_SQL}) t)
+SELECT e.query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        / count(*), 6) AS recall_at_10
+FROM exact e LEFT JOIN iv a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
         # sq_recall_report's shape over the PQ lanes (PQ-ADC and
         # IVF-routed PQ), each oracle chain nested whole
         "pq_recall_report": f"""
@@ -9090,35 +9177,7 @@ SELECT train_id, n_eval_hits, best_eval_id, best_cos FROM (
   FROM hits WHERE cos_sim >= 0.4) f
 WHERE rnk = 1
 """,
-        "ivf_ann_topk": KMEANS_CTE + """
-, cells AS (
-  SELECT vid AS neighbor_id, v AS cv, sqrt(v_sq) AS cn, cid FROM (
-    SELECT b.vid, b.v, b.v_sq, c1.cid,
-      row_number() OVER (PARTITION BY b.vid
-        ORDER BY round(b.v_sq - 2*list_dot_product(b.v, c1.c)
-                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
-    FROM b, c1) t
-  WHERE rn = 1
-), qb AS (SELECT vid AS query_id, v AS qv, v_sq AS q_sq FROM b WHERE vid < 5),
-probes AS (
-  SELECT query_id, qv, sqrt(q_sq) AS qn, cid FROM (
-    SELECT qb.query_id, qb.qv, qb.q_sq, c1.cid,
-      row_number() OVER (PARTITION BY qb.query_id
-        ORDER BY round(qb.q_sq - 2*list_dot_product(qb.qv, c1.c)
-                 + list_dot_product(c1.c, c1.c), 6), c1.cid) AS rn
-    FROM qb, c1) t
-  WHERE rn <= 3
-), scored AS (
-  SELECT query_id, neighbor_id,
-    round(list_dot_product(qv, cv) / (qn * cn), 6) AS cos_sim
-  FROM cells JOIN probes USING (cid) WHERE neighbor_id <> query_id)
-SELECT query_id, neighbor_id, cos_sim, rnk FROM (
-  SELECT query_id, neighbor_id, cos_sim,
-    CAST(row_number() OVER (PARTITION BY query_id
-      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
-  FROM scored) t
-WHERE rnk <= 10
-""",
+        "ivf_ann_topk": _IVF_ANN_SQL,
         "q_event_gaps": """
 SELECT user_id, event_id,
   CAST(floor(epoch(ts)) AS BIGINT)

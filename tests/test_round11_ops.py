@@ -224,3 +224,25 @@ def test_bt_sensitivity_matches_two_independent_fits(spark):
     assert row.top10_overlap == sum(
         1 for i in b8 if b8[i] <= 10 and b4[i] <= 10
     )
+
+
+def test_ivf_recall_report_bounds_and_consistency(spark):
+    """One row per query; recall in [0, 1]; n_hit never exceeds the
+    IVF lane's own row count for that query (the report only counts
+    exact-side matches)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    rows = e.queries()["ivf_recall_report"](spark, sf).collect()
+    assert len(rows) == 5  # vec_id < 5 query set
+    ivf = e.queries()["ivf_ann_topk"](spark, sf)
+    per_q = {
+        r.query_id: r.n
+        for r in ivf.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_hit <= min(10, per_q.get(r.query_id, 0))
+        assert 0.0 <= r.recall_at_10 <= 1.0

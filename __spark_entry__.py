@@ -4797,7 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r12 cohort).
 
     ROUND-12 ROTATION NOTE: after this window lands, the oldest
-    remaining driver vintage is r5. The r5 cohort remainder is 31
+    remaining driver vintage is r5. The r5 cohort remainder is 32
     rows, oldest-first alphabetical: containment_pairs,
     conversion_latency,
     daily_anomaly_events, dedup_pipeline, doc_perplexity,
@@ -4810,9 +4810,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     repurchase_intervals, rfm_segments, sequential_rules,
     serendipity, skipgram_pairs, source_overlap,
     split_leakage_audit, ucb_arm_stats, user_behavior_entropy,
-    wow_trending. With 5 canaries + any round-12 additions, ~14 r6
+    wow_trending. With 5 canaries + any round-12 additions, ~13 r6
     slots remain after the r5 cohort (r6 rows begin at
-    als_implicit_recs per the CORRECTNESS union). media_features
+    als_implicit_recs per the CORRECTNESS union —
+    scripts/witness_audit.py prints the live histogram and the next
+    window's composition). media_features
     re-ran in THIS window (r11), so its waiver-lane deadline resets
     to r14 under the every-3-rounds rule.
     """

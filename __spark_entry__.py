@@ -4797,7 +4797,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r12 cohort).
 
     ROUND-12 ROTATION NOTE: after this window lands, the oldest
-    remaining driver vintage is r5. The r5 cohort remainder is 32
+    remaining driver vintage is r5. FIRST the two late-round-11
+    code-changed re-witnesses: item_based_recommendations +
+    mmr_rerank (their wrappers now consume the _item_recs session
+    memo — values unchanged, 3-SF verified on the change, full-bench
+    A/B in SCALE.md's round-11 memo section); then the r5 cohort
+    remainder — 32
     rows, oldest-first alphabetical: containment_pairs,
     conversion_latency,
     daily_anomaly_events, dedup_pipeline, doc_perplexity,
@@ -4810,7 +4815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     repurchase_intervals, rfm_segments, sequential_rules,
     serendipity, skipgram_pairs, source_overlap,
     split_leakage_audit, ucb_arm_stats, user_behavior_entropy,
-    wow_trending. With 5 canaries + any round-12 additions, ~13 r6
+    wow_trending. With 5 canaries + the 2 re-witnesses + any
+    round-12 additions, ~11 r6
     slots remain after the r5 cohort (r6 rows begin at
     als_implicit_recs per the CORRECTNESS union —
     scripts/witness_audit.py prints the live histogram and the next

@@ -2849,9 +2849,10 @@ def _mmr_rerank(spark, sf_dir):
 
 def _mmr_oracle() -> str:
     # unrolled greedy stages: sel{t} accumulates picks; stage t scores
-    # every remaining candidate by 0.7*rel - (1-0.7)*max-sim-to-selected
-    # ((1 - 0.7), not 0.3: both engines then evaluate the IDENTICAL
-    # IEEE double the Python operator uses for 1 - lam)
+    # every remaining candidate by 0.7*rel - 0.3*max-sim-to-selected.
+    # Both coefficients are DECIMAL literals here, matching the exact
+    # DECIMAL(18,6) arithmetic recommend.py::mmr_rerank moved to —
+    # there is no IEEE-double (1 - lam) on either engine anymore.
     stages, picks = [], ["SELECT buser, item, 1 AS step, mmr FROM p1"]
     for t in range(2, 6):
         prev = f"sel{t-1}"

@@ -40,6 +40,20 @@ def _bench_local_path() -> str:
     )
 
 
+def _loadavg() -> list | None:
+    """1/5/15-min load averages — recorded in BENCH_HISTORY entries so
+    environmental claims about a run ('the box was busy') carry
+    evidence instead of inference (round-11 verdict item 3c). The
+    solo-JVM protocol expects ~0 background load; a 1-min figure near
+    or above the core count at run start marks the total as
+    contaminated for cross-round comparison."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def _append_history(payload: dict) -> None:
     """Append the FULL per-query payload to the tracked
     BENCH_HISTORY.jsonl (one line per run, wall-clock stamped). The
@@ -98,6 +112,7 @@ def _multi_run(n_runs: int) -> None:
     import tempfile
 
     runs: list[dict] = []
+    loadavg_trace: list = [_loadavg()]
     for i in range(n_runs):
         fd, tmp = tempfile.mkstemp(prefix="bench_run_", suffix=".json")
         os.close(fd)
@@ -127,6 +142,7 @@ def _multi_run(n_runs: int) -> None:
             os.unlink(tmp)
         except OSError:
             pass
+        loadavg_trace.append(_loadavg())
         if payload is not None:
             runs.append(payload)
             print(f"[bench] run {i + 1}/{n_runs}: "
@@ -160,6 +176,9 @@ def _multi_run(n_runs: int) -> None:
         "sf": runs[0]["sf"],
         "protocol": protocol,
         "run_totals": [r["value"] for r in runs],
+        # loadavg sampled before run 1 and after each child run —
+        # run_totals[i] pairs with the [i], [i+1] bracket
+        "loadavg_trace": loadavg_trace,
     }
     # Parent honors SPARK_GRAFT_BENCH_OUT exactly like single-run mode
     # (the children were pointed at their own temp files above, so the
@@ -177,7 +196,10 @@ def _multi_run(n_runs: int) -> None:
         )
         with open(median_out, "w") as fh:
             fh.write(payload_line)
-    _append_history(payload)
+        # protocol runs only — a scratch multi-run (explicit
+        # SPARK_GRAFT_BENCH_OUT) must not pollute the committed
+        # history, same rule as BENCH_MEDIAN.json above
+        _append_history(payload)
     _emit_compact(total, runs[0]["sf"], med, {
         "protocol": protocol, "run_totals": payload["run_totals"],
     })
@@ -206,6 +228,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "1"))
+    load_start = _loadavg()
     spark = get_spark("recmetrics-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -304,6 +327,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "protocol": "single-run",
+                "loadavg": {"start": load_start, "end": _loadavg()},
             }
         )
     _emit_compact(total, sf, timings, {})

@@ -73,9 +73,9 @@ def main() -> int:
         print(f"  first witnesses: {sorted(firsts)}")
         vint = sorted((seen[q], q) for q in fresh)
         print(f"  re-witnesses by prior vintage: {vint}")
-        post = {q: seen[q] for q in qs[50:] if q not in seen}
+        post = sorted(q for q in qs[50:] if q not in seen)
         if post:
-            print(f"  NOT in window and never witnessed: {sorted(post)}")
+            print(f"  NOT in window and never witnessed: {post}")
     return 0
 
 

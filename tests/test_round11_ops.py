@@ -70,10 +70,12 @@ def test_ivf_probe_guard_shuffle_plan_has_no_probe_broadcast(spark):
     import re
 
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # centroid cross-joins legitimately broadcast (k x dim); the
-    # probe-vs-cells join must run as a shuffle join, so at least one
-    # non-broadcast join must survive in the physical plan.
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
+    # centroid cross-joins legitimately broadcast (k x dim); the pin
+    # is on the probe-vs-cells join SPECIFICALLY — the only equi-join
+    # keyed on cid — which must run as a shuffle join and must not be
+    # planned (or AQE-converted) back under a BroadcastExchange.
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*\[cid", plan), plan
+    assert not re.search(r"BroadcastHashJoin[^\n]*\[cid", plan), plan
 
 
 # ---------------------------------------------------------------------------

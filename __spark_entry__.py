@@ -994,12 +994,11 @@ def _ivf_recall_report(spark, sf_dir):
     it in round 8, SQ8/IVF-SQ8 in round 10, PQ/IVF-PQ this round):
     per-query recall@10 of ivf_ann_topk (8 cells, nprobe 3) against
     the exact brute-force top-k, so the cell-routing recall trade is
-    oracle-pinned rather than pytest-only."""
+    oracle-pinned rather than pytest-only. Exact side from the
+    _ann_truth session memo."""
     embs = _embs(spark, sf_dir)
     qset = embs.filter(F.col("vec_id") < 5)
-    exact = S.ann_bruteforce_topk(embs, qset, k=10).select(
-        "query_id", "neighbor_id"
-    )
+    exact = _ann_truth(spark, sf_dir).select("query_id", "neighbor_id")
     approx = S.ivf_ann_topk(
         embs, qset, k=10, n_cells=8, nprobe=3
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
@@ -1028,12 +1027,12 @@ def _pq_recall_report(spark, sf_dir):
     verdict item 8): per-query recall@10 of pq_ann_topk and
     ivfpq_ann_topk against the exact brute-force top-k — the PQ
     compression and the IVF routing each get a witnessed retrieval-
-    quality row instead of a pytest-only bound."""
+    quality row instead of a pytest-only bound. Exact side from the
+    _ann_truth session memo (already checkpointed — both lane
+    branches fan out from materialized blocks)."""
     embs = _embs(spark, sf_dir)
     qset = embs.filter(F.col("vec_id") < 5)
-    exact = S.ann_bruteforce_topk(embs, qset, k=10).select(
-        "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)
+    exact = _ann_truth(spark, sf_dir).select("query_id", "neighbor_id")
     parts = []
     for lane, approx in (
         ("pq", S.pq_ann_topk(embs, qset, k=10, m=4, k_codes=16)),
@@ -1276,10 +1275,31 @@ def _simhash_near(spark, sf_dir):
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=1)
 
 
+_ANN_TRUTH_MEMO: dict = {}
+
+
+def _ann_truth(spark, sf_dir):
+    """The exact brute-force top-10 for the standard query set
+    (vec_id < 5), memoized per (application, sf_dir) — the
+    _exact_pairs pattern applied to the ANN family: the declared
+    ann_bruteforce_topk query and all four recall reports
+    (ann/sq/ivf/pq) derive this identical truth, and each call
+    re-paid the full-corpus scoring scan (~1.2 s each at sf0.1, five
+    consumers). |Q| x k rows — output-scale, checkpoint-cheap at any
+    corpus size."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    out = _ANN_TRUTH_MEMO.get(key)
+    if out is None:
+        embs = _embs(spark, sf_dir)
+        out = S.ann_bruteforce_topk(
+            embs, embs.filter(F.col("vec_id") < 5), k=10
+        ).localCheckpoint(eager=True)
+        _ANN_TRUTH_MEMO[key] = out
+    return out
+
+
 def _ann_topk(spark, sf_dir):
-    embs = _embs(spark, sf_dir)
-    queries_df = embs.filter(F.col("vec_id") < 5)
-    return S.ann_bruteforce_topk(embs, queries_df, k=10)
+    return _ann_truth(spark, sf_dir)
 
 
 def _ivf_ann_topk(spark, sf_dir):
@@ -1372,12 +1392,10 @@ def _sq_recall_report(spark, sf_dir):
     per-query recall@10 of sq_ann_topk and ivfsq_ann_topk against the
     exact brute-force top-k, one row per (lane, query). Left-joining
     exact against approximate is output-scale work (lanes x |Q| x k
-    rows)."""
+    rows). Exact side from the _ann_truth session memo."""
     embs = _embs(spark, sf_dir)
     qset = embs.filter(F.col("vec_id") < 5)
-    exact = S.ann_bruteforce_topk(embs, qset, k=10).select(
-        "query_id", "neighbor_id"
-    )
+    exact = _ann_truth(spark, sf_dir).select("query_id", "neighbor_id")
     parts = []
     for lane, approx in (
         ("sq8", S.sq_ann_topk(embs, qset, k=10)),
@@ -1414,14 +1432,16 @@ def _hybrid_rrf_topk(spark, sf_dir):
     multiprobe-LSH retrievers each contribute 1/(60 + rank) per
     (query, neighbor); the fused top-10 re-ranks on the exact
     DECIMAL sum. The RAG-era ensemble pattern — retrievers with
-    different candidate pools fused without score calibration."""
+    different candidate pools fused without score calibration.
+    The exact-cosine retriever comes from the _ann_truth session
+    memo (identical frame: same corpus, query set, and k)."""
     from recmetrics_pyspark_spark.operators.ranking import rrf_fuse
 
     embs = _embs(spark, sf_dir)
     queries_df = embs.filter(F.col("vec_id") < 5)
     return rrf_fuse(
         [
-            S.ann_bruteforce_topk(embs, queries_df, k=10),
+            _ann_truth(spark, sf_dir),
             S.sq_ann_topk(embs, queries_df, k=10),
             S.ann_lsh_topk(embs, queries_df, k=10),
         ],
@@ -2445,12 +2465,10 @@ def _ann_recall_report(spark, sf_dir):
     twin of tests/test_ann_recall.py's gates, so retrieval QUALITY
     (not just result determinism) carries an oracle row. Left-joining
     the exact set against the approximate set is output-scale work
-    (|Q|·k rows)."""
+    (|Q|·k rows). Exact side from the _ann_truth session memo."""
     embs = _embs(spark, sf_dir)
     qset = embs.filter(F.col("vec_id") < 5)
-    exact = S.ann_bruteforce_topk(embs, qset, k=10).select(
-        "query_id", "neighbor_id"
-    )
+    exact = _ann_truth(spark, sf_dir).select("query_id", "neighbor_id")
     approx = S.ann_lsh_topk(embs, qset, k=10).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )

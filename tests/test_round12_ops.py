@@ -68,3 +68,41 @@ def test_recall_reports_consistent_with_memoized_truth(spark):
         assert r.n_exact == n_fresh
         assert 0 <= r.n_hit <= r.n_exact
     e._EXACT_PAIRS_MEMO.clear()
+
+
+def test_ann_truth_memo_shared_and_equal(spark):
+    """The declared ann_bruteforce_topk query, the four recall
+    reports, and hybrid_rrf_topk all hit ONE _ann_truth entry per
+    (application, sf_dir); the memoized ranking is row-identical to
+    a fresh brute-force derivation."""
+    import __spark_entry__ as e
+    from recmetrics_pyspark_spark.operators import similarity as S
+
+    e._ANN_TRUTH_MEMO.clear()
+    qs = e.queries()
+    memo_rows = sorted(
+        map(tuple, qs["ann_bruteforce_topk"](spark, SF_DIR).collect())
+    )
+    assert len(e._ANN_TRUTH_MEMO) == 1
+    for name in (
+        "ann_recall_report",
+        "sq_recall_report",
+        "ivf_recall_report",
+        "pq_recall_report",
+        "hybrid_rrf_topk",
+    ):
+        qs[name](spark, SF_DIR).collect()
+    assert len(e._ANN_TRUTH_MEMO) == 1  # every consumer hit the entry
+
+    embs = e._embs(spark, SF_DIR)
+    fresh = sorted(
+        map(
+            tuple,
+            S.ann_bruteforce_topk(
+                embs, embs.filter(F.col("vec_id") < 5), k=10
+            ).collect(),
+        )
+    )
+    assert memo_rows == fresh
+    assert len(memo_rows) > 0
+    e._ANN_TRUTH_MEMO.clear()

@@ -4804,71 +4804,44 @@ def _data_mixture_pipeline(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness
-    harness evaluates the FIRST 50 entries. Round-11 window
-    (`_ROUND11_WINDOW` below), executing the round-10 rotation note
-    plus this round's additions: the 5 stable canaries lead
+    harness evaluates the FIRST 50 entries. Round-12 window
+    (`_ROUND12_WINDOW` below), executing the round-11 rotation note
+    plus this round's memo re-witnesses: the 5 stable canaries lead
     (coverage, personalization, item_item_topk, minhash_lsh_pairs,
     event_sessionize — they own the shared cache builds, so
     rotated-in queries show marginal bench cost); then the two
-    round-10 post-window additions getting their FIRST driver
-    witness — lsh_recall_report (re-verified at 3 SFs this round
-    after its missed-mean moved to the exact DECIMAL sum and its
-    recall gained the nullif guard, per ADVICE) and
-    arena_bt_ratings + its new iteration-sensitivity twin
-    arena_bt_sensitivity (bradley_terry_ratings gained the
-    winner != loser gate and the size-guarded pair-grain
-    partitioning this round — values unchanged on the self-game-free
-    mined arena, 3-SF verified, equality pinned in
-    tests/test_round11_ops.py); then the three late-round-10
-    code-changed re-witnesses domain_neardup_rates,
-    adamic_adar_links, common_neighbor_links (cache-plan hygiene /
-    checkpoint boundaries, values unchanged, 3-SF verified); then
-    semantic_decontaminate_ivf re-witnessing its ADVICE fix (the
-    probe-table join is now size-guarded — broadcast under
-    broadcast_probe_limit rows, cid-shuffle above — values
-    unchanged, broadcast-vs-shuffle equality pinned in tests); then
-    the two remaining round-11 NEW rows simhash_recall_report
-    (SimHash recall vs the exact-Jaccard truth at Hamming radii 1
-    and 3 — the lsh_recall_report twin the round-10 verdict asked
-    for) and media_features (rows-only waiver lane, re-windowed
-    ahead of its r12 deadline); then the ENTIRE 30-row r4 cohort,
-    oldest-first alphabetical (events_asof_next_purchase ...
-    weighted_sample — clears r4 freshness a round early), with
-    pq_recall_report (the PQ/IVF-PQ recall twin of
-    sq_recall_report, new this round) placed directly after the
-    pq/ivfpq lanes so the memoized PQ codebooks are charged to
-    their own rows; the last 5 slots start the r5 cohort
-    (baseline_predictor_rmse ... cohort_retention; containment_pairs
-    yields its slot to ivf_recall_report's first witness and leads
-    the r12 cohort).
+    late-round-11 code-changed re-witnesses item_based_recommendations
+    + mmr_rerank (their wrappers consume the _item_recs session memo
+    — values unchanged, 3-SF verified on the change); then the two
+    report rows rewired onto the round-12 _exact_pairs session memo,
+    lsh_recall_report + simhash_recall_report (the round-11 verdict's
+    weak mark: three consumers re-derived the exact-Jaccard truth
+    table; values unchanged, 3-SF verified, memo-vs-fresh equality
+    pinned in tests/test_round12_ops.py — the third consumer,
+    ngram_jaccard_pairs, re-witnesses inside the r5 cohort below);
+    then the six rows rewired onto the _ann_truth session memo —
+    ann_bruteforce_topk first (it owns the memoized brute-force
+    build and the shared _embs scan), then ann_recall_report,
+    sq_recall_report, ivf_recall_report, pq_recall_report,
+    hybrid_rrf_topk (same pattern, same 3-SF verification, equality
+    pinned in the same test file); then the ENTIRE 32-row r5 cohort,
+    oldest-first alphabetical (containment_pairs ... wow_trending —
+    clears r5 freshness); the last 3 slots start the r6 cohort
+    (ab_power_mde, ab_test_events, attribution_time_decay).
 
-    ROUND-12 ROTATION NOTE: after this window lands, the oldest
-    remaining driver vintage is r5. FIRST the two late-round-11
-    code-changed re-witnesses: item_based_recommendations +
-    mmr_rerank (their wrappers now consume the _item_recs session
-    memo — values unchanged, 3-SF verified on the change, full-bench
-    A/B in SCALE.md's round-11 memo section); then the r5 cohort
-    remainder — 32
-    rows, oldest-first alphabetical: containment_pairs,
-    conversion_latency,
-    daily_anomaly_events, dedup_pipeline, doc_perplexity,
-    dsir_importance, dup_ngram_fraction, funnel_conversion,
-    hashing_features, ips_offline_eval, item_exposure,
-    item_trend_slope, log_odds_terms, media_decode_meta,
-    minhash_jaccard_estimate, neardup_components,
-    ngram_jaccard_pairs, ngram_novelty_by_source, pass_at_k_items,
-    prefix_dedup, qa_eval_docs, quantile_normalize,
-    repurchase_intervals, rfm_segments, sequential_rules,
-    serendipity, skipgram_pairs, source_overlap,
-    split_leakage_audit, ucb_arm_stats, user_behavior_entropy,
-    wow_trending. With 5 canaries + the 2 re-witnesses + any
-    round-12 additions, ~11 r6
-    slots remain after the r5 cohort (r6 rows begin at
-    als_implicit_recs per the CORRECTNESS union —
-    scripts/witness_audit.py prints the live histogram and the next
-    window's composition). media_features
-    re-ran in THIS window (r11), so its waiver-lane deadline resets
-    to r14 under the every-3-rounds rule.
+    ROUND-13 ROTATION NOTE: after this window lands, the oldest
+    remaining driver vintage is r6. FIRST one adjacency-memo
+    re-witness — adamic_adar_links OR common_neighbor_links (their
+    r11 rows predate nothing, but one post-memo re-witness closes
+    the "memo changed the plan" class for good — round-11 verdict
+    item 6); then the r6 cohort remainder, oldest-first
+    alphabetical from benford_order_totals (35 rows: the 38-row r6
+    cohort minus the 3 witnessed in this window) — it exceeds the
+    window, so the overflow (plus any round-13 additions) seeds the
+    r14 plan; scripts/witness_audit.py prints the live histogram
+    and the next window's composition. media_features (rows-only
+    waiver lane) re-ran in r11, so its every-3-rounds deadline is
+    r14 — schedule it in the r14 window.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -5187,84 +5160,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": _ccnet_perplexity_buckets,
         "soft_dedup_weights": _soft_dedup_weights,
     }
-    ordered = {k: base[k] for k in _ROUND11_WINDOW}
+    ordered = {k: base[k] for k in _ROUND12_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
 
-# The first-50 driver witness window for round 11 (see queries()
-# docstring). 5 canaries + 2 first witnesses + 3 late-r10
-# re-witnesses + the ADVICE-fixed IVF lane re-witness + 3 new
-# round-11 rows (simhash recall, arena sensitivity, pq recall)
-# + the media waiver re-run + the FULL 30-row r4 cohort + the
-# first 5 r5 rows. Order is bench-accounting: canaries own the
-# shared cache builds; arena_bt_sensitivity follows
-# arena_bt_ratings (same mined game table); pq_recall_report
-# follows the pq/ivfpq lanes so the memoized codebooks are
-# charged to their own rows.
-_ROUND11_WINDOW = [
+# The first-50 driver witness window for round 12 (see queries()
+# docstring). 5 canaries + the 2 _item_recs memo re-witnesses + the
+# 2 _exact_pairs memo report rows + the 6 _ann_truth memo rows + the
+# FULL 32-row r5 cohort + the first 3 r6 rows. Order is
+# bench-accounting: canaries own the shared cache builds;
+# ann_bruteforce_topk leads its family so the memoized brute-force
+# truth (and the shared _embs scan) is charged to the row that
+# declares it; ngram_jaccard_pairs sits inside the alphabetical r5
+# cohort, AFTER lsh/simhash_recall_report — those two charge the
+# _exact_pairs build, the declared truth query then reads the memo
+# (position accounting only; values are position-independent).
+_ROUND12_WINDOW = [
     # 5 canaries (own the shared cache builds; green every round)
     "coverage",
     "personalization",
     "item_item_topk",
     "minhash_lsh_pairs",
     "event_sessionize",
-    # round-10 post-window additions: first driver witness
+    # _item_recs memo re-witnesses (code changed late round 11)
+    "item_based_recommendations",
+    "mmr_rerank",
+    # _exact_pairs memo re-witnesses (round-12 change)
     "lsh_recall_report",
-    "arena_bt_ratings",
-    # round-11 NEW: fixed-iteration sensitivity twin
-    "arena_bt_sensitivity",
-    # late-round-10 code-changed re-witnesses
-    "domain_neardup_rates",
-    "adamic_adar_links",
-    "common_neighbor_links",
-    # ADVICE fix re-witness (size-guarded probe join)
-    "semantic_decontaminate_ivf",
-    # round-11 NEW: SimHash recall vs the exact-Jaccard truth
     "simhash_recall_report",
-    # rows-only waiver lane, re-windowed ahead of its deadline
-    "media_features",
-    # freshness: the full 30-row r4 cohort, oldest-first
-    "events_asof_next_purchase",
-    "feature_binning",
-    "freq_sketch_events",
-    "grouped_split",
-    "hard_negatives",
-    "holt_forecast_events",
-    "incremental_dedup",
-    "incremental_neardup",
-    "ivfpq_ann_topk",
-    "km_retention",
-    "neardup_components_star",
-    "negative_sampling",
-    "next_item_examples",
-    "pq_ann_topk",
-    "pq_rerank_topk",
-    # round-11 NEW: PQ recall twin, after the pq lanes
-    "pq_recall_report",
-    # round-11 NEW: trained-IVF recall twin (same exact side + the
-    # memoized kmeans cells already charged above)
+    # _ann_truth memo re-witnesses (round-12 change; truth owner first)
+    "ann_bruteforce_topk",
+    "ann_recall_report",
+    "sq_recall_report",
     "ivf_recall_report",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt_by_part",
-    "q17_small_quantity_revenue",
-    "q20_candidate_suppliers",
-    "q21_sole_latest_supplier",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q_rollup_tree",
-    "record_linkage_parts",
-    "rolling_origin_cv",
-    "semantic_dedup",
-    "wau_hll_mergeable",
-    "weighted_sample",
-    # freshness: the r5 cohort starts
-    "baseline_predictor_rmse",
-    "calibration_kl",
-    "churn_training_set",
-    "cohort_retention",
+    "pq_recall_report",
+    "hybrid_rrf_topk",
+    # freshness: the full 32-row r5 cohort, oldest-first
+    "containment_pairs",
+    "conversion_latency",
+    "daily_anomaly_events",
+    "dedup_pipeline",
+    "doc_perplexity",
+    "dsir_importance",
+    "dup_ngram_fraction",
+    "funnel_conversion",
+    "hashing_features",
+    "ips_offline_eval",
+    "item_exposure",
+    "item_trend_slope",
+    "log_odds_terms",
+    "media_decode_meta",
+    "minhash_jaccard_estimate",
+    "neardup_components",
+    "ngram_jaccard_pairs",
+    "ngram_novelty_by_source",
+    "pass_at_k_items",
+    "prefix_dedup",
+    "qa_eval_docs",
+    "quantile_normalize",
+    "repurchase_intervals",
+    "rfm_segments",
+    "sequential_rules",
+    "serendipity",
+    "skipgram_pairs",
+    "source_overlap",
+    "split_leakage_audit",
+    "ucb_arm_stats",
+    "user_behavior_entropy",
+    "wow_trending",
+    # freshness: the r6 cohort starts
+    "ab_power_mde",
+    "ab_test_events",
+    "attribution_time_decay",
 ]
 
 

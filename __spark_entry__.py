@@ -888,6 +888,30 @@ def _arena_games(spark, sf_dir):
     return g
 
 
+_BT_CHAIN_MEMO: dict = {}
+
+
+def _bt_chain(spark, sf_dir):
+    """The 8-round Bradley-Terry MM chain over the shared
+    _arena_games table, fitted ONCE per (application, sf_dir) with
+    round 4 marked — both arena queries are snapshots of this one
+    chain (ratings reads round 8; sensitivity reads rounds 4 and 8).
+    Marking only records a snapshot, never changes the chain, so
+    snaps[8] here is bit-identical to an unmarked ratings fit
+    (pinned in tests/test_round12_ops.py). Item-grain frames only;
+    the chain's own internals are checkpointed by _bt_fit."""
+    from recmetrics_pyspark_spark.operators.ranking import bt_fit_chain
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    fit = _BT_CHAIN_MEMO.get(key)
+    if fit is None:
+        fit = bt_fit_chain(
+            _arena_games(spark, sf_dir), iters=8, marks=(4,)
+        )
+        _BT_CHAIN_MEMO[key] = fit
+    return fit
+
+
 def _arena_bt_ratings(spark, sf_dir):
     """Arena-style preference leaderboard (operators/ranking.py::
     bradley_terry_ratings): the mined DPO preference pairs (each
@@ -896,12 +920,18 @@ def _arena_bt_ratings(spark, sf_dir):
     game count, normalized rating, and leaderboard rank. The
     pairwise-eval aggregation every LLM arena runs, expressed as
     deterministic DataFrame rounds with an iteration-chained SQL
-    oracle. Games come from the shared _arena_games memo."""
+    oracle. Games come from the shared _arena_games memo; the MM
+    chain itself comes from the _bt_chain session memo shared with
+    arena_bt_sensitivity."""
     from recmetrics_pyspark_spark.operators.ranking import (
         bradley_terry_ratings,
     )
 
-    return bradley_terry_ratings(_arena_games(spark, sf_dir), iters=8)
+    return bradley_terry_ratings(
+        _arena_games(spark, sf_dir),
+        iters=8,
+        fit=_bt_chain(spark, sf_dir),
+    )
 
 
 def _simhash_recall_report(spark, sf_dir):
@@ -977,14 +1007,20 @@ def _arena_bt_sensitivity(spark, sf_dir):
     chain (operators/ranking.py::bradley_terry_rank_sensitivity —
     an earlier fixed-iteration fit is a strict prefix of a later
     one), so mining, pair tables, and rounds 1-4 are all shared;
-    the game table itself comes from the _arena_games session memo
-    shared with arena_bt_ratings."""
+    the game table comes from the _arena_games session memo and the
+    chain itself from the _bt_chain memo shared with
+    arena_bt_ratings — across the two queries the 8-round fit runs
+    exactly once per session."""
     from recmetrics_pyspark_spark.operators.ranking import (
         bradley_terry_rank_sensitivity,
     )
 
     return bradley_terry_rank_sensitivity(
-        _arena_games(spark, sf_dir), iters_a=4, iters_b=8, top_k=10
+        _arena_games(spark, sf_dir),
+        iters_a=4,
+        iters_b=8,
+        top_k=10,
+        fit=_bt_chain(spark, sf_dir),
     )
 
 
@@ -4830,18 +4866,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (ab_power_mde, ab_test_events, attribution_time_decay).
 
     ROUND-13 ROTATION NOTE: after this window lands, the oldest
-    remaining driver vintage is r6. FIRST one adjacency-memo
-    re-witness — adamic_adar_links OR common_neighbor_links (their
-    r11 rows predate nothing, but one post-memo re-witness closes
-    the "memo changed the plan" class for good — round-11 verdict
-    item 6); then the r6 cohort remainder, oldest-first
-    alphabetical from benford_order_totals (35 rows: the 38-row r6
-    cohort minus the 3 witnessed in this window) — it exceeds the
-    window, so the overflow (plus any round-13 additions) seeds the
-    r14 plan; scripts/witness_audit.py prints the live histogram
-    and the next window's composition. media_features (rows-only
-    waiver lane) re-ran in r11, so its every-3-rounds deadline is
-    r14 — schedule it in the r14 window.
+    remaining driver vintage is r6. FIRST the two late-round-12
+    code-changed re-witnesses arena_bt_ratings + arena_bt_sensitivity
+    (their wrappers now share ONE MM chain via the _bt_chain session
+    memo — values unchanged, 3-SF driver_check verified on the
+    change, fit-vs-standalone equality pinned in
+    tests/test_round12_ops.py, within-probe A/B in SCALE.md's
+    round-12 memo section); then one adjacency-memo re-witness —
+    adamic_adar_links OR common_neighbor_links (their r11 rows
+    predate nothing, but one post-memo re-witness closes the "memo
+    changed the plan" class for good — round-11 verdict item 6);
+    then the r6 cohort remainder, oldest-first alphabetical from
+    benford_order_totals (35 rows: the 38-row r6 cohort minus the 3
+    witnessed in this window) — it exceeds the window, so the
+    overflow (plus any round-13 additions) seeds the r14 plan;
+    scripts/witness_audit.py prints the live histogram and the next
+    window's composition. media_features (rows-only waiver lane)
+    re-ran in r11, so its every-3-rounds deadline is r14 — schedule
+    it in the r14 window.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing

@@ -232,12 +232,34 @@ def _bt_fit(
     return base, n_games, snaps
 
 
+def bt_fit_chain(
+    games: DataFrame,
+    col_winner: str = "winner",
+    col_loser: str = "loser",
+    iters: int = 8,
+    small_pair_limit: int = 1_000_000,
+    marks: tuple[int, ...] = (),
+) -> tuple[DataFrame, DataFrame, dict[int, "DataFrame"]]:
+    """Public handle on the shared MM chain for callers that fan
+    several outputs off ONE fit (the ratings leaderboard and the
+    iteration-sensitivity row consume the same 8-round chain —
+    marking extra rounds only records snapshots, it never changes
+    the chain, so snaps[k] is bit-identical for any marks superset).
+    Pass the returned tuple to :func:`bradley_terry_ratings` /
+    :func:`bradley_terry_rank_sensitivity` via ``fit=``."""
+    return _bt_fit(
+        games, col_winner, col_loser, int(iters), small_pair_limit,
+        marks=marks,
+    )
+
+
 def bradley_terry_ratings(
     games: DataFrame,
     col_winner: str = "winner",
     col_loser: str = "loser",
     iters: int = 8,
     small_pair_limit: int = 1_000_000,
+    fit: tuple | None = None,
 ) -> DataFrame:
     """Bradley–Terry ratings from pairwise outcomes — the arena /
     preference-leaderboard model (Chatbot-Arena-style eval): item i
@@ -283,9 +305,15 @@ def bradley_terry_ratings(
     rule: Catalyst re-analyzes the whole tree per action, so an
     un-truncated 8-round lineage re-plans quadratically). Output:
     one row per item — (item, n_wins, n_games, rating, rnk), ranked
-    by rating desc with id tiebreak."""
-    base, n_games, snaps = _bt_fit(
-        games, col_winner, col_loser, iters, small_pair_limit
+    by rating desc with id tiebreak.
+
+    ``fit``: a precomputed :func:`bt_fit_chain` tuple over the SAME
+    games (must contain round ``iters``) — lets sibling queries
+    share one chain; omitted, the chain is fitted here."""
+    base, n_games, snaps = (
+        fit
+        if fit is not None
+        else _bt_fit(games, col_winner, col_loser, iters, small_pair_limit)
     )
     r = snaps[int(iters)]
     wk = Window.orderBy(F.desc("rating"), F.asc("item"))
@@ -310,6 +338,7 @@ def bradley_terry_rank_sensitivity(
     iters_b: int = 8,
     top_k: int = 10,
     small_pair_limit: int = 1_000_000,
+    fit: tuple | None = None,
 ) -> DataFrame:
     """Fixed-iteration sensitivity witness for
     :func:`bradley_terry_ratings`: the SAME game table fitted at
@@ -326,16 +355,24 @@ def bradley_terry_rank_sensitivity(
     rounds on top of the plain fit (measured: two independent fits
     18.5 s -> one marked chain ~14 s at sf0.1). Rank semantics are
     identical to the rating operator's output: row_number over
-    (round(r, 6) DESC, item ASC)."""
+    (round(r, 6) DESC, item ASC).
+
+    ``fit``: a precomputed :func:`bt_fit_chain` tuple over the SAME
+    games (must contain rounds ``iters_a`` and ``iters_b``) — lets
+    sibling queries share one chain; omitted, fitted here."""
     if not (0 < int(iters_a) < int(iters_b)):
         raise ValueError("need 0 < iters_a < iters_b")
-    base, _n_games, snaps = _bt_fit(
-        games,
-        col_winner,
-        col_loser,
-        int(iters_b),
-        small_pair_limit,
-        marks=(int(iters_a),),
+    base, _n_games, snaps = (
+        fit
+        if fit is not None
+        else _bt_fit(
+            games,
+            col_winner,
+            col_loser,
+            int(iters_b),
+            small_pair_limit,
+            marks=(int(iters_a),),
+        )
     )
 
     def _ranked(r: DataFrame, name: str) -> DataFrame:

@@ -70,6 +70,53 @@ def test_recall_reports_consistent_with_memoized_truth(spark):
     e._EXACT_PAIRS_MEMO.clear()
 
 
+def test_bt_shared_fit_matches_standalone(spark):
+    """Ratings and sensitivity computed off ONE bt_fit_chain (round 4
+    marked) are row-identical to each operator fitting its own chain
+    — marking extra rounds records snapshots without changing the
+    chain, so the _bt_chain session memo is a pure sharing move."""
+    from recmetrics_pyspark_spark.operators.ranking import (
+        bradley_terry_rank_sensitivity,
+        bradley_terry_ratings,
+        bt_fit_chain,
+    )
+
+    games = spark.createDataFrame(
+        [("a", "b")] * 4 + [("b", "c")] * 3 + [("c", "a")] * 2
+        + [("a", "d"), ("d", "b")],
+        ["winner", "loser"],
+    )
+    fit = bt_fit_chain(games, iters=8, marks=(4,))
+    shared_r = sorted(
+        map(tuple, bradley_terry_ratings(games, iters=8, fit=fit).collect())
+    )
+    solo_r = sorted(
+        map(tuple, bradley_terry_ratings(games, iters=8).collect())
+    )
+    assert shared_r == solo_r and len(shared_r) == 4
+    shared_s = bradley_terry_rank_sensitivity(
+        games, iters_a=4, iters_b=8, fit=fit
+    ).collect()
+    solo_s = bradley_terry_rank_sensitivity(
+        games, iters_a=4, iters_b=8
+    ).collect()
+    assert [tuple(r) for r in shared_s] == [tuple(r) for r in solo_s]
+
+
+def test_bt_chain_memo_shared_across_arena_queries(spark):
+    """Both arena queries hit ONE _bt_chain entry per (application,
+    sf_dir)."""
+    import __spark_entry__ as e
+
+    e._BT_CHAIN_MEMO.clear()
+    qs = e.queries()
+    qs["arena_bt_ratings"](spark, SF_DIR).collect()
+    assert len(e._BT_CHAIN_MEMO) == 1
+    qs["arena_bt_sensitivity"](spark, SF_DIR).collect()
+    assert len(e._BT_CHAIN_MEMO) == 1
+    e._BT_CHAIN_MEMO.clear()
+
+
 def test_ann_truth_memo_shared_and_equal(spark):
     """The declared ann_bruteforce_topk query, the four recall
     reports, and hybrid_rrf_topk all hit ONE _ann_truth entry per

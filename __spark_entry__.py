@@ -806,6 +806,18 @@ def _ngram_jaccard(spark, sf_dir):
     return _exact_pairs(spark, sf_dir)
 
 
+def _dedup_threshold_sweep(spark, sf_dir):
+    """Dedup threshold-sizing report (operators/dedup.py::
+    jaccard_threshold_sweep): per candidate Jaccard threshold
+    (0.1-0.9), surviving pair count and distinct implicated docs —
+    the exact-truth sibling of lsh_parameter_plan, read before
+    picking the near-dup cut for a corpus run. Consumes the
+    _exact_pairs session memo (threshold floor 0.1 = the memo's own
+    cut), so the report costs one output-scale explode-aggregate on
+    top of the already-materialized truth table."""
+    return D.jaccard_threshold_sweep(_exact_pairs(spark, sf_dir))
+
+
 def _lsh_recall_report(spark, sf_dir):
     """Witnessed DEDUP recall — the sq_recall_report pattern applied
     to the near-dup family: one row reporting how many of the exact
@@ -4872,7 +4884,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     memo — values unchanged, 3-SF driver_check verified on the
     change, fit-vs-standalone equality pinned in
     tests/test_round12_ops.py, within-probe A/B in SCALE.md's
-    round-12 memo section); then one adjacency-memo re-witness —
+    round-12 memo section); then the round-12 post-window addition
+    getting its FIRST driver witness — dedup_threshold_sweep (the
+    threshold-sizing report over the _exact_pairs memo, 3-SF
+    verified this round); then one adjacency-memo re-witness —
     adamic_adar_links OR common_neighbor_links (their r11 rows
     predate nothing, but one post-memo re-witness closes the "memo
     changed the plan" class for good — round-11 verdict item 6);
@@ -4957,6 +4972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup (operators/dedup.py)
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        # --- round-12 addition: the threshold-sizing report over the
+        # _exact_pairs memo (first driver witness due round 13)
+        "dedup_threshold_sweep": _dedup_threshold_sweep,
         "lsh_recall_report": _lsh_recall_report,
         "arena_bt_ratings": _arena_bt_ratings,
         # --- round-11 additions (per the round-10 verdict): the
@@ -7841,6 +7859,29 @@ SELECT doc_id, h.content_hash, n_copies, canonical_id,
 FROM h JOIN g USING (content_hash)
 """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        # threshold sweep: the exact pair body reused verbatim, one
+        # threshold-explode join + two counting aggregates on top
+        "dedup_threshold_sweep": f"""
+WITH exact AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM ({_NGRAM_JACCARD_SQL}) t),
+th AS (
+  SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+    AS threshold),
+hits AS MATERIALIZED (
+  SELECT th.threshold, e.id_a, e.id_b
+  FROM exact e JOIN th ON e.jaccard >= th.threshold),
+np AS (
+  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM hits GROUP BY threshold),
+nd AS (
+  SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+  FROM (SELECT threshold, id_a AS doc FROM hits
+        UNION ALL SELECT threshold, id_b FROM hits) s
+  GROUP BY threshold)
+SELECT round(np.threshold, 6) AS threshold, np.n_pairs, nd.n_docs
+FROM np JOIN nd USING (threshold)
+ORDER BY threshold
+""",
         # dedup recall row: the exact-Jaccard and banded-LSH pair
         # bodies reused verbatim, left-joined at the pair grain
         "lsh_recall_report": f"""

@@ -2022,3 +2022,59 @@ filter(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def jaccard_threshold_sweep(
+    pairs: DataFrame,
+    thresholds: tuple[float, ...] = (
+        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
+    ),
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    col_sim: str = "jaccard",
+) -> DataFrame:
+    """Dedup threshold-sizing report over an exact pair table (the
+    :func:`ngram_jaccard_pairs` output): for each candidate
+    threshold, how many pairs survive and how many DISTINCT documents
+    are implicated — the table an engineer reads to pick the near-dup
+    cut BEFORE burning a corpus-scale dedup run (the exact-truth
+    sibling of :func:`lsh_parameter_plan`, which sizes the
+    approximate banding for the chosen threshold).
+
+    Scale shape: the input is the already-declared pair table
+    (output-scale, never the corpus); one threshold-explode over it
+    (|thresholds| x pairs rows, all counting-only columns), one
+    aggregate for pairs, one distinct-stack aggregate for docs.
+    Every threshold must be <= the pair table's own cut or the row
+    undercounts — callers pass the table's native floor first.
+
+    Output: (threshold, n_pairs, n_docs), ordered by threshold."""
+    th = F.array(*[F.lit(float(t)) for t in thresholds])
+    hits = (
+        pairs.select(col_a, col_b, col_sim)
+        .select(
+            F.explode(th).alias("threshold"),
+            F.col(col_a).alias("a"),
+            F.col(col_b).alias("b"),
+            F.col(col_sim).alias("s"),
+        )
+        .filter(F.col("s") >= F.col("threshold"))
+    )
+    n_pairs = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs = (
+        hits.select("threshold", F.col("a").alias("doc"))
+        .unionByName(hits.select("threshold", F.col("b").alias("doc")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("doc").cast("bigint").alias("n_docs"))
+    )
+    return (
+        n_pairs.join(docs, "threshold")
+        .select(
+            F.round("threshold", 6).alias("threshold"),
+            "n_pairs",
+            "n_docs",
+        )
+        .orderBy("threshold")
+    )

@@ -70,6 +70,33 @@ def test_recall_reports_consistent_with_memoized_truth(spark):
     e._EXACT_PAIRS_MEMO.clear()
 
 
+def test_jaccard_threshold_sweep_exact_counts(spark):
+    """Fixture-exact rows: counts are monotone non-increasing in the
+    threshold, and each row matches a hand-computed filter of the
+    pair table."""
+    from recmetrics_pyspark_spark.operators.dedup import (
+        jaccard_threshold_sweep,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (1, 3, 0.55), (2, 3, 0.5), (4, 5, 0.15),
+         (6, 7, 0.1)],
+        ["id_a", "id_b", "jaccard"],
+    )
+    rows = {
+        r.threshold: (r.n_pairs, r.n_docs)
+        for r in jaccard_threshold_sweep(pairs).collect()
+    }
+    assert rows[0.1] == (5, 7)
+    assert rows[0.2] == (3, 3)   # the 0.15 and 0.1 pairs drop
+    assert rows[0.5] == (3, 3)
+    assert rows[0.6] == (1, 2)   # only (1,2,0.95) survives
+    assert rows[0.9] == (1, 2)
+    assert 0.3 in rows and 0.4 in rows and 0.7 in rows and 0.8 in rows
+    seq = [rows[t] for t in sorted(rows)]
+    assert all(a >= b for (a, _), (b, _) in zip(seq, seq[1:]))
+
+
 def test_bt_shared_fit_matches_standalone(spark):
     """Ratings and sensitivity computed off ONE bt_fit_chain (round 4
     marked) are row-identical to each operator fitting its own chain

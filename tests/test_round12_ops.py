@@ -180,3 +180,41 @@ def test_ann_truth_memo_shared_and_equal(spark):
     assert memo_rows == fresh
     assert len(memo_rows) > 0
     e._ANN_TRUTH_MEMO.clear()
+
+
+def test_kcore_memo_matches_fresh_converged(spark):
+    """The _kcore_core session memo (one fixed-8-round peel shared by
+    kcore_items and kcore_items_converged) is row-identical to a
+    FRESH until_converged=True run — the equality that lets the
+    converged declared row read the memo — and both declared queries
+    hit one memo entry."""
+    import __spark_entry__ as e
+    from recmetrics_pyspark_spark import operators as _ops  # noqa: F401
+    from recmetrics_pyspark_spark.operators import metrics as M
+    from recmetrics_pyspark_spark.operators import recommend as R
+    from recmetrics_pyspark_spark.operators.graph import k_core_decompose
+
+    e._KCORE_MEMO.clear()
+    qs = e.queries()
+    memo_rows = sorted(map(tuple, qs["kcore_items"](spark, SF_DIR).collect()))
+    assert len(e._KCORE_MEMO) == 1
+    conv_rows = sorted(
+        map(tuple, qs["kcore_items_converged"](spark, SF_DIR).collect())
+    )
+    assert len(e._KCORE_MEMO) == 1  # second query hit the same entry
+    assert memo_rows == conv_rows
+
+    inter = R.interactions(spark, SF_DIR)
+    pairs = M.item_similarity_pairs(
+        inter, "user", "item", min_common=2, max_basket=e.MAX_BASKET
+    )
+    fresh = sorted(
+        map(
+            tuple,
+            k_core_decompose(pairs, k=3, until_converged=True).collect(),
+        )
+    )
+    assert memo_rows == fresh
+    assert len(memo_rows) > 0
+    assert all(r[2] is True for r in memo_rows)  # converged witness
+    e._KCORE_MEMO.clear()

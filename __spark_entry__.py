@@ -1120,8 +1120,32 @@ def _minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.1)
 
 
+_NEARDUP_COMPS_MEMO: dict = {}
+
+
+def _neardup_comps(spark, sf_dir):
+    """The Jaccard >= 0.5 near-dup component table
+    (operators/dedup.py::neardup_components — min-label propagation,
+    iters=4), memoized per (application, sf_dir): the declared
+    neardup_components query, canonical_docs, and soft_dedup_weights
+    all consumed this same table, and each call re-ran the 4
+    localCheckpointed propagation rounds (per-round checkpoints never
+    canonicalize equal across calls — the established memo class;
+    within-probe A/B in SCALE.md round-12). Component-grain frame
+    (docs in >= 1 near-dup pair); session-lifetime, keyed like every
+    session memo in this file."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    out = _NEARDUP_COMPS_MEMO.get(key)
+    if out is None:
+        out = D.neardup_components(
+            _docs(spark, sf_dir), threshold=0.5, iters=4
+        ).localCheckpoint(eager=True)
+        _NEARDUP_COMPS_MEMO[key] = out
+    return out
+
+
 def _neardup_components(spark, sf_dir):
-    return D.neardup_components(_docs(spark, sf_dir), threshold=0.5, iters=4)
+    return _neardup_comps(spark, sf_dir)
 
 
 def _bt_oracle(iters: int = 8) -> str:
@@ -1881,8 +1905,12 @@ def _canonical_docs(spark, sf_dir):
     (operators/dedup.py::canonical_docs): every doc labeled with its
     component and a canonical flag — highest quality_score wins, ties
     to lowest id. Detection → decision: filtering is_canonical IS the
-    deduplicated corpus, with the drop decisions auditable."""
-    return D.canonical_docs(_docs(spark, sf_dir))
+    deduplicated corpus, with the drop decisions auditable. Components
+    come from the _neardup_comps session memo (round-12) — the same
+    table the declared neardup_components query returns."""
+    return D.canonical_docs(
+        _docs(spark, sf_dir), comps=_neardup_comps(spark, sf_dir)
+    )
 
 
 def _soft_dedup_weights(spark, sf_dir):
@@ -1890,8 +1918,11 @@ def _soft_dedup_weights(spark, sf_dir):
     keep every near-dup cluster member but down-weight each to
     1/cluster_size, so a cluster contributes one document's worth of
     training mass however many copies it has. Rides canonical_docs'
-    component table; singletons weigh 1."""
-    out = D.canonical_docs(_docs(spark, sf_dir))
+    component table (via the _neardup_comps session memo, round-12);
+    singletons weigh 1."""
+    out = D.canonical_docs(
+        _docs(spark, sf_dir), comps=_neardup_comps(spark, sf_dir)
+    )
     return out.select(
         "doc_id",
         "component_id",

@@ -529,6 +529,7 @@ def canonical_docs(
     col_text: str = "text",
     threshold: float = 0.5,
     iters: int = 4,
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """Survivor selection — the step that turns near-dup DETECTION
     into an actual dedup decision: every document gets its near-dup
@@ -542,12 +543,22 @@ def canonical_docs(
     quality is a scan-side projection; the survivor argmax and member
     count are ONE component-partitioned window pass whose groups are
     near-dup-cluster-sized (bounded by the dedup graph, never the
-    corpus)."""
+    corpus).
+
+    ``comps`` (optional) is a pre-built component table — the
+    bradley_terry ``fit=`` handle pattern: pass the OUTPUT of
+    ``neardup_components`` over the SAME (df, threshold, iters) to
+    skip the internal min-label propagation (4 localCheckpointed
+    rounds that per-call lineage never shares across queries). Only
+    (col_id, component_id) is read from it; the caller owns the
+    equality contract (pinned for the declared queries in
+    tests/test_round12_ops.py)."""
     from pyspark.sql.window import Window
 
     from ..functions.text import quality_score
 
-    comps = neardup_components(df, col_id, col_text, threshold, iters)
+    if comps is None:
+        comps = neardup_components(df, col_id, col_text, threshold, iters)
     q = quality_score(df, col_id, col_text)
     full = q.join(
         comps.select(col_id, "component_id"), col_id, "left"

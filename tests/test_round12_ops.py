@@ -218,3 +218,56 @@ def test_kcore_memo_matches_fresh_converged(spark):
     assert len(memo_rows) > 0
     assert all(r[2] is True for r in memo_rows)  # converged witness
     e._KCORE_MEMO.clear()
+
+
+def test_neardup_comps_memo_shared_and_equal(spark):
+    """The _neardup_comps session memo feeds the declared
+    neardup_components query AND the comps= handle of canonical_docs /
+    soft_dedup_weights; the memoized table is row-identical to a fresh
+    neardup_components derivation, and canonical_docs through the
+    handle equals the standalone operator."""
+    import __spark_entry__ as e
+    from recmetrics_pyspark_spark.operators import dedup as D
+
+    e._NEARDUP_COMPS_MEMO.clear()
+    qs = e.queries()
+    memo_rows = sorted(
+        map(tuple, qs["neardup_components"](spark, SF_DIR).collect())
+    )
+    assert len(e._NEARDUP_COMPS_MEMO) == 1
+    canon_rows = sorted(
+        map(tuple, qs["canonical_docs"](spark, SF_DIR).collect())
+    )
+    soft_rows = sorted(
+        map(tuple, qs["soft_dedup_weights"](spark, SF_DIR).collect())
+    )
+    assert len(e._NEARDUP_COMPS_MEMO) == 1  # all three hit one entry
+
+    docs = e._docs(spark, SF_DIR)
+    fresh_comps = sorted(
+        map(
+            tuple,
+            D.neardup_components(docs, threshold=0.5, iters=4).collect(),
+        )
+    )
+    assert memo_rows == fresh_comps
+    assert len(memo_rows) > 0
+
+    fresh_canon = sorted(map(tuple, D.canonical_docs(docs).collect()))
+    assert canon_rows == fresh_canon
+
+    fresh_soft = sorted(
+        map(
+            tuple,
+            D.canonical_docs(docs)
+            .select(
+                "doc_id",
+                "component_id",
+                "n_members",
+                F.round(F.lit(1.0) / F.col("n_members"), 6).alias("weight"),
+            )
+            .collect(),
+        )
+    )
+    assert soft_rows == fresh_soft
+    e._NEARDUP_COMPS_MEMO.clear()

@@ -35,48 +35,31 @@ def dpo_pair_mining(
     ``min_margin``. Multiplicity is collapsed to a per-(user,item) mean
     rating first, so repeat purchases don't bias the extremes.
 
-    Scale: two window ranks over the same (user) partitioning — one
-    shuffle, reused by both windows and the aggregate (AQE keeps the
-    partitioning). Output is user-scale."""
+    Scale: two grouped aggregates, no window sorts (round-12): both
+    per-user extremes are min/max over ONE struct (−r, item) — the
+    min is (max rating, tie → smaller id) = chosen, the max is
+    (min rating, tie → larger id) = rejected — bit-identical to the
+    earlier two-row_number-window formulation (the tie table is
+    pinned by test_dpo_pair_mining_tiebreaks_and_margin and the
+    declared query's oracle, which was NOT changed; IEEE negation is
+    exact, so margin = max.nr − min.nr equals r_chosen − r_rejected
+    bit-for-bit), but with partial (map-side) aggregation instead of
+    two per-user sorts — within-probe A/B at sf0.1 in SCALE.md.
+    Output is user-scale."""
     per_item = ratings.groupBy(col_user, col_item).agg(
         F.avg(col_rating).alias("r")
     )
-    w_top = Window.partitionBy(col_user).orderBy(
-        F.desc("r"), F.asc(col_item)
-    )
-    w_bot = Window.partitionBy(col_user).orderBy(
-        F.asc("r"), F.desc(col_item)
-    )
-    ranked = per_item.select(
-        F.col(col_user).alias("user"),
-        F.col(col_item).alias("item"),
-        "r",
-        F.row_number().over(w_top).alias("rn_top"),
-        F.row_number().over(w_bot).alias("rn_bot"),
-    )
+    s = F.struct((-F.col("r")).alias("nr"), F.col(col_item).alias("it"))
     pairs = (
-        ranked.groupBy("user")
-        .agg(
-            F.max(F.when(F.col("rn_top") == 1, F.col("item"))).alias(
-                "chosen_item"
-            ),
-            F.max(F.when(F.col("rn_top") == 1, F.col("r"))).alias("r_chosen"),
-            F.max(F.when(F.col("rn_bot") == 1, F.col("item"))).alias(
-                "rejected_item"
-            ),
-            F.max(F.when(F.col("rn_bot") == 1, F.col("r"))).alias(
-                "r_rejected"
-            ),
-        )
-        .filter(F.col("chosen_item") != F.col("rejected_item"))
+        per_item.groupBy(F.col(col_user).alias("user"))
+        .agg(F.min(s).alias("mt"), F.max(s).alias("mb"))
         .select(
             "user",
-            "chosen_item",
-            "rejected_item",
-            F.round(F.col("r_chosen") - F.col("r_rejected"), 6).alias(
-                "margin"
-            ),
+            F.col("mt.it").alias("chosen_item"),
+            F.col("mb.it").alias("rejected_item"),
+            F.round(F.col("mb.nr") - F.col("mt.nr"), 6).alias("margin"),
         )
+        .filter(F.col("chosen_item") != F.col("rejected_item"))
     )
     return pairs.filter(F.col("margin") >= min_margin)
 

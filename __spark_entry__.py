@@ -430,8 +430,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # Spark-side query callables
 # ---------------------------------------------------------------------------
 
+_SYNTH_RECS_MEMO: dict = {}
+
+
+def _synth_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic top-10 rec table (operators/recommend.py::
+    synthetic_recommendations), memoized per (application, sf_dir) —
+    round-12: ELEVEN declared queries consume this same (user, item,
+    rnk) frame with identical parameters (k=10 everywhere), and while
+    the distinct-pairs INPUT was cache-shared, each call re-ran the
+    per-user ranking window over it (~1-2 s/query at sf0.1;
+    within-probe A/B in SCALE.md). user × k rows, eagerly
+    localCheckpointed; session-lifetime, keyed like every session
+    memo in this file."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    out = _SYNTH_RECS_MEMO.get(key)
+    if out is None:
+        out = R.synthetic_recommendations(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        _SYNTH_RECS_MEMO[key] = out
+    return out
+
+
 def _recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.synthetic_recommendations(spark, sf_dir).select(
+    return _synth_recs(spark, sf_dir).select(
         F.col("user").alias("user_id"),
         F.col("item").alias("item_id"),
         F.col("rnk").cast("long").alias("rnk"),
@@ -443,7 +466,7 @@ def _coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from it, and |distinct items in ratings| == |distinct items in
     # pairs| by construction, so the raw interactions scan happens once
     pairs = R.interactions(spark, sf_dir).distinct().persist()
-    recs = R.synthetic_recommendations(spark, sf_dir, pairs=pairs).select(
+    recs = _synth_recs(spark, sf_dir).select(
         F.col("item").alias("item_id")
     )
     ratings = pairs.select(F.col("item").alias("item_id"))
@@ -452,13 +475,13 @@ def _coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = R.interactions(spark, sf_dir)
-    recs = R.synthetic_recommendations(spark, sf_dir)
+    recs = _synth_recs(spark, sf_dir)
     return M.novelty(sales, recs, col_user="user", col_item="item")
 
 
 def _novelty_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = R.interactions(spark, sf_dir)
-    recs = R.synthetic_recommendations(spark, sf_dir)
+    recs = _synth_recs(spark, sf_dir)
     per_user = M.novelty_per_user(sales, recs, col_user="user", col_item="item")
     return per_user.select(
         F.col("user").alias("user_id"), F.round("msi", 6).alias("msi")
@@ -471,7 +494,7 @@ def _personalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _intra_list_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    recs = R.synthetic_recommendations(spark, sf_dir)
+    recs = _synth_recs(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
     feat = recs.join(part, recs.item == part.p_partkey).select(
         F.col("user").alias("user_id"),
@@ -1894,7 +1917,7 @@ def _ips_offline_eval(spark, sf_dir):
     (operators/recommend.py::ips_offline_eval): popularity-share
     propensities, quantity rewards, DECIMAL-exact one-row estimates."""
     logs = R.interactions(spark, sf_dir, with_rating=True)
-    recs = R.synthetic_recommendations(spark, sf_dir).select(
+    recs = _synth_recs(spark, sf_dir).select(
         "user", "item"
     )
     return R.ips_offline_eval(logs, recs, k=10)
@@ -2088,7 +2111,7 @@ def _ranking_metrics(spark, sf_dir):
             F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
         )
     )
-    recs = R.synthetic_recommendations(spark, sf_dir, k=10)
+    recs = _synth_recs(spark, sf_dir)  # k=10, the memo's shape
     return R.ranking_metrics_at_k(recs, truth, k=10)
 
 
@@ -2420,7 +2443,7 @@ def _coverage_approx(spark, sf_dir):
     # recomputes the exact columns and pins the flag TRUE — a drifting
     # sketch turns the driver row red. Upgraded from rows-only.
     pairs = R.interactions(spark, sf_dir)
-    rec = R.synthetic_recommendations(spark, sf_dir).agg(
+    rec = _synth_recs(spark, sf_dir).agg(
         F.countDistinct("item").alias("rec_items"),
         F.approx_count_distinct("item", 0.01).alias("rec_approx"),
     )
@@ -2923,7 +2946,7 @@ def _association_rules(spark, sf_dir):
 def _item_exposure(spark, sf_dir):
     """Rank-discounted exposure shares over the deterministic rec lists
     (operators/recommend.py::item_exposure)."""
-    return R.item_exposure(R.synthetic_recommendations(spark, sf_dir))
+    return R.item_exposure(_synth_recs(spark, sf_dir))
 
 
 def _calibration_kl(spark, sf_dir):
@@ -2935,7 +2958,7 @@ def _calibration_kl(spark, sf_dir):
     )
     return R.calibration_kl(
         R.interactions(spark, sf_dir),
-        R.synthetic_recommendations(spark, sf_dir),
+        _synth_recs(spark, sf_dir),
         part,
     )
 
@@ -2944,7 +2967,7 @@ def _serendipity(spark, sf_dir):
     """Serendipity/unexpectedness vs the top-100 popularity baseline
     (operators/recommend.py::serendipity_at_k)."""
     return R.serendipity_at_k(
-        R.synthetic_recommendations(spark, sf_dir),
+        _synth_recs(spark, sf_dir),
         R.interactions(spark, sf_dir),
         k=10,
         baseline_k=100,

@@ -271,3 +271,35 @@ def test_neardup_comps_memo_shared_and_equal(spark):
     )
     assert soft_rows == fresh_soft
     e._NEARDUP_COMPS_MEMO.clear()
+
+
+def test_synth_recs_memo_shared_and_equal(spark):
+    """The _synth_recs session memo (one ranked top-10 rec table shared
+    by eleven declared queries) is row-identical to a fresh
+    synthetic_recommendations derivation, and consumers all hit one
+    memo entry."""
+    import __spark_entry__ as e
+    from recmetrics_pyspark_spark.operators import recommend as R
+
+    e._SYNTH_RECS_MEMO.clear()
+    qs = e.queries()
+    memo_rows = sorted(
+        map(tuple, qs["recommendations_topk"](spark, SF_DIR).collect())
+    )
+    assert len(e._SYNTH_RECS_MEMO) == 1
+    qs["coverage"](spark, SF_DIR).collect()
+    qs["item_exposure"](spark, SF_DIR).collect()
+    qs["ranking_metrics"](spark, SF_DIR).collect()
+    assert len(e._SYNTH_RECS_MEMO) == 1  # all consumers hit the entry
+
+    fresh = sorted(
+        map(
+            tuple,
+            R.synthetic_recommendations(spark, SF_DIR)
+            .select("user", "item", F.col("rnk").cast("long").alias("rnk"))
+            .collect(),
+        )
+    )
+    assert memo_rows == fresh
+    assert len(memo_rows) > 0
+    e._SYNTH_RECS_MEMO.clear()

@@ -4962,7 +4962,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (ab_power_mde, ab_test_events, attribution_time_decay).
 
     ROUND-13 ROTATION NOTE: after this window lands, the oldest
-    remaining driver vintage is r6. FIRST the two late-round-12
+    remaining driver vintage is r6. The round-12 OPTIMIZATION session
+    added four more wrapper/operator changes whose queries should
+    lead the r13 window alongside the items below (all values
+    unchanged — memo/plan work only; each verified at sf0.001/0.01
+    via driver_check on the change, equality-pinned in
+    tests/test_round12_ops.py): kcore_items + kcore_items_converged
+    (_kcore_core memo), neardup_components + canonical_docs +
+    soft_dedup_weights (_neardup_comps memo + comps= handle),
+    dpo_pair_mining (struct-extreme mining rewrite — also re-witness
+    one downstream arena row), and the _synth_recs family
+    (recommendations_topk, coverage, coverage_approx, novelty,
+    novelty_per_user, intra_list_similarity, ranking_metrics,
+    item_exposure, calibration_kl, serendipity, ips_offline_eval —
+    of which coverage, neardup_components, item_exposure,
+    serendipity, and ips_offline_eval sit in the CURRENT r12 window
+    and are re-witnessed this round already). FIRST the two late-round-12
     code-changed re-witnesses arena_bt_ratings + arena_bt_sensitivity
     (their wrappers now share ONE MM chain via the _bt_chain session
     memo — values unchanged, 3-SF driver_check verified on the

@@ -190,7 +190,8 @@ def _multi_run(n_runs: int) -> None:
     payload_line = json.dumps(payload) + "\n"
     with open(_bench_local_path(), "w") as fh:
         fh.write(payload_line)
-    if "SPARK_GRAFT_BENCH_OUT" not in os.environ:
+    if ("SPARK_GRAFT_BENCH_OUT" not in os.environ
+            and not os.environ.get("SPARK_GRAFT_BENCH_ONLY")):
         median_out = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_MEDIAN.json"
         )
@@ -262,6 +263,14 @@ def main() -> None:
         print(f"[bench] warm-up skipped: {exc}", file=sys.stderr)
 
     qs = entrymod.queries()
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated declared-query subset for
+    # SCRATCH lanes (the r13 sf1.0 scaling lane runs just the top-10
+    # heavies at 10x data). ADDITIVE knob: the driver never sets it, so
+    # its runs always time the full declared set in declared order.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = [n.strip() for n in only.split(",") if n.strip()]
+        qs = {n: qs[n] for n in keep}
     timings: dict[str, float] = {}
 
     def run_one(item):
@@ -316,9 +325,11 @@ def main() -> None:
         print(f"[bench] could not write {out_path}: {exc}", file=sys.stderr)
 
     # history: standalone runs only — a multi-run child (or any scratch
-    # run, marked by an explicit SPARK_GRAFT_BENCH_OUT) is aggregated
-    # into its parent's median line instead, the BENCH_MEDIAN rule
-    if "SPARK_GRAFT_BENCH_OUT" not in os.environ:
+    # run, marked by an explicit SPARK_GRAFT_BENCH_OUT or a
+    # SPARK_GRAFT_BENCH_ONLY subset) is aggregated into its parent's
+    # median line instead, the BENCH_MEDIAN rule
+    if ("SPARK_GRAFT_BENCH_OUT" not in os.environ
+            and not os.environ.get("SPARK_GRAFT_BENCH_ONLY")):
         _append_history(
             {
                 "metric": "total_query_wall_sec",

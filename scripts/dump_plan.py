@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Dump .explain('formatted') for named declared queries to
-plans/r12/<query>_<tag>.txt — the judge-facing plan evidence for
+plans/r13/<query>_<tag>.txt — the judge-facing plan evidence for
 optimization rounds. Usage:
     python scripts/dump_plan.py <tag> <query> [<query> ...]
 Plans are built at sf0.1 (the bench scale) but nothing executes except
@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r12")
+    os.path.abspath(__file__))), "plans", "r13")
 
 
 def main() -> int:

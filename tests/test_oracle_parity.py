@@ -15,6 +15,14 @@ from tests.oracle import SF_DIR_SMALL, assert_matches_oracle
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", SF_DIR_SMALL)
 
+# The full parity sweep (~280 queries × Spark + DuckDB) is the single
+# largest slice of the default suite; it runs in the driver's own t2
+# gate (ORACLE_SF_DIR set) and on explicit invocation, but is excluded
+# from the budgeted default `pytest tests/` run (round-12 verdict
+# item 2). conftest.pytest_collection_modifyitems honors the marker;
+# an ORACLE_SF_DIR run self-unlocks.
+pytestmark = [] if os.environ.get("ORACLE_SF_DIR") else [pytest.mark.slow]
+
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 

@@ -2437,18 +2437,35 @@ def _semantic_dedup(spark, sf_dir):
 
 def _coverage_approx(spark, sf_dir):
     # SELF-CHECKING sketch: the HLL estimate (approx_count_distinct,
-    # rsd=0.01) is computed in the same aggregate pass as the exact
-    # distinct, and the query returns the exact values plus a bounds
-    # flag (|approx-exact| <= 5% = 5x the configured rsd). The oracle
-    # recomputes the exact columns and pins the flag TRUE — a drifting
-    # sketch turns the driver row red. Upgraded from rows-only.
-    pairs = R.interactions(spark, sf_dir)
-    rec = _synth_recs(spark, sf_dir).agg(
-        F.countDistinct("item").alias("rec_items"),
+    # rsd=0.01) is computed alongside the exact distinct, and the query
+    # returns the exact values plus a bounds flag (|approx-exact| <= 5%
+    # = 5x the configured rsd). The oracle recomputes the exact columns
+    # and pins the flag TRUE — a drifting sketch turns the driver row
+    # red. Upgraded from rows-only.
+    #
+    # Round-13 single-pass shape (verdict item 6, guide §2.3): the
+    # previous mixed countDistinct + approx_count_distinct aggregate
+    # made the planner key the PARTIAL HLL sketch by item — 1,640
+    # bigint register columns PER DISTINCT ITEM through two exchanges
+    # (plans/r13/coverage_approx_before.txt op (3): "Results [1640]").
+    # Distinct-first instead: reduce to the distinct item set (narrow
+    # 8-byte rows, map-side partial distinct), then ONE global
+    # aggregate computes count (== countDistinct over the raw rows)
+    # and the HLL estimate (bit-identical: HLL registers are a max
+    # over hashed DISTINCT values — duplicate inserts are idempotent,
+    # so the sketch over the distinct set equals the sketch over the
+    # raw rows). Both aggregates stay — the query's point is the
+    # self-check.
+    rec_items_d = _synth_recs(spark, sf_dir).select("item").distinct()
+    rec = rec_items_d.agg(
+        F.count("item").alias("rec_items"),
         F.approx_count_distinct("item", 0.01).alias("rec_approx"),
     )
-    cat = pairs.agg(
-        F.countDistinct("item").alias("catalog_items"),
+    cat_items_d = (
+        R.interactions(spark, sf_dir).select("item").distinct()
+    )
+    cat = cat_items_d.agg(
+        F.count("item").alias("catalog_items"),
         F.approx_count_distinct("item", 0.01).alias("cat_approx"),
     )
     from pyspark.sql.functions import broadcast
@@ -2986,12 +3003,12 @@ def _mmr_rerank(spark, sf_dir):
     sims = M.item_similarity_pairs(
         inter, "user", "item", min_common=2, max_basket=MAX_BASKET
     )
-    bidir = sims.unionByName(
-        sims.select(
-            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim"
-        )
-    )
-    return R.mmr_rerank(cands, bidir, k=5, lam=0.7)
+    # symmetric=True (round 13): item_similarity_pairs IS the canonical
+    # ia<ib cosine table, so the operator probes it directly — half the
+    # candidate-pair generate, half the sims join side vs the previous
+    # 2x bidirectional union; values bit-identical (see mmr_rerank's
+    # contract note), oracle unchanged.
+    return R.mmr_rerank(cands, sims, k=5, lam=0.7, symmetric=True)
 
 
 def _mmr_oracle() -> str:
@@ -4033,6 +4050,10 @@ def _heaps_law_docs(spark, sf_dir):
 
 
 _KCORE_MEMO: dict = {}
+# the k every declared k-core query peels at; the convergence guard's
+# fallback must rebuild with the SAME k (tests override it to drive
+# adversarial graphs through the guard)
+_KCORE_K = 3
 
 
 def _kcore_core(spark, sf_dir):
@@ -4064,7 +4085,7 @@ def _kcore_core(spark, sf_dir):
         pairs = M.item_similarity_pairs(
             inter, "user", "item", min_common=2, max_basket=MAX_BASKET
         )
-        out = k_core_decompose(pairs, k=3, rounds=8).localCheckpoint(
+        out = k_core_decompose(pairs, k=_KCORE_K, rounds=8).localCheckpoint(
             eager=True
         )
         _KCORE_MEMO[key] = out
@@ -4082,17 +4103,34 @@ def _kcore_items(spark, sf_dir):
 
 def _kcore_items_converged(spark, sf_dir):
     """k_core_decompose's opt-in ``until_converged=True`` mode over
-    the same 3-core input as kcore_items. PRECONDITION pinning the
-    shared oracle: on every test corpus the peel converges within 8
-    rounds (property-pinned by test_kcore_peel_idempotent_past_
-    convergence), so the fixed-8-round CTE chain IS the fixed point
-    this mode must land on — which is also why the declared row can
-    read the _kcore_core session memo (one peel per session instead
-    of two; round-12): the memoized fixed-8 table IS the fixed point,
-    bit-identically, and the loop-exit logic itself stays pinned by
-    the fresh-vs-memo equality test in tests/test_round12_ops.py
-    plus the round-6 property test."""
-    return _kcore_core(spark, sf_dir)
+    the same 3-core input as kcore_items. CONTRACT (round-13, verdict
+    item 5): this query may read the _kcore_core session memo ONLY
+    while the memoized fixed-8 peel carries a true ``converged``
+    witness — on every declared corpus it does (convergence within 8
+    rounds is property-pinned by test_kcore_peel_idempotent_past_
+    convergence, and then the fixed-8 table IS the fixed point this
+    mode must land on, bit-identically). On an adversarial graph
+    (a long path needs ~n/2 peels) the witness is false and the memo
+    is a SUPERSET of the true core — the guard below detects that and
+    runs a real until-converged peel instead of silently serving it.
+    The happy-path cost is one head(1) over the checkpointed
+    node-grain table (the established size-guard-count convention);
+    guard behavior pinned both ways in tests/test_round13_ops.py,
+    memo-vs-fresh equality in tests/test_round12_ops.py."""
+    out = _kcore_core(spark, sf_dir)
+    if out.filter(~F.col("converged")).head(1):
+        from recmetrics_pyspark_spark.operators.graph import (
+            k_core_decompose,
+        )
+
+        inter = R.interactions(spark, sf_dir)
+        pairs = M.item_similarity_pairs(
+            inter, "user", "item", min_common=2, max_basket=MAX_BASKET
+        )
+        return k_core_decompose(
+            pairs, k=_KCORE_K, until_converged=True
+        )
+    return out
 
 
 def _corpus_entropy(spark, sf_dir):

@@ -1352,9 +1352,21 @@ def gopher_quality_flags(
     # rows / ~2M distinct (doc, n, gram) keys at sf0.1), so the
     # partial hash table is pure overhead — the explicit repartition
     # shuffles raw rows and aggregates once on the reduce side
-    # (measured 2.7s vs 4.0s warm; the item_cooccurrence_pairs rule)
+    # (measured 2.7s vs 4.0s warm; the item_cooccurrence_pairs rule).
+    # Round 13: repartition by __gid ALONE — HashPartitioning(gid)
+    # satisfies the ClusteredDistribution of BOTH downstream
+    # aggregates ((gid, n, g) and (gid, n)), so the whole stats
+    # subtree runs off ONE exchange instead of two (the (gid, n)
+    # re-aggregation previously paid its own partial pass + shuffle).
+    # Same bytes over the wire, one less stage barrier — measured
+    # cold 11.6-12.2 -> 7.3-9.4 s, warm 5.3-5.4 -> 3.6-4.7 s on the
+    # stats subtree at sf0.1 (2 Exchange -> 1 in the plan). Trade-off:
+    # a single adversarially huge document now lands its whole gram
+    # stream in one partition (the (gid, n, g) spread was incidental,
+    # and every doc-grain text shuffle here already accepts that
+    # grain); values are key-determined, partitioning-independent.
     stats = (
-        grams.repartition("__gid", "n", "g")
+        grams.repartition("__gid")
         .groupBy("__gid", "n", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("__gid", "n")

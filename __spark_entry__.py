@@ -4974,68 +4974,41 @@ def _data_mixture_pipeline(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness
-    harness evaluates the FIRST 50 entries. Round-12 window
-    (`_ROUND12_WINDOW` below), executing the round-11 rotation note
-    plus this round's memo re-witnesses: the 5 stable canaries lead
-    (coverage, personalization, item_item_topk, minhash_lsh_pairs,
-    event_sessionize — they own the shared cache builds, so
-    rotated-in queries show marginal bench cost); then the two
-    late-round-11 code-changed re-witnesses item_based_recommendations
-    + mmr_rerank (their wrappers consume the _item_recs session memo
-    — values unchanged, 3-SF verified on the change); then the two
-    report rows rewired onto the round-12 _exact_pairs session memo,
-    lsh_recall_report + simhash_recall_report (the round-11 verdict's
-    weak mark: three consumers re-derived the exact-Jaccard truth
-    table; values unchanged, 3-SF verified, memo-vs-fresh equality
-    pinned in tests/test_round12_ops.py — the third consumer,
-    ngram_jaccard_pairs, re-witnesses inside the r5 cohort below);
-    then the six rows rewired onto the _ann_truth session memo —
-    ann_bruteforce_topk first (it owns the memoized brute-force
-    build and the shared _embs scan), then ann_recall_report,
-    sq_recall_report, ivf_recall_report, pq_recall_report,
-    hybrid_rrf_topk (same pattern, same 3-SF verification, equality
-    pinned in the same test file); then the ENTIRE 32-row r5 cohort,
-    oldest-first alphabetical (containment_pairs ... wow_trending —
-    clears r5 freshness); the last 3 slots start the r6 cohort
-    (ab_power_mde, ab_test_events, attribution_time_decay).
+    harness evaluates the FIRST 50 entries. Round-13 window
+    (`_ROUND13_WINDOW` below), executing the round-12 rotation note +
+    verdict item 8: the 5 stable canaries lead (they own the shared
+    cache builds, so rotated-in queries show marginal bench cost);
+    then every query whose CODE changed in this optimization round —
+    mmr_rerank (symmetric-sims pair-join halving), coverage_approx
+    (distinct-first single-pass sketch), gopher_quality_flags +
+    web_curation_pipeline + data_mixture_pipeline (one-exchange gram
+    stats; the pipelines embed the gopher stage), kcore_items +
+    kcore_items_converged (convergence guard on the _kcore_core
+    memo) — each verified against its oracle at sf0.001/0.01/0.1 via
+    driver_check on the change, equality pins in
+    tests/test_round13_ops.py; then the round-12 memo/rewrite rows
+    whose driver vintage predates those commits — arena_bt_ratings +
+    arena_bt_sensitivity (_bt_chain), dedup_threshold_sweep (FIRST
+    driver witness), adamic_adar_links (_capped_adjacency re-witness,
+    closes the r11-item-6 class), neardup_components (also closes the
+    r12 sf0.1-oracle gap at the driver's standard SF) +
+    canonical_docs + soft_dedup_weights (_neardup_comps),
+    dpo_pair_mining (struct-extreme mining), and the six _synth_recs
+    consumers not already re-witnessed inside the r12 window
+    (recommendations_topk, novelty, novelty_per_user,
+    intra_list_similarity, ranking_metrics, calibration_kl); the
+    remaining 24 slots take the r6 cohort oldest-first alphabetical
+    (benford_order_totals .. seasonal_profile_events).
 
-    ROUND-13 ROTATION NOTE: after this window lands, the oldest
-    remaining driver vintage is r6. The round-12 OPTIMIZATION session
-    added four more wrapper/operator changes whose queries should
-    lead the r13 window alongside the items below (all values
-    unchanged — memo/plan work only; each verified at sf0.001/0.01
-    via driver_check on the change, equality-pinned in
-    tests/test_round12_ops.py): kcore_items + kcore_items_converged
-    (_kcore_core memo), neardup_components + canonical_docs +
-    soft_dedup_weights (_neardup_comps memo + comps= handle),
-    dpo_pair_mining (struct-extreme mining rewrite — also re-witness
-    one downstream arena row), and the _synth_recs family
-    (recommendations_topk, coverage, coverage_approx, novelty,
-    novelty_per_user, intra_list_similarity, ranking_metrics,
-    item_exposure, calibration_kl, serendipity, ips_offline_eval —
-    of which coverage, neardup_components, item_exposure,
-    serendipity, and ips_offline_eval sit in the CURRENT r12 window
-    and are re-witnessed this round already). FIRST the two late-round-12
-    code-changed re-witnesses arena_bt_ratings + arena_bt_sensitivity
-    (their wrappers now share ONE MM chain via the _bt_chain session
-    memo — values unchanged, 3-SF driver_check verified on the
-    change, fit-vs-standalone equality pinned in
-    tests/test_round12_ops.py, within-probe A/B in SCALE.md's
-    round-12 memo section); then the round-12 post-window addition
-    getting its FIRST driver witness — dedup_threshold_sweep (the
-    threshold-sizing report over the _exact_pairs memo, 3-SF
-    verified this round); then one adjacency-memo re-witness —
-    adamic_adar_links OR common_neighbor_links (their r11 rows
-    predate nothing, but one post-memo re-witness closes the "memo
-    changed the plan" class for good — round-11 verdict item 6);
-    then the r6 cohort remainder, oldest-first alphabetical from
-    benford_order_totals (35 rows: the 38-row r6 cohort minus the 3
-    witnessed in this window) — it exceeds the window, so the
-    overflow (plus any round-13 additions) seeds the r14 plan;
+    ROUND-14 ROTATION NOTE: after this window lands the r6 remainder
+    is 10 rows (session_summary, shipping_sla_compliance,
+    snapshot_diff_orders, source_divergence, stratified_metrics,
+    theil_sen_orders, token_budget_plan, user_erasure_audit,
+    user_lifecycle_stages, zipf_fit) — lead the r14 window with them,
+    then media_features (rows-only waiver lane, every-3-rounds
+    deadline hits r14), then the r7 cohort oldest-first;
     scripts/witness_audit.py prints the live histogram and the next
-    window's composition. media_features (rows-only waiver lane)
-    re-ran in r11, so its every-3-rounds deadline is r14 — schedule
-    it in the r14 window.
+    window's composition.
     """
     base = {
         # --- round-2 operators rotated in for driver witnessing
@@ -5357,15 +5330,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": _ccnet_perplexity_buckets,
         "soft_dedup_weights": _soft_dedup_weights,
     }
-    ordered = {k: base[k] for k in _ROUND12_WINDOW}
+    ordered = {k: base[k] for k in _ROUND13_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
 
-# The first-50 driver witness window for round 12 (see queries()
-# docstring). 5 canaries + the 2 _item_recs memo re-witnesses + the
-# 2 _exact_pairs memo report rows + the 6 _ann_truth memo rows + the
-# FULL 32-row r5 cohort + the first 3 r6 rows. Order is
+# The first-50 driver witness window for round 13: 5 canaries, then
+# every query whose CODE changed this optimization round (mmr_rerank
+# symmetric contract, coverage_approx distinct-first, the gopher
+# one-exchange gram stats + its two pipeline embedders, the k-core
+# guard pair), then the round-12 memo/rewrite queries whose driver
+# rows predate those commits (verdict item 8: arena pair via
+# _bt_chain, dedup_threshold_sweep's FIRST witness, one adjacency
+# re-witness, the _neardup_comps trio, dpo_pair_mining, and the
+# _synth_recs consumers not already witnessed in the r12 window),
+# then the r6 cohort oldest-first alphabetical (24 rows; the 10-row
+# remainder plus r7 seeds the r14 plan — scripts/witness_audit.py
+# prints the live histogram). media_features' every-3-rounds
+# rows-only deadline is r14 — schedule it there.
+_ROUND13_WINDOW = [
+    # 5 canaries (own the shared cache builds; green every round)
+    "coverage",
+    "personalization",
+    "item_item_topk",
+    "minhash_lsh_pairs",
+    "event_sessionize",
+    # round-13 code-changed re-witnesses
+    "mmr_rerank",
+    "coverage_approx",
+    "gopher_quality_flags",
+    "web_curation_pipeline",
+    "data_mixture_pipeline",
+    "kcore_items",
+    "kcore_items_converged",
+    # round-12 memo/rewrite rows with pre-r12 driver vintages
+    "arena_bt_ratings",
+    "arena_bt_sensitivity",
+    "dedup_threshold_sweep",
+    "adamic_adar_links",
+    "neardup_components",
+    "canonical_docs",
+    "soft_dedup_weights",
+    "dpo_pair_mining",
+    # _synth_recs consumers not witnessed post-memo in the r12 window
+    "recommendations_topk",
+    "novelty",
+    "novelty_per_user",
+    "intra_list_similarity",
+    "ranking_metrics",
+    "calibration_kl",
+    # freshness: r6 cohort oldest-first alphabetical (24 of 34
+    # remaining after intra_list_similarity above)
+    "benford_order_totals",
+    "bot_activity_flags",
+    "catalog_freshness",
+    "centroid_distances",
+    "cohort_ltv",
+    "corpus_entropy",
+    "daily_acf_events",
+    "embedding_outliers",
+    "gmv_mtd_report",
+    "heaps_law_docs",
+    "join_size_lineitem_part",
+    "k_anonymity_customers",
+    "lsh_parameter_plan",
+    "mad_outlier_docs",
+    "peak_concurrency",
+    "pq_distortion",
+    "q_key_skew_items",
+    "q_zorder_keys",
+    "redact_pii",
+    "revenue_concentration",
+    "scd2_customer_priority",
+    "seasonal_anomaly_days",
+    "seasonal_decompose_events",
+    "seasonal_profile_events",
+]
+
+
+# The round-12 window, kept for the rotation ledger (see queries()
+# docstring history). 5 canaries + the 2 _item_recs memo re-witnesses
+# + the 2 _exact_pairs memo report rows + the 6 _ann_truth memo rows
+# + the FULL 32-row r5 cohort + the first 3 r6 rows. Order is
 # bench-accounting: canaries own the shared cache builds;
 # ann_bruteforce_topk leads its family so the memoized brute-force
 # truth (and the shared _embs scan) is charged to the row that

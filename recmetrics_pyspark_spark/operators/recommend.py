@@ -1043,35 +1043,65 @@ def skipgram_pairs(
 
     Scale shape: ONE bounded-frame user window (rowsBetween(-window,
     -1)) collects each position's backward neighbors — no positional
-    self-join over the corpus; the directed pair set is the backward
-    pairs plus their reversals, merged in a catalog²-bounded
-    aggregate. Global top-k via orderBy+limit
-    (TakeOrderedAndProject). Exact integer counts throughout."""
+    self-join over the corpus. The merged directed distribution is
+    SYMMETRIC by construction (n(a→b) = backward(a,b) + backward(b,a)
+    = n(b→a)), so the counts are aggregated ONCE on the canonical
+    (least, greatest) key and both directions are emitted afterwards
+    — a self-pair (center == context) folds its two directed copies
+    into 2·n on the single emitted row. The previous form unioned the
+    backward counts with their reversal and re-aggregated: one more
+    full exchange plus the backward aggregate evaluated twice (plan
+    ops above the reused exchange run per union branch). Identical
+    row multiset (round 13, guide §2.4). Global top-k via
+    orderBy+limit (TakeOrderedAndProject). Exact integer counts
+    throughout."""
     w = Window.partitionBy(col_user).orderBy(
         col_time, col_order, col_item
     )
     ctx = F.collect_list(F.col(col_item)).over(
         w.rowsBetween(-window, -1)
     )
-    back = (
+    canon = (
         timed.select(F.col(col_item).alias("center"), ctx.alias("ctx"))
         .select("center", F.explode("ctx").alias("context"))
-        .groupBy("center", "context")
+        .groupBy(
+            F.least("center", "context").alias("a"),
+            F.greatest("center", "context").alias("b"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    directed = back.unionByName(
-        back.select(
-            F.col("context").alias("center"),
-            F.col("center").alias("context"),
-            "n",
-        )
-    )
+    directed = canon.select(
+        F.explode(
+            F.when(
+                F.col("a") == F.col("b"),
+                F.array(
+                    F.struct(
+                        F.col("a").alias("center"),
+                        F.col("b").alias("context"),
+                        (F.lit(2) * F.col("n")).alias("n_cooc"),
+                    )
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("center"),
+                        F.col("b").alias("context"),
+                        F.col("n").alias("n_cooc"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("center"),
+                        F.col("a").alias("context"),
+                        F.col("n").alias("n_cooc"),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.center", "p.context", F.col("p.n_cooc").cast("bigint").alias("n_cooc"))
     wk = Window.orderBy(
         F.desc("n_cooc"), F.asc("center"), F.asc("context")
     )
     return (
-        directed.groupBy("center", "context")
-        .agg(F.sum("n").cast("bigint").alias("n_cooc"))
+        directed
         .orderBy(F.desc("n_cooc"), F.asc("center"), F.asc("context"))
         .limit(top_k)
         .withColumn("rnk", F.row_number().over(wk).cast("bigint"))
@@ -1105,16 +1135,23 @@ def sequential_rules(
 
     computed as pure integer ratios (one double division, rounded).
 
-    Scale shape: the (user, item) first-adoption aggregate is one
-    corpus shuffle; each user's sequence is capped at their
-    ``max_items_per_user`` EARLIEST adoptions (bounded-group window),
-    so the per-user pair fan-out is ≤ cap²/2 regardless of the
-    heaviest user — the same hot-entity rule as the wedge caps. Item
-    adopter counts are catalog-scale broadcasts; global top-k via
-    orderBy+limit."""
-    firsts = timed.groupBy(
-        F.col(col_user).alias("u"), F.col(col_item).alias("it")
-    ).agg(F.min(col_time).alias("t"))
+    Scale shape: ONE user-keyed corpus shuffle serves the whole
+    pipeline — HashPartitioning(user) satisfies the clustered
+    distribution of the (user, item) first-adoption aggregate, the
+    per-user capping window, AND the user-keyed pair self-join of the
+    persisted capped table (the gopher one-exchange rule, round 13;
+    previously the aggregate hashed on (u, it) and the window paid a
+    second full shuffle back to u). Each user's sequence is capped at
+    their ``max_items_per_user`` EARLIEST adoptions (bounded-group
+    window), so the per-user pair fan-out is ≤ cap²/2 regardless of
+    the heaviest user — the same hot-entity rule as the wedge caps.
+    Item adopter counts are catalog-scale broadcasts; global top-k
+    via orderBy+limit."""
+    firsts = (
+        timed.repartition(F.col(col_user))
+        .groupBy(F.col(col_user).alias("u"), F.col(col_item).alias("it"))
+        .agg(F.min(col_time).alias("t"))
+    )
     w = Window.partitionBy("u").orderBy("t", "it")
     capped = (
         firsts.withColumn("r", F.row_number().over(w))

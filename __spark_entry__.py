@@ -464,8 +464,17 @@ def _recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one persisted distinct-pairs table feeds both sides: recs derive
     # from it, and |distinct items in ratings| == |distinct items in
-    # pairs| by construction, so the raw interactions scan happens once
-    pairs = R.interactions(spark, sf_dir).distinct().persist()
+    # pairs| by construction, so the raw interactions scan happens once.
+    # repartition("user") BEFORE the distinct: the identical canonical
+    # plan synthetic_recommendations builds (one user-keyed exchange
+    # serves the distinct AND its ranking window — round 13), so the
+    # session cache keeps deduplicating the frame across the family.
+    pairs = (
+        R.interactions(spark, sf_dir)
+        .repartition("user")
+        .distinct()
+        .persist()
+    )
     recs = _synth_recs(spark, sf_dir).select(
         F.col("item").alias("item_id")
     )

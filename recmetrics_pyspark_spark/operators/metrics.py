@@ -286,10 +286,14 @@ def personalization(
     """
     # persist(): baskets feeds the sizes aggregate AND the weighted
     # join; vocabulary-scale (distinct pairs), MEMORY_AND_DISK.
+    # repartition("u") before the distinct (round 13): one user-keyed
+    # exchange satisfies the (u, i) distinct, the per-user sizes
+    # aggregate, AND the baskets⋈sizes join — the sizes re-shuffle
+    # disappears from the plan.
     _require_cols(df, "personalization", col_index, col_columns)
     baskets = df.select(
         F.col(col_index).alias("u"), F.col(col_columns).alias("i")
-    ).distinct().persist()
+    ).repartition("u").distinct().persist()
     sizes = baskets.groupBy("u").agg(F.count(F.lit(1)).alias("sz"))
     weighted = baskets.join(sizes, "u").select(
         "i", (F.lit(1.0) / F.sqrt(F.col("sz"))).alias("w")

@@ -184,14 +184,26 @@ def synthetic_recommendations(
 ) -> DataFrame:
     """Deterministic top-k recs per user: (user, item, rnk).
 
-    Distinct purchased pairs ranked by a portable hash — one shuffle for
-    the distinct (reused by the window since both partition on user via
-    AQE) and no data-dependent randomness. Pass a pre-built (user, item)
-    ``pairs`` frame to share lineage with other consumers; the distinct
-    result is persisted (vocabulary-scale) so metric queries that derive
+    Distinct purchased pairs ranked by a portable hash and no
+    data-dependent randomness. ONE user-keyed shuffle serves both the
+    distinct and the ranking window (round 13): HashPartitioning(user)
+    satisfies the (user, item) distinct's clustered distribution AND
+    the window's partitionBy(user), so the explicit repartition
+    replaces what were two exchanges (the distinct hashed on BOTH
+    columns, then the window re-shuffled back to user). Callers that
+    build the same frame (the coverage canary) use the identical
+    repartition("user").distinct() form so the session cache still
+    deduplicates the plan. Pass a pre-built (user, item) ``pairs``
+    frame to share lineage with other consumers; the distinct result
+    is persisted (vocabulary-scale) so metric queries that derive
     both sales and recs from interactions scan the input once."""
     if pairs is None:
-        pairs = interactions(spark, sf_dir).distinct().persist()
+        pairs = (
+            interactions(spark, sf_dir)
+            .repartition("user")
+            .distinct()
+            .persist()
+        )
     scored = pairs.withColumn("score", pseudo_score(F.col("user"), F.col("item")))
     return top_k_per_group(
         scored, "user", [F.asc("score"), F.asc("item")], k
